@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftShim}
+
+/** Column-level function facade for graft's custom Catalyst expressions —
+  * the analogue of `org.apache.spark.sql.functions` for the operators the
+  * reference has and Spark lacks (SURVEY.md §2 A7).
+  */
+package object functions {
+
+  /** k largest values of `c` per group, descending array.
+    * Reference: python/pyhdk/hdk.py:301 `top_k`. */
+  def topk(c: Column, k: Int): Column =
+    GraftShim.column(
+      TopKAgg(GraftShim.expression(c), k, ascending = false).toAggregateExpression())
+
+  /** k smallest values of `c` per group, ascending array.
+    * Reference: python/pyhdk/hdk.py:328 `bottom_k`. */
+  def bottomk(c: Column, k: Int): Column =
+    GraftShim.column(
+      TopKAgg(GraftShim.expression(c), k, ascending = true).toAggregateExpression())
+}
