@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    _root_.graft.queries.CoreQueries.all
+    _root_.graft.queries.CoreQueries.all ++
+      _root_.graft.queries.PipelineQueries.all
 
   private lazy val maps = Q.toMaps(modules)
 

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2
+  * P1–P5): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine.
+  *
+  * Scale design: every near-dup variant is candidate-generation via a
+  * bucket/bands shuffle join (O(N·bands)), never an O(N²) cross join.
+  * The only exceptions are the `*AllPairs` baselines kept for oracle
+  * checking at small SF. All hashing is built-in `xxhash64` — codegen'd,
+  * no UDFs.
+  */
+object Dedup {
+
+  /** 3-token shingle set per doc. Docs shorter than `k` tokens produce a
+    * single whole-doc shingle so they still participate. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup: keep the lowest doc_id per identical text (sha256
+    * identity). Hash-groupBy → map-side partial agg, one shuffle on the
+    * 256-bit digest; at 100 TB the digest groupBy is the canonical
+    * scalable exact-dedup plan. */
+  def exactKept(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  // ----------------------------------------------------------- minhash
+  /** MinHash signatures (`numHashes` permutations via seeded xxhash64)
+    * banded into `bands` buckets; candidate pairs = docs sharing any
+    * band bucket; estimated Jaccard = signature agreement rate.
+    *
+    * Returns (a_id, b_id, est_jaccard) for pairs with est ≥ threshold.
+    * Shuffle cost: O(N·bands) bucket rows + the candidate join — the
+    * standard web-scale near-dup plan (Broder-style).
+    */
+  /** MinHash signatures as a standalone table (doc_id, sig: array<long>).
+    *
+    * Shape matters: shingles are EXPLODED and the 64 permutation minima
+    * computed as 64 codegen'd `min(xxhash64(sh, i))` aggregates — NOT as
+    * nested higher-order functions. HOFs are interpreted (no codegen),
+    * and any HOF column referenced downstream gets re-inlined by
+    * CollapseProject into every use, multiplying evaluation (observed:
+    * 64 hashes × 16 bands re-deriving the shingle split → a 30min+
+    * single task at sf0.01). The explode+agg form is codegen'd, partial-
+    * aggregated map-side, and the Aggregate node is an optimizer barrier
+    * so the signature is computed exactly once.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    sh.groupBy("doc_id").agg(
+      array((0 until numHashes).map(h => min(xxhash64(col("sh"), lit(h)))): _*).as("sig"))
+  }
+
+  def minhashPairs(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketDf: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, numHashes)
+    val bandRows = sig
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+            b -> xxhash64(concat_ws(',', transform(slice(sig, b * $rows + 1, $rows),
+                                                   x -> cast(x as string))), b))"""))
+        .as(Seq("band_idx", "band_hash")))
+    // Degenerate buckets (e.g., every short doc hashing identically) are
+    // capped so one hot bucket can't go quadratic at scale.
+    val bucketSizes = bandRows.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketDf))
+    val inBuckets = bandRows.join(bucketSizes, Seq("band_idx", "band_hash"))
+    val a = inBuckets.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val b = inBuckets.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"), 6)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- simhash
+  /** 64-bit SimHash per doc as (doc_id, sim). Same explode+agg shape as
+    * minhashSignatures (see its scaladoc for why HOF nesting is avoided):
+    * each shingle hashes once, 64 signed bit-sums are codegen'd partial
+    * aggregates, and the sign vector folds to one long. */
+  def simhashed(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sums = sh.groupBy("doc_id").agg(
+      sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")): _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("sim"))
+  }
+
+  /** Pairs with simhash hamming distance ≤ maxHamming. Candidate
+    * blocking: split the fingerprint into `chunks` equal pieces; by
+    * pigeonhole any pair with hamming ≤ chunks-1 shares a chunk. Verify
+    * with bit_count(a^b). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val bitsPer = 64 / chunks
+    val withSim = simhashed(docs)
+    val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
+      s"transform(sequence(0, ${chunks - 1}), c -> shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1})"))
+      .as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("a_id"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("b_id"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------- exact n-gram Jaccard pairs
+  /** Exact shingle-set Jaccard via explode + equi-join on shingle —
+    * |A∩B| from pair counts, |A|,|B| from per-doc sizes. Ultra-common
+    * shingles above dfCap are dropped before the join (standard skew
+    * guard; documented approximation).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+      dfCap: Int = 10000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val capped = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
+      Seq("sh"))
+    val inter = capped.select(col("sh"), col("doc_id").as("a_id"))
+      .join(capped.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- embedding cosine
+  /** Embeddings with double-precision vector and L2 norm. */
+  def normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+
+  /** All-pairs cosine near-dup baseline (oracle-checkable). At scale use
+    * Similarity.lshBuckets to generate candidates instead — this form is
+    * O(N²) by design and only run at verification SF. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = normalized(embeddings)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

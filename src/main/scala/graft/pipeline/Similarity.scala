@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2 P6).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k. The probe set is broadcast
+  *    (it's small by definition); the corpus streams — one scan, no
+  *    shuffle of the corpus. This is the oracle-checkable baseline and
+  *    is also the right plan whenever |queries| is small.
+  *  - `lshTopK`: random-hyperplane LSH. Corpus is bucketed by sign
+  *    pattern (narrow, no shuffle to compute); candidates = corpus rows
+  *    sharing a bucket with the query (multi-probe over all 1-bit
+  *    neighbors). At 100 TB this turns the scan into a bucket-join that
+  *    touches ~(probes/2^bits) of the corpus.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = Dedup.normalized(corpus)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val q = Dedup.normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes × `dim` components
+    * in [-1, 1), seeded — same planes on every executor with zero
+    * driver-side state. */
+  def planes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-pattern bucket id for an embedding (column `v`: array<double>). */
+  def bucketExpr(ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(expr(s"aggregate(zip_with(v, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH top-k: exact rescoring over bucket-colocated candidates,
+    * multi-probing the query's bucket plus all 1-bit-flip neighbors. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val ps = planes(nBits, dim, seed)
+    val c = Dedup.normalized(corpus)
+      .withColumn("bucket", bucketExpr(ps))
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("v").as("vc"), col("nrm").as("nc"))
+    val probes = (0 until nBits).map(b => expr(s"bucket").bitwiseXOR(lit(1L << b))) :+ col("bucket")
+    val q = Dedup.normalized(queries)
+      .withColumn("bucket", bucketExpr(ps))
+      .withColumn("probe", explode(array(probes: _*)))
+      .select(col("probe").as("bucket"), col("vec_id").as("query_id"),
+        col("v").as("vq"), col("nrm").as("nq"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2 P7–P10). All pure built-in expressions — no UDFs —
+  * so every operator stays inside whole-stage codegen and scales
+  * linearly with no shuffle (narrow, per-row transforms).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased. The canonical tokenization shared by
+    * every text operator (and mirrored in the DuckDB oracles). */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish token count: words | digit runs | punctuation runs. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  // Small per-language stopword profiles for the n-gram/stopword langid
+  // heuristic. Deterministic and oracle-mirrorable.
+  val stopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "that", "it", "as", "at", "by")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "von", "mit", "auf", "im")
+  val stopEs = Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "en", "que", "por", "con", "para")
+  val stopFr = Seq("le", "les", "et", "est", "ne", "un", "une", "dans", "que", "pour", "avec", "sur", "pas", "au")
+
+  private def stopHits(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+
+  /** Language ID: CJK char ratio gate, then stopword-profile argmax with
+    * a fixed priority order (en > de > es > fr) on ties. */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val cjk = length(txt) - length(regexp_replace(txt, "[\\u4e00-\\u9fff]", ""))
+    docs
+      .withColumn("_s_en", stopHits(toks, stopEn))
+      .withColumn("_s_de", stopHits(toks, stopDe))
+      .withColumn("_s_es", stopHits(toks, stopEs))
+      .withColumn("_s_fr", stopHits(toks, stopFr))
+      .withColumn("pred_lang",
+        when(cjk * 20 > length(txt), "zh")
+          .when(col("_s_en") >= col("_s_de") && col("_s_en") >= col("_s_es") && col("_s_en") >= col("_s_fr"), "en")
+          .when(col("_s_de") >= col("_s_es") && col("_s_de") >= col("_s_fr"), "de")
+          .when(col("_s_es") >= col("_s_fr"), "es")
+          .otherwise("fr"))
+      .drop("_s_en", "_s_de", "_s_es", "_s_fr")
+  }
+
+  /** Quality scoring: length / punctuation / stopword / word-length
+    * signals, combined into a [0,1] score. All ratios rounded at 6dp for
+    * cross-engine determinism. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val nChars = length(txt)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(txt, "[.,!?;:]", ""))
+    val stops = stopHits(toks, stopEn)
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks
+    docs
+      .withColumn("n_chars_", nChars.cast("long"))
+      .withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("punct_ratio", round(punct.cast("double") / nChars, 6))
+      .withColumn("stop_ratio", round(stops.cast("double") / nToks, 6))
+      .withColumn("mean_tok_len", round(meanTokLen, 6))
+      .withColumn("quality_score", round(
+        least(lit(1.0), nToks.cast("double") / 100) * 0.5
+          + least(lit(1.0), stops.cast("double") / nToks * 5) * 0.3
+          + when(meanTokLen.between(3, 10), 0.2).otherwise(0.0), 6))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation. */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast("long"))
+
+  /** Document fingerprint: order-sensitive rolling polynomial hash over
+    * tokens (Karp–Rabin style; wraps in 64-bit), plus a winnowing-style
+    * min-hash over 5-token windows. Deterministic; used for fast
+    * container-level dedup and shard-stable doc identity at 100 TB. */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("fingerprint",
+        // mod-2^32 rolling hash: h stays < 2^32 so h*1000003 + 2^32 < 2^52
+        // — never overflows ANSI long arithmetic.
+        aggregate(toks, lit(0L), (h, t) =>
+          (h * lit(1000003L) + (xxhash64(t).bitwiseAND(lit(4294967295L)))) % lit(4294967296L)))
+      .withColumn("win_min_hash", expr(
+        s"""aggregate(
+          transform(sequence(0, greatest(size(split(trim(lower($textCol)), '\\\\s+')) - 5, 0)),
+            i -> xxhash64(concat_ws(' ', slice(split(trim(lower($textCol)), '\\\\s+'), i + 1, 5)))),
+          9223372036854775807L, (m, h) -> least(m, h))"""))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators as driver-verifiable queries
+  * (SURVEY.md §2 P1–P11). Where the operator is SQL-expressible the
+  * DuckDB oracle mirrors the exact arithmetic (same tokenization, same
+  * double-precision fold order) so hashes match bit-for-bit.
+  */
+object PipelineQueries {
+
+  private val stopListSql = TextAnalysis.stopEn.mkString("['", "','", "']")
+
+  // P1: exact dedup — sha256 identity, keep lowest doc_id per group.
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, d) =>
+      Dedup.exactKept(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_copies"), col("text_hash"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      sha256(text) AS text_hash
+      FROM documents GROUP BY sha256(text) ORDER BY doc_id"""))
+
+  // P2: MinHash + LSH banding. Hash-function-specific → rows-only.
+  private val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, d) =>
+      Dedup.minhashPairs(Tables.load(s, d, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")))
+
+  // P3: SimHash hamming pairs. Hash-function-specific → rows-only.
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) =>
+      Dedup.simhashPairs(Tables.load(s, d, "documents"), maxHamming = 7)
+        .orderBy(col("a_id"), col("b_id")))
+
+  // P4: exact n-gram Jaccard pairs — fully SQL-expressible, oracled.
+  private val dedupNgram = Q(
+    "dedup_ngram",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS sh
+        FROM tok)
+      SELECT * FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5
+      ORDER BY a_id, b_id"""))
+
+  // P5: embedding cosine near-dup (all-pairs baseline at verify SF;
+  // LSH path covered by ann_lsh). Double math mirrored on both sides.
+  private val dedupCosine = Q(
+    "dedup_cosine",
+    (s, d) =>
+      Dedup.cosinePairs(Tables.load(s, d, "embeddings"), threshold = 0.44)
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+      SELECT * FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.44
+      ORDER BY a_id, b_id"""))
+
+  // P6: exact ANN baseline — brute-force cosine top-10 for 5 probes.
+  private val annTopk = Q(
+    "ann_topk",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT query_id, neighbor_id, rnk, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                     c.vec_id) AS rnk
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rnk <= 10
+      ORDER BY query_id, rnk"""))
+
+  // P6b: LSH-bucketed ANN (the 100 TB path) — approximate → rows-only;
+  // recall vs the exact baseline is asserted in SimilaritySpec.
+  private val annLsh = Q(
+    "ann_lsh",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  // P7: language ID heuristic — deterministic, oracle mirrors the logic.
+  private val textLangid = Q(
+    "text_langid",
+    (s, d) =>
+      TextAnalysis.withLangId(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("pred_lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      s AS (SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(${TextAnalysis.stopEn.mkString("['", "','", "']")}, x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(${TextAnalysis.stopDe.mkString("['", "','", "']")}, x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(${TextAnalysis.stopEs.mkString("['", "','", "']")}, x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(${TextAnalysis.stopFr.mkString("['", "','", "']")}, x))) AS s_fr,
+        length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+        length(text) AS ln
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN cjk * 20 > ln THEN 'zh'
+          WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+      FROM s ORDER BY doc_id"""))
+
+  // P8: quality scoring — oracle mirrors every ratio and the score.
+  private val textQuality = Q(
+    "text_quality",
+    (s, d) =>
+      TextAnalysis.withQuality(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars_"), col("n_tokens"),
+          col("punct_ratio"), col("stop_ratio"), col("mean_tok_len"),
+          col("quality_score"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      m AS (SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        len(list_filter(toks, x -> list_contains($stopListSql, x))) AS stops,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mtl
+        FROM t)
+      SELECT doc_id, n_chars_, n_tokens,
+        round(CAST(punct AS DOUBLE) / n_chars_, 6) AS punct_ratio,
+        round(CAST(stops AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        round(mtl, 6) AS mean_tok_len,
+        round(least(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.5
+          + least(1.0, CAST(stops AS DOUBLE) / n_tokens * 5) * 0.3
+          + CASE WHEN mtl BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
+      FROM m ORDER BY doc_id"""))
+
+  // P9: token counting — whitespace + BPE-ish regex, oracled.
+  private val textTokens = Q(
+    "text_tokens",
+    (s, d) =>
+      TextAnalysis.withTokenCounts(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpeish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  // P10: rolling-hash fingerprint (64-bit wraparound) → rows-only.
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, d) =>
+      TextAnalysis.withFingerprint(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("fingerprint"), col("win_min_hash"))
+        .orderBy(col("doc_id")))
+
+  // P11: multimodal binary plumbing with stubbed decode → rows-only.
+  private val multimodalMeta = Q(
+    "multimodal_meta",
+    (s, d) =>
+      Multimodal.features(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupCosine,
+    annTopk, annLsh, textLangid, textQuality, textTokens,
+    textFingerprint, multimodalMeta)
+}

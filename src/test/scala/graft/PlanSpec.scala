@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scale-shape assertions: these test the PLAN, not the rows — the
+  * properties that decide whether a query survives a 100× scale-up.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan (q02)") {
+    val p = plan("q02_filter_proj")
+    // plan text truncates the filter list — assert it is non-empty
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("scan schema is pruned to referenced columns (q02)") {
+    val p = plan("q02_filter_proj")
+    // lineitem has 11 columns; q02 needs 6 — returnflag must not be read
+    assert(!p.contains("l_returnflag"), "unpruned scan:\n" + p)
+  }
+
+  test("dimension joins broadcast (q03, q05)") {
+    assert(plan("q03_join").contains("BroadcastHashJoin"))
+    val p5 = plan("q05_join_multi")
+    assert(p5.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial (map-side combine) (q01)") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate:\n" + p)
+  }
+
+  test("custom TopKAgg partial-aggregates via ObjectHashAggregate (q21)") {
+    val p = plan("q21_topk")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate:\n" + p)
+  }
+
+  test("whole-stage codegen covers the q01 pipeline") {
+    // materialize so AQE finalizes the physical plan with codegen spans
+    val df = SparkEntry.queries("q01_agg")(spark, TestSpark.sf)
+    df.collect()
+    // "*(n)" is the compact WholeStageCodegen marker in plan toString
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("sort+limit uses TakeOrderedAndProject, not a global sort (q04)") {
+    val p = plan("q04_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
+
+/** CSV ingest (SURVEY.md §2 IO2) — reference: hdk.py:2229 import_csv
+  * (header / delimiter / skip_rows / explicit schema). */
+class CsvSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("csv roundtrip preserves rows and schema") {
+    val dir = "/root/repo/target/tmp/csv_roundtrip"
+    val src = Tables.load(spark, TestSpark.sf, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read
+      .option("header", "true")
+      .schema(src.schema)
+      .csv(dir)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val a = src.orderBy("n_nationkey").collect()
+    val b = back.orderBy("n_nationkey").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("csv options: custom delimiter and skipped malformed rows") {
+    val dir = "/root/repo/target/tmp/csv_opts"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id|name\n1|alpha\n2|beta\nnot_an_int|gamma\n")
+    val df = spark.read
+      .option("header", "true").option("delimiter", "|")
+      .option("mode", "DROPMALFORMED")
+      .schema("id INT, name STRING")
+      .csv(dir)
+    // collect() forces full-row parsing (count() alone may skip field
+    // parsing under CSV column pruning and not detect malformed rows)
+    assert(df.collect().length == 2)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+  private def docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("gamma", "GAMMA2")), // near dup of 0
+    (3L, "totally different text about nothing shared with the others at all " * 5),
+    (4L, "another unrelated document with its own words entirely distinct here " * 5)
+  ).toDF("doc_id", "text")
+
+  test("exactKept keeps lowest doc_id per identical text") {
+    val kept = Dedup.exactKept(docs).orderBy("doc_id").collect()
+    // docs 0 and 1 are identical → group keeps 0; others are unique
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 2L, 3L, 4L))
+    val dupGroup = kept.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("doc_id") == 0L, "kept id must be the min of the group")
+  }
+
+  test("minhash finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missed")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup pair missed")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs flagged")
+  }
+
+  test("simhash: identical docs at distance 0, near dups closer than unrelated") {
+    // 50 distinct tokens; near-dup differs by one token → jaccard ≈ 0.89
+    val long = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = long.replace("tok25", "changed")
+    val other = (1 to 50).map(i => s"other$i").mkString(" ")
+    val df = Seq((0L, long), (1L, long), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val sims = Dedup.simhashed(df).as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(1L), "identical docs must have identical simhash")
+    val hamNear = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    val hamFar = java.lang.Long.bitCount(sims(0L) ^ sims(3L))
+    assert(hamNear < hamFar, s"near=$hamNear should be < far=$hamFar")
+  }
+
+  test("ngram jaccard matches hand-computed value") {
+    val a = "a b c d"
+    val b = "a b c e"
+    // shingles(k=3): {a b c, b c d} vs {a b c, b c e} → J = 1/3
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val j = Dedup.ngramJaccardPairs(df, threshold = 0.0)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("cosine pairs: identical vectors similarity 1") {
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(e, threshold = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

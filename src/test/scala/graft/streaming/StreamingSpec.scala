@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val batchEvents = Tables.load(spark, TestSpark.sf, "events")
+    val expected = EventPipeline.hourlyAgg(batchEvents)
+      .orderBy("hour", "event_type").collect()
+
+    // replay the same rows through a MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = batchEvents
+      .select(col("ts").cast("long").as("ts_s"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(rows.toSeq)
+    val streamDf = mem.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("event_type"), col("_3").as("value"))
+    val q = EventPipeline.hourlyAgg(streamDf).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_out").orderBy("hour", "event_type").collect()
+    assert(got.length == expected.length)
+    // ts was truncated to seconds for the replay, so compare counts per bucket
+    val gotN = got.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    val expN = expected.map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gotN == expN)
+  }
+
+  test("sessionize splits on gap and aggregates state (batch mode)") {
+    val evs = Seq(
+      EventPipeline.Ev(1L, 0L, 1.0),
+      EventPipeline.Ev(1L, 60_000L, 2.0),
+      EventPipeline.Ev(1L, 10_000_000L, 3.0), // > 30 min gap → new session
+      EventPipeline.Ev(2L, 0L, 5.0)
+    ).toDS()
+    val sessions = EventPipeline.sessionize(evs, gapMs = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.start_ms))
+    // batch flatMapGroupsWithState emits only completed (pre-gap) sessions
+    assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
+  }
+}
