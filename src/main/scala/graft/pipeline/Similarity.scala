@@ -28,7 +28,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        round(graft.functions.dotp(col("vq"), col("vc"))
           / (col("nq") * col("nc")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -70,7 +70,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(expr("aggregate(zip_with(vq, vc, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+        round(graft.functions.dotp(col("vq"), col("vc"))
           / (col("nq") * col("nc")), 6).as("cos_sim"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))

@@ -536,15 +536,18 @@ object CoreQueries {
   private val q20 = Q(
     "q20_single_value",
     (s, d) => {
-      val ord = t(s, d, "orders")
+      // the group key IS the join key, so the %50 predicate pushes to
+      // both scans by hand (Catalyst doesn't infer modulo through the
+      // aggregate) — 1/50th of both tables ever leaves the scan.
+      val ord = t(s, d, "orders").filter(col("o_orderkey") % 50 === 0)
       t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(
           first(col("o_totalprice")).as("order_price"),
           first(col("o_orderstatus")).as("order_status"),
           count(lit(1)).as("n_lines"))
-        .filter(col("l_orderkey") % 50 === 0)
         .orderBy(col("l_orderkey"))
     },
     Some("""SELECT l_orderkey,

@@ -47,17 +47,26 @@ object PipelineQueries {
     Some("""WITH tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         FROM documents),
-      sh AS (
+      shl AS (
         SELECT doc_id,
           CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
           ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                              for i in range(1, len(ts) - 1)]) END AS sh
-        FROM tok)
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+      kept AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
       SELECT * FROM (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+          round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id)
       WHERE jaccard >= 0.5
       ORDER BY a_id, b_id"""))
 

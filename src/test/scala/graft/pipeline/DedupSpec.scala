@@ -7,13 +7,15 @@ class DedupSpec extends AnyFunSuite {
   private val spark = graft.TestSpark.spark
   import spark.implicits._
 
-  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+  // 50 distinct tokens → near-dup (one token changed) has 3-gram
+  // jaccard ≈ 47/53 ≈ 0.89, far from any threshold boundary.
+  private val base = (1 to 50).map(i => s"word$i").mkString(" ")
   private def docs = Seq(
     (0L, base),
     (1L, base), // exact dup of 0
-    (2L, base.replace("gamma", "GAMMA2")), // near dup of 0
-    (3L, "totally different text about nothing shared with the others at all " * 5),
-    (4L, "another unrelated document with its own words entirely distinct here " * 5)
+    (2L, base.replace("word25", "changed")), // near dup of 0
+    (3L, (1 to 50).map(i => s"other$i").mkString(" ")),
+    (4L, (1 to 50).map(i => s"unrel$i").mkString(" "))
   ).toDF("doc_id", "text")
 
   test("exactKept keeps lowest doc_id per identical text") {
