@@ -9,6 +9,7 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     _root_.graft.queries.CoreQueries.all ++
+      _root_.graft.queries.ExtendedQueries.all ++
       _root_.graft.queries.PipelineQueries.all
 
   private lazy val maps = Q.toMaps(modules)

@@ -389,6 +389,8 @@ object CoreQueries {
           dayofmonth(col("o_orderdate")).as("dom"),
           (dayofweek(col("o_orderdate")) - 1).as("dow0"),
           dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("int").as("isodow"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"),
           date_trunc("month", col("o_orderdate")).as("month_start"))
         .orderBy(col("o_orderkey")),
@@ -399,6 +401,8 @@ object CoreQueries {
       CAST(extract(day FROM o_orderdate) AS INT) AS dom,
       CAST(extract(dow FROM o_orderdate) AS INT) AS dow0,
       CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+      CAST(extract(week FROM o_orderdate) AS INT) AS wk,
+      CAST(extract(isodow FROM o_orderdate) AS INT) AS isodow,
       CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS epoch_s,
       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       FROM orders ORDER BY o_orderkey"""))
@@ -415,13 +419,15 @@ object CoreQueries {
         .agg(
           count(lit(1)).as("n_lines"),
           round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 6).as("avg_ship_delay"),
-          max(expr("o_orderdate + INTERVAL 30 DAY")).as("max_due"))
+          max(expr("o_orderdate + INTERVAL 30 DAY")).as("max_due"),
+          max(expr("o_orderdate + INTERVAL 2 MONTH")).as("max_due_2m"))
         .orderBy(col("order_month"))
     },
     Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
       count(*) AS n_lines,
       round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_ship_delay,
-      max(o_orderdate + INTERVAL 30 DAY) AS max_due
+      max(o_orderdate + INTERVAL 30 DAY) AS max_due,
+      max(o_orderdate + INTERVAL 2 MONTH) AS max_due_2m
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Coverage beyond the first core batch: quantile interpolation modes,
+  * UNION DISTINCT, extra join types, null-safe equality, decimals,
+  * array_agg, and oracle-checked sessionization (SURVEY.md §2).
+  */
+object ExtendedQueries {
+
+  private def t(s: org.apache.spark.sql.SparkSession, d: String, n: String) =
+    Tables.load(s, d, n)
+
+  // UNION DISTINCT (LogicalUnion is_all=false, Node.h:849).
+  private val q10b = Q(
+    "q10b_union_distinct",
+    (s, d) => {
+      val ord = t(s, d, "orders")
+      val a = ord.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      val b = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      UNION
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+      ORDER BY o_custkey"""))
+
+  // All five Interpolation modes of AggType kQuantile
+  // (OpTypeEnums.h:117 kLower/kHigher/kNearest/kMidpoint/kLinear).
+  // Expressed over the sorted group array with explicit index math so
+  // Spark and DuckDB compute identical doubles ("nearest" uses
+  // floor(x+0.5) to avoid round-half mode differences). The sort is the
+  // honest cost of exact interpolated quantiles; percentile_approx is
+  // the no-sort path (q19b).
+  private val q19c = Q(
+    "q19c_quantile_interp",
+    (s, d) => {
+      val p = 0.37
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("xs"))
+        .select(
+          col("l_returnflag"),
+          expr(s"element_at(xs, cast(floor((size(xs) - 1) * $p) as int) + 1)").as("q_lower"),
+          expr(s"element_at(xs, cast(ceil((size(xs) - 1) * $p) as int) + 1)").as("q_higher"),
+          expr(s"element_at(xs, cast(floor((size(xs) - 1) * $p + 0.5) as int) + 1)").as("q_nearest"),
+          round(expr(
+            s"""(element_at(xs, cast(floor((size(xs) - 1) * $p) as int) + 1)
+               + element_at(xs, cast(ceil((size(xs) - 1) * $p) as int) + 1)) / 2"""), 6)
+            .as("q_midpoint"),
+          round(expr(
+            s"""element_at(xs, cast(floor((size(xs) - 1) * $p) as int) + 1)
+               + ((size(xs) - 1) * $p - floor((size(xs) - 1) * $p))
+                 * (element_at(xs, cast(ceil((size(xs) - 1) * $p) as int) + 1)
+                    - element_at(xs, cast(floor((size(xs) - 1) * $p) as int) + 1))"""), 6)
+            .as("q_linear"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH g AS (
+        SELECT l_returnflag, list(l_quantity ORDER BY l_quantity) AS xs
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+        xs[CAST(floor((len(xs) - 1) * 0.37) AS INT) + 1] AS q_lower,
+        xs[CAST(ceil((len(xs) - 1) * 0.37) AS INT) + 1] AS q_higher,
+        xs[CAST(floor((len(xs) - 1) * 0.37 + 0.5) AS INT) + 1] AS q_nearest,
+        round((xs[CAST(floor((len(xs) - 1) * 0.37) AS INT) + 1]
+             + xs[CAST(ceil((len(xs) - 1) * 0.37) AS INT) + 1]) / 2, 6) AS q_midpoint,
+        round(xs[CAST(floor((len(xs) - 1) * 0.37) AS INT) + 1]
+            + ((len(xs) - 1) * 0.37 - floor((len(xs) - 1) * 0.37))
+              * (xs[CAST(ceil((len(xs) - 1) * 0.37) AS INT) + 1]
+                 - xs[CAST(floor((len(xs) - 1) * 0.37) AS INT) + 1]), 6) AS q_linear
+      FROM g ORDER BY l_returnflag"""))
+
+  // Joins beyond the reference's INNER/LEFT/SEMI/ANTI: CROSS, FULL,
+  // RIGHT — Spark-native surface.
+  private val q30 = Q(
+    "q30_join_misc",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT 'cross' AS tag, count(*) AS n FROM nation CROSS JOIN region
+        UNION ALL
+        SELECT 'full_unmatched' AS tag, count(*) AS n
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderkey IS NULL OR c_custkey IS NULL
+        UNION ALL
+        SELECT 'right' AS tag, count(*) AS n
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        ORDER BY tag""")
+    },
+    Some("""SELECT 'cross' AS tag, count(*) AS n FROM nation CROSS JOIN region
+      UNION ALL
+      SELECT 'full_unmatched' AS tag, count(*) AS n
+      FROM customer FULL JOIN orders ON c_custkey = o_custkey
+      WHERE o_orderkey IS NULL OR c_custkey IS NULL
+      UNION ALL
+      SELECT 'right' AS tag, count(*) AS n
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      ORDER BY tag"""))
+
+  // Null-safe equality (kBwEq), DECIMAL cast + arithmetic, explicit
+  // NULLS FIRST ordering (SortField null positioning, Node.h:27).
+  private val q31 = Q(
+    "q31_nullsafe_decimal",
+    (s, d) => {
+      val ord = t(s, d, "orders").filter(col("o_totalprice") > 450000)
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("o_orderkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
+          (col("c_acctbal").cast("decimal(18,2)") * 2).as("bal_x2"),
+          col("o_orderkey") <=> lit(null).cast("long") as "o_is_null")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+        .limit(300)
+    },
+    Some("""SELECT c_custkey, o_orderkey,
+      CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec,
+      CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS bal_x2,
+      o_orderkey IS NOT DISTINCT FROM NULL AS o_is_null
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey, o_orderkey NULLS FIRST
+      LIMIT 300"""))
+
+  // array_agg (sorted for determinism) — ArrayExpr/array building.
+  private val q25c = Q(
+    "q25c_array_agg",
+    (s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          sort_array(collect_list(col("vec_id"))).as("ids"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label")),
+    Some("""SELECT label, list(vec_id ORDER BY vec_id) AS ids, count(*) AS n
+      FROM embeddings GROUP BY label ORDER BY label"""))
+
+  // Gaps-and-islands sessionization in pure SQL-expressible form (the
+  // oracle-checked batch twin of EventPipeline.sessionize; 30-min gap).
+  // Timestamps are compared in microseconds: the parquet source is
+  // nanos, Spark reads micros (floored), DuckDB epoch_us floors the
+  // same way.
+  private val q32 = Q(
+    "q32_events_sessions",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sess = ev
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L || lag(col("us"), 1).over(w).isNull, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      marked AS (
+        SELECT user_id, event_id, value, us,
+          CASE WHEN us - lag(us) OVER w > 1800000000
+                 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT user_id, us, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+      SELECT user_id, sess_id,
+        min(us) AS start_us, max(us) AS end_us,
+        count(*) AS n_events, round(sum(value), 4) AS total_value
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id"""))
+
+  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32)
+}
