@@ -1,0 +1,133 @@
+package graft.builder
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builder-style query API mirroring pyhdk's QueryBuilder vocabulary
+  * (reference: python/pyhdk/hdk.py `HDK`/`QueryNodeAPI`,
+  * omniscidb/QueryBuilder/QueryBuilder.h) so a reference user can
+  * switch with their call-shape intact. Every method is a thin
+  * declarative wrapper over DataFrame — the plan still flows through
+  * Catalyst untouched.
+  *
+  * {{{
+  * val hdk = new GraftBuilder(spark, "/root/testdata/sf0.01")
+  * hdk.scan("lineitem")
+  *    .filter(col("l_quantity") > 10)
+  *    .agg(Seq("l_returnflag"), "count", "sum(l_quantity) as sum_qty")
+  *    .sort(("sum_qty", "desc"))
+  *    .run()
+  * }}}
+  */
+class GraftBuilder(spark: SparkSession, dir: String) {
+
+  /** hdk.py:2556 `scan` — leaf node over a stored table. */
+  def scan(table: String): QueryNode =
+    new QueryNode(Tables.load(spark, dir, table))
+
+  /** hdk.py:2456 `sql` — the SQL frontend over all registered tables. */
+  def sql(query: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(query)
+  }
+}
+
+/** hdk.py:1539 QueryNodeAPI analogue. Immutable; every op returns a new
+  * node wrapping the extended logical plan. */
+class QueryNode(val df: DataFrame) {
+
+  /** hdk.py:1540 `proj` — column names or (alias, expression) pairs. */
+  def proj(cols: String*): QueryNode =
+    new QueryNode(df.select(cols.map(col): _*))
+
+  def projExprs(exprs: (String, Column)*): QueryNode =
+    new QueryNode(df.select(exprs.map { case (n, c) => c.as(n) }: _*))
+
+  /** hdk.py:1832 `filter`. */
+  def filter(conds: Column*): QueryNode =
+    new QueryNode(conds.foldLeft(df)(_ filter _))
+
+  /** hdk.py:1606 `agg` — group keys by name plus aggregates in the
+    * reference's string mini-language: `count`, `fn(col)`,
+    * `count_distinct(col)`, `approx_quantile(col, p)`, `quantile(col,
+    * p)`, `topk(col, k)`, `bottomk(col, k)`, `corr(a, b)`; an optional
+    * ` as alias` suffix overrides the generated name. */
+  def agg(groupKeys: Seq[String], aggs: String*): QueryNode = {
+    val parsed = aggs.map(AggParser.parse)
+    new QueryNode(df.groupBy(groupKeys.map(col): _*)
+      .agg(parsed.head, parsed.tail: _*))
+  }
+
+  /** hdk.py:1747 `join` — equi-join on same-named or paired columns. */
+  def join(rhs: QueryNode, cols: Seq[String], how: String = "inner"): QueryNode =
+    new QueryNode(df.join(rhs.df, cols, how))
+
+  def joinOn(rhs: QueryNode, lhsCols: Seq[String], rhsCols: Seq[String],
+      how: String): QueryNode = {
+    val cond = lhsCols.zip(rhsCols)
+      .map { case (l, r) => df(l) === rhs.df(r) }
+      .reduce(_ && _)
+    new QueryNode(df.join(rhs.df, cond, how))
+  }
+
+  /** hdk.py:1679 `sort` — (field, "asc"|"desc") pairs + limit/offset. */
+  def sort(fields: (String, String)*): QueryNode =
+    new QueryNode(df.orderBy(fields.map {
+      case (f, "desc") => col(f).desc
+      case (f, _) => col(f).asc
+    }: _*))
+
+  def limit(n: Int, offset: Int = 0): QueryNode =
+    new QueryNode(if (offset > 0) df.offset(offset).limit(n) else df.limit(n))
+
+  /** hdk.py:1865 `ref` — column reference off this node. */
+  def ref(c: String): Column = df(c)
+
+  /** hdk.py:1973 `schema`. */
+  def schema: org.apache.spark.sql.types.StructType = df.schema
+
+  /** hdk.py:1992 `run` — in Spark the plan is lazy; run returns the
+    * DataFrame whose actions execute it. */
+  def run(): DataFrame = df
+}
+
+/** Parser for the reference's aggregate strings (hdk.py:1606 doc). */
+private[builder] object AggParser {
+  private val WithAlias = """(?i)(.+?)\s+as\s+(\w+)""".r
+  private val Fn1 = """(\w+)\s*\(\s*([\w.]+)\s*\)""".r
+  private val Fn2 = """(\w+)\s*\(\s*([\w.]+)\s*,\s*([\w.+-]+)\s*\)""".r
+
+  def parse(s: String): Column = s.trim match {
+    case WithAlias(e, alias) => parse(e).as(alias)
+    case "count" => count(lit(1)).as("count")
+    case Fn1(fn, c) => named(fn.toLowerCase, c, fn1(fn.toLowerCase, c))
+    case Fn2(fn, c, arg) => named(fn.toLowerCase, c, fn2(fn.toLowerCase, c, arg))
+    case other => sys.error(s"unsupported aggregate: '$other'")
+  }
+
+  private def named(fn: String, c: String, col: Column): Column =
+    col.as(s"${c.replace('.', '_')}_$fn")
+
+  private def fn1(fn: String, c: String): Column = fn match {
+    case "count" => count(col(c))
+    case "count_distinct" => countDistinct(col(c))
+    case "approx_count_distinct" => approx_count_distinct(col(c))
+    case "sum" => sum(col(c))
+    case "min" => min(col(c))
+    case "max" => max(col(c))
+    case "avg" => avg(col(c))
+    case "stddev" => stddev_samp(col(c))
+    case "sample" | "single_value" => first(col(c))
+    case other => sys.error(s"unsupported aggregate function: '$other'")
+  }
+
+  private def fn2(fn: String, c: String, arg: String): Column = fn match {
+    case "quantile" => expr(s"percentile($c, $arg)")
+    case "approx_quantile" => percentile_approx(col(c), lit(arg.toDouble), lit(1000))
+    case "topk" | "top_k" => graft.functions.topk(col(c), arg.toInt)
+    case "bottomk" | "bottom_k" => graft.functions.bottomk(col(c), arg.toInt)
+    case "corr" => corr(col(c), col(arg))
+    case other => sys.error(s"unsupported aggregate function: '$other'")
+  }
+}

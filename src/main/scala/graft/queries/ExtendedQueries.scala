@@ -185,5 +185,29 @@ object ExtendedQueries {
       FROM sess GROUP BY user_id, sess_id
       ORDER BY user_id, sess_id"""))
 
-  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32)
+  // TPC-H Q1 shape built through the pyhdk-style builder facade
+  // (graft.builder.GraftBuilder) — proves the builder constructs the
+  // same Catalyst plans as the raw DataFrame API.
+  private val q33 = Q(
+    "q33_builder",
+    (s, d) => {
+      val hdk = new graft.builder.GraftBuilder(s, d)
+      hdk.scan("lineitem")
+        .filter(col("l_quantity") > 10)
+        .agg(Seq("l_returnflag", "l_linestatus"),
+          "count", "count_distinct(l_partkey)",
+          "min(l_extendedprice)", "max(l_extendedprice)")
+        .sort(("l_returnflag", "asc"), ("l_linestatus", "asc"))
+        .run()
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      count(*) AS count,
+      count(DISTINCT l_partkey) AS l_partkey_count_distinct,
+      min(l_extendedprice) AS l_extendedprice_min,
+      max(l_extendedprice) AS l_extendedprice_max
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32, q33)
 }

@@ -1,0 +1,63 @@
+package graft.builder
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Mirrors the shape of the reference's QueryBuilderTest.cpp basics. */
+class QueryBuilderSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private def hdk = new GraftBuilder(spark, TestSpark.sf)
+
+  test("scan → filter → agg → sort → run") {
+    val out = hdk.scan("lineitem")
+      .filter(col("l_quantity") > 10)
+      .agg(Seq("l_returnflag"), "count", "sum(l_quantity) as sum_qty",
+        "avg(l_extendedprice)", "count_distinct(l_partkey)")
+      .sort(("l_returnflag", "asc"))
+      .run().collect()
+    assert(out.length == 3)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("l_returnflag", "count", "sum_qty", "l_extendedprice_avg", "l_partkey_count_distinct"))
+  }
+
+  test("join via builder matches DataFrame join") {
+    val o = hdk.scan("orders")
+    val joined = hdk.scan("customer")
+      .joinOn(o, Seq("c_custkey"), Seq("o_custkey"), "inner")
+      .agg(Seq("c_mktsegment"), "count")
+      .sort(("c_mktsegment", "asc"))
+      .run().collect()
+    assert(joined.length == 5)
+  }
+
+  test("proj + limit + offset") {
+    val rows = hdk.scan("orders")
+      .proj("o_orderkey", "o_totalprice")
+      .sort(("o_totalprice", "desc"), ("o_orderkey", "asc"))
+      .limit(5, offset = 2)
+      .run().collect()
+    assert(rows.length == 5)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("quantile / topk aggregate strings") {
+    val r = hdk.scan("lineitem")
+      .agg(Seq("l_returnflag"), "quantile(l_quantity, 0.5)", "topk(l_extendedprice, 3)")
+      .sort(("l_returnflag", "asc"))
+      .run().collect()
+    assert(r.head.getSeq[Double](2).length == 3)
+  }
+
+  test("unsupported aggregate raises a clear error") {
+    val e = intercept[RuntimeException] {
+      hdk.scan("lineitem").agg(Seq("l_returnflag"), "median(l_quantity)")
+    }
+    assert(e.getMessage.contains("unsupported aggregate"))
+  }
+
+  test("sql frontend") {
+    val n = hdk.sql("SELECT count(*) AS n FROM region").head().getLong(0)
+    assert(n == 5)
+  }
+}
