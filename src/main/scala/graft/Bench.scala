@@ -16,6 +16,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 64MB: at bench SF every dimension table (and orders) fits and
+      // broadcasts, eliminating shuffle stages; at cluster scale the
+      // same size-based rule simply stops matching fact tables.
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

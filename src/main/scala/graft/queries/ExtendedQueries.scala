@@ -209,5 +209,70 @@ object ExtendedQueries {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32, q33)
+  // Scalar math/string functions from the reference's test corpus
+  // (ArrowBasedExecuteTest.cpp: ABS/CEIL/FLOOR/SIGN/POWER/LOG/MOD/
+  // SUBSTRING/COALESCE + TIMESTAMPDIFF). Transcendentals rounded at 6dp
+  // — JVM and DuckDB libm may differ in the last ulp.
+  private val q34 = Q(
+    "q34_scalar_math",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        abs(l_discount - 0.05) AS abs_,
+        ceil(l_extendedprice) AS ceil_,
+        floor(l_extendedprice) AS floor_,
+        sign(l_quantity - 25) AS sign_,
+        round(power(l_quantity, 2), 6) AS pow_,
+        round(sqrt(l_extendedprice), 6) AS sqrt_,
+        round(ln(l_extendedprice), 6) AS ln_,
+        round(log10(l_extendedprice), 6) AS log10_,
+        round(exp(l_discount), 6) AS exp_,
+        substring(l_returnflag, 1, 1) AS sub_,
+        coalesce(nullif(l_discount, 0.0), -1.0) AS coal_,
+        greatest(l_quantity, 25.0) AS great_,
+        least(l_quantity, 25.0) AS least_
+        FROM lineitem
+        WHERE l_orderkey % 200 = 0
+        ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      abs(l_discount - 0.05) AS abs_,
+      ceil(l_extendedprice) AS ceil_,
+      floor(l_extendedprice) AS floor_,
+      sign(l_quantity - 25) AS sign_,
+      round(power(l_quantity, 2), 6) AS pow_,
+      round(sqrt(l_extendedprice), 6) AS sqrt_,
+      round(ln(l_extendedprice), 6) AS ln_,
+      round(log10(l_extendedprice), 6) AS log10_,
+      round(exp(l_discount), 6) AS exp_,
+      substring(l_returnflag, 1, 1) AS sub_,
+      coalesce(nullif(l_discount, 0.0), -1.0) AS coal_,
+      greatest(l_quantity, 25.0) AS great_,
+      least(l_quantity, 25.0) AS least_
+      FROM lineitem
+      WHERE l_orderkey % 200 = 0
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ROLLUP + GROUPING indicator (beyond-reference: HDK's test corpus
+  // touches ROLLUP once; Spark/DuckDB both support it natively).
+  private val q35 = Q(
+    "q35_rollup",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+      count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32, q33, q34, q35)
 }
