@@ -35,6 +35,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotN == expN)
   }
 
+  test("file-source streaming: append mode emits only watermark-finalized windows") {
+    // FileStreamSource requires a directory — stage the parquet file
+    val dir = java.nio.file.Paths.get("/root/repo/target/tmp/events_stream")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${graft.TestSpark.sf}/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventPipeline.hourlyAgg(stream).writeStream
+      .format("memory").queryName("hourly_append").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val appended = spark.table("hourly_append")
+      .select("hour", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = EventPipeline.hourlyAgg(
+      graft.Tables.load(spark, graft.TestSpark.sf, "events"))
+      .select("hour", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(appended.nonEmpty, "append mode emitted nothing")
+    assert(appended.subsetOf(batch),
+      "appended windows must agree with the batch computation")
+    // only the tail windows still inside the 2h watermark may be held back
+    val held = batch -- appended
+    val maxHour = batch.map(_._1.getTime).max
+    assert(held.forall(_._1.getTime >= maxHour - 3 * 3600 * 1000),
+      s"non-tail windows were held back: $held")
+  }
+
   test("sessionize splits on gap and aggregates state (batch mode)") {
     val evs = Seq(
       EventPipeline.Ev(1L, 0L, 1.0),
