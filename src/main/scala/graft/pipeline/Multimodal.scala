@@ -56,4 +56,24 @@ object Multimodal {
   /** End-to-end: documents → binary media table → decoded features. */
   def features(docs: DataFrame): DataFrame =
     decodeFeatures(mediaTable(docs)).toDF()
+
+  /** Frame sampling for video media: every `stride`-th frame index,
+    * with a stub "decoded frame" (a deterministic byte slice standing in
+    * for the real frame decode). The explode keeps the operation narrow
+    * — each media row fans out to its sampled frames with no shuffle,
+    * which is the shape a 100 TB video pipeline needs (frame work
+    * scales with output frames, not input bytes moved). */
+  def sampleFrames(docs: DataFrame, stride: Int = 10): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val media = mediaTable(docs)
+    val feats = decodeFeatures(media).toDF()
+    feats.join(media.select(col("doc_id"), col("media")), Seq("doc_id"))
+      .filter(col("mime") === "video/fake")
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"),
+        col("media"))
+      .withColumn("frame_bytes",
+        expr("substring(media, frame_idx % 16 * 8 + 1, 16)"))
+      .select("doc_id", "frame_idx", "frame_bytes")
+  }
 }

@@ -205,8 +205,15 @@ object PipelineQueries {
       Multimodal.features(Tables.load(s, d, "documents"))
         .orderBy(col("doc_id")))
 
+  // P11b: video frame sampling (stubbed frame decode) → rows-only.
+  private val multimodalFrames = Q(
+    "multimodal_frames",
+    (s, d) =>
+      Multimodal.sampleFrames(Tables.load(s, d, "documents"), stride = 10)
+        .orderBy(col("doc_id"), col("frame_idx")))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupCosine,
     annTopk, annLsh, textLangid, textQuality, textTokens,
-    textFingerprint, multimodalMeta)
+    textFingerprint, multimodalMeta, multimodalFrames)
 }

@@ -13,6 +13,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(schema("mime").dataType.typeName == "string")
   }
 
+  test("frame sampling yields ceil(n_frames/stride) frames per video") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val feats = Multimodal.features(docs)
+      .filter(org.apache.spark.sql.functions.col("mime") === "video/fake")
+      .select("doc_id", "n_frames").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val frames = Multimodal.sampleFrames(docs, stride = 10)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.keySet == feats.keySet)
+    frames.foreach { case (id, n) =>
+      assert(n == math.ceil(feats(id) / 10.0).toLong, s"doc $id")
+    }
+  }
+
   test("decode is deterministic and preserves row count") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val f1 = Multimodal.features(docs).orderBy("doc_id").collect()
