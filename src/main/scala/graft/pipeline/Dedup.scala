@@ -231,6 +231,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // --------------------------------------- components / keep decision
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc starts as its own label; each round, a doc
+    * takes the minimum label among itself and its neighbors; stop when
+    * no label changes. Doc-dedup clusters are shallow (near-dup groups,
+    * not social graphs), so convergence takes O(cluster diameter)
+    * rounds — each round is one shuffle join, the standard
+    * large-scale formulation without a graph library.
+    *
+    * Returns (doc_id, component) where component = min doc_id in the
+    * group.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("b_id") === labels("doc_id"))
+        .groupBy(edges("a_id").as("doc_id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The dedup DECISION: docs surviving near-dup removal — one doc
+    * (the min doc_id) kept per connected component of `pairs`. */
+  def keepAfterNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(docs, pairs)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+
   // ------------------------------------------------- embedding cosine
   /** Embeddings with double-precision vector and L2 norm (codegen'd
     * [[graft.functions.DotProduct]], not interpreted HOFs). */

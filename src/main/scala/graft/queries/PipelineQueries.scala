@@ -70,6 +70,49 @@ object PipelineQueries {
       WHERE jaccard >= 0.5
       ORDER BY a_id, b_id"""))
 
+  // P4b: the dedup DECISION — connected components over the exact
+  // n-gram Jaccard pairs, keep min doc_id per component. Oracle builds
+  // the same pair set, then closes it with a recursive CTE (reachable
+  // min == self ⇒ kept).
+  private val dedupKeep = Q(
+    "dedup_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.keepAfterNearDedup(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+      kept AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a_id, b_id FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      SELECT src AS doc_id FROM reach
+      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""))
+
   // P5: embedding cosine near-dup (all-pairs baseline at verify SF;
   // LSH path covered by ann_lsh). Double math mirrored on both sides.
   private val dedupCosine = Q(
@@ -213,7 +256,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx")))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupCosine,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupCosine,
     annTopk, annLsh, textLangid, textQuality, textTokens,
     textFingerprint, multimodalMeta, multimodalFrames)
 }

@@ -57,6 +57,26 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 1.0 / 3.0) < 1e-6)
   }
 
+  test("connected components merge transitive near-dup chains") {
+    // edges: 0-1, 1-2 (chain), 5-6; 3,4 isolated
+    val ids = (0L to 6L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    val kept = Dedup.keepAfterNearDedup(ids, pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L, 5L))
+  }
+
+  test("end-to-end: minhash pairs → keep decision drops dups") {
+    val kept = Dedup.keepAfterNearDedup(
+      docs, Dedup.minhashPairs(docs, threshold = 0.5))
+      .as[Long].collect().toSet
+    // 0,1,2 form one near-dup component → keep 0; 3 and 4 survive
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("cosine pairs: identical vectors similarity 1") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
