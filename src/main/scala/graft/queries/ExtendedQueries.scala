@@ -274,5 +274,22 @@ object ExtendedQueries {
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(q10b, q19c, q30, q31, q25c, q32, q33, q34, q35)
+  // CSV roundtrip (IO2, hdk.py:2229 import_csv): dump nation to CSV,
+  // re-import through the Importer with an explicit schema, and prove
+  // value fidelity by hashing against the original table in DuckDB.
+  private val q26 = Q(
+    "q26_csv_roundtrip",
+    (s, d) => {
+      val nation = t(s, d, "nation")
+      val dir = "/root/repo/target/tmp/q26_csv_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      nation.write.mode("overwrite").option("header", "true").csv(dir)
+      graft.sources.Importer
+        .importCsv(s, dir, "q26_nation_csv", schema = Some(nation.schema))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""))
+
+  val all: Seq[Q] = Seq(q10b, q19c, q26, q30, q31, q25c, q32, q33, q34, q35)
 }
