@@ -84,6 +84,21 @@ class QueryNode(val df: DataFrame) {
   /** hdk.py:1865 `ref` — column reference off this node. */
   def ref(c: String): Column = df(c)
 
+  /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
+    * variant renames columns in bulk. */
+  def rename(mapping: (String, String)*): QueryNode =
+    new QueryNode(df.withColumnsRenamed(mapping.toMap))
+
+  /** hdk.py:1588 `refragmented_view` — HDK's fragment size is Spark's
+    * partition count: repartition and (optionally) register a view. */
+  def refragmentedView(fragmentSize: Long, name: Option[String] = None): QueryNode = {
+    val parts = math.max(1L,
+      math.ceil(df.count().toDouble / fragmentSize).toLong).toInt
+    val re = df.repartition(parts)
+    name.foreach(re.createOrReplaceTempView)
+    new QueryNode(re)
+  }
+
   /** hdk.py:1973 `schema`. */
   def schema: org.apache.spark.sql.types.StructType = df.schema
 

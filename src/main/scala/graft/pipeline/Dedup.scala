@@ -125,6 +125,10 @@ object Dedup {
             b -> aggregate(slice(sig, b * $rows + 1, $rows), cast(b as bigint),
                            (acc, x) -> (acc * 1000003L + (x & 4294967295L)) % 4294967296L))"""))
         .as(Seq("band_idx", "band_hash")))
+      // N·bands small rows feeding three consumers (bucket sizes + both
+      // self-join sides); without the persist the whole signature
+      // pipeline (explode + 64 partial-agg minima) re-runs per consumer.
+      .persist()
     // Degenerate buckets (e.g., every short doc hashing identically) are
     // capped so one hot bucket can't go quadratic at scale.
     val bucketSizes = bandRows.groupBy("band_idx", "band_hash")
@@ -216,7 +220,9 @@ object Dedup {
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("h")
-    val capped = sh.join(rare, Seq("h"))
+    // Three consumers (sizes + both intersection sides) — persist, or
+    // the sh⨝rare join re-runs per consumer.
+    val capped = sh.join(rare, Seq("h")).persist()
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = capped.select(col("h"), col("doc_id").as("a_id"))
       .join(capped.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
@@ -244,11 +250,31 @@ object Dedup {
     * group.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame =
+    docs.select(col("doc_id"))
+      .join(connectedComponentsActive(docs, pairs, maxIters),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+
+  /** Labels for docs that have at least one edge (isolated docs keep
+    * their own id and never enter the loop). At 100 TB this is the
+    * difference between shuffling the corpus per round and shuffling
+    * the dup clusters. */
+  private def connectedComponentsActive(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): an iterative loop's logical plan
+    // otherwise CONTAINS the full lineage of every previous round (and
+    // of the whole pair-generation pipeline), so Catalyst re-analyzes a
+    // tree that grows per round — planning time swamps execution.
+    // Checkpointing truncates the plan to the materialized RDD. On a
+    // real cluster prefer `checkpoint()` to a reliable dir if executor
+    // loss during the (short) loop matters.
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component")).persist()
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -256,28 +282,35 @@ object Dedup {
         .join(labels, edges("b_id") === labels("doc_id"))
         .groupBy(edges("a_id").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // One join per round: keep old + new side by side so the
+      // convergence probe needs no second join against the old labels.
+      val t0 = System.nanoTime()
+      val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+            .as("next_component"))
+        .localCheckpoint()
+      val changed = step.filter(col("next_component") =!= col("component"))
+        .count()
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      labels = step.select(col("doc_id"), col("next_component").as("component"))
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
   /** The dedup DECISION: docs surviving near-dup removal — one doc
-    * (the min doc_id) kept per connected component of `pairs`. */
-  def keepAfterNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame =
-    connectedComponents(docs, pairs)
-      .filter(col("doc_id") === col("component"))
+    * (the min doc_id) kept per connected component of `pairs`. Joins the
+    * full corpus only once, against the (small) loser set, as an
+    * anti-join — broadcast-able whenever the dup fraction is sane. */
+  def keepAfterNearDedup(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponentsActive(docs, pairs)
+      .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
+    docs.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+  }
 
   // ------------------------------------------------- embedding cosine
   /** Embeddings with double-precision vector and L2 norm (codegen'd

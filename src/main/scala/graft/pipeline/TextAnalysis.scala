@@ -77,6 +77,58 @@ object TextAnalysis {
       .withColumn("bpeish_tokens",
         size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast("long"))
 
+  // PII patterns shared by Spark and the DuckDB oracle — kept to the
+  // regex subset (POSIX classes, \b) that Java regex and RE2 interpret
+  // identically.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+?[0-9][0-9()\\- ]{5,}[0-9]"
+
+  /** PII redaction: count and mask emails, IPv4s, phone-like digit runs.
+    * Counts are over the original text; masking is sequential
+    * (email → ip → phone) so the oracle can mirror it exactly. Narrow
+    * per-row codegen'd transform — the standard pre-training scrub pass. */
+  def withPiiRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(txt, lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(txt, lit(ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(txt, lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(txt, emailPattern, "<EMAIL>"),
+            ipv4Pattern, "<IP>"),
+          phonePattern, "<PHONE>"))
+  }
+
+  /** Repetition signals (Gopher/RefinedWeb-style filters): fraction of
+    * duplicate whitespace tokens, and the share of the most frequent
+    * token bigram. Bigram stats go through explode + two-level groupBy —
+    * map-side partial aggregation, no per-doc quadratic HOF. */
+  def withRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = base.select(col("doc_id"),
+      round(lit(1.0) -
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+        .as("dup_token_ratio"))
+    val bigrams = base.select(col("doc_id"),
+      explode(expr(
+        "slice(zip_with(toks, slice(toks, 2, size(toks)), (x, y) -> concat(x, ' ', y)), 1, size(toks) - 1)"))
+        .as("bg"))
+    val top = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("n")).cast("double") / sum(col("n")), 6)
+        .as("top_bigram_ratio"))
+    uni.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_token_ratio"),
+        coalesce(col("top_bigram_ratio"), lit(0.0)).as("top_bigram_ratio"))
+  }
+
   /** Document fingerprint: order-sensitive rolling polynomial hash over
     * tokens (Karp–Rabin style; wraps in 64-bit), plus a winnowing-style
     * min-hash over 5-token windows. Deterministic; used for fast

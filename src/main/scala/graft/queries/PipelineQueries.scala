@@ -233,6 +233,50 @@ object PipelineQueries {
       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS bpeish_tokens
       FROM documents ORDER BY doc_id"""))
 
+  // P8b: PII redaction — counts over original text + sequentially
+  // masked text; regex subset chosen to evaluate identically in Java
+  // regex and DuckDB's RE2.
+  private val textPii = Q(
+    "text_pii",
+    (s, d) =>
+      TextAnalysis.withPiiRedaction(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+          col("n_phones"), col("redacted"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '${TextAnalysis.emailPattern}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '${TextAnalysis.phonePattern}')) AS BIGINT) AS n_phones,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+        '${TextAnalysis.ipv4Pattern}', '<IP>', 'g'),
+        '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
+  // P8c: repetition signals — dup-token ratio + top-bigram share.
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, d) =>
+      TextAnalysis.withRepetition(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      u AS (SELECT doc_id,
+        round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6)
+          AS dup_token_ratio FROM t),
+      bgl AS (SELECT doc_id,
+        unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg
+        FROM t),
+      c AS (SELECT doc_id, bg, count(*) AS n FROM bgl GROUP BY 1, 2),
+      r AS (SELECT doc_id,
+        round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_bigram_ratio
+        FROM c GROUP BY 1)
+      SELECT u.doc_id, dup_token_ratio,
+        coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
+      FROM u LEFT JOIN r ON u.doc_id = r.doc_id
+      ORDER BY u.doc_id"""))
+
   // P10: rolling-hash fingerprint (64-bit wraparound) → rows-only.
   private val textFingerprint = Q(
     "text_fingerprint",
@@ -258,5 +302,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupCosine,
     annTopk, annLsh, textLangid, textQuality, textTokens,
-    textFingerprint, multimodalMeta, multimodalFrames)
+    textPii, textRepetition, textFingerprint, multimodalMeta,
+    multimodalFrames)
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Ad-hoc single-query timer + plan dump (dev tool, not part of the
+  * driver contract). Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.QTime q05_join_multi [--explain] [--reps N]"
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val names = args.filterNot(_.startsWith("--")).toSeq
+    val explain = args.contains("--explain")
+    val reps = args.sliding(2).collectFirst {
+      case Array("--reps", n) => n.toInt
+    }.getOrElse(2)
+    val spark = GraftSession.build("qtime")
+    // Match Bench's broadcast tuning so timings are comparable.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      if (explain) fn(spark, d).explain("formatted")
+      (1 to reps).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = fn(spark, d).count()
+        println(f"[qtime] $name rep$i ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -60,4 +60,14 @@ class QueryBuilderSpec extends AnyFunSuite {
     val n = hdk.sql("SELECT count(*) AS n FROM region").head().getLong(0)
     assert(n == 5)
   }
+
+  test("rename and refragmented view") {
+    val node = hdk.scan("nation")
+      .rename("n_name" -> "nation_name")
+      .refragmentedView(10, Some("nation_refrag"))
+    assert(node.schema.fieldNames.contains("nation_name"))
+    assert(node.df.rdd.getNumPartitions == 3) // 25 rows / 10 per fragment
+    assert(spark.sql("SELECT count(*) AS n FROM nation_refrag")
+      .head().getLong(0) == 25)
+  }
 }
