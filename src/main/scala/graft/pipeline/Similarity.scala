@@ -51,6 +51,86 @@ object Similarity {
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // -------------------------------------------------------------- IVF
+  /** K-means centroids over (already normalized) vectors — Lloyd's with
+    * deterministic seeded init (k smallest `xxhash64(vec_id, seed)` —
+    * a distributed top-k, not a full sort). Each round: broadcast the k
+    * centroids, assign by min squared distance (`‖c‖² − 2x·c`, the
+    * `‖x‖²` term is constant), recompute means via posexplode +
+    * two-level partial agg. Plans are truncated per round with
+    * localCheckpoint (see connectedComponents). Returns
+    * (cell_id, cv: array<double>, cnorm2). Cells that lose all members
+    * drop out (standard Lloyd's behavior). */
+  def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    var cents = normVecs
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy(col("h")).limit(k)
+      .select(col("vec_id"), col("v"))
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .select(col("cell_id"), col("v").as("cv"))
+      .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(normVecs, cents)
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cell_id"), expr("transform(px, p -> p.x)").as("cv"))
+        .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Nearest-cell assignment: corpus streams once past the broadcast
+    * centroid table; `min_by` picks the argmin cell. */
+  private def assignCells(normVecs: DataFrame, cents: DataFrame): DataFrame =
+    normVecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
+        (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("v"), col("cv")))
+          .as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell_id"), col("d")).as("cell_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** IVF top-k: the k-means cells are the inverted file; each query
+    * probes its `nProbe` nearest cells and rescores exactly inside them.
+    * At 100 TB the corpus is assigned once (one broadcast-join scan,
+    * shuffled by cell on write) and each query touches ~nProbe/k of it.
+    * Approximate by construction → rows-only driver check; recall vs
+    * the brute-force baseline is asserted in SimilaritySpec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val norm = Dedup.normalized(corpus)
+    val cents = kmeansCentroids(norm, nCells, iters, seed)
+    val assigned = assignCells(norm, cents)
+      .select(col("cell_id"), col("vec_id").as("neighbor_id"),
+        col("v").as("vc"), col("nrm").as("nc"))
+    val qw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell_id"))
+    val probes = Dedup.normalized(queries).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
+        (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("v"), col("cv")))
+          .as("d"))
+      .withColumn("cell_rnk", row_number().over(qw))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("cell_id"), col("vec_id").as("query_id"),
+        col("v").as("vq"), col("nrm").as("nq"))
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.dotp(col("vq"), col("vc"))
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** LSH top-k: exact rescoring over bucket-colocated candidates,
     * multi-probing the query's bucket plus all 1-bit-flip neighbors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

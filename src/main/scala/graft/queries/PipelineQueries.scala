@@ -166,6 +166,17 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  // P6c: IVF ANN (k-means inverted file) — approximate → rows-only;
+  // recall vs the exact baseline is asserted in SimilaritySpec.
+  private val annIvf = Q(
+    "ann_ivf",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
   // P7: language ID heuristic — deterministic, oracle mirrors the logic.
   private val textLangid = Q(
     "text_langid",
@@ -301,7 +312,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupCosine,
-    annTopk, annLsh, textLangid, textQuality, textTokens,
+    annTopk, annLsh, annIvf, textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)
 }

@@ -38,6 +38,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf top-k: correct scores and reasonable recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact10 = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact10.map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty, "IVF returned nothing")
+    // scores must agree exactly with brute force wherever they overlap
+    ivf.foreach { case (q, n, c) =>
+      exactMap.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    // probing half the cells should recover >= half of the exact top-10
+    val hit = exact10.count { case (q, n, _) => ivf.exists(r => r._1 == q && r._2 == n) }
+    assert(hit >= exact10.length / 2,
+      s"IVF recall too low: $hit of ${exact10.length}")
+  }
+
   test("identical vector is its own nearest neighbor when duplicated") {
     val e = Seq(
       (0L, Array.fill(64)(0.5f)),
