@@ -24,6 +24,23 @@ object EventPipeline {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: first occurrence per `keyCols` wins; state
+    * for a key is dropped once the watermark passes it, so state stays
+    * bounded — the streaming twin of [[graft.pipeline.Dedup.exactKept]].
+    * On a batch frame it degrades to dropDuplicates. */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", watermarkDelay)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
+  /** Stream-static enrichment: each micro-batch broadcast-joins the
+    * static dimension — no streaming state at all. The standard shape
+    * for attaching dimension attributes to an event firehose. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionAgg(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, total_value: Double)

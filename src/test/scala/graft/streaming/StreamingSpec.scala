@@ -70,6 +70,37 @@ class StreamingSpec extends AnyFunSuite {
       s"non-tail windows were held back: $held")
   }
 
+  test("streaming dedup drops replayed duplicates within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (event_id, ts_s)
+    // every event delivered twice (at-least-once replay)
+    mem.addData(Seq((1L, 1000L), (2L, 2000L), (1L, 1000L), (3L, 9000L), (2L, 2000L)))
+    val streamDf = mem.toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
+    val q = EventPipeline.dedupedStream(streamDf, Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static enrichment joins the dimension per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_s, value)
+    mem.addData(Seq((1L, 1000L, 5.0), (2L, 2000L, 7.0), (9L, 3000L, 1.0)))
+    val streamDf = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"),
+        col("_3").as("value"))
+    val q = EventPipeline.enriched(streamDf, dim, "user_id").writeStream
+      .format("memory").queryName("enriched_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched_out").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+  }
+
   test("sessionize splits on gap and aggregates state (batch mode)") {
     val evs = Seq(
       EventPipeline.Ev(1L, 0L, 1.0),
