@@ -31,28 +31,36 @@ object CoreQueries {
   private val q01 = Q(
     "q01_agg",
     (s, d) => {
+      val qdec = col("l_quantity").cast("decimal(12,2)")
+      val pdec = col("l_extendedprice").cast("decimal(12,2)")
+      val ddec = col("l_discount").cast("decimal(4,2)")
+      val tdec = col("l_tax").cast("decimal(4,2)")
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          // Exact decimal sums (then one deterministic cast/divide):
+          // double summation is partial-agg-order-dependent, and ANY
+          // fixed rounding of it has tie rows at large SF. Decimal
+          // arithmetic is exact in both engines, so no rounding at all.
+          sum(qdec).cast("double").as("sum_qty"),
+          sum(pdec).cast("double").as("sum_base_price"),
+          sum(pdec * (lit(1) - ddec)).cast("double").as("sum_disc_price"),
+          sum(pdec * (lit(1) - ddec) * (lit(1) + tdec)).cast("double").as("sum_charge"),
+          (sum(qdec).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(pdec).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(ddec).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      round(sum(l_quantity), 2) AS sum_qty,
-      round(sum(l_extendedprice), 2) AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-      round(avg(l_quantity), 6) AS avg_qty,
-      round(avg(l_extendedprice), 6) AS avg_price,
-      round(avg(l_discount), 6) AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -307,7 +315,10 @@ object CoreQueries {
           (col("l_orderkey") + col("l_partkey")).as("add_"),
           (col("l_orderkey") - col("l_suppkey")).as("sub_"),
           (col("l_linenumber") * 7).as("mul_"),
-          round(col("l_extendedprice") / col("l_quantity"), 6).as("div_"),
+          // raw IEEE division: identical double operands give a
+          // bit-identical quotient in every engine; rounding would
+          // CREATE cross-engine ties (cents/q hits exact .5 ulps).
+          (col("l_extendedprice") / col("l_quantity")).as("div_"),
           (col("l_partkey") % 13).as("mod_"),
           expr("l_partkey div 13").as("idiv_"),
           (-col("l_suppkey")).as("neg_"),
@@ -322,7 +333,7 @@ object CoreQueries {
       l_orderkey + l_partkey AS add_,
       l_orderkey - l_suppkey AS sub_,
       l_linenumber * 7 AS mul_,
-      round(l_extendedprice / l_quantity, 6) AS div_,
+      l_extendedprice / l_quantity AS div_,
       l_partkey % 13 AS mod_,
       l_partkey // 13 AS idiv_,
       -l_suppkey AS neg_,
