@@ -16,9 +16,13 @@ import org.apache.spark.sql.expressions.Window
   *
   * Determinism rules (driver hash-compares against DuckDB):
   *  - every oracle-checked query has a total ORDER BY;
-  *  - double aggregates are rounded at their mathematical grain
-  *    (prices 2dp, price*(1-disc) 4dp, *(1+tax) 6dp) so per-partition
-  *    summation order cannot flip the hash;
+  *  - money aggregates sum EXACT DECIMALS (then one deterministic
+  *    cast/divide): double summation is partial-agg-order-dependent
+  *    and rounding it leaves tie rows once accumulated ulp error
+  *    reaches the rounding grain. Small-magnitude double aggs round
+  *    at a grain that dominates their error bound;
+  *  - scalar double ops (division etc.) are left UNROUNDED — identical
+  *    IEEE operands give bit-identical results in every engine;
   *  - column names aliased identically on both sides.
   */
 object CoreQueries {
@@ -103,12 +107,12 @@ object CoreQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
     },
     Some("""SELECT l_orderkey, o_orderdate,
-      round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -153,11 +157,11 @@ object CoreQueries {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-      round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -714,7 +718,7 @@ object CoreQueries {
     (s, d) => {
       Tables.registerAll(s, d)
       s.sql("""SELECT c_custkey, c_name,
-        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         n_name
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -728,7 +732,7 @@ object CoreQueries {
         LIMIT 20""")
     },
     Some("""SELECT c_custkey, c_name,
-      round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       n_name
       FROM customer
       JOIN orders ON c_custkey = o_custkey
