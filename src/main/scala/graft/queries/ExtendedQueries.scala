@@ -274,6 +274,73 @@ object ExtendedQueries {
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  // Time-of-day extracts + the exotic trunc fields (DateTime.h
+  // DateExtractField/DateTruncField: kHour..kSecond, kDecade, kCentury,
+  // kMillennium, kWeekSunday, kQuarterDay). Spark's date_trunc stops at
+  // week/quarter, so the longer-period and anchored-week truncs are
+  // year/epoch arithmetic; DuckDB verifies decade against its NATIVE
+  // trunc field (century/millennium anchor at xx01 per the reference —
+  // DateTruncate.cpp:242 — where DuckDB's natives anchor at xx00).
+  private val q15b = Q(
+    "q15b_extract_time",
+    (s, d) =>
+      t(s, d, "events")
+        .select(
+          col("event_id"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          date_trunc("hour", col("ts")).as("t_hour"),
+          date_trunc("minute", col("ts")).as("t_min"),
+          date_trunc("second", col("ts")).as("t_sec"),
+          date_trunc("week", col("ts")).as("t_week"),
+          expr("ts::date - (dayofweek(ts) - 1)").as("t_week_sun"),
+          to_timestamp(make_date((floor(year(col("ts")) / 10) * 10).cast("int"),
+            lit(1), lit(1))).as("t_decade"),
+          to_timestamp(make_date((floor((year(col("ts")) - 1) / 100) * 100 + 1).cast("int"),
+            lit(1), lit(1))).as("t_century"),
+          to_timestamp(make_date((floor((year(col("ts")) - 1) / 1000) * 1000 + 1).cast("int"),
+            lit(1), lit(1))).as("t_millennium"),
+          timestamp_seconds(expr("(unix_timestamp(ts) div 21600) * 21600"))
+            .as("t_qday"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+      CAST(extract(hour FROM ts) AS INT) AS h,
+      CAST(extract(minute FROM ts) AS INT) AS mi,
+      CAST(extract(second FROM ts) AS INT) AS sec,
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t_hour,
+      CAST(date_trunc('minute', ts) AS TIMESTAMP) AS t_min,
+      CAST(date_trunc('second', ts) AS TIMESTAMP) AS t_sec,
+      CAST(date_trunc('week', ts) AS TIMESTAMP) AS t_week,
+      CAST(ts AS DATE) - CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS t_week_sun,
+      CAST(date_trunc('decade', ts) AS TIMESTAMP) AS t_decade,
+      -- the reference anchors century/millennium at xx01 (Jan 1 2001,
+      -- DateTruncate.cpp:242); DuckDB's native fields anchor at xx00,
+      -- so mirror the reference arithmetic instead
+      CAST(make_date(CAST((extract(year FROM ts) - 1) // 100 * 100 + 1 AS INT), 1, 1) AS TIMESTAMP) AS t_century,
+      CAST(make_date(CAST((extract(year FROM ts) - 1) // 1000 * 1000 + 1 AS INT), 1, 1) AS TIMESTAMP) AS t_millennium,
+      CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS t_qday
+      FROM events ORDER BY event_id"""))
+
+  // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
+  // Spark has no ANY/ALL subquery syntax; the standard rewrite is
+  // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
+  // no NULLs — both hold for this predicate). The oracle runs DuckDB's
+  // NATIVE ANY/ALL, proving the rewrite, not just mirroring it.
+  private val q36 = Q(
+    "q36_any_all",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT s_suppkey, s_name,
+        s_acctbal > (SELECT min(c_acctbal) FROM customer WHERE c_nationkey = 5) AS gt_any,
+        s_acctbal > (SELECT max(c_acctbal) FROM customer WHERE c_nationkey = 5) AS gt_all
+        FROM supplier ORDER BY s_suppkey""")
+    },
+    Some("""SELECT s_suppkey, s_name,
+      s_acctbal > ANY (SELECT c_acctbal FROM customer WHERE c_nationkey = 5) AS gt_any,
+      s_acctbal > ALL (SELECT c_acctbal FROM customer WHERE c_nationkey = 5) AS gt_all
+      FROM supplier ORDER BY s_suppkey"""))
+
   // CSV roundtrip (IO2, hdk.py:2229 import_csv): dump nation to CSV,
   // re-import through the Importer with an explicit schema, and prove
   // value fidelity by hashing against the original table in DuckDB.
@@ -291,5 +358,6 @@ object ExtendedQueries {
     Some("""SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""))
 
-  val all: Seq[Q] = Seq(q10b, q19c, q26, q30, q31, q25c, q32, q33, q34, q35)
+  val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
+    q35, q36)
 }
