@@ -341,6 +341,62 @@ object ExtendedQueries {
       s_acctbal > ALL (SELECT c_acctbal FROM customer WHERE c_nationkey = 5) AS gt_all
       FROM supplier ORDER BY s_suppkey"""))
 
+  // As-of join (time-series; single-shuffle union+window plan) — the
+  // oracle is DuckDB's NATIVE ASOF JOIN, so the operator's semantics
+  // are checked against an independent implementation. Right side
+  // pre-aggregated to one row per (user, ts) so ties are impossible.
+  private val q37 = Q(
+    "q37_asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("p_val"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("c_val"))
+        .withColumn("c_ts", col("ts"))
+      graft.operators.TimeJoins
+        .asofJoin(purchases, clicks, "user_id", "ts", Seq("c_ts", "c_val"))
+        .select(col("event_id"), col("user_id"), col("p_val"),
+          col("asof_c_ts"), col("asof_c_val"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id, user_id, ts, value AS p_val FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, ts AS c_ts, max(value) AS c_val FROM events
+        WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.p_val,
+        c.c_ts AS asof_c_ts, c.c_val AS asof_c_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.c_ts <= p.ts
+      ORDER BY p.event_id"""))
+
+  // Range/interval join with NO equi-key (clicks falling inside any
+  // 10-minute error window) — bucketed-bin equi-join plan vs DuckDB's
+  // plain BETWEEN join.
+  private val q38 = Q(
+    "q38_range_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTE")).as("err_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"))
+      graft.operators.TimeJoins
+        .rangeJoin(clicks, "ts", errors, "err_start", "err_end", 600L)
+        .select(col("click_id"), col("error_id"))
+        .orderBy(col("click_id"), col("error_id"))
+    },
+    Some("""SELECT c.event_id AS click_id, e.event_id AS error_id
+      FROM events c JOIN events e
+        ON c.event_type = 'click' AND e.event_type = 'error'
+        AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+      ORDER BY 1, 2"""))
+
   // CSV roundtrip (IO2, hdk.py:2229 import_csv): dump nation to CSV,
   // re-import through the Importer with an explicit schema, and prove
   // value fidelity by hashing against the original table in DuckDB.
@@ -359,5 +415,5 @@ object ExtendedQueries {
       FROM nation ORDER BY n_nationkey"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q35, q36)
+    q35, q36, q37, q38)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TimeJoinsSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join picks the latest right row at or before the left ts") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:01:00"), 50.0)
+    ).toDF("user_id", "ts", "px")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 10:05:00")), // equal ts → inclusive match
+      (11L, 1L, ts("2024-01-01 10:03:00")), // between the two quotes
+      (12L, 2L, ts("2024-01-01 10:00:00")), // before any quote → null
+      (13L, 3L, ts("2024-01-01 10:00:00"))  // key with no right rows
+    ).toDF("trade_id", "user_id", "ts")
+    val got = TimeJoins.asofJoin(trades, quotes, "user_id", "ts", Seq("px"))
+      .select("trade_id", "asof_px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(10L -> Some(101.0), 11L -> Some(100.0),
+      12L -> None, 13L -> None))
+  }
+
+  test("range join: inclusive start, exclusive end, bucket straddling") {
+    val intervals = Seq(
+      (100L, ts("2024-01-01 10:07:00"), ts("2024-01-01 10:17:00"))
+    ).toDF("iv_id", "s", "e")
+    val points = Seq(
+      (1L, ts("2024-01-01 10:07:00")), // == start → in
+      (2L, ts("2024-01-01 10:16:59")), // just inside (different bucket)
+      (3L, ts("2024-01-01 10:17:00")), // == end → out
+      (4L, ts("2024-01-01 10:06:59"))  // just before → out
+    ).toDF("pt_id", "ts")
+    val got = TimeJoins.rangeJoin(points, "ts", intervals, "s", "e", 600L)
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("range join matches a BETWEEN cross join on events") {
+    val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTE")).as("e"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    val bucketed = TimeJoins.rangeJoin(clicks, "ts", errors, "s", "e", 600L)
+      .select("click_id", "error_id").as[(Long, Long)].collect().toSet
+    val naive = clicks.join(errors,
+        col("ts") >= col("s") && col("ts") < col("e"))
+      .select("click_id", "error_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty, "fixture produced no ranged pairs")
+  }
+}
