@@ -61,7 +61,7 @@ object Similarity {
     * localCheckpoint (see connectedComponents). Returns
     * (cell_id, cv: array<double>, cnorm2). Cells that lose all members
     * drop out (standard Lloyd's behavior). */
-  def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 5,
+  def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 3,
       seed: Long = 42L): DataFrame = {
     var cents = normVecs
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
@@ -104,7 +104,7 @@ object Similarity {
     * Approximate by construction → rows-only driver check; recall vs
     * the brute-force baseline is asserted in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
       seed: Long = 42L): DataFrame = {
     val norm = Dedup.normalized(corpus)
     val cents = kmeansCentroids(norm, nCells, iters, seed)

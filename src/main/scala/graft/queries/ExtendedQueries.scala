@@ -414,6 +414,23 @@ object ExtendedQueries {
     Some("""SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""))
 
+  // Custom aggregates reachable from the SQL frontend (registered via
+  // SparkSessionExtensions → FunctionRegistry, GraftExtensions) — the
+  // analogue of the reference registering kTopK with Calcite.
+  private val q39 = Q(
+    "q39_sql_topk",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag,
+        topk(l_extendedprice, 3) AS top3,
+        bottomk(l_extendedprice, 3) AS bottom3
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top3,
+      (list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3] AS bottom3
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q35, q36, q37, q38)
+    q35, q36, q37, q38, q39)
 }
