@@ -414,6 +414,39 @@ object ExtendedQueries {
     Some("""SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""))
 
+  // Window frame specs beyond running totals (W3): sliding ROWS frame,
+  // value-based RANGE frame, nth_value.
+  private val q18b = Q(
+    "q18b_winframes",
+    (s, d) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val sliding = base.rowsBetween(-2, 2)
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice")).rangeBetween(-10000, 0)
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 10 === 1)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(sliding), 6).as("mov_avg"),
+          count(lit(1)).over(byPrice).as("n_close_below"),
+          nth_value(col("o_orderkey"), 2).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS mov_avg,
+      count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_close_below,
+      nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      FROM orders WHERE o_custkey % 10 = 1
+      ORDER BY o_custkey, o_orderkey"""))
+
   // Custom aggregates reachable from the SQL frontend (registered via
   // SparkSessionExtensions → FunctionRegistry, GraftExtensions) — the
   // analogue of the reference registering kTopK with Calcite.
@@ -432,5 +465,5 @@ object ExtendedQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q35, q36, q37, q38, q39)
+    q35, q36, q37, q38, q39, q18b)
 }
