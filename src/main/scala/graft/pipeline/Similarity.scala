@@ -44,10 +44,14 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-pattern bucket id for an embedding (column `v`: array<double>). */
+  /** Sign-pattern bucket id for an embedding (column `v`: array<double>).
+    * Each plane projection is the codegen'd [[graft.functions.DotProduct]]
+    * against a literal plane array — the HOF form
+    * (aggregate∘zip_with) runs interpreted per plane per row
+    * (SURVEY.md §4 rule 1). */
   def bucketExpr(ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      when(expr(s"aggregate(zip_with(v, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+      when(graft.functions.dotp(col("v"), array(p.map(lit).toSeq: _*)) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
