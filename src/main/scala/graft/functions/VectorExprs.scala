@@ -65,3 +65,55 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "dotp"
 }
+
+/** Count of positions where two long arrays agree — the MinHash
+  * signature-agreement kernel. Same rationale as [[DotProduct]]: the
+  * HOF form `size(filter(zip_with(a, b, (x,y) -> x = y), v -> v))`
+  * is interpreted and allocates two arrays per pair; this compiles to
+  * a primitive loop in whole-stage codegen.
+  */
+case class ArrayEqCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"eqcount expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $c = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "eqcount"
+}

@@ -23,4 +23,9 @@ package object functions {
   /** Codegen'd dot product of two double arrays (see [[DotProduct]]). */
   def dotp(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Codegen'd equal-position count of two long arrays (see
+    * [[ArrayEqCount]]) — the MinHash signature-agreement kernel. */
+  def eqcount(a: Column, b: Column): Column =
+    GraftShim.column(ArrayEqCount(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -142,8 +142,10 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"), 6)
-          .as("est_jaccard"))
+        // codegen'd agreement count (graft.functions.ArrayEqCount) —
+        // the HOF form is interpreted and dominates the candidate loop
+        round(graft.functions.eqcount(col("sig_a"), col("sig_b"))
+          .cast("double") / numHashes, 6).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
