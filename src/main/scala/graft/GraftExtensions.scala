@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, TopKAgg}
+import graft.functions.{ArrayEqCount, DotProduct, TopKAgg}
 
 /** SparkSessionExtensions hook registering graft's custom expressions
   * in the SQL function registry, so `spark.sql` users get `topk`,
@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("eqcount"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "eqcount"),
+      (args: Seq[Expression]) => ArrayEqCount(args.head, args(1))))
   }
 }

@@ -61,6 +61,19 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("custom functions callable from SQL (GraftExtensions)") {
+    graft.Tables.registerAll(spark, graft.TestSpark.sf)
+    val r = spark.sql(
+      """SELECT topk(l_quantity, 2) AS t, bottomk(l_quantity, 2) AS b,
+         eqcount(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ec,
+         round(dotp(array(1.0D, 2.0D), array(3.0D, 4.0D)), 6) AS dp
+         FROM lineitem""").head()
+    assert(r.getSeq[Double](0).length == 2)
+    assert(r.getSeq[Double](1).length == 2)
+    assert(r.getInt(2) == 2)
+    assert(r.getDouble(3) == 11.0)
+  }
+
   test("rename and refragmented view") {
     val node = hdk.scan("nation")
       .rename("n_name" -> "nation_name")
