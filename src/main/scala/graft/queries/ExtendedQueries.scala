@@ -253,6 +253,55 @@ object ExtendedQueries {
       WHERE l_orderkey % 200 = 0
       ORDER BY l_orderkey, l_linenumber"""))
 
+  // Trig/hyperbolic/angle family (ExtensionFunctions.hpp: Sin..Atanh,
+  // degrees/radians/pi, Truncate). round(,6) masks last-ulp libm vs
+  // JVM-intrinsic differences; atanh and numeric truncate are mirrored
+  // by identity on the DuckDB side (it lacks atanh and the
+  // hyperbolics; Spark's trunc is date-only).
+  private val q34b = Q(
+    "q34b_trig",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        round(sin(l_quantity), 6) AS sin_,
+        round(cos(l_quantity), 6) AS cos_,
+        round(tan(l_quantity), 6) AS tan_,
+        round(cot(l_quantity), 6) AS cot_,
+        round(asin(l_discount), 6) AS asin_,
+        round(acos(l_discount), 6) AS acos_,
+        round(atan(l_quantity), 6) AS atan_,
+        round(atan2(l_quantity, l_discount + 1), 6) AS atan2_,
+        round(sinh(l_discount), 6) AS sinh_,
+        round(cosh(l_discount), 6) AS cosh_,
+        round(tanh(l_discount), 6) AS tanh_,
+        round(atanh(l_discount), 6) AS atanh_,
+        round(degrees(l_discount), 6) AS deg_,
+        round(radians(l_quantity), 6) AS rad_,
+        round(pi(), 6) AS pi_,
+        sign(l_discount - 0.05) * floor(abs(l_discount - 0.05) * 100) AS trunc_
+        FROM lineitem WHERE l_orderkey % 200 = 0
+        ORDER BY l_orderkey, l_linenumber""")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      round(sin(l_quantity), 6) AS sin_,
+      round(cos(l_quantity), 6) AS cos_,
+      round(tan(l_quantity), 6) AS tan_,
+      round(cot(l_quantity), 6) AS cot_,
+      round(asin(l_discount), 6) AS asin_,
+      round(acos(l_discount), 6) AS acos_,
+      round(atan(l_quantity), 6) AS atan_,
+      round(atan2(l_quantity, l_discount + 1), 6) AS atan2_,
+      round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sinh_,
+      round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS cosh_,
+      round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS tanh_,
+      round(0.5 * ln((1 + l_discount) / (1 - l_discount)), 6) AS atanh_,
+      round(degrees(l_discount), 6) AS deg_,
+      round(radians(l_quantity), 6) AS rad_,
+      round(pi(), 6) AS pi_,
+      sign(l_discount - 0.05) * trunc(abs(l_discount - 0.05) * 100) AS trunc_
+      FROM lineitem WHERE l_orderkey % 200 = 0
+      ORDER BY l_orderkey, l_linenumber"""))
+
   // ROLLUP + GROUPING indicator (beyond-reference: HDK's test corpus
   // touches ROLLUP once; Spark/DuckDB both support it natively).
   private val q35 = Q(
@@ -465,5 +514,5 @@ object ExtendedQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q35, q36, q37, q38, q39, q18b)
+    q34b, q35, q36, q37, q38, q39, q18b)
 }
