@@ -496,6 +496,30 @@ object ExtendedQueries {
       FROM orders WHERE o_custkey % 10 = 1
       ORDER BY o_custkey, o_orderkey"""))
 
+  // Skew-mitigating salted join under the correctness gate: the salted
+  // plan (hot key spread over 8 salts, small side replicated) must
+  // produce EXACTLY the plain join's rows — the oracle is the plain
+  // SQL join. l_returnflag (3 values) is the worst-case hot key.
+  private val q40 = Q(
+    "q40_salted_join",
+    (s, d) => {
+      val li = t(s, d, "lineitem").withColumnRenamed("l_returnflag", "rf")
+      val dim = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("flag_tag", concat(lit("tag_"), col("rf")))
+      graft.operators.Skew.saltedJoin(li, dim, keys = Seq("rf"),
+          salt = 8, saltBy = col("l_orderkey"))
+        .groupBy(col("rf"), col("flag_tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("rf"))
+    },
+    Some("""SELECT l_returnflag AS rf, 'tag_' || l_returnflag AS flag_tag,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY rf"""))
+
   // Custom aggregates reachable from the SQL frontend (registered via
   // SparkSessionExtensions → FunctionRegistry, GraftExtensions) — the
   // analogue of the reference registering kTopK with Calcite.
@@ -514,5 +538,5 @@ object ExtendedQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q36, q37, q38, q39, q18b)
+    q34b, q35, q36, q37, q38, q39, q40, q18b)
 }
