@@ -24,7 +24,7 @@ class GraftBuilder(spark: SparkSession, dir: String) {
 
   /** hdk.py:2556 `scan` — leaf node over a stored table. */
   def scan(table: String): QueryNode =
-    new QueryNode(Tables.load(spark, dir, table))
+    new QueryNode(Tables.load(spark, dir, table), Some(table))
 
   /** hdk.py:2456 `sql` — the SQL frontend over all registered tables. */
   def sql(query: String): DataFrame = {
@@ -33,9 +33,15 @@ class GraftBuilder(spark: SparkSession, dir: String) {
   }
 }
 
+/** hdk.py:1924 `column_info` result: name, Spark type, nullability. */
+case class ColumnInfo(name: String,
+    dataType: org.apache.spark.sql.types.DataType, nullable: Boolean)
+
 /** hdk.py:1539 QueryNodeAPI analogue. Immutable; every op returns a new
-  * node wrapping the extended logical plan. */
-class QueryNode(val df: DataFrame) {
+  * node wrapping the extended logical plan. `tableName` is set only on
+  * scan leaves (derived nodes have no stored-table identity, matching
+  * the reference). */
+class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
 
   /** hdk.py:1540 `proj` — column names or (alias, expression) pairs. */
   def proj(cols: String*): QueryNode =
@@ -90,17 +96,30 @@ class QueryNode(val df: DataFrame) {
     new QueryNode(df.withColumnsRenamed(mapping.toMap))
 
   /** hdk.py:1588 `refragmented_view` — HDK's fragment size is Spark's
-    * partition count: repartition and (optionally) register a view. */
+    * partition count: repartition and (optionally) register a view.
+    * Sized from plan-stat bytes, not a `count()` scan (see
+    * [[graft.sources.Importer.estimateParts]]). */
   def refragmentedView(fragmentSize: Long, name: Option[String] = None): QueryNode = {
-    val parts = math.max(1L,
-      math.ceil(df.count().toDouble / fragmentSize).toLong).toInt
-    val re = df.repartition(parts)
+    val re = df.repartition(
+      graft.sources.Importer.estimateParts(df, fragmentSize))
     name.foreach(re.createOrReplaceTempView)
     new QueryNode(re)
   }
 
   /** hdk.py:1973 `schema`. */
   def schema: org.apache.spark.sql.types.StructType = df.schema
+
+  /** hdk.py:1905 `size` — row count of this node's relation. HDK reads
+    * it from fragment metadata; Spark has no free row count on an
+    * arbitrary plan, so this runs the (column-pruned, count-only)
+    * query — an explicit user action, like `df.count()`. */
+  def size: Long = df.count()
+
+  /** hdk.py:1924 `column_info` — metadata for one column by name. */
+  def columnInfo(column: String): ColumnInfo = {
+    val f = df.schema(column)
+    ColumnInfo(f.name, f.dataType, f.nullable)
+  }
 
   /** hdk.py:1992 `run` — in Spark the plan is lazy; run returns the
     * DataFrame whose actions execute it. */

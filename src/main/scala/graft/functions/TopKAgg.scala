@@ -37,6 +37,21 @@ case class TopKAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  /** Values widen to double (documented; longs above 2^53 lose
+    * precision like any double pipeline). Non-numeric children are
+    * rejected at ANALYSIS time — without this check, SQL like
+    * `topk(string_col, k)` passed the type-checker and blew up (or
+    * silently "worked") at execution. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${prettyName} requires a numeric argument (widened to double), " +
+            s"got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, ascending)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
@@ -49,7 +64,8 @@ case class TopKAgg(
       case s: Short => s.toDouble
       case b: Byte => b.toDouble
       case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-      case other => other.toString.toDouble
+      case other => throw new IllegalStateException(
+        s"topk: non-numeric input ${other.getClass.getName} survived analysis")
     })
     buf
   }

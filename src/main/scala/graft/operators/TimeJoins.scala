@@ -30,24 +30,28 @@ object TimeJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = rightCols.foldLeft(
-      left.withColumn("_tag", lit(1))) { (df, c) =>
-      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    // The right payload travels as ONE struct filled by ONE
+    // last(ignoreNulls) window — per-column fills would mix values from
+    // different right rows whenever a payload column is NULL (each
+    // column's "last non-null" can come from a different row), which is
+    // not as-of-join semantics.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_asof", lit(null).cast(payloadType))
     val r0 = right.select(
       (Seq(col(keyCol), col(tsCol), lit(0).as("_tag")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"asof_$c"))): _*)
+        Seq(struct(rightCols.map(col): _*).cast(payloadType).as("_asof"))): _*)
     val u = l.unionByName(r0)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_tag") === 1).drop("_tag")
-      .select((leftCols ++ rightCols.map(c => s"asof_$c")).map(col): _*)
+    u.withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col("_asof").getField(c).as(s"asof_$c"))): _*)
   }
 
   /** Range (interval) join with NO equi-key: points matched to every

@@ -46,18 +46,22 @@ object Dedup {
     * match at every tested SF.
     */
   def shingleHashes(text: Column): Column = {
-    val A = "transform(split(trim(lower(TXT)), '\\\\s+'), t -> xxhash64(t) & 2147483647L)"
-      .replace("TXT", "__sh_text__")
-    val e = s"""
-      CASE WHEN size(split(trim(lower(__sh_text__)), '\\\\s+')) < 3
-        THEN array(aggregate($A, 0L, (acc, x) -> (acc * 1000003L + x) % 2147483647L))
-        ELSE array_distinct(slice(
-          zip_with(
-            zip_with($A, slice($A, 2, size($A)), (x, y) -> (x * 1000003L + y) % 2147483647L),
-            slice($A, 3, size($A)),
-            (xy, z) -> (xy * 1000003L + z) % 2147483647L),
-          1, size($A) - 2)) END"""
-    expr(e.replace("__sh_text__", text.toString))
+    // Built with the typed Column DSL (not SQL-text splicing): works
+    // for ANY input expression — derived columns, qualified names,
+    // names containing metacharacters — where interpolating
+    // `text.toString` into expr() would produce wrong or unparseable
+    // SQL. The expression shape (hashes only in HOF argument position)
+    // is identical to the SQL form it replaces.
+    val P = lit(2147483647L)
+    val M = lit(1000003L)
+    val toks = split(trim(lower(text)), "\\s+")
+    val h = transform(toks, t => xxhash64(t).bitwiseAND(lit(2147483647L)))
+    val sz = size(h)
+    val pair = zip_with(h, slice(h, lit(2), sz), (x, y) => (x * M + y) % P)
+    val tri = zip_with(pair, slice(h, lit(3), sz), (xy, z) => (xy * M + z) % P)
+    when(size(toks) < 3,
+      array(aggregate(h, lit(0L), (acc, x) => (acc * M + x) % P)))
+      .otherwise(array_distinct(slice(tri, lit(1), sz - 2)))
   }
 
   // ------------------------------------------------------------- exact
@@ -139,7 +143,7 @@ object Dedup {
       col("doc_id").as("a_id"), col("sig").as("sig_a"))
     val b = inBuckets.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         // codegen'd agreement count (graft.functions.ArrayEqCount) —
@@ -148,6 +152,13 @@ object Dedup {
           .cast("double") / numHashes, 6).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
+      // materialize the (small) pair set eagerly so the band-row cache
+      // can be released here — otherwise every call leaks storage for
+      // the session's lifetime (and downstream consumers like the CC
+      // loop would re-run the whole signature pipeline lazily anyway)
+      .localCheckpoint()
+    bandRows.unpersist()
+    pairs
   }
 
   // ----------------------------------------------------------- simhash
@@ -230,13 +241,19 @@ object Dedup {
       .join(capped.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), Seq("a_id"))
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // eager pair materialization → the shingle caches release here
+      // instead of leaking per call (see minhashPairs)
+      .localCheckpoint()
+    sh.unpersist()
+    capped.unpersist()
+    pairs
   }
 
   // --------------------------------------- components / keep decision

@@ -66,8 +66,17 @@ object Similarity {
     * (cell_id, cv: array<double>, cnorm2). Cells that lose all members
     * drop out (standard Lloyd's behavior). */
   def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    var cents = normVecs
+      seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+    // The quantizer only needs a REPRESENTATIVE sample: train Lloyd's
+    // on a deterministic 1/trainMod hash-sample of the corpus and let
+    // the caller assign the full corpus exactly once. At 100 TB this
+    // cuts training cost by trainMod× per round with no driver-side
+    // sampling state. localCheckpoint: the sample feeds every round
+    // (SURVEY §4 rule 5).
+    val train = normVecs
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
+      .localCheckpoint()
+    var cents = train
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("h")).limit(k)
       .select(col("vec_id"), col("v"))
@@ -77,7 +86,7 @@ object Similarity {
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(normVecs, cents)
+      val assigned = assignCells(train, cents)
       cents = assigned
         .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("x"))

@@ -185,17 +185,27 @@ object CoreQueries {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("n_big"),
-          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0)), 2).as("sum_f"),
-          round(avg(when(!(col("o_orderstatus") === "O") || col("o_totalprice") > 100000,
-            col("o_totalprice"))), 6).as("avg_sel"))
+          // SURVEY §4 rule 6: sum money as DECIMAL (exact both engines),
+          // cast to double once; rounding a double sum leaves tie rows.
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast("decimal(12,2)"))
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("sum_f"),
+          (sum(when(!(col("o_orderstatus") === "O") || col("o_totalprice") > 100000,
+            col("o_totalprice").cast("decimal(12,2)"))).cast("double") /
+            count(when(!(col("o_orderstatus") === "O") || col("o_totalprice") > 100000,
+              lit(1)))).as("avg_sel"))
         .filter(col("n_orders") > 10)
         .orderBy(col("o_orderpriority")),
     Some("""SELECT o_orderpriority,
       count(*) AS n_orders,
-      sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
-      round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS sum_f,
-      round(avg(CASE WHEN NOT (o_orderstatus = 'O') OR o_totalprice > 100000
-                     THEN o_totalprice END), 6) AS avg_sel
+      -- CAST: DuckDB sum(int) is HUGEINT; Spark's is BIGINT — the
+      -- driver comparator hashes the pandas dtypes differently
+      CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2))
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_f,
+      CAST(sum(CASE WHEN NOT (o_orderstatus = 'O') OR o_totalprice > 100000
+               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        / count(CASE WHEN NOT (o_orderstatus = 'O') OR o_totalprice > 100000
+                THEN 1 END) AS avg_sel
       FROM orders
       GROUP BY o_orderpriority
       HAVING count(*) > 10
@@ -243,13 +253,15 @@ object CoreQueries {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"),
+          // decimal sum per SURVEY §4 rule 6 (exact both engines)
+          coalesce(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+            lit(0.0)).as("total_spent"),
           max(col("o_orderkey").isNull).as("has_no_order"))
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey,
       count(o_orderkey) AS n_orders,
-      round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent,
+      coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent,
       max(o_orderkey IS NULL) AS has_no_order
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey
@@ -267,10 +279,12 @@ object CoreQueries {
         .select(lit("recent").as("tag"), col("o_orderkey"), col("o_totalprice"))
       a.unionByName(b)
         .groupBy(col("tag"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy(col("tag"))
     },
-    Some("""SELECT tag, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    Some("""SELECT tag, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM (
         SELECT 'high_value' AS tag, o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > 350000
@@ -593,19 +607,27 @@ object CoreQueries {
   // ---------------------------------------------------------------- q21
   // kTopK / bottom_k (hdk.py:301,328) via graft's native Catalyst
   // TypedImperativeAggregate (bounded heap, O(k) memory + shuffle).
-  // Arrays compare value-wise, so ties are hash-stable.
+  // The arrays are emitted as canonical comma-joined strings (elements
+  // cast to DECIMAL(18,2) both sides) because the driver's comparator
+  // cannot hash array cells; the aggregate itself returns real arrays.
   private val q21 = Q(
     "q21_topk",
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          graft.functions.topk(col("l_extendedprice"), 5).as("top5_price"),
-          graft.functions.bottomk(col("l_extendedprice"), 5).as("bottom5_price"))
+          graft.functions.topk(col("l_extendedprice"), 5).as("top5_arr"),
+          graft.functions.bottomk(col("l_extendedprice"), 5).as("bottom5_arr"))
+        .select(
+          col("l_returnflag"),
+          array_join(expr("transform(top5_arr, x -> cast(cast(x as decimal(18,2)) as string))"), ",").as("top5_price"),
+          array_join(expr("transform(bottom5_arr, x -> cast(cast(x as decimal(18,2)) as string))"), ",").as("bottom5_price"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
-      (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5] AS top5_price,
-      (list(l_extendedprice ORDER BY l_extendedprice ASC))[1:5] AS bottom5_price
+      array_to_string(list_transform((list(l_extendedprice ORDER BY l_extendedprice DESC))[1:5],
+        x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top5_price,
+      array_to_string(list_transform((list(l_extendedprice ORDER BY l_extendedprice ASC))[1:5],
+        x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS bottom5_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q22
@@ -757,12 +779,13 @@ object CoreQueries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("total_value"),
+          // decimal sum per SURVEY §4 rule 6 (values are 2-decimal)
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("hour"), col("event_type")),
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
       count(*) AS n,
-      round(sum(value), 4) AS total_value,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
       count(DISTINCT user_id) AS n_users
       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 

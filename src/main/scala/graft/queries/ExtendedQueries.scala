@@ -111,15 +111,22 @@ object ExtendedQueries {
         .join(ord, col("c_custkey") === col("o_custkey"), "left")
         .select(
           col("c_custkey"), col("o_orderkey"),
-          col("c_acctbal").cast("decimal(18,2)").as("bal_dec"),
-          (col("c_acctbal").cast("decimal(18,2)") * 2).as("bal_x2"),
+          // round-before-cast: Spark's double→decimal cast rounds
+          // HALF_UP, DuckDB's HALF_EVEN — a .005-boundary acctbal
+          // diverges by a cent. round() semantics agree (half away
+          // from zero), so rounding first makes the cast exact.
+          round(col("c_acctbal"), 2).cast("decimal(18,2)").as("bal_dec"),
+          // outer cast re-aligns Spark's widened decimal(20,2) product
+          // with DuckDB's decimal(18,2)
+          (round(col("c_acctbal"), 2).cast("decimal(18,2)") * 2)
+            .cast("decimal(18,2)").as("bal_x2"),
           col("o_orderkey") <=> lit(null).cast("long") as "o_is_null")
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
         .limit(300)
     },
     Some("""SELECT c_custkey, o_orderkey,
-      CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec,
-      CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS bal_x2,
+      CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal_dec,
+      CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * 2 AS bal_x2,
       o_orderkey IS NOT DISTINCT FROM NULL AS o_is_null
       FROM customer
       LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
@@ -127,17 +134,23 @@ object ExtendedQueries {
       ORDER BY c_custkey, o_orderkey NULLS FIRST
       LIMIT 300"""))
 
-  // array_agg (sorted for determinism) — ArrayExpr/array building.
+  // array_agg (sorted for determinism) — ArrayExpr/array building. The
+  // id array is emitted comma-joined because the driver's comparator
+  // cannot hash array cells; the collect itself is a real array agg.
   private val q25c = Q(
     "q25c_array_agg",
     (s, d) =>
       t(s, d, "embeddings")
         .groupBy(col("label"))
         .agg(
-          sort_array(collect_list(col("vec_id"))).as("ids"),
+          sort_array(collect_list(col("vec_id"))).as("ids_arr"),
           count(lit(1)).as("n"))
+        .select(col("label"),
+          array_join(col("ids_arr").cast("array<string>"), ",").as("ids"),
+          col("n"))
         .orderBy(col("label")),
-    Some("""SELECT label, list(vec_id ORDER BY vec_id) AS ids, count(*) AS n
+    Some("""SELECT label,
+      array_to_string(list(vec_id ORDER BY vec_id), ',') AS ids, count(*) AS n
       FROM embeddings GROUP BY label ORDER BY label"""))
 
   // Gaps-and-islands sessionization in pure SQL-expressible form (the
@@ -163,7 +176,8 @@ object ExtendedQueries {
           min(col("us")).as("start_us"),
           max(col("us")).as("end_us"),
           count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("total_value"))
+          // decimal sum per SURVEY §4 rule 6
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy(col("user_id"), col("sess_id"))
     },
     Some("""WITH ev AS (
@@ -176,12 +190,14 @@ object ExtendedQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       sess AS (
         SELECT user_id, us, value,
-          sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          -- CAST: DuckDB sum(int) is HUGEINT, Spark's BIGINT
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         FROM marked)
       SELECT user_id, sess_id,
         min(us) AS start_us, max(us) AS end_us,
-        count(*) AS n_events, round(sum(value), 4) AS total_value
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, sess_id
       ORDER BY user_id, sess_id"""))
 
@@ -237,9 +253,12 @@ object ExtendedQueries {
     },
     Some("""SELECT l_orderkey, l_linenumber,
       abs(l_discount - 0.05) AS abs_,
-      ceil(l_extendedprice) AS ceil_,
-      floor(l_extendedprice) AS floor_,
-      sign(l_quantity - 25) AS sign_,
+      -- CASTs: Spark ceil/floor(double) return BIGINT (DuckDB: DOUBLE)
+      -- and Spark sign returns DOUBLE (DuckDB: TINYINT) — align the
+      -- dtypes or the driver comparator hash-mismatches on equal values
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_,
+      CAST(floor(l_extendedprice) AS BIGINT) AS floor_,
+      CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_,
       round(power(l_quantity, 2), 6) AS pow_,
       round(sqrt(l_extendedprice), 6) AS sqrt_,
       round(ln(l_extendedprice), 6) AS ln_,
@@ -380,10 +399,16 @@ object ExtendedQueries {
     "q36_any_all",
     (s, d) => {
       Tables.registerAll(s, d)
+      // single scan: min+max computed together in ONE uncorrelated
+      // subquery cross-joined in (1 row) — at scale this halves the
+      // subquery work vs two independent scalar subqueries.
       s.sql("""SELECT s_suppkey, s_name,
-        s_acctbal > (SELECT min(c_acctbal) FROM customer WHERE c_nationkey = 5) AS gt_any,
-        s_acctbal > (SELECT max(c_acctbal) FROM customer WHERE c_nationkey = 5) AS gt_all
-        FROM supplier ORDER BY s_suppkey""")
+        s_acctbal > b.lo AS gt_any,
+        s_acctbal > b.hi AS gt_all
+        FROM supplier CROSS JOIN (
+          SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi
+          FROM customer WHERE c_nationkey = 5) b
+        ORDER BY s_suppkey""")
     },
     Some("""SELECT s_suppkey, s_name,
       s_acctbal > ANY (SELECT c_acctbal FROM customer WHERE c_nationkey = 5) AS gt_any,
@@ -527,14 +552,20 @@ object ExtendedQueries {
     "q39_sql_topk",
     (s, d) => {
       Tables.registerAll(s, d)
+      // arrays emitted comma-joined (driver comparator can't hash
+      // array cells); topk/bottomk themselves return real arrays
       s.sql("""SELECT l_returnflag,
-        topk(l_extendedprice, 3) AS top3,
-        bottomk(l_extendedprice, 3) AS bottom3
+        array_join(transform(topk(l_extendedprice, 3),
+          x -> cast(cast(x as decimal(18,2)) as string)), ',') AS top3,
+        array_join(transform(bottomk(l_extendedprice, 3),
+          x -> cast(cast(x as decimal(18,2)) as string)), ',') AS bottom3
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
     Some("""SELECT l_returnflag,
-      (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3] AS top3,
-      (list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3] AS bottom3
+      array_to_string(list_transform((list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3],
+        x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3,
+      array_to_string(list_transform((list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3],
+        x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS bottom3
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,

@@ -20,21 +20,37 @@ object Importer {
     register(spark, spark.read.parquet(path), tableName, fragmentSize)
 
   /** CSV import with hdk.py:2229's knobs: header, delimiter, skip_rows,
-    * optional explicit schema (inferred otherwise). */
+    * optional explicit schema (inferred otherwise).
+    *
+    * `skipRows` drops the first N PHYSICAL lines of each file (the
+    * preamble-skipping semantic of the reference's skip_rows) before
+    * CSV parsing. Spark's CSV reader has no such option, so the skip
+    * path reads each file whole (`wholetext`), drops the lines, and
+    * parses the remainder as an in-memory CSV dataset — per-file
+    * non-splittable, which is the honest cost of a line-offset
+    * semantic; the skipRows=0 path stays on the splittable reader. */
   def importCsv(spark: SparkSession, path: String, tableName: String,
       schema: Option[StructType] = None,
       header: Boolean = true,
       delimiter: String = ",",
       skipRows: Int = 0,
       fragmentSize: Option[Long] = None): DataFrame = {
-    var r = spark.read
+    val r = spark.read
       .option("header", header.toString)
       .option("delimiter", delimiter)
-    if (skipRows > 0) r = r.option("skipLines", skipRows.toString)
-    val df = schema match {
-      case Some(s) => r.schema(s).csv(path)
-      case None => r.option("inferSchema", "true").csv(path)
-    }
+    val parse = (withSchema: org.apache.spark.sql.DataFrameReader) =>
+      schema match {
+        case Some(s) => withSchema.schema(s)
+        case None => withSchema.option("inferSchema", "true")
+      }
+    val df =
+      if (skipRows > 0) {
+        import spark.implicits._
+        val body = spark.read.option("wholetext", "true").textFile(path)
+          .flatMap(_.split("\n", -1).iterator.drop(skipRows))
+          .filter(_.nonEmpty)
+        parse(r).csv(body)
+      } else parse(r).csv(path)
     register(spark, df, tableName, fragmentSize)
   }
 
@@ -68,12 +84,25 @@ object Importer {
   private def register(spark: SparkSession, df0: DataFrame, name: String,
       fragmentSize: Option[Long]): DataFrame = {
     val df = fragmentSize match {
-      case Some(fs) =>
-        val parts = math.max(1L, math.ceil(df0.count().toDouble / fs).toLong)
-        df0.repartition(parts.toInt)
+      case Some(fs) => df0.repartition(estimateParts(df0, fs))
       case None => df0
     }
     df.createOrReplaceTempView(name)
     df
+  }
+
+  /** Partition count for a target rows-per-fragment WITHOUT scanning
+    * the data: rows ≈ plan-stat bytes / schema row width. An exact
+    * `count()` here would read every file footer (and at 100 TB add a
+    * full extra job to each ingest); fragment sizing only steers
+    * partition fan-out, and AQE absorbs the residual estimate error at
+    * runtime. */
+  private[graft] def estimateParts(df: DataFrame, fragmentSize: Long): Int = {
+    require(fragmentSize > 0, s"fragmentSize must be positive: $fragmentSize")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rowWidth = math.max(1, df.schema.defaultSize)
+    val estRows = (bytes / rowWidth).max(BigInt(1))
+    (estRows / fragmentSize + (if (estRows % fragmentSize == 0) 0 else 1))
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
   }
 }

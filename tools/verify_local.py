@@ -39,6 +39,30 @@ def table_rows(tbl):
     return cols, rows
 
 
+def dtype_family(t):
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s in ("float", "double", "halffloat"):
+        return "float"
+    if s.startswith("decimal"):
+        return s  # exact precision/scale must match (pandas → object)
+    if s in ("string", "large_string"):
+        return "str"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("date"):
+        return "date"
+    return s
+
+
+def dtype_mismatches(got_schema, want_schema):
+    gt = {f.name: dtype_family(f.type) for f in got_schema}
+    wt = {f.name: dtype_family(f.type) for f in want_schema}
+    return {c: (gt.get(c), wt.get(c))
+            for c in set(gt) | set(wt) if gt.get(c) != wt.get(c)}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -66,6 +90,16 @@ def main(sf_dir, out_dir):
         wc, wr = table_rows(want)
         if gc != wc:
             print(f"FAIL {name}: columns spark={gc} duck={wc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        # dtype families must match: the driver's comparator hashes
+        # pandas dtypes, so int64 vs hugeint/decimal128 or int vs double
+        # mismatch even when values are ==-equal in python (bit us on
+        # q06/q32/q34 in round 1)
+        bad_types = dtype_mismatches(got.schema, want.schema)
+        if bad_types:
+            print(f"FAIL {name}: dtype mismatch {bad_types}")
             n_fail += 1
             failures.append(name)
             continue
