@@ -124,6 +124,11 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   /** hdk.py:1992 `run` — in Spark the plan is lazy; run returns the
     * DataFrame whose actions execute it. */
   def run(): DataFrame = df
+
+  /** ResultSet→Arrow analogue (ResultSetArrowConversion): execute and
+    * return ONE standard Arrow IPC stream of the result. */
+  def toArrow: Array[Byte] =
+    org.apache.spark.sql.GraftShim.toArrowIpcStream(df)
 }
 
 /** Parser for the reference's aggregate strings (hdk.py:1606 doc). */

@@ -181,12 +181,10 @@ object Dedup {
         .reduce(_.bitwiseOR(_)).as("sim"))
   }
 
-  /** Pairs with simhash hamming distance ≤ maxHamming. Candidate
-    * blocking: split the fingerprint into `chunks` equal pieces; by
-    * pigeonhole any pair with hamming ≤ chunks-1 shares a chunk. Verify
-    * with bit_count(a^b). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+  /** Chunk-blocked SimHash candidate pairs with their hamming
+    * distance (no threshold applied): split the fingerprint into
+    * `chunks` equal pieces; candidates are pairs sharing any chunk. */
+  def simhashCandidates(docs: DataFrame, chunks: Int = 8): DataFrame = {
     val bitsPer = 64 / chunks
     val withSim = simhashed(docs)
     val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
@@ -201,7 +199,56 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Pairs with simhash hamming distance ≤ maxHamming. By pigeonhole
+    * any pair with hamming ≤ chunks-1 shares a chunk, so the blocked
+    * candidate set is complete for the threshold. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    simhashCandidates(docs, chunks).filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------- candidate exact verification
+  /** Exact n-gram Jaccard computed ONLY over a candidate pair set —
+    * the production LSH shape: cheap bucketed candidate generation
+    * (minhash bands / simhash chunks), then a narrow exact-verify join
+    * whose cost is output-proportional (O(candidates · avg shingles)),
+    * never all-pairs. Shingle df-capping matches [[ngramJaccardPairs]]
+    * so the verified scores equal the exact pipeline's scores.
+    *
+    * This is what makes the near-dup DECISION oracle-checkable: the
+    * candidate set is hash-specific, but after exact verification the
+    * surviving pairs are a subset of the exact-Jaccard pairs — equal
+    * to it whenever candidate recall is 1, which the driver gate then
+    * actually PROVES on the test corpus rather than assumes.
+    */
+  def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("h")
+    val capped = sh.join(rare, Seq("h")).persist()
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairKeys = candidates.select(col("a_id"), col("b_id"))
+    // per-pair intersection: expand each pair by a's shingles, probe
+    // b's shingle set — output-proportional, no all-pairs join
+    val inter = pairKeys
+      .join(capped.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .join(capped.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sz_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sz_b"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    capped.unpersist()
+    out
   }
 
   // ----------------------------------------- exact n-gram Jaccard pairs

@@ -70,18 +70,9 @@ object PipelineQueries {
       WHERE jaccard >= 0.5
       ORDER BY a_id, b_id"""))
 
-  // P4b: the dedup DECISION — connected components over the exact
-  // n-gram Jaccard pairs, keep min doc_id per component. Oracle builds
-  // the same pair set, then closes it with a recursive CTE (reachable
-  // min == self ⇒ kept).
-  private val dedupKeep = Q(
-    "dedup_keep",
-    (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      Dedup.keepAfterNearDedup(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.5))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH RECURSIVE tok AS (
+  // Shared oracle for every near-dup DECISION query: exact-Jaccard
+  // pairs closed with a recursive CTE (reachable min == self ⇒ kept).
+  private val keepOracleSql = """WITH RECURSIVE tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         FROM documents),
       shl AS (
@@ -111,7 +102,48 @@ object PipelineQueries {
         UNION
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
       SELECT src AS doc_id FROM reach
-      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""))
+      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""
+
+  // P4b: the dedup DECISION — connected components over the exact
+  // n-gram Jaccard pairs, keep min doc_id per component.
+  private val dedupKeep = Q(
+    "dedup_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.keepAfterNearDedup(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some(keepOracleSql))
+
+  // P2b: the MinHash DECISION under the full oracle gate — band-bucket
+  // candidates (no estimate threshold), exact-Jaccard verification on
+  // candidates only, then the CC keep decision. Matching the exact
+  // recursive-CTE oracle PROVES candidate recall is 1 on this corpus
+  // (a missed true pair would change the kept set) instead of leaving
+  // the whole MinHash path rows-only.
+  private val dedupMinhashKeep = Q(
+    "dedup_minhash_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cands = Dedup.minhashPairs(docs, threshold = 0.0)
+      Dedup.keepAfterNearDedup(docs,
+          Dedup.verifyCandidates(docs, cands, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some(keepOracleSql))
+
+  // P3b: the SimHash DECISION under the same gate — chunk-blocked
+  // candidates, exact verification, CC keep.
+  private val dedupSimhashKeep = Q(
+    "dedup_simhash_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.keepAfterNearDedup(docs,
+          Dedup.verifyCandidates(docs, Dedup.simhashCandidates(docs),
+            threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some(keepOracleSql))
 
   // P5: embedding cosine near-dup (all-pairs baseline at verify SF;
   // LSH path covered by ann_lsh). Double math mirrored on both sides.
@@ -311,7 +343,8 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx")))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupCosine,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
+    dedupMinhashKeep, dedupSimhashKeep, dedupCosine,
     annTopk, annLsh, annIvf, textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)

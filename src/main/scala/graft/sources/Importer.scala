@@ -54,28 +54,74 @@ object Importer {
     register(spark, df, tableName, fragmentSize)
   }
 
-  /** import_pydict analogue: columnar in-memory data → table. */
+  /** import_arrow analogue (hdk.py:2361): a standard Arrow IPC stream
+    * (as produced by pyarrow's RecordBatchStreamWriter, DuckDB's
+    * `.arrow()`, or [[org.apache.spark.sql.GraftShim.toArrowIpcStream]])
+    * becomes a registered table; schema comes from the stream itself. */
+  def importArrowIpc(spark: SparkSession, bytes: Array[Byte],
+      tableName: String, fragmentSize: Option[Long] = None): DataFrame =
+    register(spark,
+      org.apache.spark.sql.GraftShim.fromArrowIpcStream(spark, bytes),
+      tableName, fragmentSize)
+
+  /** import_pydict analogue (hdk.py:2416): columnar in-memory data →
+    * table, routed through a REAL Arrow IPC stream (columns are built
+    * as Arrow vectors with the public arrow-vector API, serialized,
+    * and ingested via [[importArrowIpc]]) — the same wire format a
+    * pyarrow caller would hand us. */
   def importColumns(spark: SparkSession, tableName: String,
       columns: (String, Seq[Any])*): DataFrame = {
     require(columns.nonEmpty, "importColumns needs at least one column")
     val n = columns.head._2.length
     require(columns.forall(_._2.length == n), "ragged columns")
-    val rows = (0 until n).map(i =>
-      org.apache.spark.sql.Row.fromSeq(columns.map(_._2(i))))
+    importArrowIpc(spark, columnsToArrowIpc(columns, n), tableName)
+  }
+
+  /** Build one Arrow IPC stream from driver-side columns (int, long,
+    * double, boolean, string; nulls unsupported — same contract as the
+    * reference's pydict import of plain lists). */
+  private[graft] def columnsToArrowIpc(columns: Seq[(String, Seq[Any])],
+      n: Int): Array[Byte] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
     val fields = columns.map { case (name, vs) =>
-      val dt = vs.headOption match {
-        case Some(_: Int) => org.apache.spark.sql.types.IntegerType
-        case Some(_: Long) => org.apache.spark.sql.types.LongType
-        case Some(_: Double) => org.apache.spark.sql.types.DoubleType
-        case Some(_: Boolean) => org.apache.spark.sql.types.BooleanType
-        case _ => org.apache.spark.sql.types.StringType
+      val at: ArrowType = vs.headOption match {
+        case Some(_: Int) => new ArrowType.Int(32, true)
+        case Some(_: Long) => new ArrowType.Int(64, true)
+        case Some(_: Double) => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case Some(_: Boolean) => ArrowType.Bool.INSTANCE
+        case _ => ArrowType.Utf8.INSTANCE
       }
-      org.apache.spark.sql.types.StructField(name, dt)
+      new Field(name, FieldType.nullable(at), null)
     }
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq),
-      StructType(fields.toSeq))
-    register(spark, df, tableName, None)
+    val schema = new Schema(java.util.Arrays.asList(fields: _*))
+    val alloc = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        root.allocateNew()
+        columns.zipWithIndex.foreach { case ((_, vs), ci) =>
+          val v = root.getVector(ci)
+          vs.zipWithIndex.foreach {
+            case (x: Int, i) => v.asInstanceOf[IntVector].setSafe(i, x)
+            case (x: Long, i) => v.asInstanceOf[BigIntVector].setSafe(i, x)
+            case (x: Double, i) => v.asInstanceOf[Float8Vector].setSafe(i, x)
+            case (x: Boolean, i) =>
+              v.asInstanceOf[BitVector].setSafe(i, if (x) 1 else 0)
+            case (x, i) => v.asInstanceOf[VarCharVector]
+              .setSafe(i, x.toString.getBytes("UTF-8"))
+          }
+        }
+        root.setRowCount(n)
+        val out = new java.io.ByteArrayOutputStream()
+        val w = new ArrowStreamWriter(root, null, out)
+        w.start(); w.writeBatch(); w.end()
+        out.toByteArray
+      } finally root.close()
+    } finally alloc.close()
   }
 
   def dropTable(spark: SparkSession, tableName: String): Unit =
