@@ -31,6 +31,12 @@ class GraftBuilder(spark: SparkSession, dir: String) {
     Tables.registerAll(spark, dir)
     spark.sql(query)
   }
+
+  /** hdk.py:2130 `create_table` — empty table with the given schema
+    * (HDK type names or Spark DDL); returns its scan node. */
+  def createTable(name: String, schema: Seq[(String, String)]): QueryNode =
+    new QueryNode(
+      graft.sources.Importer.createTable(spark, name, schema), Some(name))
 }
 
 /** hdk.py:1924 `column_info` result: name, Spark type, nullability. */

@@ -64,6 +64,13 @@ object Dedup {
       .otherwise(array_distinct(slice(tri, lit(1), sz - 2)))
   }
 
+  /** The exploded (doc_id, shingle-hash) table every near-dup path
+    * consumes. Callers composing several stages over the same corpus
+    * (e.g. candidates + exact verify) should persist ONE of these and
+    * pass it down, instead of re-deriving the explode per stage. */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+
   // ------------------------------------------------------------- exact
   /** Exact dedup: keep the lowest doc_id per identical text (sha256
     * identity). Hash-groupBy → map-side partial agg, one shuffle on the
@@ -94,7 +101,8 @@ object Dedup {
     * aggregated map-side, and the Aggregate node is an optimizer barrier
     * so the signature is computed exactly once.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
+      shingled: Option[DataFrame] = None): DataFrame = {
     // One string hash per shingle; the `numHashes` permutations are
     // affine maps h_i(x) = (a_i·x + b_i) mod p over the 31-bit-masked
     // base hash — 64 codegen'd long ops instead of 64 string re-hashes
@@ -104,8 +112,7 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
       rnd.nextInt(Int.MaxValue).toLong))
-    val sh = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    val sh = shingled.getOrElse(shingleTable(docs))
     sh.groupBy("doc_id").agg(
       array(ab.map { case (a, b) =>
         min((col("h") * lit(a) + lit(b)) % lit(p))
@@ -117,10 +124,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucketDf: Int = 1000): DataFrame = {
+      maxBucketDf: Int = 1000,
+      shingled: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, numHashes)
+    val sig = minhashSignatures(docs, numHashes, shingled)
     // Band bucket = arithmetic fold of the band's signature slice (no
     // string building; mod-2^32 keeps ANSI long arithmetic overflow-free).
     val bandRows = sig
@@ -166,11 +174,10 @@ object Dedup {
     * minhashSignatures (see its scaladoc for why HOF nesting is avoided):
     * each shingle hashes once, 64 signed bit-sums are codegen'd partial
     * aggregates, and the sign vector folds to one long. */
-  def simhashed(docs: DataFrame): DataFrame = {
+  def simhashed(docs: DataFrame, shingled: Option[DataFrame] = None): DataFrame = {
     // re-expand the 31-bit shingle hash to 64 bits for the bit-vote
-    val sh = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sh = shingled.getOrElse(shingleTable(docs))
+      .select(col("doc_id"), xxhash64(col("h")).as("h"))
     val sums = sh.groupBy("doc_id").agg(
       sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
       (1 until 64).map(i =>
@@ -183,16 +190,24 @@ object Dedup {
 
   /** Chunk-blocked SimHash candidate pairs with their hamming
     * distance (no threshold applied): split the fingerprint into
-    * `chunks` equal pieces; candidates are pairs sharing any chunk. */
-  def simhashCandidates(docs: DataFrame, chunks: Int = 8): DataFrame = {
+    * `chunks` equal pieces; candidates are pairs sharing any chunk.
+    * Hot chunk values (short docs collapsing to the same fingerprint
+    * region) are capped at `maxBucketDf` docs so one degenerate bucket
+    * can't go quadratic at scale — same guard as minhashPairs. */
+  def simhashCandidates(docs: DataFrame, chunks: Int = 8,
+      maxBucketDf: Int = 1000, shingled: Option[DataFrame] = None): DataFrame = {
     val bitsPer = 64 / chunks
-    val withSim = simhashed(docs)
+    val withSim = simhashed(docs, shingled)
     val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1})"))
       .as(Seq("chunk_idx", "chunk_val")))
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+    val bucketSizes = chunked.groupBy("chunk_idx", "chunk_val")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketDf))
+    val inBuckets = chunked.join(bucketSizes, Seq("chunk_idx", "chunk_val"))
+    val a = inBuckets.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("a_id"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+    val b = inBuckets.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("b_id"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("a_id") < col("b_id"))
@@ -224,9 +239,9 @@ object Dedup {
     * actually PROVES on the test corpus rather than assumes.
     */
   def verifyCandidates(docs: DataFrame, candidates: DataFrame,
-      threshold: Double = 0.5, dfCap: Int = 100): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      threshold: Double = 0.5, dfCap: Int = 100,
+      shingled: Option[DataFrame] = None): DataFrame = {
+    val sh = shingled.getOrElse(shingleTable(docs))
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("h")

@@ -1,79 +1,234 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2 P11): image/audio/video as
   * opaque `binary` columns with typed metadata, processed per-partition
   * in batches.
   *
-  * The decode step is a STUB — this container has no image/audio codecs
-  * — replaced by a deterministic fake that derives "dimensions" from the
-  * byte content. Everything Spark-side is real and scale-shaped: binary
-  * column schema, typed Dataset rows, `mapPartitions` batching (one
-  * decoder init per partition, the same shape a JNI/FFI decoder needs),
-  * and narrow no-shuffle execution.
+  * The decoders are REAL parsers of standard uncompressed formats that
+  * need no native codecs: PPM P6 images (netpbm), WAV/RIFF PCM audio,
+  * and Y4M (YUV4MPEG2) video streams. The media SYNTHESIZER
+  * ([[mediaTable]]) stands in for a production file/tar-shard reader —
+  * it derives deterministic media bytes from `documents.text` so the
+  * pipeline runs on the driver's test tables — but everything from the
+  * binary column onward is the real operator: format sniffing, header
+  * parsing, frame extraction, `mapPartitions` batching (one decoder
+  * init per partition, the shape a JNI/FFI codec needs), narrow
+  * no-shuffle execution. Swapping in libjpeg/ffmpeg means replacing
+  * ONLY the three parse functions.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, mime: String, media: Array[Byte])
   case class MediaFeatures(
       doc_id: Long, mime: String, byte_len: Long,
-      width: Int, height: Int, n_frames: Int)
+      width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, n_samples: Long)
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Build a binary media table. In production this is the parquet/
-    * Lance/tar-shard reader; here we derive bytes from `documents.text`
-    * so the pipeline runs on the driver's test tables. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, "image/fake")
-        .when(col("doc_id") % 3 === 1, "audio/fake")
-        .otherwise("video/fake").as("mime"),
-      encode(col("text"), "UTF-8").as("media"))
-
-  /** STUB decoder: a real implementation would decode the media bytes
-    * (e.g. libjpeg/ffmpeg via FFI) inside the partition loop. The fake
-    * is deterministic in the bytes so results are reproducible. */
-  private def fakeDecode(r: MediaRecord): MediaFeatures = {
-    var h = 1125899906842597L // deterministic FNV-ish fold of the bytes
+  // ------------------------------------------------------- synthesis
+  /** Deterministic seed from the text bytes (FNV-ish fold). */
+  private def textSeed(text: String): Long = {
+    val bs = text.getBytes("UTF-8")
+    var h = 1125899906842597L
     var i = 0
-    while (i < r.media.length) { h = h * 31 + (r.media(i) & 0xff); i += 1 }
-    val w = 16 + (math.abs(h % 512)).toInt
-    val ht = 16 + (math.abs((h >> 16) % 512)).toInt
-    val frames = if (r.mime.startsWith("video")) 1 + (math.abs((h >> 32) % 120)).toInt else 1
-    MediaFeatures(r.doc_id, r.mime, r.media.length.toLong, w, ht, frames)
+    while (i < bs.length) { h = h * 31 + (bs(i) & 0xff); i += 1 }
+    h
   }
 
-  /** Per-partition batched decode: one iterator pass, decoder state (the
-    * stub has none) initialized once per partition. */
+  private def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = (s >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** A real P6 PPM: "P6\n<w> <h>\n255\n" + w·h·3 RGB bytes. */
+  private[pipeline] def synthPpm(seed: Long): Array[Byte] = {
+    val w = 4 + math.floorMod(seed, 29).toInt
+    val h = 4 + math.floorMod(seed >> 16, 29).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ lcgBytes(seed, w * h * 3)
+  }
+
+  /** A real RIFF/WAVE file: 44-byte canonical header + 16-bit mono PCM. */
+  private[pipeline] def synthWav(seed: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val nSamples = 64 + math.floorMod(seed, 4096).toInt
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(lcgBytes(seed, dataLen))
+    bb.array()
+  }
+
+  /** A real YUV4MPEG2 stream: stream header + FRAME-delimited 4:2:0
+    * planes (8×8 → 96 bytes per frame). */
+  private[pipeline] def synthY4m(seed: Long): Array[Byte] = {
+    val (w, h) = (8, 8)
+    val frames = 1 + math.floorMod(seed >> 32, 120).toInt
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1\n".getBytes("US-ASCII")
+    val frameSize = w * h * 3 / 2
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames * (6 + frameSize))
+    out.write(header)
+    var f = 0
+    while (f < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(lcgBytes(seed + f, frameSize))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Build a binary media table. In production this is the parquet/
+    * Lance/tar-shard reader; here the bytes are synthesized (real PPM/
+    * WAV/Y4M payloads) so the pipeline runs on the test tables. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val seed = textSeed(text)
+        math.floorMod(id, 3) match {
+          case 0 => MediaRecord(id, "image/x-portable-pixmap", synthPpm(seed))
+          case 1 => MediaRecord(id, "audio/wav", synthWav(seed))
+          case _ => MediaRecord(id, "video/x-yuv4mpeg", synthY4m(seed))
+        }
+      }).toDF()
+  }
+
+  // --------------------------------------------------------- decoders
+  /** P6 PPM header parse → (width, height). */
+  private[pipeline] def parsePpm(bytes: Array[Byte]): (Int, Int) = {
+    require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM")
+    // header = magic + 3 whitespace-separated ints (w, h, maxval)
+    var i = 2
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+      var x = 0
+      while (i < bytes.length && !Character.isWhitespace(bytes(i))) {
+        x = x * 10 + (bytes(i) - '0'); i += 1
+      }
+      vals(v) = x; v += 1
+    }
+    (vals(0), vals(1))
+  }
+
+  /** RIFF/WAVE chunk walk → (sampleRate, nSamples). */
+  private[pipeline] def parseWav(bytes: Array[Byte]): (Int, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE")
+    var pos = 12
+    var sampleRate = 0
+    var channels = 1
+    var bitsPerSample = 16
+    var dataLen = 0L
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "fmt ") {
+        channels = bb.getShort(pos + 10)
+        sampleRate = bb.getInt(pos + 12)
+        bitsPerSample = bb.getShort(pos + 22)
+      } else if (id == "data") dataLen = len.toLong
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (sampleRate, dataLen / (channels * bitsPerSample / 8))
+  }
+
+  /** Y4M stream header parse → (width, height, frameSize, frameOffsets). */
+  private[pipeline] def parseY4m(bytes: Array[Byte]): (Int, Int, Seq[Int]) = {
+    require(bytes.length > 10 &&
+      new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2", "not a Y4M stream")
+    var nl = 9
+    while (bytes(nl) != '\n') nl += 1
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val params = header.split(' ').drop(1)
+    val w = params.find(_.startsWith("W")).map(_.tail.toInt)
+      .getOrElse(sys.error("Y4M missing width"))
+    val h = params.find(_.startsWith("H")).map(_.tail.toInt)
+      .getOrElse(sys.error("Y4M missing height"))
+    val frameSize = w * h * 3 / 2 // C420 (the default chroma mode)
+    // frame records: "FRAME[params]\n" + frameSize bytes
+    val offsets = Seq.newBuilder[Int]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      var fnl = pos
+      while (bytes(fnl) != '\n') fnl += 1 // skip FRAME param line
+      offsets += fnl + 1
+      pos = fnl + 1 + frameSize
+    }
+    (w, h, offsets.result())
+  }
+
+  /** Decode one record by sniffing its mime/magic — a REAL parse of the
+    * standard format, not a fake. */
+  private[pipeline] def decode(r: MediaRecord): MediaFeatures = r.mime match {
+    case m if m.startsWith("image/") =>
+      val (w, h) = parsePpm(r.media)
+      MediaFeatures(r.doc_id, r.mime, r.media.length.toLong, w, h, 1, 0, 0L)
+    case m if m.startsWith("audio/") =>
+      val (rate, n) = parseWav(r.media)
+      MediaFeatures(r.doc_id, r.mime, r.media.length.toLong, 0, 0, 0, rate, n)
+    case m if m.startsWith("video/") =>
+      val (w, h, offs) = parseY4m(r.media)
+      MediaFeatures(r.doc_id, r.mime, r.media.length.toLong, w, h,
+        offs.length, 0, 0L)
+    case other => sys.error(s"unsupported media type: $other")
+  }
+
+  /** Per-partition batched decode: one iterator pass, decoder state
+    * initialized once per partition (the stub-free parsers here are
+    * stateless, but the batching shape is what an FFI codec needs). */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val recEnc = Encoders.product[MediaRecord]
     implicit val featEnc = Encoders.product[MediaFeatures]
-    media.as[MediaRecord].mapPartitions(it => it.map(fakeDecode))
+    media.as[MediaRecord].mapPartitions(_.map(decode))
   }
 
   /** End-to-end: documents → binary media table → decoded features. */
   def features(docs: DataFrame): DataFrame =
     decodeFeatures(mediaTable(docs)).toDF()
 
-  /** Frame sampling for video media: every `stride`-th frame index,
-    * with a stub "decoded frame" (a deterministic byte slice standing in
-    * for the real frame decode). The explode keeps the operation narrow
-    * — each media row fans out to its sampled frames with no shuffle,
-    * which is the shape a 100 TB video pipeline needs (frame work
-    * scales with output frames, not input bytes moved). */
+  /** Frame sampling for video media: every `stride`-th frame, with the
+    * REAL frame payload sliced out of the Y4M stream (w·h·3/2 bytes of
+    * 4:2:0 planes). Narrow per-partition flatMap — each media row fans
+    * out to its sampled frames with no shuffle, so frame work scales
+    * with output frames, not input bytes moved (the shape a 100 TB
+    * video pipeline needs). */
   def sampleFrames(docs: DataFrame, stride: Int = 10): DataFrame = {
     require(stride > 0, "stride must be positive")
-    val media = mediaTable(docs)
-    val feats = decodeFeatures(media).toDF()
-    feats.join(media.select(col("doc_id"), col("media")), Seq("doc_id"))
-      .filter(col("mime") === "video/fake")
-      .select(col("doc_id"), col("n_frames"),
-        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"),
-        col("media"))
-      .withColumn("frame_bytes",
-        expr("substring(media, frame_idx % 16 * 8 + 1, 16)"))
-      .select("doc_id", "frame_idx", "frame_bytes")
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val frameEnc = Encoders.product[Frame]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("video/"))
+      .mapPartitions(_.flatMap { r =>
+        val (w, h, offs) = parseY4m(r.media)
+        val frameSize = w * h * 3 / 2
+        (0 until offs.length by stride).iterator.map { idx =>
+          Frame(r.doc_id, idx,
+            java.util.Arrays.copyOfRange(r.media, offs(idx), offs(idx) + frameSize))
+        }
+      }).toDF()
   }
 }

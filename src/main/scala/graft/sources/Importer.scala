@@ -124,6 +124,39 @@ object Importer {
     } finally alloc.close()
   }
 
+  /** create_table analogue (hdk.py:2130): an empty table with the
+    * given schema registered in the catalog. Column types accept the
+    * reference's names (int/int64/text/fp64/…) as well as Spark DDL. */
+  def createTable(spark: SparkSession, tableName: String,
+      schema: Seq[(String, String)]): DataFrame = {
+    require(schema.nonEmpty, "createTable needs at least one column")
+    val st = StructType(schema.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, hdkType(t))
+    })
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), st)
+    df.createOrReplaceTempView(tableName)
+    df
+  }
+
+  /** HDK type-name → Spark type (IR/Type.h vocabulary + DDL passthrough). */
+  private[graft] def hdkType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t.trim.toLowerCase match {
+      case "int8" | "tinyint" => ByteType
+      case "int16" | "smallint" => ShortType
+      case "int" | "int32" | "integer" => IntegerType
+      case "int64" | "bigint" | "long" => LongType
+      case "fp32" | "float" | "float32" => FloatType
+      case "fp64" | "double" | "float64" => DoubleType
+      case "bool" | "boolean" => BooleanType
+      case "text" | "string" | "varchar" | "dict" => StringType
+      case "date" => DateType
+      case "time" | "timestamp" => TimestampType
+      case other => StructType.fromDDL(s"__c $other").head.dataType
+    }
+  }
+
   def dropTable(spark: SparkSession, tableName: String): Unit =
     spark.catalog.dropTempView(tableName)
 

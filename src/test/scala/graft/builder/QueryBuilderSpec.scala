@@ -87,6 +87,41 @@ class QueryBuilderSpec extends AnyFunSuite {
       .head().getLong(0) == 25)
   }
 
+  test("window expressions via over/order_by builder (hdk.py:1456,1488)") {
+    // mirrors the reference doc examples: count().over(a) and
+    // percent_rank().order_by(a)
+    val t = graft.sources.Importer.importColumns(spark, "win_t",
+      "a" -> Seq(4, 2, 1, 3, 5), "g" -> Seq(1, 2, 1, 2, 1))
+    val node = new QueryNode(t)
+    val out = node.projExprs(
+      "a" -> node.ref("a"),
+      Wins.count.over(node.ref("g")).as("count"),
+      Wins.percentRank.orderBy(node.ref("a")).as("prk"))
+      .sort(("a", "asc"))
+      .run().collect()
+    // sorted by a: (1,g=1),(2,g=2),(3,g=2),(4,g=1),(5,g=1)
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L, 2L, 3L, 3L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    val sums = node.projExprs(
+      "g" -> node.ref("g"),
+      Wins.sum(node.ref("a")).over(node.ref("g")).as("gsum"))
+      .sort(("g", "asc")).run().collect()
+    assert(sums.map(r => (r.getInt(0), r.getLong(1))).distinct.toSeq ==
+      Seq((1, 10L), (2, 5L)))
+    graft.sources.Importer.dropTable(spark, "win_t")
+  }
+
+  test("createTable registers an empty schema'd table (hdk.py:2130)") {
+    val node = hdk.createTable("created_t",
+      Seq("id" -> "int", "val1" -> "int64", "val2" -> "text"))
+    assert(node.tableName.contains("created_t"))
+    assert(node.size == 0L)
+    assert(node.schema.map(_.dataType.typeName) ==
+      Seq("integer", "long", "string"))
+    assert(spark.sql("SELECT count(*) FROM created_t").head().getLong(0) == 0)
+    graft.sources.Importer.dropTable(spark, "created_t")
+  }
+
   test("node metadata: size, columnInfo, tableName (hdk.py:1905,1924,1949)") {
     val node = hdk.scan("nation")
     assert(node.tableName.contains("nation"))

@@ -13,19 +13,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(schema("mime").dataType.typeName == "string")
   }
 
-  test("frame sampling yields ceil(n_frames/stride) frames per video") {
+  test("decoders parse REAL format bytes (PPM / WAV / Y4M)") {
+    // synthesized payloads are genuine standard-format files; the
+    // decoders parse headers, they don't hash bytes
+    val ppm = Multimodal.synthPpm(12345L)
+    assert(new String(ppm, 0, 2, "US-ASCII") == "P6")
+    val (w, h) = Multimodal.parsePpm(ppm)
+    assert(w >= 4 && h >= 4)
+    assert(ppm.length > w * h * 3) // header + full RGB payload
+
+    val wav = Multimodal.synthWav(98765L)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    val (rate, samples) = Multimodal.parseWav(wav)
+    assert(rate == 8000 && samples >= 64)
+    assert(wav.length == 44 + samples * 2)
+
+    val y4m = Multimodal.synthY4m(555L)
+    assert(new String(y4m, 0, 9, "US-ASCII") == "YUV4MPEG2")
+    val (vw, vh, offs) = Multimodal.parseY4m(y4m)
+    assert(vw == 8 && vh == 8 && offs.nonEmpty)
+    assert(y4m.length == offs.last + vw * vh * 3 / 2)
+  }
+
+  test("frame sampling yields ceil(n_frames/stride) REAL frames per video") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val feats = Multimodal.features(docs)
-      .filter(org.apache.spark.sql.functions.col("mime") === "video/fake")
+      .filter(org.apache.spark.sql.functions.col("mime").startsWith("video/"))
       .select("doc_id", "n_frames").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val frames = Multimodal.sampleFrames(docs, stride = 10)
-      .groupBy("doc_id").count().collect()
+    val counts = frames.groupBy("doc_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(frames.keySet == feats.keySet)
-    frames.foreach { case (id, n) =>
+    assert(counts.keySet == feats.keySet)
+    counts.foreach { case (id, n) =>
       assert(n == math.ceil(feats(id) / 10.0).toLong, s"doc $id")
     }
+    // frames are real 4:2:0 payloads: 8×8×1.5 = 96 bytes each
+    val sizes = frames.select("frame_bytes").collect()
+      .map(_.getAs[Array[Byte]](0).length).distinct
+    assert(sizes.toSeq == Seq(96))
   }
 
   test("decode is deterministic and preserves row count") {
@@ -34,9 +60,17 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.features(docs).orderBy("doc_id").collect()
     assert(f1.sameElements(f2))
     assert(f1.length == docs.count())
-    // byte_len matches utf-8 length of source text
-    val first = f1.head
-    assert(first.getAs[Long]("byte_len") > 0)
-    assert(first.getAs[Int]("width") >= 16)
+    val byMime = f1.groupBy(_.getAs[String]("mime"))
+    // images decoded to real dimensions, audio to real sample counts
+    byMime("image/x-portable-pixmap").foreach { r =>
+      assert(r.getAs[Int]("width") >= 4 && r.getAs[Int]("height") >= 4)
+    }
+    byMime("audio/wav").foreach { r =>
+      assert(r.getAs[Int]("sample_rate") == 8000 &&
+        r.getAs[Long]("n_samples") >= 64)
+    }
+    byMime("video/x-yuv4mpeg").foreach { r =>
+      assert(r.getAs[Int]("n_frames") >= 1)
+    }
   }
 }
