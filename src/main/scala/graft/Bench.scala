@@ -30,7 +30,17 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
+    // Queries are standalone: once one finishes, its persisted/
+    // localCheckpoint blocks are dead weight. clearCache() only drops
+    // the SQL cache, NOT RDD checkpoint blocks — without this sweep ~70
+    // queries' blocks accumulate in an 8g heap and evict each other
+    // mid-query (measured: 3× slowdowns late in a pass).
+    def dropDeadBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     // Two timed passes, per-query minimum: a single pass is exposed to
     // one-off interference (GC, host noise) — observed 7× outliers on
     // otherwise-stable queries. Min-of-2 is the steady-state capability.
@@ -39,7 +49,9 @@ object Bench {
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        dropDeadBlocks() // outside the timed region
+        name -> t
       }
     }
     val (p1, p2) = (pass(), pass())

@@ -390,6 +390,60 @@ object ExtendedQueries {
       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS t_qday
       FROM events ORDER BY event_id"""))
 
+  // CUBE + GROUPING SETS (completing the grouping-set family started
+  // by q35's ROLLUP; both engines support them natively).
+  private val q35b = Q(
+    "q35b_cube_sets",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT 'cube' AS src, l_returnflag, l_linestatus,
+        grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'sets' AS src, l_returnflag, NULL AS l_linestatus,
+        0 AS g_rf, 1 AS g_ls, count(*) AS n
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag))
+        ORDER BY src, g_rf, g_ls, l_returnflag NULLS FIRST,
+          l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT 'cube' AS src, l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+      count(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      UNION ALL
+      SELECT 'sets' AS src, l_returnflag, NULL AS l_linestatus,
+      CAST(0 AS TINYINT) AS g_rf, CAST(1 AS TINYINT) AS g_ls, count(*) AS n
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag))
+      ORDER BY src, g_rf, g_ls, l_returnflag NULLS FIRST,
+        l_linestatus NULLS FIRST"""))
+
+  // EXISTS / NOT EXISTS through the SQL frontend (the DataFrame twins
+  // are q07/q08's semi/anti joins; this proves the SQL surface parses
+  // and plans correlated existence subqueries).
+  private val q43 = Q(
+    "q43_exists_sql",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_name,
+        EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 400000) AS has_big
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name,
+      EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000) AS has_big
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
   // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
   // Spark has no ANY/ALL subquery syntax; the standard rewrite is
   // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
@@ -622,5 +676,5 @@ object ExtendedQueries {
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q36, q37, q38, q39, q40, q41, q42, q18b)
+    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q18b)
 }
