@@ -37,6 +37,32 @@ class GraftBuilder(spark: SparkSession, dir: String) {
   def createTable(name: String, schema: Seq[(String, String)]): QueryNode =
     new QueryNode(
       graft.sources.Importer.createTable(spark, name, schema), Some(name))
+
+  /** hdk.py:2652 `const` — literal expression, optionally cast to an
+    * HDK-named type. */
+  def const(value: Any, cstType: Option[String] = None): Column = {
+    val c = lit(value)
+    cstType.fold(c)(t => c.cast(graft.sources.Importer.hdkType(t)))
+  }
+
+  /** hdk.py:2708 `date` — date literal from ISO string. */
+  def date(value: String): Column = to_date(lit(value))
+
+  /** hdk.py:2750 `timestamp` — timestamp literal from ISO string. */
+  def timestamp(value: String): Column = to_timestamp(lit(value))
+
+  /** hdk.py:2729 `time` — HDK has a TIME type; Spark doesn't, so time
+    * literals are seconds-of-day (the representation our EXTRACT
+    * time-of-day queries use). */
+  def time(value: String): Column = {
+    val p = value.split(':')
+    require(p.length == 3, s"time literal must be HH:MM:SS, got '$value'")
+    lit(p(0).toInt * 3600 + p(1).toInt * 60 + p(2).toInt)
+  }
+
+  /** hdk.py:2578 `type` — parse an HDK type name to a Spark type. */
+  def typeOf(typeStr: String): org.apache.spark.sql.types.DataType =
+    graft.sources.Importer.hdkType(typeStr)
 }
 
 /** hdk.py:1924 `column_info` result: name, Spark type, nullability. */

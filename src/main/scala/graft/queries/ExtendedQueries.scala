@@ -444,6 +444,29 @@ object ExtendedQueries {
                           AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
+  // Batch twin of the ST5 stream-stream interval join (EventPipeline
+  // .purchaseAttribution): purchases attributed to same-user clicks in
+  // the preceding hour — the watermark is a no-op on batch frames, so
+  // the oracle checks exactly the code the stream runs.
+  private val q44 = Q(
+    "q44_stream_attr",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventPipeline.purchaseAttribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
   // Spark has no ANY/ALL subquery syntax; the standard rewrite is
   // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
@@ -676,5 +699,5 @@ object ExtendedQueries {
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q18b)
+    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q18b)
 }

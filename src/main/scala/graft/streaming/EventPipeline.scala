@@ -41,6 +41,28 @@ object EventPipeline {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join (ST5): purchases attributed to the
+    * same user's clicks within the preceding hour. BOTH sides carry
+    * watermarks and the join condition bounds event time on both
+    * sides, so the join state store is expired by watermark — the
+    * canonical streaming fact-fact join. On batch frames the
+    * watermarks are no-ops and this is a plain interval join. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionAgg(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, total_value: Double)

@@ -122,6 +122,23 @@ class QueryBuilderSpec extends AnyFunSuite {
     graft.sources.Importer.dropTable(spark, "created_t")
   }
 
+  test("literal constructors: const/date/time/timestamp/type (hdk.py:2578-2771)") {
+    val b = hdk
+    val row = b.scan("region").limit(1)
+      .projExprs(
+        "c" -> b.const(7, Some("int64")),
+        "d" -> b.date("1997-03-15"),
+        "ts" -> b.timestamp("1997-03-15 12:30:45"),
+        "t" -> b.time("12:30:45"))
+      .run().head()
+    assert(row.getLong(0) == 7L)
+    assert(row.getDate(1).toString == "1997-03-15")
+    assert(row.getTimestamp(2).toString.startsWith("1997-03-15 12:30:45"))
+    assert(row.getInt(3) == 12 * 3600 + 30 * 60 + 45)
+    assert(b.typeOf("text") == org.apache.spark.sql.types.StringType)
+    assert(b.typeOf("fp64") == org.apache.spark.sql.types.DoubleType)
+  }
+
   test("node metadata: size, columnInfo, tableName (hdk.py:1905,1924,1949)") {
     val node = hdk.scan("nation")
     assert(node.tableName.contains("nation"))

@@ -101,6 +101,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts_s)
+    val purchases = MemoryStream[(Long, Long, Long, Double)]
+    clicks.addData(Seq((10L, 1L, 1000L), (11L, 1L, 50_000L), (12L, 2L, 1000L)))
+    purchases.addData(Seq(
+      (20L, 1L, 2000L, 9.5),  // 1000s after click 10 → attributed
+      (21L, 1L, 49_000L, 3.0), // before click 11, > 1h after click 10 → none
+      (22L, 2L, 1500L, 7.0))) // attributed to click 12
+    def evDf(df: org.apache.spark.sql.DataFrame) = df
+    val cDf = clicks.toDF().select(col("_1").as("event_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val pDf = purchases.toDF().select(col("_1").as("event_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"),
+      col("_4").as("value"))
+    val q = EventPipeline.purchaseAttribution(cDf, pDf).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr_out")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (12L, 22L)))
+
+    // batch twin gives the same pairs
+    val batch = EventPipeline.purchaseAttribution(
+      cDf.sparkSession.createDataFrame(
+        Seq((10L, 1L, new java.sql.Timestamp(1000_000L)),
+          (11L, 1L, new java.sql.Timestamp(50_000_000L)),
+          (12L, 2L, new java.sql.Timestamp(1000_000L))))
+        .toDF("event_id", "user_id", "ts"),
+      cDf.sparkSession.createDataFrame(
+        Seq((20L, 1L, new java.sql.Timestamp(2000_000L), 9.5),
+          (21L, 1L, new java.sql.Timestamp(49_000_000L), 3.0),
+          (22L, 2L, new java.sql.Timestamp(1500_000L), 7.0)))
+        .toDF("event_id", "user_id", "ts", "value"))
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("sessionize splits on gap and aggregates state (batch mode)") {
     val evs = Seq(
       EventPipeline.Ev(1L, 0L, 1.0),
