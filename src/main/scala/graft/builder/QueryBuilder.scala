@@ -161,6 +161,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     * return ONE standard Arrow IPC stream of the result. */
   def toArrow: Array[Byte] =
     org.apache.spark.sql.GraftShim.toArrowIpcStream(df)
+
+  /** Config.just_explain analogue (hdk.py:2089): the plan this node
+    * would execute, without executing it. */
+  def explainString(mode: String = "formatted"): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 }
 
 /** Parser for the reference's aggregate strings (hdk.py:1606 doc). */

@@ -55,6 +55,35 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q04_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("lateral limit decorrelates to WindowGroupLimit + hash join (q41)") {
+    val p = plan("q41_lateral")
+    // a cartesian/BNL here would be the 100TB failure mode
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), "cartesian lateral:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BNL lateral:\n" + p)
+  }
+
+  test("candidate exact-verify is equi-joined, never cartesian") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val cands = graft.pipeline.Dedup.minhashPairs(docs, threshold = 0.2)
+    // inspect the verify plan BEFORE its localCheckpoint truncates it
+    val sh = graft.pipeline.Dedup.shingleTable(docs)
+    val pairKeys = cands.select(col("a_id"), col("b_id"))
+    val probe = pairKeys
+      .join(sh.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "verify join degenerated:\n" + p)
+  }
+
+  test("stream-stream attribution joins on the user key, not cross (q44)") {
+    val p = plan("q44_stream_attr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
 
 /** CSV ingest (SURVEY.md §2 IO2) — reference: hdk.py:2229 import_csv

@@ -139,6 +139,12 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(b.typeOf("fp64") == org.apache.spark.sql.types.DoubleType)
   }
 
+  test("explainString returns the plan without executing (hdk.py:2089)") {
+    val s = hdk.scan("nation").filter(col("n_nationkey") > 5).explainString()
+    assert(s.contains("Physical Plan"))
+    assert(s.contains("PushedFilters"))
+  }
+
   test("node metadata: size, columnInfo, tableName (hdk.py:1905,1924,1949)") {
     val node = hdk.scan("nation")
     assert(node.tableName.contains("nation"))
