@@ -51,7 +51,7 @@ object Multimodal {
   }
 
   /** A real P6 PPM: "P6\n<w> <h>\n255\n" + w·h·3 RGB bytes. */
-  private[pipeline] def synthPpm(seed: Long): Array[Byte] = {
+  private[graft] def synthPpm(seed: Long): Array[Byte] = {
     val w = 4 + math.floorMod(seed, 29).toInt
     val h = 4 + math.floorMod(seed >> 16, 29).toInt
     val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -59,7 +59,7 @@ object Multimodal {
   }
 
   /** A real RIFF/WAVE file: 44-byte canonical header + 16-bit mono PCM. */
-  private[pipeline] def synthWav(seed: Long): Array[Byte] = {
+  private[graft] def synthWav(seed: Long): Array[Byte] = {
     val sampleRate = 8000
     val nSamples = 64 + math.floorMod(seed, 4096).toInt
     val dataLen = nSamples * 2
@@ -77,7 +77,7 @@ object Multimodal {
 
   /** A real YUV4MPEG2 stream: stream header + FRAME-delimited 4:2:0
     * planes (8×8 → 96 bytes per frame). */
-  private[pipeline] def synthY4m(seed: Long): Array[Byte] = {
+  private[graft] def synthY4m(seed: Long): Array[Byte] = {
     val (w, h) = (8, 8)
     val frames = 1 + math.floorMod(seed >> 32, 120).toInt
     val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1\n".getBytes("US-ASCII")
@@ -113,7 +113,7 @@ object Multimodal {
 
   // --------------------------------------------------------- decoders
   /** P6 PPM header parse → (width, height). */
-  private[pipeline] def parsePpm(bytes: Array[Byte]): (Int, Int) = {
+  private[graft] def parsePpm(bytes: Array[Byte]): (Int, Int) = {
     require(bytes.length > 2 && bytes(0) == 'P' && bytes(1) == '6',
       "not a P6 PPM")
     // header = magic + 3 whitespace-separated ints (w, h, maxval)
@@ -132,7 +132,7 @@ object Multimodal {
   }
 
   /** RIFF/WAVE chunk walk → (sampleRate, nSamples). */
-  private[pipeline] def parseWav(bytes: Array[Byte]): (Int, Long) = {
+  private[graft] def parseWav(bytes: Array[Byte]): (Int, Long) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length > 44 &&
@@ -157,7 +157,7 @@ object Multimodal {
   }
 
   /** Y4M stream header parse → (width, height, frameSize, frameOffsets). */
-  private[pipeline] def parseY4m(bytes: Array[Byte]): (Int, Int, Seq[Int]) = {
+  private[graft] def parseY4m(bytes: Array[Byte]): (Int, Int, Seq[Int]) = {
     require(bytes.length > 10 &&
       new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2", "not a Y4M stream")
     var nl = 9
@@ -183,7 +183,7 @@ object Multimodal {
 
   /** Decode one record by sniffing its mime/magic — a REAL parse of the
     * standard format, not a fake. */
-  private[pipeline] def decode(r: MediaRecord): MediaFeatures = r.mime match {
+  private[graft] def decode(r: MediaRecord): MediaFeatures = r.mime match {
     case m if m.startsWith("image/") =>
       val (w, h) = parsePpm(r.media)
       MediaFeatures(r.doc_id, r.mime, r.media.length.toLong, w, h, 1, 0, 0L)

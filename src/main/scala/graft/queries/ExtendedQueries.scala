@@ -467,6 +467,39 @@ object ExtendedQueries {
         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  // PIVOT (wide aggregation by category) + UNPIVOT back to long form —
+  // beyond-reference OLAP surface both engines support; the oracle
+  // states the same computation relationally (FILTERed counts, then
+  // the stack re-expressed as a UNION).
+  private val q45 = Q(
+    "q45_pivot",
+    (s, d) => {
+      val wide = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"), col("O").as("st_o"),
+          col("F").as("st_f"), col("P").as("st_p"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("st_o"), col("st_f"), col("st_p")),
+          "status_col", "n")
+        .orderBy(col("o_orderpriority"), col("status_col"))
+    },
+    Some("""WITH wide AS (
+        SELECT o_orderpriority,
+          count(*) FILTER (o_orderstatus = 'O') AS st_o,
+          count(*) FILTER (o_orderstatus = 'F') AS st_f,
+          count(*) FILTER (o_orderstatus = 'P') AS st_p
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, status_col, n FROM (
+        SELECT o_orderpriority, 'st_o' AS status_col, st_o AS n FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'st_f', st_f FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'st_p', st_p FROM wide)
+      ORDER BY o_orderpriority, status_col"""))
+
   // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
   // Spark has no ANY/ALL subquery syntax; the standard rewrite is
   // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
@@ -699,5 +732,5 @@ object ExtendedQueries {
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q18b)
+    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q18b)
 }
