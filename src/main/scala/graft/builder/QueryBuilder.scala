@@ -154,8 +154,27 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   }
 
   /** hdk.py:1992 `run` — in Spark the plan is lazy; run returns the
-    * DataFrame whose actions execute it. */
+    * DataFrame whose actions execute it. A returned DataFrame can be
+    * wrapped back into a QueryNode to keep building (the reference's
+    * run-on-results pattern, test_pyhdk_api.py test_run_on_res). */
   def run(): DataFrame = df
+
+  /** Result-accessor parity (test_pyhdk_api.py test_head/tail/shape/
+    * row): driver-side peeks at a (small) result, like the reference's
+    * ExecutionResult helpers. `head` stays lazy (a limited node);
+    * `tail`/`row`/`shape` are actions by nature. */
+  def head(n: Int = 5): QueryNode = new QueryNode(df.limit(n))
+
+  def tail(n: Int = 5): Array[org.apache.spark.sql.Row] = df.tail(n)
+
+  def row(i: Int): org.apache.spark.sql.Row = {
+    val rows = df.limit(i + 1).collect()
+    require(rows.length > i, s"row $i out of range (${rows.length} rows)")
+    rows(i)
+  }
+
+  /** (rows, columns) — `shape` triggers a count like `size`. */
+  def shape: (Long, Int) = (df.count(), df.columns.length)
 
   /** ResultSet→Arrow analogue (ResultSetArrowConversion): execute and
     * return ONE standard Arrow IPC stream of the result. */

@@ -139,6 +139,18 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(b.typeOf("fp64") == org.apache.spark.sql.types.DoubleType)
   }
 
+  test("result accessors head/tail/shape/row and run-on-results") {
+    val node = hdk.scan("nation").sort(("n_nationkey", "asc"))
+    assert(node.shape == (25L, node.schema.length))
+    assert(node.head(3).size == 3L)
+    assert(node.row(0).getAs[Number]("n_nationkey").longValue == 0L)
+    assert(node.tail(2).length == 2)
+    // run-on-results: wrap a run() output and keep building
+    val res = node.filter(col("n_regionkey") === 1).run()
+    val n2 = new QueryNode(res).agg(Seq(), "count").run().head().getLong(0)
+    assert(n2 == 5L)
+  }
+
   test("explainString returns the plan without executing (hdk.py:2089)") {
     val s = hdk.scan("nation").filter(col("n_nationkey") > 5).explainString()
     assert(s.contains("Physical Plan"))
