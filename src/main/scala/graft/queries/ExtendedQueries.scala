@@ -500,6 +500,72 @@ object ExtendedQueries {
         SELECT o_orderpriority, 'st_p', st_p FROM wide)
       ORDER BY o_orderpriority, status_col"""))
 
+  // Native session windows (Spark's session_window — the declarative
+  // twin of the flatMapGroupsWithState sessionization in ST2): same
+  // 30-min gap the q32 gaps-and-islands query uses, so the oracle is
+  // the same island construction with session_window's [min, max+gap)
+  // bounds.
+  private val q46 = Q(
+    "q46_session_window",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us")),
+    Some("""WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      marked AS (
+        SELECT user_id, value, us,
+          CASE WHEN us - lag(us) OVER w > 1800000000
+                 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT user_id, us, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM marked)
+      SELECT user_id,
+        min(us) AS start_us,
+        max(us) + 1800000000 AS end_us,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, start_us"""))
+
+  // Aggregate-family widening: median, mode, bool_and/bool_or,
+  // bit_and/bit_or/bit_xor — all native in both engines. mode targets
+  // l_linenumber (frequency strictly decreasing in line number, so the
+  // winner is unique and tie-break rules never fire).
+  private val q47 = Q(
+    "q47_more_aggs",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          mode(col("l_linenumber")).as("mode_line"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_quantity") > 45).as("any_big"),
+          bit_and(col("l_linenumber")).as("line_band"),
+          bit_or(col("l_linenumber")).as("line_bor"),
+          bit_xor(col("l_linenumber")).as("line_bxor"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      median(l_quantity) AS med_qty,
+      mode(l_linenumber) AS mode_line,
+      bool_and(l_quantity > 0) AS all_pos,
+      bool_or(l_quantity > 45) AS any_big,
+      bit_and(l_linenumber) AS line_band,
+      bit_or(l_linenumber) AS line_bor,
+      bit_xor(l_linenumber) AS line_bxor
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
   // Spark has no ANY/ALL subquery syntax; the standard rewrite is
   // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
@@ -732,5 +798,6 @@ object ExtendedQueries {
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
-    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q18b)
+    q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q46, q47, q18b)
 }
