@@ -566,6 +566,46 @@ object ExtendedQueries {
       bit_xor(l_linenumber) AS line_bxor
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // String-function family beyond the reference's CharLength/Lower
+  // (Expr.h:528,591): case mapping, pad/trim, split/position, slicing,
+  // reverse/repeat/translate, edit distance, concat — all codegen'd
+  // builtins on both engines.
+  private val q48 = Q(
+    "q48_strings",
+    (s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_custkey") % 20 === 0)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up_"),
+          lpad(col("c_name"), 25, "*").as("lp_"),
+          rpad(col("c_name"), 25, "*").as("rp_"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("sp_"),
+          instr(col("c_name"), "#").as("ip_"),
+          substring(col("c_name"), 1, 8).as("l_"),
+          col("c_name").substr(length(col("c_name")) - 4, lit(5)).as("r_"),
+          reverse(col("c_name")).as("rev_"),
+          repeat(lit("ab"), 3).as("rep_"),
+          translate(col("c_name"), "#", "_").as("trn_"),
+          levenshtein(col("c_name"), lit("Customer")).as("lev_"),
+          concat_ws("-", col("c_name"), col("c_mktsegment")).as("cw_"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+      upper(c_name) AS up_,
+      lpad(c_name, 25, '*') AS lp_,
+      rpad(c_name, 25, '*') AS rp_,
+      split_part(c_name, '#', 2) AS sp_,
+      CAST(strpos(c_name, '#') AS BIGINT) AS ip_,
+      left(c_name, 8) AS l_,
+      right(c_name, 5) AS r_,
+      reverse(c_name) AS rev_,
+      repeat('ab', 3) AS rep_,
+      translate(c_name, '#', '_') AS trn_,
+      CAST(levenshtein(c_name, 'Customer') AS INT) AS lev_,
+      concat_ws('-', c_name, c_mktsegment) AS cw_
+      FROM customer WHERE c_custkey % 20 = 0
+      ORDER BY c_custkey"""))
+
   // Quantified comparisons (Qualifier kAny/kAll, OpTypeEnums.h:75).
   // Spark has no ANY/ALL subquery syntax; the standard rewrite is
   // x > ANY(S) ⇔ x > min(S), x > ALL(S) ⇔ x > max(S) (S non-empty,
@@ -799,5 +839,5 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q18b)
+    q46, q47, q48, q18b)
 }

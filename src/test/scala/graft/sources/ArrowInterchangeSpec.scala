@@ -61,6 +61,27 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(back.columns.contains("r_name"))
   }
 
+  test("empty results and NULL values survive the round trip") {
+    import spark.implicits._
+    // empty: stream carries schema + zero batches
+    val empty = Tables.load(spark, TestSpark.sf, "nation")
+      .filter(col("n_nationkey") < 0)
+    val backEmpty = GraftShim.fromArrowIpcStream(
+      spark, GraftShim.toArrowIpcStream(empty))
+    assert(backEmpty.count() == 0)
+    assert(backEmpty.schema.map(_.name) == empty.schema.map(_.name))
+    // nulls in every type class
+    val withNulls = Seq(
+      (1L, Some("a"), Some(1.5)),
+      (2L, None, None),
+      (3L, Some("c"), Some(-0.25))).toDF("id", "s", "x")
+    val back = GraftShim.fromArrowIpcStream(
+      spark, GraftShim.toArrowIpcStream(withNulls))
+    val rows = back.orderBy(col("id")).collect()
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getString(1) == "c" && rows(2).getDouble(2) == -0.25)
+  }
+
   test("importColumns routes through a real Arrow IPC stream") {
     val ipc = Importer.columnsToArrowIpc(
       Seq("k" -> Seq(1, 2, 3), "v" -> Seq("a", "b", "c"),
