@@ -178,14 +178,25 @@ object Dedup {
     // re-expand the 31-bit shingle hash to 64 bits for the bit-vote
     val sh = shingled.getOrElse(shingleTable(docs))
       .select(col("doc_id"), xxhash64(col("h")).as("h"))
+    // Bit-vote with PACKED counters: two bit-positions share one long
+    // (low/high 32-bit fields), so the aggregation carries 33 buffers
+    // instead of 64. Per position, vote balance = 2·count_set − n, so
+    // "majority set" ⟺ 2·count > n — identical semantics to the
+    // unpacked ±1-sum form this replaces. Fields can't carry into each
+    // other below 2^32 set-shingles per doc (n is a per-doc shingle
+    // count; 2^32 is far beyond any document).
     val sums = sh.groupBy("doc_id").agg(
-      sum(when(expr("(shiftright(h, 0) & 1) = 1"), 1).otherwise(-1)).as("b0"),
-      (1 until 64).map(i =>
-        sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"b$i")): _*)
+      count(lit(1)).as("n"),
+      (0 until 32).map(j =>
+        sum(expr(s"((shiftright(h, ${2 * j}) & 1) | (shiftleft(shiftright(h, ${2 * j + 1}) & 1, 32)))"))
+          .as(s"p$j")): _*)
     sums.select(col("doc_id"),
-      (0 until 64).map(i =>
-        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as("sim"))
+      (0 until 64).map { i =>
+        val field =
+          if (i % 2 == 0) expr(s"p${i / 2} & 4294967295")
+          else expr(s"shiftright(p${i / 2}, 32) & 4294967295")
+        when(field * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("sim"))
   }
 
   /** Chunk-blocked SimHash candidate pairs with their hamming
