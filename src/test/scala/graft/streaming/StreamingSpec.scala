@@ -139,6 +139,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("native session_window sessionizes a stream (append after watermark)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_s, value)
+    val streamDf = mem.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("ts"),
+        col("_3").as("value"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = streamDf.writeStream
+      .format("memory").queryName("sess_win_out").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 1000L, 2.0), (1L, 1600L, 3.0), (2L, 1000L, 7.0)))
+      q.processAllAvailable()
+      // a far-future event pushes the watermark past the open sessions
+      mem.addData(Seq((9L, 100000L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_win_out")
+      .select("user_id", "n", "total").as[(Long, Long, Double)]
+      .collect().toSet
+    // user 1's two events fall in ONE session (gap 600s < 30min)
+    assert(got.contains((1L, 2L, 5.0)) && got.contains((2L, 1L, 7.0)))
+  }
+
   test("sessionize splits on gap and aggregates state (batch mode)") {
     val evs = Seq(
       EventPipeline.Ev(1L, 0L, 1.0),
