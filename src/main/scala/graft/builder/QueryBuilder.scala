@@ -109,6 +109,15 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(df.join(rhs.df, cond, how))
   }
 
+  /** hdk.py:1747 `join` with an arbitrary boolean condition (the
+    * reference's `cond=` form) — build it from `lhs.ref`/`rhs.ref`
+    * columns, e.g. `a.joinOn(b, a.ref("x") >= b.ref("lo") && a.ref("x")
+    * < b.ref("hi"))`. Non-equi conditions plan as broadcast-nested-loop
+    * when one side is small, range join otherwise — same physical menu
+    * as [[graft.operators.TimeJoins]]. */
+  def joinOn(rhs: QueryNode, cond: Column, how: String = "inner"): QueryNode =
+    new QueryNode(df.join(rhs.df, cond, how))
+
   /** hdk.py:1679 `sort` — (field, "asc"|"desc") pairs + limit/offset. */
   def sort(fields: (String, String)*): QueryNode =
     new QueryNode(df.orderBy(fields.map {
@@ -193,12 +202,15 @@ private[builder] object AggParser {
   private val WithAlias = """(?i)(.+?)\s+as\s+(\w+)""".r
   private val Fn1 = """(\w+)\s*\(\s*([\w.]+)\s*\)""".r
   private val Fn2 = """(\w+)\s*\(\s*([\w.]+)\s*,\s*([\w.+-]+)\s*\)""".r
+  private val Fn3 = """(\w+)\s*\(\s*([\w.]+)\s*,\s*([\w.+-]+)\s*,\s*(\w+)\s*\)""".r
 
   def parse(s: String): Column = s.trim match {
     case WithAlias(e, alias) => parse(e).as(alias)
     case "count" => count(lit(1)).as("count")
     case Fn1(fn, c) => named(fn.toLowerCase, c, fn1(fn.toLowerCase, c))
     case Fn2(fn, c, arg) => named(fn.toLowerCase, c, fn2(fn.toLowerCase, c, arg))
+    case Fn3(fn, c, arg, mode) =>
+      named(fn.toLowerCase, c, fn3(fn.toLowerCase, c, arg, mode.toLowerCase))
     case other => sys.error(s"unsupported aggregate: '$other'")
   }
 
@@ -224,6 +236,32 @@ private[builder] object AggParser {
     case "topk" | "top_k" => graft.functions.topk(col(c), arg.toInt)
     case "bottomk" | "bottom_k" => graft.functions.bottomk(col(c), arg.toInt)
     case "corr" => corr(col(c), col(arg))
+    case other => sys.error(s"unsupported aggregate function: '$other'")
+  }
+
+  /** `quantile(col, p, interpolation)` — the reference's third argument
+    * (hdk.py:226-253): all five kQuantile interpolation modes
+    * (OpTypeEnums.h:117), computed with the same explicit index math as
+    * q19c so builder results match the oracled engine path exactly.
+    * Repeated collect_list occurrences dedup to ONE aggregate buffer in
+    * Spark's planner (identical agg expressions are computed once). */
+  private def fn3(fn: String, c: String, arg: String, mode: String): Column = fn match {
+    case "quantile" =>
+      val xs = s"sort_array(collect_list($c))"
+      val idx = s"((size($xs) - 1) * $arg)"
+      def at(i: String) = s"element_at($xs, cast($i as int) + 1)"
+      mode match {
+        case "lower" => expr(at(s"floor($idx)"))
+        case "higher" => expr(at(s"ceil($idx)"))
+        // floor(x+0.5) avoids round-half mode differences (q19c)
+        case "nearest" => expr(at(s"floor($idx + 0.5)"))
+        case "midpoint" =>
+          expr(s"(${at(s"floor($idx)")} + ${at(s"ceil($idx)")}) / 2")
+        case "linear" =>
+          expr(s"""${at(s"floor($idx)")} + ($idx - floor($idx))
+                   * (${at(s"ceil($idx)")} - ${at(s"floor($idx)")})""")
+        case other => sys.error(s"unsupported interpolation: '$other'")
+      }
     case other => sys.error(s"unsupported aggregate function: '$other'")
   }
 }

@@ -212,6 +212,11 @@ object Dedup {
     val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1})"))
       .as(Seq("chunk_idx", "chunk_val")))
+      // N·chunks small rows feeding three consumers (bucket sizes + both
+      // self-join sides); without the persist the whole SimHash signature
+      // pipeline (shingle explode + 33 packed bit-vote aggregates) would
+      // re-run per consumer — same situation as bandRows in minhashPairs.
+      .persist()
     val bucketSizes = chunked.groupBy("chunk_idx", "chunk_val")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucketDf))
@@ -220,11 +225,16 @@ object Dedup {
       col("doc_id").as("a_id"), col("sim").as("sim_a"))
     val b = inBuckets.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("b_id"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val pairs = a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .distinct()
+      // materialize the (small) pair set eagerly so the chunk cache can
+      // be released here — mirrors minhashPairs' bandRows lifecycle
+      .localCheckpoint()
+    chunked.unpersist()
+    pairs
   }
 
   /** Pairs with simhash hamming distance ≤ maxHamming. By pigeonhole

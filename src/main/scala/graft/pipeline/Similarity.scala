@@ -73,9 +73,15 @@ object Similarity {
     // cuts training cost by trainMod× per round with no driver-side
     // sampling state. localCheckpoint: the sample feeds every round
     // (SURVEY §4 rule 5).
-    val train = normVecs
+    val sampled = normVecs
       .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
       .localCheckpoint()
+    // A 1/trainMod sample of a small corpus can hold fewer than k vectors
+    // (or none), which would silently seed fewer/zero centroids and make
+    // ivfTopK return nothing. The count is cheap: `sampled` is already
+    // materialized by the checkpoint.
+    val train =
+      if (sampled.count() < k) normVecs.localCheckpoint() else sampled
     var cents = train
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("h")).limit(k)

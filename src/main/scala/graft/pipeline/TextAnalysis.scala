@@ -130,21 +130,28 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: order-sensitive rolling polynomial hash over
-    * tokens (Karp–Rabin style; wraps in 64-bit), plus a winnowing-style
-    * min-hash over 5-token windows. Deterministic; used for fast
-    * container-level dedup and shard-stable doc identity at 100 TB. */
+    * tokens (Karp–Rabin style), plus a winnowing-style min-hash over
+    * 5-token windows. The hash is FULLY SPECIFIED arithmetic, not an
+    * engine hash function: token/window hash folds code points as
+    * `(h·31 + code) mod 2^32`, the doc fingerprint folds token hashes
+    * as `(H·1000003 + th) mod 2^32` — so ANY engine (the DuckDB oracle
+    * included) reproduces identical fingerprints, which is the point of
+    * shard-stable doc identity across systems at 100 TB. mod-2^32 keeps
+    * every intermediate < 2^52: overflow-free in ANSI long arithmetic. */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // (h·31 + codepoint) mod 2^32 over the chars of string expression `s`
+    def charPoly(s: String) =
+      s"""aggregate(transform(split($s, ''), ch -> cast(ascii(ch) as bigint)),
+            0L, (h, cd) -> (h * 31 + cd) % 4294967296)"""
+    val toksSql = s"split(trim(lower($textCol)), '\\\\s+')"
     docs
-      .withColumn("fingerprint",
-        // mod-2^32 rolling hash: h stays < 2^32 so h*1000003 + 2^32 < 2^52
-        // — never overflows ANSI long arithmetic.
-        aggregate(toks, lit(0L), (h, t) =>
-          (h * lit(1000003L) + (xxhash64(t).bitwiseAND(lit(4294967295L)))) % lit(4294967296L)))
+      .withColumn("fingerprint", expr(
+        s"""aggregate(transform($toksSql, tk -> ${charPoly("tk")}),
+            0L, (fp, th) -> (fp * 1000003 + th) % 4294967296)"""))
       .withColumn("win_min_hash", expr(
         s"""aggregate(
-          transform(sequence(0, greatest(size(split(trim(lower($textCol)), '\\\\s+')) - 5, 0)),
-            i -> xxhash64(concat_ws(' ', slice(split(trim(lower($textCol)), '\\\\s+'), i + 1, 5)))),
-          9223372036854775807L, (m, h) -> least(m, h))"""))
+          transform(sequence(0, greatest(size($toksSql) - 5, 0)),
+            i -> ${charPoly(s"concat_ws(' ', slice($toksSql, i + 1, 5))")}),
+          9223372036854775807L, (m, wh) -> least(m, wh))"""))
   }
 }

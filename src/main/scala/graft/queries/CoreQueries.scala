@@ -507,7 +507,11 @@ object CoreQueries {
         .filter(col("o_custkey") % 10 === 1)
         .select(
           col("o_custkey"), col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(running), 4).as("run_total"),
+          // decimal running sum: money summed as DECIMAL is order-free
+          // exact (SURVEY §4 rule 6) — a rounded double sum can tie at
+          // the rounding grain at larger SFs. round-before-cast per q31.
+          sum(round(col("o_totalprice"), 2).cast("decimal(18,2)")).over(running)
+            .cast("decimal(18,2)").as("run_total"),
           round(avg(col("o_totalprice")).over(running), 6).as("run_avg"),
           round(min(col("o_totalprice")).over(running), 2).as("run_min"),
           round(max(col("o_totalprice")).over(running), 2).as("run_max"),
@@ -518,7 +522,8 @@ object CoreQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-      round(sum(o_totalprice) OVER wr, 4) AS run_total,
+      CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) OVER wr
+           AS DECIMAL(18,2)) AS run_total,
       round(avg(o_totalprice) OVER wr, 6) AS run_avg,
       round(min(o_totalprice) OVER wr, 2) AS run_min,
       round(max(o_totalprice) OVER wr, 2) AS run_max,

@@ -126,7 +126,7 @@ object ExtendedQueries {
     },
     Some("""SELECT c_custkey, o_orderkey,
       CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal_dec,
-      CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * 2 AS bal_x2,
+      CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS bal_x2,
       o_orderkey IS NOT DISTINCT FROM NULL AS o_is_null
       FROM customer
       LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
@@ -329,7 +329,9 @@ object ExtendedQueries {
       Tables.registerAll(s, d)
       s.sql("""SELECT l_returnflag, l_linestatus,
         grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-        count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        count(*) AS n,
+        CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+             AS DECIMAL(18,2)) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
@@ -337,7 +339,9 @@ object ExtendedQueries {
     Some("""SELECT l_returnflag, l_linestatus,
       CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
       CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
-      count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      count(*) AS n,
+      CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+           AS DECIMAL(18,2)) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))

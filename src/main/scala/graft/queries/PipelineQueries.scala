@@ -335,13 +335,35 @@ object PipelineQueries {
       FROM u LEFT JOIN r ON u.doc_id = r.doc_id
       ORDER BY u.doc_id"""))
 
-  // P10: rolling-hash fingerprint (64-bit wraparound) → rows-only.
+  // P10: rolling-hash fingerprint — now ORACLED: the hash is pure
+  // mod-2^32 arithmetic over code points (no engine hash function), so
+  // DuckDB reproduces it exactly via nested list_reduce. list_reduce
+  // has no init value, so a 0 (or MAX) is prepended as the fold seed.
   private val textFingerprint = Q(
     "text_fingerprint",
     (s, d) =>
       TextAnalysis.withFingerprint(Tables.load(s, d, "documents"))
         .select(col("doc_id"), col("fingerprint"), col("win_min_hash"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ts,
+            tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(tk, '.'),
+                  ch -> CAST(unicode(ch) AS BIGINT))),
+              (h, cd) -> (h * 31 + cd) % 4294967296))),
+          (fp, th) -> (fp * 1000003 + th) % 4294967296) AS fingerprint,
+        list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
+            list_transform(range(0, greatest(len(ts) - 5, 0) + 1),
+              i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(regexp_extract_all(
+                      array_to_string(list_slice(ts, i + 1, i + 5), ' '), '.'),
+                    ch -> CAST(unicode(ch) AS BIGINT))),
+                (h, cd) -> (h * 31 + cd) % 4294967296))),
+          (m, wh) -> least(m, wh)) AS win_min_hash
+      FROM t ORDER BY doc_id"""))
 
   // P11: multimodal binary plumbing with stubbed decode → rows-only.
   private val multimodalMeta = Q(

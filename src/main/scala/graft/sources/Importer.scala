@@ -77,22 +77,48 @@ object Importer {
     importArrowIpc(spark, columnsToArrowIpc(columns, n), tableName)
   }
 
-  /** Build one Arrow IPC stream from driver-side columns (int, long,
-    * double, boolean, string; nulls unsupported — same contract as the
-    * reference's pydict import of plain lists). */
+  /** Build one Arrow IPC stream from driver-side columns. Matches the
+    * reference's pyarrow-backed pydict inference (hdk.py:2416): values
+    * may be null (or scala Option); types are inferred from the first
+    * non-null value — int, long, double, boolean, java.sql/java.time
+    * date + timestamp, BigDecimal (scala or java; the column's scale is
+    * the max scale observed, precision fits the widest rescaled value),
+    * anything else as UTF-8 string. An all-null column is string. */
   private[graft] def columnsToArrowIpc(columns: Seq[(String, Seq[Any])],
       n: Int): Array[Byte] = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.ipc.ArrowStreamWriter
-    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
-    val fields = columns.map { case (name, vs) =>
-      val at: ArrowType = vs.headOption match {
+    def unwrap(x: Any): Any = x match {
+      case Some(v) => v
+      case None => null
+      case v => v
+    }
+    def toJBig(x: Any): java.math.BigDecimal = x match {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+    }
+    val cols = columns.map { case (name, vs) => name -> vs.map(unwrap) }
+    val fields = cols.map { case (name, vs) =>
+      val at: ArrowType = vs.find(_ != null) match {
         case Some(_: Int) => new ArrowType.Int(32, true)
         case Some(_: Long) => new ArrowType.Int(64, true)
         case Some(_: Double) => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
         case Some(_: Boolean) => ArrowType.Bool.INSTANCE
+        case Some(_: java.sql.Date) | Some(_: java.time.LocalDate) =>
+          new ArrowType.Date(DateUnit.DAY)
+        case Some(_: java.sql.Timestamp) | Some(_: java.time.Instant) =>
+          // session zone UTC repo-wide; tz-bearing micros = Spark TimestampType
+          new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+        case Some(_: java.math.BigDecimal) | Some(_: scala.math.BigDecimal) =>
+          val ds = vs.collect { case d if d != null &&
+            (d.isInstanceOf[java.math.BigDecimal] || d.isInstanceOf[scala.math.BigDecimal]) => toJBig(d) }
+          val scale = math.max(0, ds.map(_.scale).max)
+          val precision = math.min(38,
+            math.max(scale + 1, ds.map(_.setScale(scale).precision).max))
+          new ArrowType.Decimal(precision, scale, 128)
         case _ => ArrowType.Utf8.INSTANCE
       }
       new Field(name, FieldType.nullable(at), null)
@@ -103,14 +129,36 @@ object Importer {
       val root = VectorSchemaRoot.create(schema, alloc)
       try {
         root.allocateNew()
-        columns.zipWithIndex.foreach { case ((_, vs), ci) =>
+        cols.zipWithIndex.foreach { case ((_, vs), ci) =>
           val v = root.getVector(ci)
+          def setNull(i: Int): Unit = v match {
+            case fw: BaseFixedWidthVector => fw.setNull(i)
+            case vw: BaseVariableWidthVector => vw.setNull(i)
+            case other => throw new IllegalStateException(s"null in $other")
+          }
           vs.zipWithIndex.foreach {
+            case (null, i) => setNull(i)
             case (x: Int, i) => v.asInstanceOf[IntVector].setSafe(i, x)
             case (x: Long, i) => v.asInstanceOf[BigIntVector].setSafe(i, x)
             case (x: Double, i) => v.asInstanceOf[Float8Vector].setSafe(i, x)
             case (x: Boolean, i) =>
               v.asInstanceOf[BitVector].setSafe(i, if (x) 1 else 0)
+            case (x: java.sql.Date, i) => v.asInstanceOf[DateDayVector]
+              .setSafe(i, x.toLocalDate.toEpochDay.toInt)
+            case (x: java.time.LocalDate, i) => v.asInstanceOf[DateDayVector]
+              .setSafe(i, x.toEpochDay.toInt)
+            case (x: java.sql.Timestamp, i) =>
+              v.asInstanceOf[TimeStampMicroTZVector]
+                .setSafe(i, x.getTime * 1000L + (x.getNanos % 1000000) / 1000)
+            case (x: java.time.Instant, i) =>
+              v.asInstanceOf[TimeStampMicroTZVector]
+                .setSafe(i, x.getEpochSecond * 1000000L + x.getNano / 1000)
+            case (x: java.math.BigDecimal, i) =>
+              val dv = v.asInstanceOf[DecimalVector]
+              dv.setSafe(i, x.setScale(dv.getScale))
+            case (x: scala.math.BigDecimal, i) =>
+              val dv = v.asInstanceOf[DecimalVector]
+              dv.setSafe(i, x.bigDecimal.setScale(dv.getScale))
             case (x, i) => v.asInstanceOf[VarCharVector]
               .setSafe(i, x.toString.getBytes("UTF-8"))
           }

@@ -35,15 +35,40 @@ object GraftShim {
   }
 
   /** Arrow IPC stream bytes → DataFrame, schema inferred from the
-    * stream itself (reference: hdk.py:2361 import_arrow). */
+    * stream itself (reference: hdk.py:2361 import_arrow).
+    *
+    * DISTRIBUTED decode: the driver only slices the stream into its
+    * record-batch byte chunks (a cheap message-framing walk, no value
+    * decode) and reads the schema header; the chunks are parallelized
+    * one-per-partition and each executor decodes its own batch via
+    * `ArrowConverters.fromBatchIterator` — the same executor-side path
+    * PySpark's createDataFrame-from-Arrow uses. The previous version
+    * copied every row out on the driver, making ingest driver-bound. */
   def fromArrowIpcStream(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
     val session = spark.asInstanceOf[classic.SparkSession]
-    val (it, schema) = execution.arrow.ArrowConverters.fromIPCStream(bytes)
-    try {
-      // deep-copy rows out of the Arrow-backed batch before closing it
-      val rows = it.map(_.copy()).toIndexedSeq
-      session.internalCreateDataFrame(
-        session.sparkContext.parallelize(rows), schema)
-    } finally it.close()
+    // Schema only: ArrowStreamReader reads just the schema message.
+    val alloc = util.ArrowUtils.rootAllocator
+      .newChildAllocator("graft-ipc-schema", 0, Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), alloc)
+    val schema =
+      try util.ArrowUtils.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally { reader.close(); alloc.close() }
+    val batches = execution.arrow.ArrowConverters.getBatchesFromStream(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+        bytes)).toIndexedSeq
+    val tz = session.sessionState.conf.sessionLocalTimeZone
+    val largeVar = session.sessionState.conf.arrowUseLargeVarTypes
+    val rdd = session.sparkContext
+      .parallelize(batches, math.max(1, batches.length))
+      .mapPartitions { it =>
+        val rows = execution.arrow.ArrowConverters.fromBatchIterator(
+          it, schema, tz, true, largeVar, org.apache.spark.TaskContext.get())
+        // Arrow-backed rows are views over batch memory; project to
+        // UnsafeRow exactly as ArrowConverters.toDataFrame does.
+        val proj = catalyst.expressions.UnsafeProjection.create(schema)
+        rows.map(proj(_): catalyst.InternalRow)
+      }
+    session.internalCreateDataFrame(rdd, schema)
   }
 }

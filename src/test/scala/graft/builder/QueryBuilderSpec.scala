@@ -49,6 +49,39 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(r.head.getSeq[Double](2).length == 3)
   }
 
+  test("quantile(col, p, interpolation) — all five kQuantile modes (hdk.py:226)") {
+    val t = graft.sources.Importer.importColumns(spark, "qint_t",
+      "g" -> Seq(1, 1, 1, 1, 1), "x" -> Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+    val r = new QueryNode(t).agg(Seq("g"),
+      "quantile(x, 0.37, lower) as lo",
+      "quantile(x, 0.37, higher) as hi",
+      "quantile(x, 0.37, nearest) as near",
+      "quantile(x, 0.37, midpoint) as mid",
+      "quantile(x, 0.37, linear) as lin").run().head()
+    // idx = (5-1)*0.37 = 1.48 → lower xs[1]=20, higher xs[2]=30,
+    // nearest floor(1.98)=1 → 20, midpoint 25, linear 20 + 0.48·10 = 24.8
+    assert(r.getDouble(1) == 20.0)
+    assert(r.getDouble(2) == 30.0)
+    assert(r.getDouble(3) == 20.0)
+    assert(r.getDouble(4) == 25.0)
+    assert(math.abs(r.getDouble(5) - 24.8) < 1e-9)
+    val e = intercept[RuntimeException] {
+      new QueryNode(t).agg(Seq("g"), "quantile(x, 0.5, cubic)")
+    }
+    assert(e.getMessage.contains("unsupported interpolation"))
+    graft.sources.Importer.dropTable(spark, "qint_t")
+  }
+
+  test("joinOn with an arbitrary Column condition (hdk.py:1747 cond=)") {
+    val n = hdk.scan("nation")
+    val r = hdk.scan("region")
+    val cnt = n.joinOn(r,
+        n.ref("n_regionkey") === r.ref("r_regionkey") &&
+          n.ref("n_nationkey") > lit(10))
+      .agg(Seq(), "count").run().head().getLong(0)
+    assert(cnt == 14L) // nation keys 11..24, each matching exactly one region
+  }
+
   test("unsupported aggregate raises a clear error") {
     val e = intercept[RuntimeException] {
       hdk.scan("lineitem").agg(Seq("l_returnflag"), "median(l_quantity)")

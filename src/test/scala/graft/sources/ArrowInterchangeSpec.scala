@@ -82,6 +82,16 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(rows(2).getString(1) == "c" && rows(2).getDouble(2) == -0.25)
   }
 
+  test("a multi-batch stream decodes distributed: >1 partition, no driver copy") {
+    val nation = Tables.load(spark, TestSpark.sf, "nation").repartition(3)
+    val bytes = GraftShim.toArrowIpcStream(nation)
+    val back = GraftShim.fromArrowIpcStream(spark, bytes)
+    // one record batch per source partition → one decode partition each
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == 25)
+    assert(back.agg(sum(col("n_nationkey"))).head().getLong(0) == 300L)
+  }
+
   test("importColumns routes through a real Arrow IPC stream") {
     val ipc = Importer.columnsToArrowIpc(
       Seq("k" -> Seq(1, 2, 3), "v" -> Seq("a", "b", "c"),
