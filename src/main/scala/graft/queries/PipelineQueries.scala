@@ -151,8 +151,8 @@ object PipelineQueries {
       // at jaccard 0.5 land well under it) that spares the exact
       // verify join the far-pair bulk; the oracle gate proves no true
       // pair is lost
-      val cands = Dedup.simhashCandidates(docs, shingled = Some(sh))
-        .filter(col("hamming") <= 16)
+      val cands = Dedup.simhashCandidates(docs, shingled = Some(sh),
+        maxHamming = 16)
       val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5,
         shingled = Some(sh))
       sh.unpersist()

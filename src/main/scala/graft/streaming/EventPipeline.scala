@@ -20,7 +20,10 @@ object EventPipeline {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("total_value"))
+        // decimal sum (SURVEY §4 rule 6): order-free exact, then one
+        // cast back to double keeps the public schema unchanged
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -25,6 +25,9 @@ object QTime {
       if (explain) fn(spark, d).explain("formatted")
       (1 to reps).foreach { i =>
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc() // match Bench: reclaim prior query's garbage untimed
         val t0 = System.nanoTime()
         val n = fn(spark, d).count()
         println(f"[qtime] $name rep$i ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")

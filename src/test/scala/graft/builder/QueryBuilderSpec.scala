@@ -2,7 +2,7 @@ package graft.builder
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.TestSpark
+import graft.{GraftConfig, TestSpark}
 
 /** Mirrors the shape of the reference's QueryBuilderTest.cpp basics. */
 class QueryBuilderSpec extends AnyFunSuite {
@@ -142,6 +142,21 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(sums.map(r => (r.getInt(0), r.getLong(1))).distinct.toSeq ==
       Seq((1, 10L), (2, 5L)))
     graft.sources.Importer.dropTable(spark, "win_t")
+  }
+
+  test("builder importers: parquet/columns/arrow + dropTable + config knobs") {
+    val b = new GraftBuilder(spark, TestSpark.sf,
+      configKnobs = Seq("bigint_count" -> true))
+    assert(b.configReport.exists(_.isInstanceOf[GraftConfig.Structural]))
+    val pq = b.importParquet(s"${TestSpark.sf}/region.parquet", "b_region")
+    assert(pq.tableName.contains("b_region") && pq.size == 5L)
+    val mem = b.importColumns("b_mem", "k" -> Seq(1, 2), "v" -> Seq("x", "y"))
+    assert(mem.size == 2L)
+    val arrowed = b.importArrow(mem.toArrow, "b_arrow")
+    assert(arrowed.size == 2L)
+    assert(spark.sql("SELECT count(*) FROM b_arrow").head().getLong(0) == 2)
+    Seq("b_region", "b_mem", "b_arrow").foreach(b.dropTable)
+    assert(!spark.catalog.tableExists("b_arrow"))
   }
 
   test("createTable registers an empty schema'd table (hdk.py:2130)") {
