@@ -150,6 +150,110 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  // --------------------------------------------------------------- PQ
+  /** Per-subspace k-means codebooks for product quantization: the
+    * dim-`64` vector splits into `m` subvectors; each subspace gets its
+    * own `ks`-code codebook. All `m` subspaces train in the SAME Lloyd's
+    * rounds (subspace id is just a grouping column), so the job count is
+    * that of ONE k-means regardless of m. Input must carry unit vectors
+    * in `v`; returns (sub, code, cv, cnorm2). */
+  def pqCodebooks(unitVecs: DataFrame, m: Int = 8, ks: Int = 16,
+      iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val subvecs = pqSubvectors(unitVecs, m).localCheckpoint()
+    // deterministic seeds: per subspace, the ks smallest hashes
+    var cents = subvecs
+      .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("h"), col("vec_id"))))
+      .filter(col("rk") <= ks)
+      .select(col("sub"), col("rk").cast("long").as("code"),
+        col("sv").as("cv"))
+      .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      cents = pqAssign(subvecs, cents)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("sub"), col("code"), expr("transform(px, p -> p.x)").as("cv"))
+        .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** (vec_id, sub, sv): the m dim/m-sized slices of `v`. */
+  private def pqSubvectors(vecs: DataFrame, m: Int): DataFrame = {
+    val sub = 64 / m
+    vecs.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** Nearest-code assignment per (vec, subspace): one broadcast join,
+    * argmin by `‖c‖² − 2x·c`; the subvector rides along (`first`) so
+    * the training loop needs no second join back to the input. */
+  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
+    subvecs.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+        (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("sv"), col("cv")))
+          .as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), col("d")).as("code"), first(col("sv")).as("sv"))
+
+  /** IVF-PQ-style ANN: corpus vectors L2-normalize, PQ-encode to `m`
+    * codes (m bytes/vector instead of 8·dim — the 100 TB memory path:
+    * a 64-dim double corpus compresses 64×), queries score by
+    * asymmetric distance (ADC): per query, dot products against every
+    * codebook entry form an m×ks lookup table, and a candidate's
+    * approximate cosine is the sum of its m table hits — a narrow
+    * broadcast join on (sub, code) + partial-agg sum; the raw corpus
+    * vectors are never shuffled. The top `shortlistFactor`·k by ADC
+    * are then rescored EXACTLY (output-proportional join back to the
+    * corpus), the production two-stage shape.
+    * Approximate by construction → rows-only driver check; recall vs
+    * the brute-force baseline is asserted in SimilaritySpec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, iters: Int = 3, shortlistFactor: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val norm = Dedup.normalized(corpus)
+    val unit = norm
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
+    val cents = pqCodebooks(unit, m, ks, iters, seed)
+    val codes = pqAssign(pqSubvectors(unit, m), cents)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val qunit = Dedup.normalized(queries)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
+    val lut = pqSubvectors(qunit, m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.functions.dotp(col("sv"), col("cv")).as("pdot"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc_score"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val shortlist = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= k * shortlistFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val c = norm.select(col("vec_id").as("neighbor_id"),
+      col("v").as("vc"), col("nrm").as("nc"))
+    val q = Dedup.normalized(queries).select(col("vec_id").as("query_id"),
+      col("v").as("vq"), col("nrm").as("nq"))
+    val scored = shortlist.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.dotp(col("vq"), col("vc"))
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** LSH top-k: exact rescoring over bucket-colocated candidates,
     * multi-probing the query's bucket plus all 1-bit-flip neighbors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators as driver-verifiable queries
@@ -365,6 +365,100 @@ object PipelineQueries {
           (m, wh) -> least(m, wh)) AS win_min_hash
       FROM t ORDER BY doc_id"""))
 
+  // P6d: product-quantization ANN (ADC + exact rerank) — approximate →
+  // rows-only; recall vs the exact baseline asserted in SimilaritySpec.
+  private val annPq = Q(
+    "ann_pq",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
+  // P12: concat-and-chunk sequence packing — pure window + integer
+  // arithmetic, oracle mirrors the per-shard cumulative sums exactly.
+  private val packSequences = Q(
+    "pack_sequences",
+    (s, d) =>
+      Packing.packSequences(Tables.load(s, d, "documents"),
+          capacity = 1024, nShards = 8)
+        .orderBy(col("shard"), col("chunk_idx"), col("doc_id")),
+    Some("""WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(doc_id % 8 AS BIGINT) AS shard
+        FROM documents),
+      s AS (
+        SELECT doc_id, shard, n_tokens,
+          coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS tok_start
+        FROM t),
+      e AS (SELECT *, tok_start + n_tokens AS tok_end FROM s),
+      x AS (
+        SELECT shard, doc_id, tok_start, tok_end,
+          unnest(range(tok_start // 1024, (tok_end - 1) // 1024 + 1))
+            AS chunk_idx
+        FROM e)
+      SELECT shard, chunk_idx, doc_id,
+        greatest(tok_start, chunk_idx * 1024) - tok_start AS doc_from,
+        least(tok_end, (chunk_idx + 1) * 1024) - tok_start AS doc_to,
+        greatest(tok_start, chunk_idx * 1024) - chunk_idx * 1024 AS chunk_off
+      FROM x ORDER BY shard, chunk_idx, doc_id"""))
+
+  // P13: deterministic hash split — engine-independent arithmetic
+  // (Knuth multiplicative mod 2^32), oracled bit-for-bit.
+  private val splitTrain = Q(
+    "split_train",
+    (s, d) =>
+      Packing.withSplit(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("split_bucket"), col("split"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100
+          AS split_bucket,
+        CASE WHEN (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100 < 80
+          THEN 'train'
+          WHEN (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100 < 90
+          THEN 'val' ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  // P14: eval-set decontamination — benchmark = every 97th doc; flag
+  // corpus docs sharing any 5-gram shingle with it. Oracle mirrors the
+  // shingling (same CASE for short docs) and the overlap count.
+  private val textDecontam = Q(
+    "text_decontam",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      Packing.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), bench, k = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 5 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              || ' ' || ts[i+3] || ' ' || ts[i+4]
+                              for i in range(1, len(ts) - 3)]) END AS shs
+        FROM tok),
+      b AS (SELECT DISTINCT unnest(shs) AS sh FROM shl WHERE doc_id % 97 = 0),
+      dd AS (SELECT doc_id, unnest(shs) AS sh FROM shl WHERE doc_id % 97 <> 0),
+      hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM dd JOIN b USING (sh) GROUP BY doc_id)
+      SELECT t.doc_id,
+        coalesce(n_shared, 0) AS n_shared,
+        coalesce(n_shared, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+      LEFT JOIN hits USING (doc_id)
+      ORDER BY doc_id"""))
+
   // P11: multimodal binary plumbing with stubbed decode → rows-only.
   private val multimodalMeta = Q(
     "multimodal_meta",
@@ -382,7 +476,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine,
-    annTopk, annLsh, annIvf, textLangid, textQuality, textTokens,
+    annTopk, annLsh, annIvf, annPq, packSequences, splitTrain,
+    textDecontam, textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+
+class PackingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, TestSpark.sf, "documents")
+
+  test("packSequences: slices cover each doc exactly and chunks never overflow") {
+    val capacity = 256
+    val packed = Packing.packSequences(docs, capacity = capacity, nShards = 4)
+      .persist()
+    // per-doc coverage: slices are contiguous from 0 to n_tokens
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum(col("doc_to") - col("doc_from")).as("covered"),
+        min(col("doc_from")).as("first"), max(col("doc_to")).as("last"))
+    val withN = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"))
+    assert(withN.filter(col("covered") =!= col("n_tokens")
+      || col("first") =!= 0 || col("last") =!= col("n_tokens")).count() == 0,
+      "every token of every doc must land in exactly one chunk slice")
+    // per-chunk budget: total tokens in a chunk never exceed capacity,
+    // and every chunk except each shard's last is exactly full
+    val perChunk = packed.groupBy("shard", "chunk_idx")
+      .agg(sum(col("doc_to") - col("doc_from")).as("fill"))
+    assert(perChunk.filter(col("fill") > capacity).count() == 0)
+    val lastChunk = perChunk.groupBy("shard").agg(max("chunk_idx").as("chunk_idx"))
+    val full = perChunk.join(lastChunk, Seq("shard", "chunk_idx"), "left_anti")
+    assert(full.filter(col("fill") =!= capacity).count() == 0,
+      "concat-and-chunk leaves no gaps: all non-final chunks are full")
+    // chunk_off is consistent: slice fits inside [chunk_off, capacity]
+    assert(packed.filter(
+      col("chunk_off") + (col("doc_to") - col("doc_from")) > capacity).count() == 0)
+    packed.unpersist()
+  }
+
+  test("packSequences: a doc longer than capacity spans multiple chunks") {
+    val longDoc = Seq((0L, ("tok " * 700).trim), (1L, "a b c")).toDF("doc_id", "text")
+    val packed = Packing.packSequences(longDoc, capacity = 256, nShards = 1)
+      .orderBy("chunk_idx", "doc_id")
+      .collect()
+    val doc0 = packed.filter(_.getAs[Long]("doc_id") == 0L)
+    assert(doc0.length == 3, "700 tokens at capacity 256 → 3 chunks")
+    assert(doc0.map(r => r.getAs[Long]("doc_to") - r.getAs[Long]("doc_from"))
+      .toSeq == Seq(256L, 256L, 188L))
+    // doc 1 starts mid-chunk right after doc 0's tail
+    val doc1 = packed.filter(_.getAs[Long]("doc_id") == 1L).head
+    assert(doc1.getAs[Long]("chunk_idx") == 2L && doc1.getAs[Long]("chunk_off") == 188L)
+  }
+
+  test("withSplit: deterministic, stable fractions, honors weights") {
+    val split = Packing.withSplit(docs).select("doc_id", "split")
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    // multiplicative hashing spreads uniformly: 80/10/10 ± a few points
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.06)
+    // deterministic: re-running yields the identical assignment
+    val again = Packing.withSplit(docs).select("doc_id", "split")
+    assert(split.except(again).count() == 0 && again.except(split).count() == 0)
+  }
+
+  test("decontaminate: planted benchmark overlap is flagged, clean docs are not") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "something about the quick brown fox jumps over a fence"),
+      (1L, "completely unrelated text with no overlap at all here"),
+      (2L, "the quick brown fox jumps over the lazy dog exactly")
+    ).toDF("doc_id", "text")
+    val res = Packing.decontaminate(corpus, bench, k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(res.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(res(0)._3, "doc 0 shares 'the quick brown fox jumps'")
+    assert(!res(1)._3, "doc 1 shares nothing")
+    assert(res(2)._3 && res(2)._2 >= 4, "doc 2 shares many 5-grams")
+  }
+}

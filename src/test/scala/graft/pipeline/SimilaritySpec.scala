@@ -58,6 +58,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF recall too low: $hit of ${exact10.length}")
   }
 
+  test("pq top-k: exact rerank scores and reasonable recall vs exact") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact10 = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact10.map { case (q, n, c) => (q, n) -> c }.toMap
+    val pq = Similarity.pqTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.length == 30, s"expected 10 results × 3 queries, got ${pq.length}")
+    // the final stage is an exact rescore: overlapping pairs must agree
+    pq.foreach { case (q, n, c) =>
+      exactMap.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    // an ADC shortlist of 5k candidates should recover >= half of top-10
+    val hit = exact10.count { case (q, n, _) => pq.exists(r => r._1 == q && r._2 == n) }
+    assert(hit >= exact10.length / 2,
+      s"PQ recall too low: $hit of ${exact10.length}")
+  }
+
   test("identical vector is its own nearest neighbor when duplicated") {
     val e = Seq(
       (0L, Array.fill(64)(0.5f)),
