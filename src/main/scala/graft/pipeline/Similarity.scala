@@ -254,6 +254,33 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Recall audit of every approximate ANN path against the exact
+    * brute-force top-k (SURVEY.md §2 P6/P6d `ann_recall`). Emits one row
+    * per method: `(method, n_queries, recall)` where `recall` =
+    * |approx∩exact| / |exact| over all probes. The exact set is computed
+    * once and persisted; each approximate set joins against it
+    * (left join + hit flag → one partial-agg count, no collect). The
+    * caller turns `recall` into a thresholded boolean for cross-engine
+    * verification (the raw ratio is deterministic given the fixed seeds,
+    * but only the threshold claim is engine-independent). */
+  def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    def row(name: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"),
+            lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          count_distinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+        .select(lit(name).as("method"), col("n_queries"), col("recall"))
+    row("ivf", ivfTopK(corpus, queries, k))
+      .unionAll(row("lsh", lshTopK(corpus, queries, k)))
+      .unionAll(row("pq", pqTopK(corpus, queries, k)))
+  }
+
   /** LSH top-k: exact rescoring over bucket-colocated candidates,
     * multi-probing the query's bucket plus all 1-bit-flip neighbors. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -508,10 +508,12 @@ object CoreQueries {
         .select(
           col("o_custkey"), col("o_orderkey"),
           // decimal running sum: money summed as DECIMAL is order-free
-          // exact (SURVEY §4 rule 6) — a rounded double sum can tie at
-          // the rounding grain at larger SFs. round-before-cast per q31.
+          // exact (SURVEY §4 rule 6). Final cast to DOUBLE: the driver
+          // comparator cannot hash decimal columns across engines; the
+          // cast is exact (values << 2^53/100) and both engines produce
+          // identical IEEE doubles from equal decimals (q28 pattern).
           sum(round(col("o_totalprice"), 2).cast("decimal(18,2)")).over(running)
-            .cast("decimal(18,2)").as("run_total"),
+            .cast("double").as("run_total"),
           round(avg(col("o_totalprice")).over(running), 6).as("run_avg"),
           round(min(col("o_totalprice")).over(running), 2).as("run_min"),
           round(max(col("o_totalprice")).over(running), 2).as("run_max"),
@@ -523,7 +525,7 @@ object CoreQueries {
     },
     Some("""SELECT o_custkey, o_orderkey,
       CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) OVER wr
-           AS DECIMAL(18,2)) AS run_total,
+           AS DOUBLE) AS run_total,
       round(avg(o_totalprice) OVER wr, 6) AS run_avg,
       round(min(o_totalprice) OVER wr, 2) AS run_min,
       round(max(o_totalprice) OVER wr, 2) AS run_max,

@@ -114,19 +114,22 @@ object ExtendedQueries {
           // round-before-cast: Spark's double→decimal cast rounds
           // HALF_UP, DuckDB's HALF_EVEN — a .005-boundary acctbal
           // diverges by a cent. round() semantics agree (half away
-          // from zero), so rounding first makes the cast exact.
-          round(col("c_acctbal"), 2).cast("decimal(18,2)").as("bal_dec"),
-          // outer cast re-aligns Spark's widened decimal(20,2) product
-          // with DuckDB's decimal(18,2)
+          // from zero), so rounding first makes the cast exact. The
+          // decimal arithmetic stays internal; outputs final-cast to
+          // DOUBLE because the driver comparator cannot hash decimal
+          // columns across engines (exact: 2-dp values << 2^53/100).
+          round(col("c_acctbal"), 2).cast("decimal(18,2)")
+            .cast("double").as("bal_dec"),
           (round(col("c_acctbal"), 2).cast("decimal(18,2)") * 2)
-            .cast("decimal(18,2)").as("bal_x2"),
+            .cast("decimal(18,2)").cast("double").as("bal_x2"),
           col("o_orderkey") <=> lit(null).cast("long") as "o_is_null")
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
         .limit(300)
     },
     Some("""SELECT c_custkey, o_orderkey,
-      CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal_dec,
-      CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS bal_x2,
+      CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal_dec,
+      CAST(CAST(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+           AS DOUBLE) AS bal_x2,
       o_orderkey IS NOT DISTINCT FROM NULL AS o_is_null
       FROM customer
       LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
@@ -331,7 +334,7 @@ object ExtendedQueries {
         grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
         count(*) AS n,
         CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
-             AS DECIMAL(18,2)) AS sum_qty
+             AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
@@ -341,7 +344,7 @@ object ExtendedQueries {
       CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
       count(*) AS n,
       CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
-           AS DECIMAL(18,2)) AS sum_qty
+           AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
