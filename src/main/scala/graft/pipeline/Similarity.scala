@@ -281,23 +281,35 @@ object Similarity {
       .unionAll(row("pq", pqTopK(corpus, queries, k)))
   }
 
-  /** LSH top-k: exact rescoring over bucket-colocated candidates,
-    * multi-probing the query's bucket plus all 1-bit-flip neighbors. */
+  /** LSH top-k: exact rescoring over bucket-colocated candidates.
+    *
+    * OR-amplified construction (round 4): `nTables` independent hash
+    * tables of `nBits` sign bits each, plus 1-bit-flip multi-probe on
+    * the query side. A single b-bit table recalls a θ-angle neighbor
+    * with probability (1−θ/π)^b — near zero for the moderately-similar
+    * neighbors that dominate a real top-10 — while L independent tables
+    * recall with 1−(1−p)^L. Corpus cost is L bucket rows per vector;
+    * recall/cost tunes via (nBits, nTables). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 12, seed: Long = 42L): DataFrame = {
+      nBits: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = 64
-    val ps = planes(nBits, dim, seed)
+    val allPlanes = (0 until nTables).map(t => planes(nBits, dim, seed + 101 * t))
     val c = Dedup.normalized(corpus)
-      .withColumn("bucket", bucketExpr(ps))
-      .select(col("bucket"), col("vec_id").as("neighbor_id"),
-        col("v").as("vc"), col("nrm").as("nc"))
-    val probes = (0 until nBits).map(b => expr(s"bucket").bitwiseXOR(lit(1L << b))) :+ col("bucket")
+      .withColumn("tb", explode(array(allPlanes.zipWithIndex.map {
+        case (ps, t) => struct(lit(t).as("tbl"), bucketExpr(ps).as("bucket"))
+      }: _*)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
     val q = Dedup.normalized(queries)
-      .withColumn("bucket", bucketExpr(ps))
-      .withColumn("probe", explode(array(probes: _*)))
-      .select(col("probe").as("bucket"), col("vec_id").as("query_id"),
-        col("v").as("vq"), col("nrm").as("nq"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("tb", explode(array(allPlanes.zipWithIndex.flatMap {
+        case (ps, t) =>
+          val b = bucketExpr(ps)
+          (b +: (0 until nBits).map(i => b.bitwiseXOR(lit(1L << i)))).map(pb =>
+            struct(lit(t).as("tbl"), pb.as("bucket")))
+      }: _*)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(graft.functions.dotp(col("vq"), col("vc"))

