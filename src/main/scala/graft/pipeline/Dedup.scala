@@ -71,6 +71,39 @@ object Dedup {
   def shingleTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
 
+  /** Corpus-global duplicate n-gram fraction per document (the
+    * MassiveText/Gopher-style repetition filter computed ACROSS the
+    * corpus, complementing [[TextAnalysis.withRepetition]]'s within-doc
+    * signals): for each doc, the fraction of its distinct `k`-gram
+    * shingles that also appear in at least one other place in the
+    * corpus. Returns (doc_id, n_shingles, n_dup, dup_frac, flagged).
+    *
+    * Scale: one explode + one shingle-frequency groupBy (partial-agg'd,
+    * one shuffle on the shingle key) + a join back and a per-doc
+    * partial agg — O(corpus shingles), no pairwise work. String
+    * shingles keep the operator engine-reproducible for the oracle
+    * (31-bit [[shingleHashes]] would collide at corpus scale and
+    * perturb frequencies); at 100 TB swap in 64-bit hashed shingles.
+    */
+  def withDupShingleFraction(docs: DataFrame, k: Int = 3,
+      flagThreshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("sh"))
+      .persist() // two consumers: the frequency table and the join back
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val out = sh.join(freq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 6).as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") >= flagThreshold)
+      .localCheckpoint() // materialize so the shingle cache can release
+    sh.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------- exact
   /** Exact dedup: keep the lowest doc_id per identical text (sha256
     * identity). Hash-groupBy → map-side partial agg, one shuffle on the
@@ -217,23 +250,26 @@ object Dedup {
       maxHamming: Int = 64): DataFrame = {
     val bitsPer = 64 / chunks
     val withSim = simhashed(docs, shingled)
-    val chunked = withSim.select(col("doc_id"), col("sim"), posexplode(expr(
-      s"transform(sequence(0, ${chunks - 1}), c -> shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1})"))
-      .as(Seq("chunk_idx", "chunk_val")))
+    // One fused bucket key `ck` = chunk_idx · 2^bitsPer + chunk_val: a
+    // single-long join key shuffles and compares once where the
+    // (chunk_idx, chunk_val) pair did twice.
+    val chunked = withSim.select(col("doc_id"), col("sim"), explode(expr(
+      s"transform(sequence(0, ${chunks - 1}), c -> c * ${1L << bitsPer} + (shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1}))"))
+      .as("ck"))
       // N·chunks small rows feeding three consumers (bucket sizes + both
       // self-join sides); without the persist the whole SimHash signature
       // pipeline (shingle explode + 33 packed bit-vote aggregates) would
       // re-run per consumer — same situation as bandRows in minhashPairs.
       .persist()
-    val bucketSizes = chunked.groupBy("chunk_idx", "chunk_val")
+    val bucketSizes = chunked.groupBy("ck")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucketDf))
-    val inBuckets = chunked.join(bucketSizes, Seq("chunk_idx", "chunk_val"))
-    val a = inBuckets.select(col("chunk_idx"), col("chunk_val"),
+    val inBuckets = chunked.join(bucketSizes, Seq("ck"))
+    val a = inBuckets.select(col("ck"),
       col("doc_id").as("a_id"), col("sim").as("sim_a"))
-    val b = inBuckets.select(col("chunk_idx"), col("chunk_val"),
+    val b = inBuckets.select(col("ck"),
       col("doc_id").as("b_id"), col("sim").as("sim_b"))
-    val pairs = a.join(b, Seq("chunk_idx", "chunk_val"))
+    val pairs = a.join(b, Seq("ck"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))

@@ -78,6 +78,78 @@ object Packing {
     docs.withColumn("split_bucket", bucket).withColumn("split", label)
   }
 
+  /** Deterministic dataset-mixture sampling: per-group keep rates in
+    * basis points (1/10000), e.g. "downsample web to 25%, drop srcX,
+    * keep the rest" — the standard domain-reweighting step when
+    * assembling a training mix. The keep decision is pure arithmetic on
+    * the id (Knuth-style multiplicative hash mod 2^32, then mod 10^4)
+    * with a DIFFERENT multiplier than [[withSplit]], so mixture
+    * sampling is statistically independent of split assignment and
+    * reproducible by any engine. Narrow per-row transform, no shuffle.
+    *
+    * id < 2^31 × 2246822519 < 2^63: ANSI-overflow-free. */
+  def sampleMixture(docs: DataFrame, ratesBp: Seq[(String, Int)],
+      defaultBp: Int = 10000, idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(ratesBp.nonEmpty &&
+      (ratesBp.map(_._2) :+ defaultBp).forall(r => r >= 0 && r <= 10000),
+      "mixture rates are basis points in [0, 10000]")
+    val bucket =
+      pmod(col(idCol).cast("long") * lit(2246822519L), lit(4294967296L)) % 10000
+    val rate = ratesBp.foldRight(lit(defaultBp): org.apache.spark.sql.Column) {
+      case ((g, r), rest) => when(col(groupCol) === g, lit(r)).otherwise(rest)
+    }
+    docs
+      .withColumn("mix_bucket", bucket)
+      .withColumn("mix_rate_bp", rate)
+      .withColumn("keep", bucket < rate)
+  }
+
+  /** Token-budget selection: keep the highest-quality documents whose
+    * cumulative token count fits `budgetTokens` — greedy by
+    * (quality_score DESC, doc_id) prefix, the canonical "best N tokens"
+    * corpus-assembly step.
+    *
+    * Scale: a naive global running sum serializes into ONE window
+    * partition. Instead quality is histogrammed into `nBuckets`: bucket
+    * token totals + a cumulative over ≤ nBuckets rows (trivially small)
+    * decide full buckets outright, and only the single boundary bucket
+    * (~1/nBuckets of the corpus) runs an ordered prefix window. The
+    * bucket map floor(q·nBuckets) is monotone in q, so the selected set
+    * equals the global greedy prefix exactly — which is what the DuckDB
+    * oracle computes with a global window. */
+  def selectByBudget(docs: DataFrame, budgetTokens: Long,
+      nBuckets: Int = 1000, textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.withQuality(docs, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("qb", least(
+        floor(col("quality_score") * nBuckets).cast("long"),
+        lit(nBuckets - 1L)))
+      .persist() // three consumers: histogram + both selection branches
+    val buckets = scored.groupBy("qb").agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("cum_before", coalesce(
+        sum(col("btoks")).over(Window.orderBy(col("qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val full = buckets
+      .filter(col("cum_before") + col("btoks") <= budgetTokens)
+    val boundary = buckets
+      .filter(col("cum_before") < budgetTokens &&
+        col("cum_before") + col("btoks") > budgetTokens)
+    val fullDocs = scored.join(broadcast(full.select("qb")), Seq("qb"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val wt = Window.partitionBy(col("qb"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryDocs = scored
+      .join(broadcast(boundary.select(col("qb"), col("cum_before"))), Seq("qb"))
+      .withColumn("cum", col("cum_before") + sum(col("n_tokens")).over(wt))
+      .filter(col("cum") <= budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val out = fullDocs.unionAll(boundaryDocs).localCheckpoint()
+    scored.unpersist()
+    out
+  }
+
   /** Eval-set decontamination: flag every corpus doc sharing at least
     * one `k`-token shingle with the benchmark set (the standard n-gram
     * overlap contamination check run before training). Returns
