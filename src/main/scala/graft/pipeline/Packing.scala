@@ -122,6 +122,10 @@ object Packing {
       nBuckets: Int = 1000, textCol: String = "text"): DataFrame = {
     val scored = TextAnalysis.withQuality(docs, textCol)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      // a null text scores null quality; its bucket key would be null and
+      // the equi-join below would silently drop it — make the behavior
+      // explicit (unscorable docs are never selected) and oracle-matchable
+      .filter(col("quality_score").isNotNull)
       .withColumn("qb", least(
         floor(col("quality_score") * nBuckets).cast("long"),
         lit(nBuckets - 1L)))

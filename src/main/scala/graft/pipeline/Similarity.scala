@@ -20,9 +20,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Exact cosine top-k for each query vector. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = Dedup.normalized(corpus)
+  /** Exact cosine top-k for each query vector. `normCorpus` lets a caller
+    * composing several ANN paths (e.g. [[recallVsExact]]) share ONE cached
+    * `Dedup.normalized(corpus)` instead of re-deriving it per path. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      normCorpus: Option[DataFrame] = None): DataFrame = {
+    val c = normCorpus.getOrElse(Dedup.normalized(corpus))
       .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
     val q = Dedup.normalized(queries)
       .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
@@ -124,8 +127,8 @@ object Similarity {
     * the brute-force baseline is asserted in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val norm = Dedup.normalized(corpus)
+      seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
+    val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
     val cents = kmeansCentroids(norm, nCells, iters, seed)
     val assigned = assignCells(norm, cents)
       .select(col("cell_id"), col("vec_id").as("neighbor_id"),
@@ -216,8 +219,8 @@ object Similarity {
     * the brute-force baseline is asserted in SimilaritySpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, iters: Int = 3, shortlistFactor: Int = 5,
-      seed: Long = 42L): DataFrame = {
-    val norm = Dedup.normalized(corpus)
+      seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
+    val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
     val unit = norm
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
     val cents = pqCodebooks(unit, m, ks, iters, seed)
@@ -257,14 +260,21 @@ object Similarity {
   /** Recall audit of every approximate ANN path against the exact
     * brute-force top-k (SURVEY.md §2 P6/P6d `ann_recall`). Emits one row
     * per method: `(method, n_queries, recall)` where `recall` =
-    * |approx∩exact| / |exact| over all probes. The exact set is computed
-    * once and persisted; each approximate set joins against it
-    * (left join + hit flag → one partial-agg count, no collect). The
-    * caller turns `recall` into a thresholded boolean for cross-engine
-    * verification (the raw ratio is deterministic given the fixed seeds,
-    * but only the threshold claim is engine-independent). */
+    * |approx∩exact| / |exact| over all probes. The normalized corpus is
+    * derived ONCE and shared by all four paths (exact + lsh/ivf/pq each
+    * re-scan it several times); the exact set is likewise computed once.
+    * Each approximate set joins against the exact set (left join + hit
+    * flag → one partial-agg count, no collect). The caller turns `recall`
+    * into a thresholded boolean for cross-engine verification (the raw
+    * ratio is deterministic given the fixed seeds, but only the threshold
+    * claim is engine-independent).
+    *
+    * EAGER: the three-row result is localCheckpoint'd so both caches can
+    * be released before returning — a library operator must not leak
+    * persisted state past its result (SURVEY §5). */
   def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, k)
+    val norm = Dedup.normalized(corpus).persist()
+    val exact = bruteForceTopK(corpus, queries, k, Some(norm))
       .select(col("query_id"), col("neighbor_id")).persist()
     def row(name: String, approx: DataFrame): DataFrame =
       exact.join(
@@ -276,9 +286,13 @@ object Similarity {
           (sum(coalesce(col("hit"), lit(0L))).cast("double")
             / count(lit(1))).as("recall"))
         .select(lit(name).as("method"), col("n_queries"), col("recall"))
-    row("ivf", ivfTopK(corpus, queries, k))
-      .unionAll(row("lsh", lshTopK(corpus, queries, k)))
-      .unionAll(row("pq", pqTopK(corpus, queries, k)))
+    val out = row("ivf", ivfTopK(corpus, queries, k, normCorpus = Some(norm)))
+      .unionAll(row("lsh", lshTopK(corpus, queries, k, normCorpus = Some(norm))))
+      .unionAll(row("pq", pqTopK(corpus, queries, k, normCorpus = Some(norm))))
+      .localCheckpoint()
+    exact.unpersist()
+    norm.unpersist()
+    out
   }
 
   /** LSH top-k: exact rescoring over bucket-colocated candidates.
@@ -291,10 +305,11 @@ object Similarity {
     * recall with 1−(1−p)^L. Corpus cost is L bucket rows per vector;
     * recall/cost tunes via (nBits, nTables). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+      nBits: Int = 8, nTables: Int = 8, seed: Long = 42L,
+      normCorpus: Option[DataFrame] = None): DataFrame = {
     val dim = 64
     val allPlanes = (0 until nTables).map(t => planes(nBits, dim, seed + 101 * t))
-    val c = Dedup.normalized(corpus)
+    val c = normCorpus.getOrElse(Dedup.normalized(corpus))
       .withColumn("tb", explode(array(allPlanes.zipWithIndex.map {
         case (ps, t) => struct(lit(t).as("tbl"), bucketExpr(ps).as("bucket"))
       }: _*)))

@@ -481,6 +481,93 @@ object PipelineQueries {
       LEFT JOIN hits USING (doc_id)
       ORDER BY doc_id"""))
 
+  // P15: corpus-global duplicate-shingle fraction (MassiveText-style
+  // repetition filter across the corpus) — string shingles + count
+  // arithmetic only, fully oracled. Shingling CASE mirrors dedup_ngram.
+  private val textDupfrac = Q(
+    "text_dupfrac",
+    (s, d) =>
+      Dedup.withDupShingleFraction(Tables.load(s, d, "documents"), k = 3,
+          flagThreshold = 0.5)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      freq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+      per AS (
+        SELECT doc_id, count(*) AS n_shingles,
+          count(*) FILTER (WHERE df > 1) AS n_dup
+        FROM sh0 JOIN freq USING (sh) GROUP BY doc_id)
+      SELECT doc_id, n_shingles, n_dup,
+        round(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_frac,
+        round(CAST(n_dup AS DOUBLE) / n_shingles, 6) >= 0.5 AS flagged
+      FROM per ORDER BY doc_id"""))
+
+  // P16: deterministic mixture sampling — downsample src0 to 25%, drop
+  // src1, keep src2 whole, halve the rest. Pure Knuth-mod-2^32
+  // arithmetic (multiplier independent of split_train's), oracled
+  // bit-for-bit.
+  private val mixSample = Q(
+    "mix_sample",
+    (s, d) =>
+      Packing.sampleMixture(Tables.load(s, d, "documents"),
+          ratesBp = Seq("src0" -> 2500, "src1" -> 0, "src2" -> 10000),
+          defaultBp = 5000)
+        .select(col("doc_id"), col("source"), col("mix_bucket"),
+          col("mix_rate_bp"), col("keep"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+        (CAST(doc_id AS BIGINT) * 2246822519) % 4294967296 % 10000
+          AS mix_bucket,
+        CASE WHEN source = 'src0' THEN 2500
+             WHEN source = 'src1' THEN 0
+             WHEN source = 'src2' THEN 10000 ELSE 5000 END AS mix_rate_bp,
+        (CAST(doc_id AS BIGINT) * 2246822519) % 4294967296 % 10000 <
+          CASE WHEN source = 'src0' THEN 2500
+               WHEN source = 'src1' THEN 0
+               WHEN source = 'src2' THEN 10000 ELSE 5000 END AS "keep"
+      FROM documents ORDER BY doc_id"""))
+
+  // P17: token-budget selection — the oracle is the global greedy prefix
+  // (quality DESC, doc_id) the bucketed plan must equal exactly; quality
+  // arithmetic mirrors text_quality's. Budget 10k ≈ 37% of sf0.01 tokens,
+  // so the boundary bucket is genuinely exercised at verify SF.
+  private val selectBudget = Q(
+    "select_budget",
+    (s, d) =>
+      Packing.selectByBudget(Tables.load(s, d, "documents"),
+          budgetTokens = 10000L)
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+        SELECT doc_id, text,
+          string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        len(list_filter(toks, x -> list_contains($stopListSql, x))) AS stops,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / len(toks) AS mtl
+        FROM t),
+      q AS (SELECT doc_id, n_tokens,
+        round(least(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.5
+          + least(1.0, CAST(stops AS DOUBLE) / n_tokens * 5) * 0.3
+          + CASE WHEN mtl BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 6)
+          AS quality_score
+        FROM m),
+      c AS (SELECT doc_id, n_tokens, quality_score,
+        sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q WHERE quality_score IS NOT NULL)
+      SELECT doc_id, n_tokens, quality_score FROM c
+      WHERE cum <= 10000 ORDER BY doc_id"""))
+
   // P11: multimodal binary plumbing with stubbed decode → rows-only.
   private val multimodalMeta = Q(
     "multimodal_meta",
@@ -499,7 +586,8 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine,
     annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
-    textDecontam, textLangid, textQuality, textTokens,
+    textDecontam, textDupfrac, mixSample, selectBudget,
+    textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)
 }

@@ -77,6 +77,29 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("dup-shingle fraction: hand-computed fractions and flag threshold") {
+    val corpus = Seq(
+      (0L, "a b c d e"),           // all 3 shingles shared with doc 1
+      (1L, "a b c d e"),           // exact copy
+      (2L, "x y z w q"),           // fully unique
+      (3L, "a b c u1 u2 u3")       // 1 of 4 shingles ("a b c") duplicated
+    ).toDF("doc_id", "text")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val res = Dedup.withDupShingleFraction(corpus, k = 3, flagThreshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(res.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(res(0) == ((0L, 3L, 3L, 1.0, true)), "exact dup: every shingle shared")
+    assert(res(1) == ((1L, 3L, 3L, 1.0, true)))
+    assert(res(2) == ((2L, 3L, 0L, 0.0, false)), "unique doc shares nothing")
+    assert(res(3) == ((3L, 4L, 1L, 0.25, false)), "1 of 4 shingles duplicated")
+    // operator must not leak persisted state past its result (SURVEY §5
+    // rule): the result's own localCheckpoint block is the only survivor
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 1,
+      s"withDupShingleFraction leaked ${leaked.size} persisted RDDs")
+  }
+
   test("cosine pairs: identical vectors similarity 1") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

@@ -67,6 +67,59 @@ class PackingSpec extends AnyFunSuite {
     assert(split.except(again).count() == 0 && again.except(split).count() == 0)
   }
 
+  test("sampleMixture: rates honored per group, deterministic, split-independent") {
+    val rates = Seq("src0" -> 0, "src1" -> 10000)
+    val mixed = Packing.sampleMixture(docs, rates, defaultBp = 5000)
+    // rate 0 drops every src0 doc; rate 10000 keeps every src1 doc
+    assert(mixed.filter(col("source") === "src0" && col("keep")).count() == 0)
+    assert(mixed.filter(col("source") === "src1" && !col("keep")).count() == 0)
+    // the default 50% rate keeps roughly half of the remaining sources
+    val rest = mixed.filter(!col("source").isin("src0", "src1"))
+    val frac = rest.filter(col("keep")).count().toDouble / rest.count()
+    assert(math.abs(frac - 0.5) < 0.1, s"default keep rate $frac far from 0.5")
+    // deterministic: identical assignment on re-run
+    val again = Packing.sampleMixture(docs, rates, defaultBp = 5000)
+    assert(mixed.select("doc_id", "keep")
+      .except(again.select("doc_id", "keep")).count() == 0)
+    // independent multiplier from withSplit: keep-rate inside the train
+    // split ≈ overall keep-rate (a shared multiplier would correlate them)
+    val both = Packing.withSplit(
+      Packing.sampleMixture(docs, Seq("none" -> 0), defaultBp = 5000))
+    val overall = both.filter(col("keep")).count().toDouble / both.count()
+    val train = both.filter(col("split") === "train")
+    val trainFrac = train.filter(col("keep")).count().toDouble / train.count()
+    assert(math.abs(overall - trainFrac) < 0.1,
+      s"keep rate in train split $trainFrac vs overall $overall")
+  }
+
+  test("selectByBudget equals the global greedy prefix and respects the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 10000L
+    val sel = Packing.selectByBudget(docs, budget).persist()
+    // the bucketed plan must equal the single-global-window greedy prefix
+    val scored = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .filter(col("quality_score").isNotNull)
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = scored.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget).drop("cum")
+    assert(sel.except(global).count() == 0 && global.except(sel).count() == 0,
+      "bucketed selection diverges from the global greedy prefix")
+    // budget is a hard ceiling and the selection is non-trivial
+    val total = sel.agg(sum("n_tokens")).head().getLong(0)
+    assert(total <= budget && total > 0)
+    assert(sel.count() < docs.count(), "budget must actually cut the corpus")
+    sel.unpersist()
+    // degenerate bucketing (everything in one boundary bucket) agrees too
+    val oneBucket = Packing.selectByBudget(docs, budget, nBuckets = 1)
+    assert(oneBucket.except(global).count() == 0
+      && global.except(oneBucket).count() == 0)
+    // a budget above the corpus total selects every scorable doc
+    val all = Packing.selectByBudget(docs, budgetTokens = 1000000000L)
+    assert(all.count() == scored.count())
+  }
+
   test("decontaminate: planted benchmark overlap is flagged, clean docs are not") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
