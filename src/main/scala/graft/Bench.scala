@@ -51,18 +51,33 @@ object Bench {
     // Two timed passes, per-query minimum: a single pass is exposed to
     // one-off interference (GC, host noise) — observed 7× outliers on
     // otherwise-stable queries. Min-of-2 is the steady-state capability.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      dropDeadBlocks() // outside the timed region
+      name -> t
+    }
     def pass(): Seq[(String, Double)] = {
       spark.catalog.clearCache()
-      queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
-        dropDeadBlocks() // outside the timed region
-        name -> t
-      }
+      queries.map { case (name, fn) => timeOne(name, fn) }
     }
     val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // A two-pass minimum can still carry interference when BOTH passes of
+    // one query were hit (observed: an 8.1s record for a 4.9s-steady
+    // query cost a round of misdiagnosis). Queries whose two passes
+    // disagree by >1.5× get one extra sample — cheap, since only the
+    // outliers re-run — and the spread is reported per query.
+    val qmap = queries.toMap
+    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val best =
+        if (lo > 0 && hi / lo > 1.5) math.min(lo, timeOne(n, qmap(n))._2)
+        else lo
+      if (lo > 0 && hi / lo > 1.5)
+        println(f"[bench] unstable $n: passes $a%.2f/$b%.2f s, third sample -> $best%.2f s")
+      n -> best
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -161,16 +161,24 @@ object Dedup {
       shingled: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, numHashes, shingled)
+    // Two caches with disjoint jobs: the signatures (N rows, one
+    // 64-long array each) and the band rows (N·bands rows, three longs
+    // each — doc_id, band_idx, band_hash). Keeping `sig` OUT of the
+    // band-row projection shrinks the dominant cache ~16× (it was
+    // cached once per band) and, more importantly, keeps the 64-long
+    // arrays out of the bucket self-join shuffle: candidate pairs are
+    // joined on ids alone, and the signatures come back only for the
+    // (small, distinct) candidate set.
+    val sig = minhashSignatures(docs, numHashes, shingled).persist()
     // Band bucket = arithmetic fold of the band's signature slice (no
     // string building; mod-2^32 keeps ANSI long arithmetic overflow-free).
     val bandRows = sig
-      .select(col("doc_id"), col("sig"), posexplode(expr(
+      .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
             b -> aggregate(slice(sig, b * $rows + 1, $rows), cast(b as bigint),
                            (acc, x) -> (acc * 1000003L + (x & 4294967295L)) % 4294967296L))"""))
         .as(Seq("band_idx", "band_hash")))
-      // N·bands small rows feeding three consumers (bucket sizes + both
+      // N·bands narrow rows feeding three consumers (bucket sizes + both
       // self-join sides); without the persist the whole signature
       // pipeline (explode + 64 partial-agg minima) re-runs per consumer.
       .persist()
@@ -181,24 +189,32 @@ object Dedup {
       .filter(col("bucket_n").between(2, maxBucketDf))
     val inBuckets = bandRows.join(bucketSizes, Seq("band_idx", "band_hash"))
     val a = inBuckets.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("a_id"), col("sig").as("sig_a"))
+      col("doc_id").as("a_id"))
     val b = inBuckets.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      col("doc_id").as("b_id"))
+    // Distinct BEFORE scoring: a pair sharing j bands would otherwise be
+    // scored j times (the old form dedup'ed scored triples). Partial-agg
+    // dedup runs map-side inside each bucket's partition.
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         // codegen'd agreement count (graft.functions.ArrayEqCount) —
         // the HOF form is interpreted and dominates the candidate loop
         round(graft.functions.eqcount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes, 6).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
-      // materialize the (small) pair set eagerly so the band-row cache
-      // can be released here — otherwise every call leaks storage for
-      // the session's lifetime (and downstream consumers like the CC
-      // loop would re-run the whole signature pipeline lazily anyway)
+      // materialize the (small) pair set eagerly so both caches can be
+      // released here — otherwise every call leaks storage for the
+      // session's lifetime (and downstream consumers like the CC loop
+      // would re-run the whole signature pipeline lazily anyway)
       .localCheckpoint()
     bandRows.unpersist()
+    sig.unpersist()
     pairs
   }
 
@@ -207,27 +223,41 @@ object Dedup {
     * minhashSignatures (see its scaladoc for why HOF nesting is avoided):
     * each shingle hashes once, 64 signed bit-sums are codegen'd partial
     * aggregates, and the sign vector folds to one long. */
-  def simhashed(docs: DataFrame, shingled: Option[DataFrame] = None): DataFrame = {
+  def simhashed(docs: DataFrame, shingled: Option[DataFrame] = None,
+      packPer: Int = 2): DataFrame = {
+    require(Seq(1, 2, 4).contains(packPer), "packPer must be 1, 2 or 4")
+    val fieldBits = 64 / packPer
     // re-expand the 31-bit shingle hash to 64 bits for the bit-vote
     val sh = shingled.getOrElse(shingleTable(docs))
       .select(col("doc_id"), xxhash64(col("h")).as("h"))
-    // Bit-vote with PACKED counters: two bit-positions share one long
-    // (low/high 32-bit fields), so the aggregation carries 33 buffers
-    // instead of 64. Per position, vote balance = 2·count_set − n, so
-    // "majority set" ⟺ 2·count > n — identical semantics to the
-    // unpacked ±1-sum form this replaces. Fields can't carry into each
-    // other below 2^32 set-shingles per doc (n is a per-doc shingle
-    // count; 2^32 is far beyond any document).
+    // Bit-vote with PACKED counters: `packPer` bit-positions share one
+    // long (64/packPer-bit fields), so the aggregation carries
+    // 64/packPer+1 buffers instead of 65. Per position, vote balance =
+    // 2·count_set − n, so "majority set" ⟺ 2·count > n — identical
+    // semantics to the unpacked ±1-sum form this replaces, and the
+    // resulting fingerprint is byte-identical for every packPer.
+    //
+    // packPer=2 (33 buffers, 32-bit fields) is the scale-safe default:
+    // fields can't carry below 2^32 shingles/doc. The 17-buffer packPer=4
+    // variant exists to be measured against it (ProfileSimhash times
+    // both), but its 16-bit fields overflow SIGNED long arithmetic at
+    // ≥2^15 shingles/doc — a real book-length document — so it can only
+    // ever be opt-in for short-doc corpora.
     val sums = sh.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
-      (0 until 32).map(j =>
-        sum(expr(s"((shiftright(h, ${2 * j}) & 1) | (shiftleft(shiftright(h, ${2 * j + 1}) & 1, 32)))"))
-          .as(s"p$j")): _*)
+      (0 until 64 / packPer).map { g =>
+        val parts = (0 until packPer).map { j =>
+          val pos = g * packPer + j
+          s"shiftleft(shiftright(h, $pos) & 1, ${j * fieldBits})"
+        }
+        sum(expr(parts.mkString("(", " | ", ")"))).as(s"p$g")
+      }: _*)
     sums.select(col("doc_id"),
       (0 until 64).map { i =>
-        val field =
-          if (i % 2 == 0) expr(s"p${i / 2} & 4294967295")
-          else expr(s"shiftright(p${i / 2}, 32) & 4294967295")
+        val g = i / packPer
+        val j = i % packPer
+        val field = expr(
+          s"shiftright(p$g, ${j * fieldBits}) & ${(1L << fieldBits) - 1}")
         when(field * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("sim"))
   }
@@ -274,7 +304,11 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      // hamming is a pure function of the pair, so min() == the value on
+      // every duplicate row: semantically `distinct`, but aggregated on a
+      // 2-column key with a 1-long buffer instead of dedup'ed on 3-column
+      // rows — partial-aggregable map-side within each chunk partition.
+      .groupBy("a_id", "b_id").agg(min(col("hamming")).as("hamming"))
       // materialize the (small) pair set eagerly so the chunk cache can
       // be released here — mirrors minhashPairs' bandRows lifecycle
       .localCheckpoint()

@@ -18,9 +18,13 @@ object ProfileSimhash {
     }
     docs.count(); Dedup.simhashPairs(docs).count() // warmup
     time("shingles") { Dedup.shingleTable(docs).count() }
-    time("simhashed") { Dedup.simhashed(docs).count() }
+    time("simhash p2") { Dedup.simhashed(docs).count() }
+    time("simhash p2b") { Dedup.simhashed(docs).count() }
+    time("simhash p4") { Dedup.simhashed(docs, packPer = 4).count() }
+    time("simhash p4b") { Dedup.simhashed(docs, packPer = 4).count() }
     time("candidates") { Dedup.simhashCandidates(docs).count() }
     time("pairs") { Dedup.simhashPairs(docs).count() }
+    time("pairs b") { Dedup.simhashPairs(docs).count() }
     spark.stop()
   }
 }

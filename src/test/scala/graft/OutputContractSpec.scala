@@ -35,4 +35,33 @@ class OutputContractSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"decimal-typed output columns (cast to DOUBLE on both sides):\n${offenders.mkString("\n")}")
   }
+
+  // The full lesson, not just the decimal half: §6 documents three
+  // comparator-hostile output families — DECIMAL (hashes differently
+  // between the two arrow→pandas paths), ARRAY (unhashable ndarray →
+  // comparator crash; the convention is comma-joined canonical strings
+  // on both sides), and MAP/STRUCT (same unhashable-container failure).
+  // Every ORACLED query must therefore emit only flat atomic non-decimal
+  // columns. Rows-only queries are exempt: the driver just counts their
+  // parquet rows, and arrays/binaries there (ann candidates, multimodal
+  // frames) are part of the operator's real shape.
+  test("oracled queries emit only flat atomic, non-decimal output columns") {
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => oracled.contains(name) }
+      .flatMap { case (name, fn) =>
+        val schema = fn(spark, TestSpark.sf).schema
+        val bad = schema.fields.filter { f =>
+          f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case dt => containsDecimal(dt)
+          }
+        }
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      "comparator-hostile output columns in oracled queries " +
+        s"(flatten/stringify per SURVEY §6):\n${offenders.mkString("\n")}")
+  }
 }
