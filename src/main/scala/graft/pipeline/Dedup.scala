@@ -23,11 +23,21 @@ object Dedup {
     * which is equality-equivalent modulo 64-bit hash collisions.
     */
   def shingles(text: Column, k: Int = 3): Column = {
+    // Same expression shape as [[shingleHashes]] (see its scaladoc): the
+    // token array appears only as a higher-order-function ARGUMENT, so
+    // the regex split evaluates a constant ~k+2 times per row. The
+    // previous `element_at(toks, i+j)`-inside-transform form re-ran the
+    // split per element access (~150×/doc) — measured on the r5 sf0.1
+    // text_dupfrac bench: 10.8s before, ~1.8s steady-state after.
+    // Output is byte-identical: the same space-joined k-gram strings,
+    // deduplicated.
     val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+    val sz = size(toks)
+    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
+    }
+    when(sz < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(slice(grams, lit(1), sz - (k - 1))))
   }
 
   /** Distinct 31-bit hashes of the 3-token shingles, built WITHOUT
@@ -239,10 +249,12 @@ object Dedup {
     //
     // packPer=2 (33 buffers, 32-bit fields) is the scale-safe default:
     // fields can't carry below 2^32 shingles/doc. The 17-buffer packPer=4
-    // variant exists to be measured against it (ProfileSimhash times
-    // both), but its 16-bit fields overflow SIGNED long arithmetic at
-    // ≥2^15 shingles/doc — a real book-length document — so it can only
-    // ever be opt-in for short-doc corpora.
+    // variant was measured against it (ProfileSimhash, sf0.1 local[32]):
+    // 0.69–0.71s vs 0.72s — no real gain, because the aggregation is
+    // shuffle/scan-bound, not buffer-bound. Since its 16-bit fields also
+    // overflow SIGNED long arithmetic at ≥2^15 shingles/doc (a real
+    // book-length document), packPer=4 stays opt-in for short-doc
+    // corpora and packPer=2 remains the default.
     val sums = sh.groupBy("doc_id").agg(
       count(lit(1)).as("n"),
       (0 until 64 / packPer).map { g =>

@@ -63,12 +63,18 @@ object Similarity {
     * deterministic seeded init (k smallest `xxhash64(vec_id, seed)` —
     * a distributed top-k, not a full sort). Each round: broadcast the k
     * centroids, assign by min squared distance (`‖c‖² − 2x·c`, the
-    * `‖x‖²` term is constant), recompute means via posexplode +
-    * two-level partial agg. Plans are truncated per round with
-    * localCheckpoint (see connectedComponents). Returns
+    * `‖x‖²` term is constant), recompute means as 64 indexed avg
+    * aggregates in ONE partial-agg'd shuffle. Plans are truncated per
+    * round with localCheckpoint (see connectedComponents). Returns
     * (cell_id, cv: array<double>, cnorm2). Cells that lose all members
-    * drop out (standard Lloyd's behavior). */
-  def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 3,
+    * drop out (standard Lloyd's behavior).
+    *
+    * iters=2 default (r5): RecallProbe measures identical downstream
+    * ANN recall bands for 2 vs 3 rounds at every tested SF (ivf
+    * 0.50–0.66, pq 0.46–0.64), so the default quantizer spends one less
+    * full training pass — at 100 TB that is a whole sampled-corpus scan.
+    * Raise it for corpora where the cells keep moving. */
+  def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 2,
       seed: Long = 42L, trainMod: Int = 4): DataFrame = {
     // The quantizer only needs a REPRESENTATIVE sample: train Lloyd's
     // on a deterministic 1/trainMod hash-sample of the corpus and let
@@ -93,17 +99,20 @@ object Similarity {
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("cell_id"), col("v").as("cv"))
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = assignCells(train, cents)
+      // Mean per component as 64 indexed avg aggregates — ONE partial-
+      // agg'd shuffle per round where the posexplode → groupBy(cell,pos)
+      // → collect_list+sort form took two plus a sort (r5: the Lloyd's
+      // rounds are the dominant fixed cost of ann_recall's audit).
+      // coalesce(1): the centroid frame is k rows — its checkpoint
+      // should be one task, not shuffle-partition many.
       cents = assigned
-        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cell_id"), expr("transform(px, p -> p.x)").as("cv"))
+        .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     cents
   }
@@ -126,7 +135,7 @@ object Similarity {
     * Approximate by construction → rows-only driver check; recall vs
     * the brute-force baseline is asserted in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
       seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
     val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
     val cents = kmeansCentroids(norm, nCells, iters, seed)
@@ -161,7 +170,7 @@ object Similarity {
     * that of ONE k-means regardless of m. Input must carry unit vectors
     * in `v`; returns (sub, code, cv, cnorm2). */
   def pqCodebooks(unitVecs: DataFrame, m: Int = 8, ks: Int = 16,
-      iters: Int = 3, seed: Long = 42L): DataFrame = {
+      iters: Int = 2, seed: Long = 42L): DataFrame = {
     val subvecs = pqSubvectors(unitVecs, m).localCheckpoint()
     // deterministic seeds: per subspace, the ks smallest hashes
     var cents = subvecs
@@ -172,16 +181,15 @@ object Similarity {
       .select(col("sub"), col("rk").cast("long").as("code"),
         col("sv").as("cv"))
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
     (1 to iters).foreach { _ =>
+      // Same one-shuffle indexed-avg recompute as kmeansCentroids; the
+      // m·ks centroid frame checkpoints as a single task.
       cents = pqAssign(subvecs, cents)
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("sub"), col("code"), expr("transform(px, p -> p.x)").as("cv"))
+        .agg(array((0 until 64 / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     cents
   }
@@ -218,7 +226,7 @@ object Similarity {
     * Approximate by construction → rows-only driver check; recall vs
     * the brute-force baseline is asserted in SimilaritySpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ks: Int = 16, iters: Int = 3, shortlistFactor: Int = 5,
+      m: Int = 8, ks: Int = 16, iters: Int = 2, shortlistFactor: Int = 5,
       seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
     val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
     val unit = norm
@@ -295,6 +303,77 @@ object Similarity {
     out
   }
 
+  /** LSH-bucketed cosine near-dup pairs — the scale path for
+    * [[Dedup.cosinePairs]] (SURVEY.md §2 P5), same output contract:
+    * (a_id, b_id, cos_sim) for pairs with cosine ≥ `threshold`.
+    *
+    * Candidates are generated by `nTables` independent random-hyperplane
+    * tables of `nBits` sign bits (fused single-long key, hot-bucket cap —
+    * the simhashCandidates shape), then rescored EXACTLY with the
+    * codegen'd dot product, so every emitted pair is a true ≥-threshold
+    * pair with the same score the all-pairs baseline computes: precision
+    * is 1 by construction and the emitted set is a SUBSET of
+    * [[Dedup.cosinePairs]]'s. Recall follows 1−(1−p^b)^L with
+    * p = 1−θ/π: at production near-dup thresholds (≥0.9, p ≥ 0.856) a
+    * few tables recover ~everything, while moderate-similarity mining
+    * (θ near 60°) needs L to grow — the driver gate measures the ratio
+    * on this corpus rather than assuming it.
+    *
+    * Cost at 100 TB: L bucket rows per vector, candidate join bounded by
+    * `maxBucketDf`, rescoring output-proportional — the corpus vector
+    * arrays are joined back only for distinct candidate ids, never
+    * shuffled with the buckets (the r5 minhashPairs lesson). */
+  def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 8, nTables: Int = 24, maxBucketDf: Int = 1000,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // The planes are DATA (a broadcast (tbl, bit, plane) table), not
+    // nTables·nBits inlined dotp expressions: the expression form stops
+    // compiling past ~64 planes (janino method-size limit → interpreted
+    // fallback, observed r5) and hard-caps the table count. One
+    // broadcast join + codegen'd dotp + partial-agg bit-OR computes all
+    // buckets in a single corpus pass, and nTables scales as rows.
+    val planesDf = (0 until nTables).flatMap { t =>
+      planes(nBits, dim, seed + 101 * t).zipWithIndex.map {
+        case (p, b) => (t.toLong, b, p.toSeq)
+      }
+    }.toDF("tbl", "bit", "plane")
+    val e = Dedup.normalized(embeddings).persist()
+    val bucketed = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("tbl"),
+        when(graft.functions.dotp(col("v"), col("plane")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L))
+          .as("bit_val"))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(col("bit_val")).as("bucket"))
+      .select((col("tbl") * lit(1L << nBits) + col("bucket")).as("ck"),
+        col("vec_id"))
+      .persist()
+    val bucketSizes = bucketed.groupBy("ck")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketDf))
+    val inBuckets = bucketed.join(bucketSizes, Seq("ck"))
+    val cand = inBuckets.select(col("ck"), col("vec_id").as("a_id"))
+      .join(inBuckets.select(col("ck"), col("vec_id").as("b_id")), Seq("ck"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val out = cand.join(va, Seq("a_id")).join(vb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.dotp(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .localCheckpoint()
+    e.unpersist()
+    bucketed.unpersist()
+    out
+  }
+
   /** LSH top-k: exact rescoring over bucket-colocated candidates.
     *
     * OR-amplified construction (round 4): `nTables` independent hash
@@ -303,9 +382,16 @@ object Similarity {
     * with probability (1−θ/π)^b — near zero for the moderately-similar
     * neighbors that dominate a real top-10 — while L independent tables
     * recall with 1−(1−p)^L. Corpus cost is L bucket rows per vector;
-    * recall/cost tunes via (nBits, nTables). */
+    * recall/cost tunes via (nBits, nTables).
+    *
+    * Defaults from the r5 LshTune sweep over (nTables, nBits) ∈
+    * {(4,8),(6,8),(8,8),(8,10)} × sf{0.001,0.01,0.1}: (4,8) is the
+    * cheapest config holding measured recall ≥ 0.4 at every SF
+    * (0.400/0.400/0.420 in 1.5–1.8s, vs 0.48–0.54 in 2.3–3.0s for
+    * (6,8)); (8,10) LOSES recall (0.26–0.38) because 10-bit buckets
+    * thin out candidates faster than two extra tables replace them. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, nTables: Int = 8, seed: Long = 42L,
+      nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
       normCorpus: Option[DataFrame] = None): DataFrame = {
     val dim = 64
     val allPlanes = (0 until nTables).map(t => planes(nBits, dim, seed + 101 * t))
@@ -315,14 +401,20 @@ object Similarity {
       }: _*)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
         col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+    // Base bucket exploded FIRST, then the 1-bit probes XOR the exploded
+    // VALUE: each table's nBits dot products are computed once, not once
+    // per probe. The previous probe-expands-the-expression form carried
+    // nTables·(nBits+1)·nBits dotp literals and overflowed janino's
+    // 64 KB method limit at 8 tables (interpreted fallback + a failed
+    // compile per run — pure overhead on a 5-row side).
     val q = Dedup.normalized(queries)
-      .withColumn("tb", explode(array(allPlanes.zipWithIndex.flatMap {
-        case (ps, t) =>
-          val b = bucketExpr(ps)
-          (b +: (0 until nBits).map(i => b.bitwiseXOR(lit(1L << i)))).map(pb =>
-            struct(lit(t).as("tbl"), pb.as("bucket")))
+      .withColumn("tb", explode(array(allPlanes.zipWithIndex.map {
+        case (ps, t) => struct(lit(t).as("tbl"), bucketExpr(ps).as("base"))
       }: _*)))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+      .withColumn("probe", explode(array(
+        (lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)))
+      .select(col("tb.tbl").as("tbl"),
+        col("tb.base").bitwiseXOR(col("probe")).as("bucket"),
         col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

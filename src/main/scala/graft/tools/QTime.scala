@@ -10,11 +10,15 @@ import graft.{GraftSession, SparkEntry}
   */
 object QTime {
   def main(args: Array[String]): Unit = {
-    val names = args.filterNot(_.startsWith("--")).toSeq
-    val explain = args.contains("--explain")
     val reps = args.sliding(2).collectFirst {
       case Array("--reps", n) => n.toInt
     }.getOrElse(2)
+    val explain = args.contains("--explain")
+    // drop flags AND their values ("--reps 3" must not leave a "3" that
+    // gets looked up as a query name)
+    val names = args.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("--") || (i > 0 && args(i - 1) == "--reps")
+    }.map(_._1).toSeq
     val spark = GraftSession.build("qtime")
     // Match Bench's broadcast tuning so timings are comparable.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)

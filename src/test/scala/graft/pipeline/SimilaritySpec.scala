@@ -36,12 +36,22 @@ class SimilaritySpec extends AnyFunSuite {
     lsh.foreach { case (q, n, c) =>
       exact.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
     }
-    // OR-amplified multi-table LSH must recover >= half of the exact top-10
+    // Default config must hold the ann_recall driver gate (recall ≥ 0.3).
+    // The r5 sweep picked (nTables=4, nBits=8) as the cheapest config
+    // with ≥0.4 measured recall across SFs — asserting ≥0.5 here would
+    // pin the old, 2.4× costlier 8-table default, not the contract.
     val exact10 = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
     val hit = exact10.count { case (q, n) => lsh.exists(r => r._1 == q && r._2 == n) }
-    assert(hit >= exact10.length / 2,
-      s"LSH recall too low: $hit of ${exact10.length}")
+    assert(hit * 10 >= exact10.length * 3,
+      s"LSH recall below the 0.3 gate: $hit of ${exact10.length}")
+    // OR-amplification must actually amplify: more tables, no less recall
+    val lsh8 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 10,
+        nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hit8 = exact10.count { case (q, n) => lsh8.contains((q, n)) }
+    assert(hit8 >= hit,
+      s"8-table recall $hit8 below 4-table recall $hit — amplification broken")
   }
 
   test("ivf top-k: correct scores and reasonable recall vs exact") {
@@ -93,5 +103,41 @@ class SimilaritySpec extends AnyFunSuite {
     val top1 = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 1)
       .select("neighbor_id", "cos_sim").as[(Long, Double)].head()
     assert(top1._1 == 1L && math.abs(top1._2 - 1.0) < 1e-9)
+  }
+
+  test("cosinePairsLsh: planted near-dups all recovered, output subset of exact, no leak") {
+    // 200 random base vectors + 20 planted near-dups (base + 1% noise,
+    // cosine ≈ 0.999). At the production near-dup regime the 1−(1−p^b)^L
+    // math gives per-pair recall ~1−1e-15 for (8 bits, 16 tables), so
+    // recall 1 here is the math working, not luck; random pairs at
+    // dim 64 concentrate near cos 0 and stay far below the threshold.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val dups = (0L until 20L).map { i =>
+      (200L + i, base(i.toInt)._2.map(x => x + rnd.nextFloat() * 0.02f - 0.01f))
+    }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val lsh = Similarity.cosinePairsLsh(e, threshold = 0.95)
+      .as[(Long, Long, Double)].collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 1,
+      s"cosinePairsLsh leaked ${leaked.size} persisted RDDs")
+    val exact = Dedup.cosinePairs(e, threshold = 0.95)
+      .as[(Long, Long, Double)].collect()
+    // every planted pair is in the exact set and LSH recovers all of it
+    assert(exact.map(p => (p._1, p._2)).toSet == (0L until 20L).map(i => (i, 200L + i)).toSet)
+    assert(lsh.toSet == exact.toSet,
+      s"LSH pairs ${lsh.length} != exact pairs ${exact.length} at near-dup threshold")
+  }
+
+  test("cosinePairsLsh: subset-with-equal-scores of the all-pairs baseline on real data") {
+    val lsh = Similarity.cosinePairsLsh(emb, threshold = 0.44)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.cosinePairs(emb, threshold = 0.44)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted ${(lsh -- exact).size} pairs not in the exact set")
+    assert(lsh.nonEmpty, "LSH found nothing at the moderate threshold")
   }
 }
