@@ -291,25 +291,29 @@ object Dedup {
       maxBucketDf: Int = 1000, shingled: Option[DataFrame] = None,
       maxHamming: Int = 64): DataFrame = {
     val bitsPer = 64 / chunks
-    val withSim = simhashed(docs, shingled)
+    // Persist the NARROW per-doc fingerprint (N rows, two longs) — the
+    // expensive part is the signature aggregation behind it; the chunk
+    // explode below is a cheap narrow op recomputed per consumer from
+    // this cache (8× smaller footprint than caching the exploded rows,
+    // the r5 minhashPairs lesson).
+    val withSim = simhashed(docs, shingled).persist()
     // One fused bucket key `ck` = chunk_idx · 2^bitsPer + chunk_val: a
     // single-long join key shuffles and compares once where the
     // (chunk_idx, chunk_val) pair did twice.
     val chunked = withSim.select(col("doc_id"), col("sim"), explode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> c * ${1L << bitsPer} + (shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1}))"))
       .as("ck"))
-      // N·chunks small rows feeding three consumers (bucket sizes + both
-      // self-join sides); without the persist the whole SimHash signature
-      // pipeline (shingle explode + 33 packed bit-vote aggregates) would
-      // re-run per consumer — same situation as bandRows in minhashPairs.
-      .persist()
-    val bucketSizes = chunked.groupBy("ck")
-      .agg(count(lit(1)).as("bucket_n"))
+    // Hot-bucket cap via a count window over the SAME ck-shuffle the
+    // self-join needs: both join sides are the identical subtree, so the
+    // exchange is planned once and reused, where a groupBy+join-back
+    // spent an extra aggregate job on the bucket-size table.
+    val capped = chunked
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
       .filter(col("bucket_n").between(2, maxBucketDf))
-    val inBuckets = chunked.join(bucketSizes, Seq("ck"))
-    val a = inBuckets.select(col("ck"),
+    val a = capped.select(col("ck"),
       col("doc_id").as("a_id"), col("sim").as("sim_a"))
-    val b = inBuckets.select(col("ck"),
+    val b = capped.select(col("ck"),
       col("doc_id").as("b_id"), col("sim").as("sim_b"))
     val pairs = a.join(b, Seq("ck"))
       .filter(col("a_id") < col("b_id"))
@@ -321,10 +325,10 @@ object Dedup {
       // 2-column key with a 1-long buffer instead of dedup'ed on 3-column
       // rows — partial-aggregable map-side within each chunk partition.
       .groupBy("a_id", "b_id").agg(min(col("hamming")).as("hamming"))
-      // materialize the (small) pair set eagerly so the chunk cache can
-      // be released here — mirrors minhashPairs' bandRows lifecycle
+      // materialize the (small) pair set eagerly so the fingerprint
+      // cache can be released here — mirrors minhashPairs' lifecycle
       .localCheckpoint()
-    chunked.unpersist()
+    withSim.unpersist()
     pairs
   }
 

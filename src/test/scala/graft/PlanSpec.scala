@@ -84,6 +84,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("mixture sampling is a narrow map — zero shuffles (P16)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val p = graft.pipeline.Packing
+      .sampleMixture(docs, Seq("src0" -> 2500), defaultBp = 5000)
+      .queryExecution.executedPlan.toString
+    // at 100 TB this operator must stream: any Exchange is a regression
+    assert(!p.contains("Exchange"), "sampleMixture shuffles:\n" + p)
+  }
+
+  test("dup-shingle fraction partial-aggregates and equi-joins (P15)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val df = graft.pipeline.Dedup.withDupShingleFraction(docs)
+    // the operator checkpoints its (small) result; assert on the
+    // pre-checkpoint shape the same way the verify-join test does
+    val sh = docs.select(col("doc_id"),
+      explode(graft.pipeline.Dedup.shingles(col("text"))).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val probe = sh.join(freq, Seq("sh")).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    val p = probe.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "frequency agg not partial:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "join degenerated:\n" + p)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_shingles", "n_dup", "dup_frac", "flagged"))
+  }
+
+  test("budget selection's boundary window is bucket-partitioned (P17)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    // Reconstruct the boundary-branch shape (the operator checkpoints
+    // its result, truncating the inspectable plan): the ordered-prefix
+    // window must be PARTITIONED by the bucket key — an unpartitioned
+    // running sum here is exactly the single-partition serialization
+    // the histogram decomposition exists to avoid.
+    val scored = graft.pipeline.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .filter(col("quality_score").isNotNull)
+      .withColumn("qb", floor(col("quality_score") * 1000).cast("long"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("qb"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val probe = scored.withColumn("cum", sum(col("n_tokens")).over(wt))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(qb"),
+      "boundary window not partitioned by bucket:\n" + p)
+  }
 }
 
 /** CSV ingest (SURVEY.md §2 IO2) — reference: hdk.py:2229 import_csv
