@@ -154,4 +154,111 @@ object TextAnalysis {
             i -> ${charPoly(s"concat_ws(' ', slice($toksSql, i + 1, 5))")}),
           9223372036854775807L, (m, wh) -> least(m, wh))"""))
   }
+
+  // ------------------------------------------------------- vocabulary
+  /** Corpus vocabulary: the `vocabSize` most frequent whitespace tokens,
+    * ranked (count DESC, token ASC) — the deterministic id assignment a
+    * tokenizer-training step needs (SURVEY.md §2 P18). Returns
+    * (token_id, token, n_occurrences) with ids 0..V−1 in rank order.
+    *
+    * Scale: one explode + partial-agg'd count groupBy (one shuffle on
+    * the token key), a TakeOrderedAndProject top-V, and a rank window
+    * over V rows only — vocabulary size is a config constant (≤ a few
+    * 100k), never corpus-bounded, so the single-partition window is
+    * bounded by construction. */
+  def vocabulary(docs: DataFrame, vocabSize: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(vocabSize)
+      .withColumn("token_id",
+        (row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("token")))
+          - 1).cast("long"))
+      .select(col("token_id"), col("token"), col("n_occurrences"))
+  }
+
+  /** Token-id encoding of every document over a [[vocabulary]] — the
+    * text→ids step of a training pipeline. OOV tokens encode as −1.
+    * Returns (doc_id, n_tokens, n_oov, ids) with `ids` the comma-joined
+    * id sequence in document order (string output per the §6 comparator
+    * convention: no array columns cross the oracle boundary).
+    *
+    * Scale: the corpus explodes once and left-joins the BROADCAST vocab
+    * (V rows by construction); reassembly is one partial-agg'd groupBy
+    * with a per-doc array_sort — no window, no global sort, one
+    * shuffle on doc_id. */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_oov"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token_id"), lit(-1L)).as("tid")))),
+          p => p.getField("tid").cast("string"))).as("ids"))
+
+  // ------------------------------------------- bigram LM perplexity proxy
+  /** Corpus-internal bigram cross-entropy per document (the CCNet-style
+    * perplexity quality signal computed WITHOUT an external model;
+    * SURVEY.md §2 P19): xent = −mean over the doc's bigrams of
+    * ln P(w2|w1), add-one smoothed from corpus-wide counts:
+    * P = (c(w1 w2) + 1) / (c(w1) + V), V = |distinct unigrams|.
+    * Returns (doc_id, n_bigrams, xent); docs with <2 tokens carry
+    * n_bigrams=0 and a null xent.
+    *
+    * Cross-engine determinism: each ln is rounded at 6dp before the
+    * mean (transcendental libm results agree across engines far inside
+    * that grain), the mean at 4dp — the §6 round-early discipline.
+    *
+    * Scale: unigram and bigram count tables are one partial-agg'd
+    * shuffle each; scoring joins the bigram table on the pair key and
+    * the (vocab-sized, broadcast-able) unigram table on w1; V rides
+    * along as a broadcast 1-row frame, never a driver-side action. The
+    * exploded bigram table feeds two consumers (its own counts + the
+    * scoring join), so it is persisted and released after an eager
+    * checkpoint of the (narrow, per-doc) result. */
+  def withBigramXent(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col(textCol)).as("ts"))
+    val sz = size(col("ts"))
+    val bigrams = t
+      .filter(sz >= 2)
+      .select(col("doc_id"), explode(slice(
+        zip_with(col("ts"), slice(col("ts"), lit(2), sz),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("b"))),
+        lit(1), sz - 1)).as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.b").as("b"))
+      .persist()
+    val uc = t.select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = uc.agg(count(lit(1)).as("v"))
+    val bc = bigrams.groupBy("b").agg(count(lit(1)).as("c12"))
+    val scored = bigrams
+      .join(bc, Seq("b"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 4).as("xent"))
+    val out = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("xent"))
+      .localCheckpoint()
+    bigrams.unpersist()
+    out
+  }
 }

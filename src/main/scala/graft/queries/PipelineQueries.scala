@@ -610,6 +610,83 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, quality_score FROM c
       WHERE cum <= 10000 ORDER BY doc_id"""))
 
+  // P18: deterministic vocabulary — top-200 tokens by (count DESC,
+  // token), ids in rank order; fully oracled.
+  private val textVocab = Q(
+    "text_vocab",
+    (s, d) =>
+      TextAnalysis.vocabulary(Tables.load(s, d, "documents"), 200)
+        .orderBy(col("token_id")),
+    Some("""WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      c AS (SELECT token, count(*) AS n_occurrences FROM tok
+        WHERE token <> '' GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 200)
+      SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+          AS BIGINT) AS token_id,
+        token, n_occurrences
+      FROM c ORDER BY token_id"""))
+
+  // P18b: token-id encoding over the vocabulary; OOV → −1; ids emitted
+  // as a comma-joined string (§6: no array outputs). DuckDB's parallel
+  // unnest zips the token list with its positions.
+  private val textEncode = Q(
+    "text_encode",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.encodeTokens(docs, TextAnalysis.vocabulary(docs, 200))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      c AS (SELECT token, count(*) AS n_occurrences FROM tok
+        WHERE token <> '' GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 200),
+      v AS (SELECT CAST(row_number() OVER
+          (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) AS token_id,
+        token FROM c),
+      tl AS (SELECT doc_id,
+        string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+      e AS (SELECT doc_id, unnest(ts) AS token,
+        unnest(range(1, len(ts) + 1)) AS pos FROM tl),
+      j AS (SELECT doc_id, pos, coalesce(v.token_id, -1) AS tid,
+        CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+        FROM e LEFT JOIN v USING (token))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  // P19: corpus-internal bigram cross-entropy (perplexity proxy) —
+  // add-one smoothed ln P(w2|w1); each ln rounded 6dp BEFORE the mean
+  // (round-early: libm differences live far below that grain), mean
+  // rounded 4dp. Fully oracled.
+  private val textXent = Q(
+    "text_xent",
+    (s, d) =>
+      TextAnalysis.withBigramXent(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      bgf AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+        unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b
+        FROM t WHERE len(ts) >= 2),
+      uc AS (SELECT w1, count(*) AS c1 FROM
+        (SELECT unnest(ts) AS w1 FROM t) GROUP BY w1),
+      vv AS (SELECT count(*) AS v FROM uc),
+      bc AS (SELECT b, count(*) AS c12 FROM bgf GROUP BY b),
+      sc AS (SELECT doc_id, round(ln((c12 + 1.0) / (c1 + v)), 6) AS lp
+        FROM bgf JOIN bc USING (b) JOIN uc USING (w1) CROSS JOIN vv),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(-avg(lp), 4) AS xent FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        a.xent
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // P11: multimodal binary plumbing with stubbed decode → rows-only.
   private val multimodalMeta = Q(
     "multimodal_meta",
@@ -629,6 +706,7 @@ object PipelineQueries {
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget,
+    textVocab, textEncode, textXent,
     textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)

@@ -80,4 +80,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(r(2L)._2 - 0.0) < 1e-6)
     assert(math.abs(r(2L)._3 - 0.0) < 1e-6)
   }
+
+  test("vocabulary: frequency-then-token rank, capped, ids dense from 0") {
+    val df = Seq(
+      (0L, "b b b a a c"),
+      (1L, "a d b")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=4, c=1, d=1 → rank: b(0), a(1), c(2), d(3)
+    val v = TextAnalysis.vocabulary(df, vocabSize = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(v == Seq((0L, "b", 4L), (1L, "a", 3L), (2L, "c", 1L)))
+  }
+
+  test("encodeTokens: document order preserved, OOV as -1, counts right") {
+    val df = Seq(
+      (0L, "b b b a a c"),
+      (1L, "a d b")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(df, vocabSize = 3) // b,a,c — d is OOV
+    val enc = TextAnalysis.encodeTokens(df, vocab)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(enc(0) == ((0L, 6L, 0L, "0,0,0,1,1,2")))
+    assert(enc(1) == ((1L, 3L, 1L, "1,-1,0")))
+  }
+
+  test("bigram xent: add-one smoothed ln probabilities, hand-computed") {
+    val df = Seq(
+      (0L, "a b a b"),
+      (1L, "a c"),
+      (2L, "x")          // <2 tokens → no bigrams, null xent
+    ).toDF("doc_id", "text")
+    // unigrams: a=3, b=2, c=1, x=1 → V=4
+    // bigrams: "a b"=2, "b a"=1, "a c"=1
+    def lp(c12: Long, c1: Long) =
+      BigDecimal(math.log((c12 + 1.0) / (c1 + 4.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp0 = BigDecimal(-(lp(2, 3) + lp(1, 2) + lp(2, 3)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = BigDecimal(-lp(1, 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val got = TextAnalysis.withBigramXent(df)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    assert(got(0)._2 == 3L && math.abs(got(0)._3.get - exp0) < 1e-9)
+    assert(got(1)._2 == 1L && math.abs(got(1)._3.get - exp1) < 1e-9)
+    assert(got(2)._2 == 0L && got(2)._3.isEmpty)
+    // operator must not leak persisted state past its own checkpointed
+    // result (SURVEY §5 rule)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 1,
+      s"withBigramXent leaked ${leaked.size} persisted RDDs")
+  }
 }
