@@ -474,6 +474,30 @@ object ExtendedQueries {
         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id"""))
 
+  // Batch twin of the ST7 LEFT-OUTER stream-stream interval join
+  // (EventPipeline.purchaseAttributionOuter): every click appears,
+  // converted or not — the filters sit on the join INPUTS (a left-side
+  // predicate inside a LEFT JOIN's ON would not filter left rows, so
+  // the oracle uses pre-filtered subqueries to state the same thing).
+  private val q49 = Q(
+    "q49_stream_attr_outer",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventPipeline.purchaseAttributionOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+      p.event_id AS purchase_id, p.value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
   // PIVOT (wide aggregation by category) + UNPIVOT back to long form —
   // beyond-reference OLAP surface both engines support; the oracle
   // states the same computation relationally (FILTERed counts, then
@@ -846,5 +870,5 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q18b)
+    q46, q47, q48, q49, q18b)
 }

@@ -66,6 +66,32 @@ object EventPipeline {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join (ST7): like
+    * [[purchaseAttribution]], but clicks with NO purchase inside the
+    * window are still emitted — with null purchase columns — once the
+    * watermark closes their join state. This is the semantics inner
+    * joins cannot express on a stream: "this click did NOT convert" is
+    * only knowable after event time has provably passed the window, and
+    * the watermark is exactly that proof. State stays bounded for the
+    * same reason. On batch frames the watermarks are no-ops and this is
+    * a plain left-outer interval join — the oracle twin. */
+  def purchaseAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $attributionWindow"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class SessionAgg(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, total_value: Double)

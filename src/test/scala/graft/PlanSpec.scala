@@ -134,6 +134,37 @@ class PlanSpec extends AnyFunSuite {
   }
 }
 
+/** Partitioned parquet layout (SURVEY.md §2 IO6): the write side of a
+  * 100 TB deployment — export partitioned by a low-cardinality key,
+  * then prove the read side prunes partitions AT PLAN TIME (the scan
+  * must never touch the other keys' directories) while data filters
+  * still push into the parquet reader. */
+class ParquetLayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("partitionBy write → plan-time partition pruning + pushed data filter") {
+    val dir = "/root/repo/target/tmp/events_by_type"
+    val events = Tables.load(spark, TestSpark.sf, "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val subdirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(subdirs.count(_.startsWith("event_type=")) >= 2,
+      s"expected hive-style partition dirs, got: ${subdirs.mkString(",")}")
+    val back = spark.read.parquet(dir)
+      .filter(col("event_type") === "click" && col("value") > 0)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      !p.contains("PartitionFilters: []"),
+      "partition filter did not reach the scan:\n" + p)
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(value"),
+      "data filter not pushed into parquet:\n" + p)
+    // layout change must not change answers
+    val expected = events
+      .filter(col("event_type") === "click" && col("value") > 0).count()
+    assert(back.count() == expected)
+  }
+}
+
 /** CSV ingest (SURVEY.md §2 IO2) — reference: hdk.py:2229 import_csv
   * (header / delimiter / skip_rows / explicit schema). */
 class CsvSourceSpec extends AnyFunSuite {

@@ -139,6 +139,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("left-outer stream-stream join emits unconverted clicks after watermark") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts_s)
+    val purchases = MemoryStream[(Long, Long, Long, Double)]
+    val cDf = clicks.toDF().select(col("_1").as("event_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"))
+    val pDf = purchases.toDF().select(col("_1").as("event_id"),
+      col("_2").as("user_id"), timestamp_seconds(col("_3")).as("ts"),
+      col("_4").as("value"))
+    val q = EventPipeline.purchaseAttributionOuter(cDf, pDf).writeStream
+      .format("memory").queryName("attr_outer_out").outputMode("append").start()
+    try {
+      // click 10 converts; click 12 never does
+      clicks.addData(Seq((10L, 1L, 1000L), (12L, 2L, 1000L)))
+      purchases.addData(Seq((20L, 1L, 2000L, 9.5)))
+      q.processAllAvailable()
+      // far-future traffic pushes the watermark past click 12's window
+      // (1000s + 1h window + 2h delay); the null-extended row may only
+      // surface in the batch AFTER the watermark advances, hence the
+      // second nudge
+      clicks.addData(Seq((98L, 3L, 40_000_000L)))
+      purchases.addData(Seq((99L, 3L, 40_000_000L, 1.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq((97L, 3L, 40_000_500L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_outer_out")
+      .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((10L, Some(20L))), s"converted click missing: $got")
+    assert(got.contains((12L, None)), s"unconverted click not emitted: $got")
+
+    // batch twin: the same code path left-outer joins without watermarks
+    val batch = EventPipeline.purchaseAttributionOuter(
+      spark.createDataFrame(
+        Seq((10L, 1L, new java.sql.Timestamp(1000_000L)),
+          (12L, 2L, new java.sql.Timestamp(1000_000L))))
+        .toDF("event_id", "user_id", "ts"),
+      spark.createDataFrame(
+        Seq((20L, 1L, new java.sql.Timestamp(2000_000L), 9.5)))
+        .toDF("event_id", "user_id", "ts", "value"))
+      .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+    assert(batch == Set((10L, Some(20L)), (12L, None)))
+  }
+
   test("native session_window sessionizes a stream (append after watermark)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)] // (user_id, ts_s, value)
