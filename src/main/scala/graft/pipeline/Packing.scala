@@ -105,6 +105,30 @@ object Packing {
       .withColumn("keep", bucket < rate)
   }
 
+  /** Deterministic quota (stratified) sampling: keep exactly
+    * min(nPerGroup, |group|) docs per group, chosen by Knuth-
+    * multiplicative hash rank — the "exactly N docs per language/
+    * source" curation step ([[sampleMixture]] is its RATE-based
+    * sibling). The multiplier is independent of [[withSplit]]'s and
+    * [[sampleMixture]]'s, so quota ⟂ split ⟂ mixture. Returns the
+    * docs plus (q_rank, kept).
+    *
+    * Scale: ONE window partitioned by the group key — each group ranks
+    * independently after a group-key shuffle, no global ordering
+    * anywhere; everything else is narrow arithmetic. Hash ties break by
+    * id: a total order, reproducible by any engine.
+    * id < 2^31 × 2971215073 < 2^63: ANSI-overflow-free. */
+  def quotaSample(docs: DataFrame, nPerGroup: Int,
+      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(nPerGroup > 0, "nPerGroup must be positive")
+    val key = pmod(col(idCol).cast("long") * lit(2971215073L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    docs
+      .withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("q_rank") <= nPerGroup)
+  }
+
   /** Token-budget selection: keep the highest-quality documents whose
     * cumulative token count fits `budgetTokens` — greedy by
     * (quality_score DESC, doc_id) prefix, the canonical "best N tokens"

@@ -577,6 +577,24 @@ object PipelineQueries {
                WHEN source = 'src2' THEN 10000 ELSE 5000 END AS "keep"
       FROM documents ORDER BY doc_id"""))
 
+  // P20: quota (stratified) sampling — exactly 50 docs per source by
+  // Knuth-hash rank; pure arithmetic + a per-group window, oracled
+  // bit-for-bit.
+  private val quotaSampleQ = Q(
+    "quota_sample",
+    (s, d) =>
+      Packing.quotaSample(Tables.load(s, d, "documents"), nPerGroup = 50)
+        .select(col("doc_id"), col("source"), col("q_rank"), col("kept"))
+        .orderBy(col("doc_id")),
+    Some("""WITH r AS (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY (CAST(doc_id AS BIGINT) * 2971215073) % 4294967296,
+              doc_id) AS BIGINT) AS q_rank
+        FROM documents)
+      SELECT doc_id, source, q_rank, q_rank <= 50 AS kept
+      FROM r ORDER BY doc_id"""))
+
   // P17: token-budget selection — the oracle is the global greedy prefix
   // (quality DESC, doc_id) the bucketed plan must equal exactly; quality
   // arithmetic mirrors text_quality's. Budget 10k ≈ 37% of sf0.01 tokens,
@@ -705,7 +723,7 @@ object PipelineQueries {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
-    textDecontam, textDupfrac, mixSample, selectBudget,
+    textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
     textVocab, textEncode, textXent,
     textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,

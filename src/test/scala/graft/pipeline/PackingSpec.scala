@@ -92,6 +92,37 @@ class PackingSpec extends AnyFunSuite {
       s"keep rate in train split $trainFrac vs overall $overall")
   }
 
+  test("quotaSample: exact per-group quotas, deterministic, hash-shuffled order") {
+    val q = Packing.quotaSample(docs, nPerGroup = 10)
+    // every group keeps exactly min(10, |group|)
+    val perGroup = q.groupBy("source")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { case (src, kept, n) =>
+      assert(kept == math.min(10L, n), s"group $src kept $kept of $n")
+    }
+    // ranks are a 1..n permutation inside each group
+    val badRank = q.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("q_rank")).as("mx"),
+        count_distinct(col("q_rank")).as("dr"))
+      .filter(col("mx") =!= col("n") || col("dr") =!= col("n")).count()
+    assert(badRank == 0, "q_rank is not a dense per-group permutation")
+    // deterministic across runs
+    val again = Packing.quotaSample(docs, nPerGroup = 10)
+    assert(q.select("doc_id", "q_rank").except(
+      again.select("doc_id", "q_rank")).count() == 0)
+    // the hash actually shuffles: kept set differs from "first 10 by id"
+    val keptIds = q.filter(col("kept")).select("doc_id")
+    val lowIds = docs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("r") <= 10).select("doc_id")
+    assert(keptIds.except(lowIds).count() > 0,
+      "hash rank degenerated to doc_id order")
+  }
+
   test("selectByBudget equals the global greedy prefix and respects the budget") {
     import org.apache.spark.sql.expressions.Window
     val budget = 10000L
