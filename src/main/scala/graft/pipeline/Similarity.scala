@@ -170,8 +170,23 @@ object Similarity {
     * that of ONE k-means regardless of m. Input must carry unit vectors
     * in `v`; returns (sub, code, cv, cnorm2). */
   def pqCodebooks(unitVecs: DataFrame, m: Int = 8, ks: Int = 16,
-      iters: Int = 2, seed: Long = 42L): DataFrame = {
-    val subvecs = pqSubvectors(unitVecs, m).localCheckpoint()
+      iters: Int = 2, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+    // Codebooks only need a REPRESENTATIVE sample — the same
+    // deterministic 1/trainMod hash-sample kmeansCentroids uses (the
+    // full corpus is still pqAssign'ed exactly once by the caller). At
+    // 100 TB this divides every training round's scan by trainMod; at
+    // bench SF the local timing is noise-equal, and the recall gate is
+    // unmoved (r5 RecallProbe: pq 0.46–0.70 sampled vs 0.46–0.64
+    // full-corpus across sf0.001/0.01/0.1 — sampling even helps at the
+    // small SFs, where fewer degenerate duplicate subvectors seed the
+    // codebook). Falls back to the full set when the sample can't seed
+    // ks codes per subspace.
+    val sampled = unitVecs
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
+      .localCheckpoint()
+    val train =
+      if (sampled.count() < ks) unitVecs.localCheckpoint() else sampled
+    val subvecs = pqSubvectors(train, m).localCheckpoint()
     // deterministic seeds: per subspace, the ks smallest hashes
     var cents = subvecs
       .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
