@@ -105,6 +105,34 @@ object Packing {
       .withColumn("keep", bucket < rate)
   }
 
+  /** Sliding context windows WITH overlap (stride < window): each doc's
+    * token sequence yields windows [i·stride, i·stride + window) —
+    * the standard long-document prep where consecutive windows share
+    * window − stride tokens so no span loses context at a boundary.
+    * [[packSequences]] concatenates docs into fixed chunks; this slices
+    * WITHIN docs. Emits (doc_id, win_idx, tok_start, tok_len); window
+    * count = (max(n − window, 0) + stride − 1) div stride + 1, all
+    * integer arithmetic so any engine reproduces it. Narrow per-row
+    * explode — zero shuffles.
+    */
+  def slidingWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && stride <= window,
+      "stride must be in (0, window]")
+    docs
+      .select(col("doc_id"),
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .withColumn("n_windows", expr(
+        s"(greatest(n_tokens - $window, 0L) + ${stride - 1}) div $stride + 1"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("win_idx"))
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx") * stride).as("tok_start"),
+        least(lit(window.toLong), col("n_tokens") - col("win_idx") * stride)
+          .as("tok_len"))
+  }
+
   /** Deterministic quota (stratified) sampling: keep exactly
     * min(nPerGroup, |group|) docs per group, chosen by Knuth-
     * multiplicative hash rank — the "exactly N docs per language/

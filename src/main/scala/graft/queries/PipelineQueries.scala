@@ -577,6 +577,27 @@ object PipelineQueries {
                WHEN source = 'src2' THEN 10000 ELSE 5000 END AS "keep"
       FROM documents ORDER BY doc_id"""))
 
+  // P12b: sliding context windows with overlap — integer arithmetic
+  // only, oracled bit-for-bit. window=64/stride=48 so the ~50-token
+  // docs genuinely produce 1–2 overlapping windows at every SF.
+  private val packWindows = Q(
+    "pack_windows",
+    (s, d) =>
+      Packing.slidingWindows(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("win_idx")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      w AS (SELECT doc_id, n_tokens,
+        (greatest(n_tokens - 64, 0) + 47) // 48 + 1 AS n_windows FROM t),
+      e AS (SELECT doc_id, n_tokens,
+        unnest(range(0, n_windows)) AS win_idx FROM w)
+      SELECT doc_id, win_idx, win_idx * 48 AS tok_start,
+        least(64, n_tokens - win_idx * 48) AS tok_len
+      FROM e ORDER BY doc_id, win_idx"""))
+
   // P20: quota (stratified) sampling — exactly 50 docs per source by
   // Knuth-hash rank; pure arithmetic + a per-group window, oracled
   // bit-for-bit.
@@ -724,6 +745,7 @@ object PipelineQueries {
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
+    packWindows,
     textVocab, textEncode, textXent,
     textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,

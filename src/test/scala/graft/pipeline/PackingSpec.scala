@@ -92,6 +92,25 @@ class PackingSpec extends AnyFunSuite {
       s"keep rate in train split $trainFrac vs overall $overall")
   }
 
+  test("slidingWindows: full coverage, correct overlap, short docs get one window") {
+    val d = Seq(
+      (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 windows
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")),  // 30 tokens → 1 window
+      (2L, (1 to 64).map(i => s"t$i").mkString(" "))   // exactly window → 1
+    ).toDF("doc_id", "text")
+    val w = Packing.slidingWindows(d, window = 64, stride = 48)
+      .orderBy("doc_id", "win_idx")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(w.toSeq == Seq(
+      (0L, 0L, 0L, 64L), (0L, 1L, 48L, 52L), // overlap 16, covers to 100
+      (1L, 0L, 0L, 30L),
+      (2L, 0L, 0L, 64L)))
+    // invariants: windows tile each doc with stride spacing and cover
+    // every token (last window ends exactly at n_tokens)
+    val last0 = w.filter(_._1 == 0L).last
+    assert(last0._3 + last0._4 == 100L)
+  }
+
   test("quotaSample: exact per-group quotas, deterministic, hash-shuffled order") {
     val q = Packing.quotaSample(docs, nPerGroup = 10)
     // every group keeps exactly min(10, |group|)
