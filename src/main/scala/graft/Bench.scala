@@ -53,10 +53,15 @@ object Bench {
     // otherwise-stable queries. Min-of-2 is the steady-state capability.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       dropDeadBlocks() // outside the timed region
-      name -> t
+      // a failed query records -1.0, NOT its elapsed time: a failure
+      // duration reported as a valid per-query second is silent data
+      // corruption in the bench record (and the lo > 0 retry guard
+      // below only works if failures are actually distinguishable)
+      name -> (if (ok) t else -1.0)
     }
     def pass(): Seq[(String, Double)] = {
       spark.catalog.clearCache()
@@ -70,13 +75,22 @@ object Bench {
     // outliers re-run — and the spread is reported per query.
     val qmap = queries.toMap
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      val (lo, hi) = (math.min(a, b), math.max(a, b))
-      val best =
-        if (lo > 0 && hi / lo > 1.5) math.min(lo, timeOne(n, qmap(n))._2)
-        else lo
-      if (lo > 0 && hi / lo > 1.5)
-        println(f"[bench] unstable $n: passes $a%.2f/$b%.2f s, third sample -> $best%.2f s")
-      n -> best
+      val good = Seq(a, b).filter(_ > 0) // -1.0 marks a failed pass
+      if (good.isEmpty) {
+        println(s"[bench] FAILED $n: both passes errored")
+        n -> -1.0
+      } else {
+        val (lo, hi) = (good.min, good.max)
+        val unstable = good.size == 2 && hi / lo > 1.5
+        val best =
+          if (unstable) {
+            val third = timeOne(n, qmap(n))._2
+            if (third > 0) math.min(lo, third) else lo
+          } else lo
+        if (unstable)
+          println(f"[bench] unstable $n: passes $a%.2f/$b%.2f s, third sample -> $best%.2f s")
+        n -> best
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -264,12 +264,16 @@ object Dedup {
         }
         sum(expr(parts.mkString("(", " | ", ")"))).as(s"p$g")
       }: _*)
+    // packPer=1 → fieldBits=64, where `(1L << 64) - 1` is 0 (JVM shift
+    // counts mask mod 64) — the mask must be all-ones there or every
+    // fingerprint silently collapses to 0
+    val fieldMask = if (fieldBits == 64) -1L else (1L << fieldBits) - 1
     sums.select(col("doc_id"),
       (0 until 64).map { i =>
         val g = i / packPer
         val j = i % packPer
         val field = expr(
-          s"shiftright(p$g, ${j * fieldBits}) & ${(1L << fieldBits) - 1}")
+          s"shiftright(p$g, ${j * fieldBits}) & $fieldMask")
         when(field * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("sim"))
   }

@@ -121,8 +121,7 @@ object Packing {
       "stride must be in (0, window]")
     docs
       .select(col("doc_id"),
-        size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
-          .as("n_tokens"))
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("n_windows", expr(
         s"(greatest(n_tokens - $window, 0L) + ${stride - 1}) div $stride + 1"))
       .select(col("doc_id"), col("n_tokens"),

@@ -75,7 +75,7 @@ object Similarity {
     * full training pass — at 100 TB that is a whole sampled-corpus scan.
     * Raise it for corpora where the cells keep moving. */
   def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 2,
-      seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+      seed: Long = 42L, trainMod: Int = 4, dim: Int = 64): DataFrame = {
     // The quantizer only needs a REPRESENTATIVE sample: train Lloyd's
     // on a deterministic 1/trainMod hash-sample of the corpus and let
     // the caller assign the full corpus exactly once. At 100 TB this
@@ -102,15 +102,17 @@ object Similarity {
       .coalesce(1).localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = assignCells(train, cents)
-      // Mean per component as 64 indexed avg aggregates — ONE partial-
+      // Mean per component as `dim` indexed avg aggregates — ONE partial-
       // agg'd shuffle per round where the posexplode → groupBy(cell,pos)
       // → collect_list+sort form took two plus a sort (r5: the Lloyd's
-      // rounds are the dominant fixed cost of ann_recall's audit).
+      // rounds are the dominant fixed cost of ann_recall's audit). The
+      // indexed form needs the dimensionality up front — `dim` must
+      // match the vectors or the means silently carry nulls.
       // coalesce(1): the centroid frame is k rows — its checkpoint
       // should be one task, not shuffle-partition many.
       cents = assigned
         .groupBy(col("cell_id"))
-        .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+        .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
@@ -170,7 +172,8 @@ object Similarity {
     * that of ONE k-means regardless of m. Input must carry unit vectors
     * in `v`; returns (sub, code, cv, cnorm2). */
   def pqCodebooks(unitVecs: DataFrame, m: Int = 8, ks: Int = 16,
-      iters: Int = 2, seed: Long = 42L, trainMod: Int = 4): DataFrame = {
+      iters: Int = 2, seed: Long = 42L, trainMod: Int = 4,
+      dim: Int = 64): DataFrame = {
     // Codebooks only need a REPRESENTATIVE sample — the same
     // deterministic 1/trainMod hash-sample kmeansCentroids uses (the
     // full corpus is still pqAssign'ed exactly once by the caller). At
@@ -186,7 +189,7 @@ object Similarity {
       .localCheckpoint()
     val train =
       if (sampled.count() < ks) unitVecs.localCheckpoint() else sampled
-    val subvecs = pqSubvectors(train, m).localCheckpoint()
+    val subvecs = pqSubvectors(train, m, dim).localCheckpoint()
     // deterministic seeds: per subspace, the ks smallest hashes
     var cents = subvecs
       .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
@@ -198,11 +201,12 @@ object Similarity {
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
       .coalesce(1).localCheckpoint()
     (1 to iters).foreach { _ =>
-      // Same one-shuffle indexed-avg recompute as kmeansCentroids; the
-      // m·ks centroid frame checkpoints as a single task.
+      // Same one-shuffle indexed-avg recompute as kmeansCentroids (and
+      // the same caveat: `dim` must match the vectors); the m·ks
+      // centroid frame checkpoints as a single task.
       cents = pqAssign(subvecs, cents)
         .groupBy(col("sub"), col("code"))
-        .agg(array((0 until 64 / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
+        .agg(array((0 until dim / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
@@ -210,8 +214,8 @@ object Similarity {
   }
 
   /** (vec_id, sub, sv): the m dim/m-sized slices of `v`. */
-  private def pqSubvectors(vecs: DataFrame, m: Int): DataFrame = {
-    val sub = 64 / m
+  private def pqSubvectors(vecs: DataFrame, m: Int, dim: Int = 64): DataFrame = {
+    val sub = dim / m
     vecs.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
       .as(Seq("sub", "sv")))

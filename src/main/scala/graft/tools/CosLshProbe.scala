@@ -17,6 +17,9 @@ object CosLshProbe {
       val emb = Tables.load(spark, d, "embeddings")
       val exact = Dedup.cosinePairs(emb, thr).localCheckpoint()
       val nExact = exact.count()
+      require(nExact > 0,
+        s"no exact pairs at threshold $thr in $d — recall undefined, " +
+          "lower the threshold before sweeping")
       Seq(8, 16, 24).foreach { nTables =>
         def run(): (Double, Long) = {
           val t0 = System.nanoTime()

@@ -22,6 +22,7 @@ object LshTune {
       val exact = Similarity.bruteForceTopK(emb, queries, k)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val nExact = exact.count()
+      require(nExact > 0, s"empty exact top-k in $d — recall undefined")
       configs.foreach { case (nTables, nBits) =>
         def run(): (Double, Double) = {
           val t0 = System.nanoTime()
