@@ -94,9 +94,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1.0 failure sentinels must not leak into the headline: summing
+    // them would skew the total DOWN and a partial total would read as
+    // a (suspiciously good) full run. Sum only real timings and carry
+    // an explicit failure count so the aggregate can't masquerade.
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ > 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Loss-proofing: the driver captures stdout, but a truncated capture
     // (observed round 2) loses per-query timings irrecoverably. Persist

@@ -268,14 +268,26 @@ object Dedup {
     // counts mask mod 64) — the mask must be all-ones there or every
     // fingerprint silently collapses to 0
     val fieldMask = if (fieldBits == 64) -1L else (1L << fieldBits) - 1
-    sums.select(col("doc_id"),
-      (0 until 64).map { i =>
+    val sim = (0 until 64).map { i =>
         val g = i / packPer
         val j = i % packPer
         val field = expr(
           s"shiftright(p$g, ${j * fieldBits}) & $fieldMask")
         when(field * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)).as("sim"))
+      }.reduce(_.bitwiseOR(_))
+    // packPer=4's 16-bit vote fields overflow SIGNED long arithmetic at
+    // ≥2^15 shingles in one document (`field * 2` on a near-full field
+    // crosses into the neighbor) — a real book-length doc, so an
+    // opted-in caller must fail loudly, not get silently wrong
+    // fingerprints. The guard rides the same per-doc row (n is already
+    // aggregated); packPer≤2 fields can't carry below 2^32 shingles.
+    val simChecked =
+      if (packPer < 4) sim
+      else when(col("n") >= lit(1L << (fieldBits - 1)), expr(
+        s"raise_error('simhashed(packPer=4): a document has >= 2^${fieldBits - 1} " +
+          "shingles; 16-bit vote fields would overflow - use packPer=2')")
+        .cast("long")).otherwise(sim)
+    sums.select(col("doc_id"), simChecked.as("sim"))
   }
 
   /** Chunk-blocked SimHash candidate pairs with their hamming
@@ -307,14 +319,20 @@ object Dedup {
     val chunked = withSim.select(col("doc_id"), col("sim"), explode(expr(
       s"transform(sequence(0, ${chunks - 1}), c -> c * ${1L << bitsPer} + (shiftright(sim, c * $bitsPer) & ${(1L << bitsPer) - 1}))"))
       .as("ck"))
-    // Hot-bucket cap via a count window over the SAME ck-shuffle the
-    // self-join needs: both join sides are the identical subtree, so the
-    // exchange is planned once and reused, where a groupBy+join-back
-    // spent an extra aggregate job on the bucket-size table.
-    val capped = chunked
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
+    // Hot-bucket cap via groupBy sizes + join back — the same idiom as
+    // minhashPairs (the ONE documented cap shape in this file). An r5
+    // variant computed the cap as `count(*) over (partition by ck)` to
+    // reuse the ck exchange (one fewer job at bench SF), but a count
+    // window MATERIALIZES every bucket — including the degenerate hot
+    // bucket the cap exists to drop — in a single task before its
+    // filter can run; the groupBy form partial-aggregates the hot
+    // bucket map-side and never colocates its rows. At 100 TB the hot
+    // bucket IS the threat model, so scale shape wins over the saved
+    // job.
+    val bucketSizes = chunked.groupBy("ck")
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucketDf))
+    val capped = chunked.join(bucketSizes.select("ck"), Seq("ck"))
     val a = capped.select(col("ck"),
       col("doc_id").as("a_id"), col("sim").as("sim_a"))
     val b = capped.select(col("ck"),

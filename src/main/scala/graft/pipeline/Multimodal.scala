@@ -29,12 +29,18 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   // ------------------------------------------------------- synthesis
-  /** Deterministic seed from the text bytes (FNV-ish fold). */
-  private def textSeed(text: String): Long = {
-    val bs = text.getBytes("UTF-8")
-    var h = 1125899906842597L
+  /** Deterministic seed from the text — the same ANSI-safe mod-2^32
+    * rolling hash as [[TextAnalysis]]'s fingerprint `(h·31 + code) mod
+    * 2^32`, chosen so the seed (and every metadata field derived from
+    * it below) is reproducible by ANY engine: the driver's DuckDB
+    * oracle recomputes the expected width/height/frame counts from
+    * `documents.text` arithmetically and checks them against what the
+    * Spark side gets by synthesizing REAL bytes and parsing them back.
+    * (A 64-bit wrapping fold would be unreachable from plain SQL.) */
+  private[graft] def textSeed(text: String): Long = {
+    var h = 0L
     var i = 0
-    while (i < bs.length) { h = h * 31 + (bs(i) & 0xff); i += 1 }
+    while (i < text.length) { h = (h * 31 + text.charAt(i)) % 4294967296L; i += 1 }
     h
   }
 
@@ -76,10 +82,13 @@ object Multimodal {
   }
 
   /** A real YUV4MPEG2 stream: stream header + FRAME-delimited 4:2:0
-    * planes (8×8 → 96 bytes per frame). */
+    * planes (8×8 → 96 bytes per frame). The frame count reads a DIGIT
+    * slice of the 32-bit seed disjoint from the PPM dims' (div 2^8 vs
+    * mod 29 / div 2^16) — seed >> 32 would be constant 0 now that the
+    * seed is mod-2^32 for oracle reproducibility. */
   private[graft] def synthY4m(seed: Long): Array[Byte] = {
     val (w, h) = (8, 8)
-    val frames = 1 + math.floorMod(seed >> 32, 120).toInt
+    val frames = 1 + math.floorMod(seed >> 8, 120).toInt
     val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1\n".getBytes("US-ASCII")
     val frameSize = w * h * 3 / 2
     val out = new java.io.ByteArrayOutputStream(

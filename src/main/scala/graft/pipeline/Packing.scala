@@ -138,22 +138,63 @@ object Packing {
     * source" curation step ([[sampleMixture]] is its RATE-based
     * sibling). The multiplier is independent of [[withSplit]]'s and
     * [[sampleMixture]]'s, so quota ⟂ split ⟂ mixture. Returns the
-    * docs plus (q_rank, kept).
+    * docs plus (q_rank, kept): q_rank is the exact within-group hash
+    * rank for every row that could plausibly make the quota (the
+    * "candidate" rows, see below) and NULL for rows provably past it —
+    * a rank deep beyond the quota boundary carries no information and
+    * pricing it at a corpus-wide sort was this operator's original
+    * scale bug.
     *
-    * Scale: ONE window partitioned by the group key — each group ranks
-    * independently after a group-key shuffle, no global ordering
-    * anywhere; everything else is narrow arithmetic. Hash ties break by
-    * id: a total order, reproducible by any engine.
+    * Scale: `source`-like group keys have a handful of distinct values,
+    * so a window partitioned by the group key alone sorts a corpus-
+    * sized partition per group in ONE task at 100 TB. Instead the
+    * Knuth key (uniform on [0, 2^32)) is histogrammed into `nBuckets`
+    * equal ranges, the same decomposition as [[selectByBudget]]: the
+    * tiny (groups × nBuckets) histogram + a cumulative over it decide
+    * wholesale which buckets can still reach rank ≤ nPerGroup; only
+    * rows in those candidate buckets (≈ nPerGroup + |group|/nBuckets
+    * rows per group) shuffle into the exact-rank window, partitioned by
+    * (group, bucket) so no task ever sorts more than one bucket. The
+    * non-candidate branch is a narrow broadcast-join + filter — the
+    * corpus itself never shuffles. Exact by construction (a candidate
+    * bucket's cum_before offsets its local rank to the true global
+    * rank), not ε-probabilistic. Hash ties break by id: a total order,
+    * reproducible by any engine.
     * id < 2^31 × 2971215073 < 2^63: ANSI-overflow-free. */
   def quotaSample(docs: DataFrame, nPerGroup: Int,
-      groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+      groupCol: String = "source", idCol: String = "doc_id",
+      nBuckets: Int = 1024): DataFrame = {
     require(nPerGroup > 0, "nPerGroup must be positive")
-    val key = pmod(col(idCol).cast("long") * lit(2971215073L),
-      lit(4294967296L))
-    val w = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
-    docs
-      .withColumn("q_rank", row_number().over(w).cast("long"))
+    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
+      "nBuckets must be a power of two dividing 2^32")
+    val bucketWidth = 4294967296L / nBuckets
+    val keyed = docs
+      .withColumn("q_key",
+        pmod(col(idCol).cast("long") * lit(2971215073L), lit(4294967296L)))
+      .withColumn("q_bucket", expr(s"q_key div $bucketWidth"))
+    // histogram: rows per (group, key-bucket) — partial-agg'd map-side,
+    // ≤ groups × nBuckets rows; its per-group cumulative is a window
+    // over that tiny frame, never over data
+    val hist = keyed.groupBy(col(groupCol), col("q_bucket"))
+      .agg(count(lit(1)).as("q_bcount"))
+      .withColumn("q_cum_before", coalesce(
+        sum(col("q_bcount")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("q_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("q_bucket"), col("q_cum_before"))
+    val withCum = keyed.join(broadcast(hist), Seq(groupCol, "q_bucket"))
+    // candidate buckets: cum_before < nPerGroup ⇒ some row inside may
+    // still rank ≤ nPerGroup; everything past them is decided wholesale
+    val wb = Window.partitionBy(col(groupCol), col("q_bucket"))
+      .orderBy(col("q_key"), col(idCol))
+    val ranked = withCum.filter(col("q_cum_before") < nPerGroup)
+      .withColumn("q_rank",
+        col("q_cum_before") + row_number().over(wb).cast("long"))
       .withColumn("kept", col("q_rank") <= nPerGroup)
+    val rest = withCum.filter(col("q_cum_before") >= nPerGroup)
+      .withColumn("q_rank", lit(null).cast("long"))
+      .withColumn("kept", lit(false))
+    ranked.unionByName(rest).drop("q_key", "q_bucket", "q_cum_before")
   }
 
   /** Token-budget selection: keep the highest-quality documents whose

@@ -47,6 +47,29 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** Embedding dimensionality: the caller's `dim` when positive, else a
+    * one-row probe of `v`. [[graft.functions.DotProduct]] deliberately
+    * truncates to the shorter operand (ragged NULL-safety), which means
+    * a plane/centroid built for the wrong dim would silently mis-project
+    * every vector — so each LSH/IVF/PQ entry point resolves the dim
+    * explicitly up front and guards the rows it consumes. */
+  private def resolveDim(vecs: DataFrame, dim: Int): Int = {
+    if (dim > 0) dim
+    else {
+      val r = vecs.select(size(col("v")).as("d")).limit(1).collect()
+      require(r.nonEmpty, "cannot derive embedding dim from an empty corpus")
+      r(0).getInt(0)
+    }
+  }
+
+  /** Pass-through of `v` that raises on a row whose dimensionality
+    * differs from `d` — dotp would silently truncate it instead. */
+  private def vGuard(d: Int): Column =
+    when(size(col("v")) === d, col("v"))
+      .otherwise(expr(
+        s"raise_error('embedding dim mismatch: expected $d, got ' || size(v))")
+        .cast("array<double>"))
+
   /** Sign-pattern bucket id for an embedding (column `v`: array<double>).
     * Each plane projection is the codegen'd [[graft.functions.DotProduct]]
     * against a literal plane array — the HOF form
@@ -75,7 +98,7 @@ object Similarity {
     * full training pass — at 100 TB that is a whole sampled-corpus scan.
     * Raise it for corpora where the cells keep moving. */
   def kmeansCentroids(normVecs: DataFrame, k: Int, iters: Int = 2,
-      seed: Long = 42L, trainMod: Int = 4, dim: Int = 64): DataFrame = {
+      seed: Long = 42L, trainMod: Int = 4, dim: Int = 0): DataFrame = {
     // The quantizer only needs a REPRESENTATIVE sample: train Lloyd's
     // on a deterministic 1/trainMod hash-sample of the corpus and let
     // the caller assign the full corpus exactly once. At 100 TB this
@@ -85,12 +108,26 @@ object Similarity {
     val sampled = normVecs
       .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
       .localCheckpoint()
-    // A 1/trainMod sample of a small corpus can hold fewer than k vectors
-    // (or none), which would silently seed fewer/zero centroids and make
-    // ivfTopK return nothing. The count is cheap: `sampled` is already
-    // materialized by the checkpoint.
-    val train =
-      if (sampled.count() < k) normVecs.localCheckpoint() else sampled
+    // One job over the (already checkpointed) sample does three things:
+    // the seed-count guard (a 1/trainMod sample of a small corpus can
+    // hold fewer than k vectors, which would silently seed fewer/zero
+    // centroids), dim resolution, and the ragged-input check — the
+    // indexed avg recompute below silently yields null components for
+    // any vector shorter than `dim`, so mismatches must fail loudly.
+    val sStats = sampled
+      .agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+    val (train, tStats) =
+      if (sStats.getLong(0) < k) {
+        val full = normVecs.localCheckpoint()
+        (full,
+          full.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
+            .head())
+      } else (sampled, sStats)
+    require(tStats.getLong(0) > 0, "kmeans needs a non-empty corpus")
+    val d = if (dim > 0) dim else tStats.getInt(1)
+    require(tStats.getInt(1) == d && tStats.getInt(2) == d,
+      s"embedding dim mismatch: expected $d, found sizes " +
+        s"[${tStats.getInt(1)}, ${tStats.getInt(2)}]")
     var cents = train
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("h")).limit(k)
@@ -112,7 +149,7 @@ object Similarity {
       // should be one task, not shuffle-partition many.
       cents = assigned
         .groupBy(col("cell_id"))
-        .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+        .agg(array((0 until d).map(i => avg(col("v").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
@@ -138,9 +175,10 @@ object Similarity {
     * the brute-force baseline is asserted in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
+      seed: Long = 42L, normCorpus: Option[DataFrame] = None,
+      dim: Int = 0): DataFrame = {
     val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
-    val cents = kmeansCentroids(norm, nCells, iters, seed)
+    val cents = kmeansCentroids(norm, nCells, iters, seed, dim = dim)
     val assigned = assignCells(norm, cents)
       .select(col("cell_id"), col("vec_id").as("neighbor_id"),
         col("v").as("vc"), col("nrm").as("nc"))
@@ -173,7 +211,7 @@ object Similarity {
     * in `v`; returns (sub, code, cv, cnorm2). */
   def pqCodebooks(unitVecs: DataFrame, m: Int = 8, ks: Int = 16,
       iters: Int = 2, seed: Long = 42L, trainMod: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 0): DataFrame = {
     // Codebooks only need a REPRESENTATIVE sample — the same
     // deterministic 1/trainMod hash-sample kmeansCentroids uses (the
     // full corpus is still pqAssign'ed exactly once by the caller). At
@@ -187,9 +225,24 @@ object Similarity {
     val sampled = unitVecs
       .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
       .localCheckpoint()
-    val train =
-      if (sampled.count() < ks) unitVecs.localCheckpoint() else sampled
-    val subvecs = pqSubvectors(train, m, dim).localCheckpoint()
+    // same fused guard job as kmeansCentroids: seed count + dim + ragged
+    val sStats = sampled
+      .agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
+    val (train, tStats) =
+      if (sStats.getLong(0) < ks) {
+        val full = unitVecs.localCheckpoint()
+        (full,
+          full.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
+            .head())
+      } else (sampled, sStats)
+    require(tStats.getLong(0) > 0, "pq codebooks need a non-empty corpus")
+    val d = if (dim > 0) dim else tStats.getInt(1)
+    require(tStats.getInt(1) == d && tStats.getInt(2) == d,
+      s"embedding dim mismatch: expected $d, found sizes " +
+        s"[${tStats.getInt(1)}, ${tStats.getInt(2)}]")
+    require(d % m == 0,
+      s"PQ needs m to divide the embedding dim: dim=$d, m=$m")
+    val subvecs = pqSubvectors(train, m, d).localCheckpoint()
     // deterministic seeds: per subspace, the ks smallest hashes
     var cents = subvecs
       .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
@@ -206,7 +259,7 @@ object Similarity {
       // centroid frame checkpoints as a single task.
       cents = pqAssign(subvecs, cents)
         .groupBy(col("sub"), col("code"))
-        .agg(array((0 until dim / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
+        .agg(array((0 until d / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
@@ -214,7 +267,7 @@ object Similarity {
   }
 
   /** (vec_id, sub, sv): the m dim/m-sized slices of `v`. */
-  private def pqSubvectors(vecs: DataFrame, m: Int, dim: Int = 64): DataFrame = {
+  private def pqSubvectors(vecs: DataFrame, m: Int, dim: Int): DataFrame = {
     val sub = dim / m
     vecs.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
@@ -246,16 +299,18 @@ object Similarity {
     * the brute-force baseline is asserted in SimilaritySpec. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, iters: Int = 2, shortlistFactor: Int = 5,
-      seed: Long = 42L, normCorpus: Option[DataFrame] = None): DataFrame = {
+      seed: Long = 42L, normCorpus: Option[DataFrame] = None,
+      dim: Int = 0): DataFrame = {
     val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
     val unit = norm
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
-    val cents = pqCodebooks(unit, m, ks, iters, seed)
-    val codes = pqAssign(pqSubvectors(unit, m), cents)
+    val d = resolveDim(unit, dim)
+    val cents = pqCodebooks(unit, m, ks, iters, seed, dim = d)
+    val codes = pqAssign(pqSubvectors(unit, m, d), cents)
       .select(col("vec_id"), col("sub"), col("code"))
     val qunit = Dedup.normalized(queries)
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
-    val lut = pqSubvectors(qunit, m)
+    val lut = pqSubvectors(qunit, m, d)
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
@@ -313,9 +368,15 @@ object Similarity {
           (sum(coalesce(col("hit"), lit(0L))).cast("double")
             / count(lit(1))).as("recall"))
         .select(lit(name).as("method"), col("n_queries"), col("recall"))
-    val out = row("ivf", ivfTopK(corpus, queries, k, normCorpus = Some(norm)))
-      .unionAll(row("lsh", lshTopK(corpus, queries, k, normCorpus = Some(norm))))
-      .unionAll(row("pq", pqTopK(corpus, queries, k, normCorpus = Some(norm))))
+    // resolve the dim once for all three approximate paths (each would
+    // otherwise run its own one-row probe against the shared corpus)
+    val d = resolveDim(norm, 0)
+    val out = row("ivf",
+        ivfTopK(corpus, queries, k, normCorpus = Some(norm), dim = d))
+      .unionAll(row("lsh",
+        lshTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
+      .unionAll(row("pq",
+        pqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
       .localCheckpoint()
     exact.unpersist()
     norm.unpersist()
@@ -344,10 +405,14 @@ object Similarity {
     * shuffled with the buckets (the r5 minhashPairs lesson). */
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
       nBits: Int = 8, nTables: Int = 24, maxBucketDf: Int = 1000,
-      seed: Long = 42L): DataFrame = {
-    val dim = 64
+      seed: Long = 42L, dim: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val e = Dedup.normalized(embeddings).persist()
+    // dim drives the plane table — a wrong value silently zips every
+    // projection short (dotp truncates), so it's probed from the data
+    // unless given, and every consumed row is guarded
+    val d = resolveDim(e, dim)
     // The planes are DATA (a broadcast (tbl, bit, plane) table), not
     // nTables·nBits inlined dotp expressions: the expression form stops
     // compiling past ~64 planes (janino method-size limit → interpreted
@@ -355,12 +420,11 @@ object Similarity {
     // broadcast join + codegen'd dotp + partial-agg bit-OR computes all
     // buckets in a single corpus pass, and nTables scales as rows.
     val planesDf = (0 until nTables).flatMap { t =>
-      planes(nBits, dim, seed + 101 * t).zipWithIndex.map {
+      planes(nBits, d, seed + 101 * t).zipWithIndex.map {
         case (p, b) => (t.toLong, b, p.toSeq)
       }
     }.toDF("tbl", "bit", "plane")
-    val e = Dedup.normalized(embeddings).persist()
-    val bucketed = e.select(col("vec_id"), col("v"))
+    val bucketed = e.select(col("vec_id"), vGuard(d).as("v"))
       .crossJoin(broadcast(planesDf))
       .select(col("vec_id"), col("tbl"),
         when(graft.functions.dotp(col("v"), col("plane")) > 0,
@@ -411,10 +475,12 @@ object Similarity {
     * thin out candidates faster than two extra tables replace them. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 4, seed: Long = 42L,
-      normCorpus: Option[DataFrame] = None): DataFrame = {
-    val dim = 64
-    val allPlanes = (0 until nTables).map(t => planes(nBits, dim, seed + 101 * t))
-    val c = normCorpus.getOrElse(Dedup.normalized(corpus))
+      normCorpus: Option[DataFrame] = None, dim: Int = 0): DataFrame = {
+    val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
+    val d = resolveDim(norm, dim)
+    val allPlanes = (0 until nTables).map(t => planes(nBits, d, seed + 101 * t))
+    val c = norm
+      .withColumn("v", vGuard(d))
       .withColumn("tb", explode(array(allPlanes.zipWithIndex.map {
         case (ps, t) => struct(lit(t).as("tbl"), bucketExpr(ps).as("bucket"))
       }: _*)))
@@ -427,6 +493,7 @@ object Similarity {
     // 64 KB method limit at 8 tables (interpreted fallback + a failed
     // compile per run — pure overhead on a 5-row side).
     val q = Dedup.normalized(queries)
+      .withColumn("v", vGuard(d))
       .withColumn("tb", explode(array(allPlanes.zipWithIndex.map {
         case (ps, t) => struct(lit(t).as("tbl"), bucketExpr(ps).as("base"))
       }: _*)))

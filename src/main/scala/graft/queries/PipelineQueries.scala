@@ -598,22 +598,42 @@ object PipelineQueries {
         least(64, n_tokens - win_idx * 48) AS tok_len
       FROM e ORDER BY doc_id, win_idx"""))
 
-  // P20: quota (stratified) sampling — exactly 50 docs per source by
-  // Knuth-hash rank; pure arithmetic + a per-group window, oracled
-  // bit-for-bit.
+  // P20: quota (stratified) sampling — exactly 10 docs per source by
+  // Knuth-hash rank (10 < the ~25 docs/source at verify SF, so the
+  // candidate-bucket pruning and the null-rank branch are BOTH
+  // exercised). The Spark side ranks ONLY candidate key-buckets
+  // (histogram decomposition, Packing.quotaSample); the oracle computes
+  // the GLOBAL per-group rank the old-fashioned way and nulls it where
+  // the bucket cumulative says "past the quota" — so a bucketing bug
+  // (wrong cum offset, wrong bucket boundary) hash-mismatches against
+  // an independent global ranking, not against a mirror of itself.
   private val quotaSampleQ = Q(
     "quota_sample",
     (s, d) =>
-      Packing.quotaSample(Tables.load(s, d, "documents"), nPerGroup = 50)
+      Packing.quotaSample(Tables.load(s, d, "documents"), nPerGroup = 10)
         .select(col("doc_id"), col("source"), col("q_rank"), col("kept"))
         .orderBy(col("doc_id")),
-    Some("""WITH r AS (
+    Some("""WITH k AS (
         SELECT doc_id, source,
-          CAST(row_number() OVER (PARTITION BY source
-            ORDER BY (CAST(doc_id AS BIGINT) * 2971215073) % 4294967296,
-              doc_id) AS BIGINT) AS q_rank
-        FROM documents)
-      SELECT doc_id, source, q_rank, q_rank <= 50 AS kept
+          (CAST(doc_id AS BIGINT) * 2971215073) % 4294967296 AS q_key
+        FROM documents),
+      b AS (SELECT doc_id, source, q_key, q_key // 4194304 AS q_bucket
+        FROM k),
+      h AS (SELECT source, q_bucket, count(*) AS bcount
+        FROM b GROUP BY 1, 2),
+      c AS (SELECT source, q_bucket,
+        coalesce(sum(bcount) OVER (PARTITION BY source ORDER BY q_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum_before
+        FROM h),
+      r AS (SELECT b.doc_id, b.source, c.cum_before,
+        CAST(row_number() OVER (PARTITION BY b.source
+          ORDER BY b.q_key, b.doc_id) AS BIGINT) AS grank
+        FROM b JOIN c USING (source, q_bucket))
+      SELECT doc_id, source,
+        CASE WHEN cum_before < 10 THEN grank END AS q_rank,
+        coalesce(CASE WHEN cum_before < 10 THEN grank END <= 10, false)
+          AS kept
       FROM r ORDER BY doc_id"""))
 
   // P17: token-budget selection — the oracle is the global greedy prefix
@@ -726,19 +746,74 @@ object PipelineQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""))
 
-  // P11: multimodal binary plumbing with stubbed decode → rows-only.
+  // P11: multimodal metadata — FULLY oracled (r6). The Spark side
+  // synthesizes REAL PPM/WAV/Y4M bytes from a mod-2^32 text seed and
+  // parses them back with the real decoders; DuckDB recomputes the
+  // expected dims/rates/frame counts from documents.text with pure
+  // arithmetic (same rolling hash as text_fingerprint), so a header
+  // mis-write OR a parser bug breaks the hash match — the roundtrip is
+  // what's being proven.
   private val multimodalMeta = Q(
     "multimodal_meta",
     (s, d) =>
       Multimodal.features(Tables.load(s, d, "documents"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id")),
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents),
+      m AS (
+        SELECT doc_id, doc_id % 3 AS kind,
+          4 + seed % 29 AS pw, 4 + (seed // 65536) % 29 AS ph,
+          64 + seed % 4096 AS wn, 1 + (seed // 256) % 120 AS vf
+        FROM s)
+      SELECT doc_id,
+        CASE kind WHEN 0 THEN 'image/x-portable-pixmap'
+                  WHEN 1 THEN 'audio/wav'
+                  ELSE 'video/x-yuv4mpeg' END AS mime,
+        CAST(CASE kind
+          WHEN 0 THEN 9 + length(CAST(pw AS VARCHAR))
+                    + length(CAST(ph AS VARCHAR)) + pw * ph * 3
+          WHEN 1 THEN 44 + 2 * wn
+          ELSE 30 + vf * 102 END AS BIGINT) AS byte_len,
+        CAST(CASE kind WHEN 0 THEN pw WHEN 2 THEN 8 ELSE 0 END
+          AS INTEGER) AS width,
+        CAST(CASE kind WHEN 0 THEN ph WHEN 2 THEN 8 ELSE 0 END
+          AS INTEGER) AS height,
+        CAST(CASE kind WHEN 0 THEN 1 WHEN 2 THEN vf ELSE 0 END
+          AS INTEGER) AS n_frames,
+        CAST(CASE kind WHEN 1 THEN 8000 ELSE 0 END AS INTEGER)
+          AS sample_rate,
+        CAST(CASE kind WHEN 1 THEN wn ELSE 0 END AS BIGINT) AS n_samples
+      FROM m ORDER BY doc_id"""))
 
-  // P11b: video frame sampling (stubbed frame decode) → rows-only.
+  // P11b: video frame sampling — FULLY oracled (r6): the sampled frame
+  // indices and the 4:2:0 payload size are arithmetic on the same seed
+  // (the frame BYTES are real plane slices; their content is checked by
+  // MultimodalSpec, their length here).
   private val multimodalFrames = Q(
     "multimodal_frames",
     (s, d) =>
       Multimodal.sampleFrames(Tables.load(s, d, "documents"), stride = 10)
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents),
+      v AS (SELECT doc_id, 1 + (seed // 256) % 120 AS vf FROM s
+        WHERE doc_id % 3 = 2)
+      SELECT doc_id,
+        CAST(unnest(range(0, vf, 10)) AS INTEGER) AS frame_idx,
+        CAST(96 AS BIGINT) AS frame_len
+      FROM v ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,

@@ -113,6 +113,27 @@ class PlanSpec extends AnyFunSuite {
       Seq("doc_id", "n_shingles", "n_dup", "dup_frac", "flagged"))
   }
 
+  test("quota sampling never windows the corpus by the group key alone (P20)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val q = graft.pipeline.Packing.quotaSample(docs, nPerGroup = 50)
+    val p = q.queryExecution.executedPlan.toString
+    // the exact-rank window must be co-partitioned by the key bucket —
+    // a window partitioned by `source` alone sorts a corpus-sized
+    // partition per group in one task at 100 TB, the exact shape this
+    // operator's histogram decomposition exists to avoid
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(source#\\d+, q_bucket".r
+      .findFirstIn(p).isDefined,
+      "rank window not bucket-co-partitioned:\n" + p)
+    assert("hashpartitioning\\(source#\\d+, 32\\)".r.findFirstIn(p).isEmpty,
+      "found a window partitioned by the group key alone:\n" + p)
+    // the histogram side must partial-aggregate map-side and broadcast
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "bucket histogram not partial-aggregated:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "histogram not broadcast back onto the corpus:\n" + p)
+  }
+
   test("budget selection's boundary window is bucket-partitioned (P17)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     // Reconstruct the boundary-branch shape (the operator checkpoints

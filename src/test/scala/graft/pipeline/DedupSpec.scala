@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite {
     assert(hamNear < hamFar, s"near=$hamNear should be < far=$hamFar")
   }
 
+  test("simhashed packPer variants agree; packPer=4 fails loudly on long docs") {
+    val long = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val df = Seq((0L, long), (1L, long.replace("tok25", "x"))).toDF("doc_id", "text")
+    // all pack widths produce byte-identical fingerprints on safe input
+    val s2 = Dedup.simhashed(df, packPer = 2).as[(Long, Long)].collect().toMap
+    val s1 = Dedup.simhashed(df, packPer = 1).as[(Long, Long)].collect().toMap
+    val s4 = Dedup.simhashed(df, packPer = 4).as[(Long, Long)].collect().toMap
+    assert(s1 == s2 && s2 == s4)
+    // a ≥2^15-shingle doc must raise, not silently overflow the 16-bit
+    // vote fields (book-length corpora exist; wrong fingerprints don't
+    // announce themselves)
+    val book = (0 until 33000).map(i => s"w$i").mkString(" ")
+    val bdf = Seq((0L, book)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simhashed(bdf, packPer = 4).collect()
+    }
+    assert(e.getMessage.contains("packPer=4") ||
+      Option(e.getCause).exists(_.getMessage.contains("packPer=4")))
+    // the scale-safe default still fingerprints the same doc fine
+    assert(Dedup.simhashed(bdf, packPer = 2).count() == 1)
+  }
+
   test("ngram jaccard matches hand-computed value") {
     val a = "a b c d"
     val b = "a b c e"

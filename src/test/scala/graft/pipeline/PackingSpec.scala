@@ -122,12 +122,33 @@ class PackingSpec extends AnyFunSuite {
     perGroup.foreach { case (src, kept, n) =>
       assert(kept == math.min(10L, n), s"group $src kept $kept of $n")
     }
-    // ranks are a 1..n permutation inside each group
-    val badRank = q.groupBy("source")
-      .agg(count(lit(1)).as("n"), max(col("q_rank")).as("mx"),
-        count_distinct(col("q_rank")).as("dr"))
-      .filter(col("mx") =!= col("n") || col("dr") =!= col("n")).count()
-    assert(badRank == 0, "q_rank is not a dense per-group permutation")
+    // candidate ranks form a dense 1..m prefix per group covering the
+    // quota (m ≥ min(10, n)); everything past the candidate buckets is
+    // (null rank, kept = false)
+    val badRank = q.filter(col("q_rank").isNotNull).groupBy("source")
+      .agg(count(lit(1)).as("m"), min(col("q_rank")).as("mn"),
+        max(col("q_rank")).as("mx"), count_distinct(col("q_rank")).as("dr"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("m") ||
+        col("dr") =!= col("m")).count()
+    assert(badRank == 0, "candidate q_rank is not a dense 1..m prefix")
+    val shortGroup = q.filter(col("q_rank").isNotNull).groupBy("source")
+      .agg(count(lit(1)).as("m")).join(q.groupBy("source")
+        .agg(count(lit(1)).as("n")), Seq("source"))
+      .filter(col("m") < least(lit(10L), col("n"))).count()
+    assert(shortGroup == 0, "candidate prefix shorter than the quota")
+    assert(q.filter(col("q_rank").isNull && col("kept")).count() == 0)
+    // the exact global rank of every candidate row must match a plain
+    // full-corpus ranking — the histogram offsets reproduce it exactly
+    val keyCol = pmod(col("doc_id") * lit(2971215073L), lit(4294967296L))
+    val globalRank = docs.withColumn("g_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(keyCol, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("g_rank"))
+    val mismatch = q.filter(col("q_rank").isNotNull)
+      .join(globalRank, Seq("doc_id"))
+      .filter(col("q_rank") =!= col("g_rank")).count()
+    assert(mismatch == 0, "bucketed rank diverges from the global rank")
     // deterministic across runs
     val again = Packing.quotaSample(docs, nPerGroup = 10)
     assert(q.select("doc_id", "q_rank").except(

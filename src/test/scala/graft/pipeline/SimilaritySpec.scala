@@ -131,6 +131,57 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH pairs ${lsh.length} != exact pairs ${exact.length} at near-dup threshold")
   }
 
+  test("non-64-dim corpora run every LSH/IVF/PQ path; ragged input fails loudly") {
+    // 16-dim deterministic corpus — every path must project with
+    // 16-component planes/centroids, not silently zip short at a
+    // hard-coded 64 (dotp truncates to the shorter operand)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val c16 = vecs.toDF("vec_id", "embedding")
+    val q16 = c16.filter(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(c16, q16, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    assert(exact.nonEmpty)
+    for (res <- Seq(
+        Similarity.lshTopK(c16, q16, k = 5, nTables = 8),
+        Similarity.ivfTopK(c16, q16, k = 5, nCells = 4, nProbe = 4),
+        Similarity.pqTopK(c16, q16, k = 5, m = 4, ks = 8))) {
+      val rows = res.select("query_id", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.nonEmpty, "approximate path returned nothing at dim 16")
+      // exact rescoring: any hit inside the exact top-5 agrees on score
+      rows.foreach { case (q, n, c) =>
+        exact.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+      }
+    }
+    // cosinePairsLsh recovers a planted 16-dim exact dup
+    val dup = c16.unionAll(Seq((100L, vecs.head._2)).toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosinePairsLsh(dup, threshold = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100L),
+      "planted 16-dim dup not recovered")
+    // a ragged row must raise, not silently truncate every projection
+    val ragged = (vecs :+ (100L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.lshTopK(ragged, q16, k = 5).collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("dim mismatch"))
+    // default nCells=16 > the 1/4 sample of 41 vectors, so kmeans trains
+    // on the full corpus and its fused stats job sees the ragged row
+    val e2 = intercept[Exception] {
+      Similarity.ivfTopK(ragged, q16, k = 5)
+    }
+    assert(e2.getMessage.contains("dim mismatch"))
+    // m must divide the (probed) dim
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(c16, q16, k = 5, m = 5)
+    }
+    assert(e3.getMessage.contains("divide"))
+  }
+
   test("cosinePairsLsh: subset-with-equal-scores of the all-pairs baseline on real data") {
     val lsh = Similarity.cosinePairsLsh(emb, threshold = 0.44)
       .as[(Long, Long, Double)].collect().toSet
