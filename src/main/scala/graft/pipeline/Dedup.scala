@@ -328,7 +328,9 @@ object Dedup {
     // filter can run; the groupBy form partial-aggregates the hot
     // bucket map-side and never colocates its rows. At 100 TB the hot
     // bucket IS the threat model, so scale shape wins over the saved
-    // job.
+    // job — and the saved job turns out to be free: QTime steady-state
+    // at sf0.1 after the revert is 2.20–2.27 s (reps 2–3), at or below
+    // the 2.73 s r5 bench record of the window form.
     val bucketSizes = chunked.groupBy("ck")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucketDf))

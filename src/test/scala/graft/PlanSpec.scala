@@ -113,6 +113,45 @@ class PlanSpec extends AnyFunSuite {
       Seq("doc_id", "n_shingles", "n_dup", "dup_frac", "flagged"))
   }
 
+  test("AQE splits a planted skewed join partition (SURVEY §5 skew defense)") {
+    // q40 proves saltedJoin CORRECTNESS; this proves the claimed default
+    // defense actually fires: a 100:1-skewed fact key under a forced
+    // sort-merge join must come out of adaptive planning with the hot
+    // partition split (skew=true), not one straggler task.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // test-scale thresholds: the hot partition is ~MBs, not the
+      // production 256 MB default
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      import spark.implicits._
+      val fact = spark.range(0, 200000L).select(
+        when(col("id") < 150000L, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 1000L).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = fact.join(dim, Seq("k"))
+      // AQE finalizes THIS plan only when THIS dataset executes (count()
+      // or foreach would plan and adapt a derived query instead). Only
+      // the hot key matches the dim side: 150k narrow rows.
+      assert(joined.collect().length == 150000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "adaptive plan did not mark the skewed join:\n" + p)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("quota sampling never windows the corpus by the group key alone (P20)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val q = graft.pipeline.Packing.quotaSample(docs, nPerGroup = 50)
