@@ -339,6 +339,109 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Classic IVF-PQ — coarse inverted file + RESIDUAL product codes
+    * (the IVFADC composition): one Lloyd's trains the coarse quantizer
+    * over unit vectors; PQ codebooks train on coarse residuals
+    * `u − c(u)`, so the m codes spend their precision on the
+    * within-cell detail the coarse centroid already removed — finer
+    * than flat PQ at the same m·ks budget, and the standard layout for
+    * billion-vector corpora (per vector: one cell id + m codes; raw
+    * vectors never shuffle into scoring).
+    *
+    * Scoring uses that dot products decompose over the residual:
+    * q·û ≈ q·c(cell) + Σ_sub LUT[sub, code] — the residual LUT is
+    * CELL-INDEPENDENT for dot-product scoring, so one m×ks table per
+    * query covers every probed cell (no per-(query,cell) table
+    * rebuild). Queries probe `nProbe` nearest cells; ADC runs as a
+    * broadcast join over codes restricted to probed cells (~nProbe/
+    * nCells of the corpus); the top shortlistFactor·k shortlist is
+    * rescored exactly, output-proportional. Approximate by
+    * construction → rows-only driver check + audited by ann_recall.
+    *
+    * Residuals are derived lazily (narrow zip_with after a broadcast
+    * join); the index build recomputes them once for codebook sampling
+    * and once in the scoring DAG rather than checkpointing a
+    * corpus-scale residual table — at 100 TB the rebuild is a narrow
+    * scan, the checkpoint would be a full materialization.
+    *
+    * Defaults (nProbe=6, shortlistFactor=8) from the r6 RecallProbe
+    * sweep: recall 0.76/0.64/0.48 at sf0.001/0.01/0.1 — at or above
+    * flat [[pqTopK]] (0.70/0.56/0.46) at every SF, where the initial
+    * (4, 5) config ceilinged at IVF's 4-probe recall and dropped to
+    * 0.28 at sf0.1. ivfpq recall is bounded above by the IVF probe
+    * recall at the same nProbe — raise nProbe, not m, when the gap to
+    * [[ivfTopK]] is the complaint. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, shortlistFactor: Int = 8, seed: Long = 42L,
+      normCorpus: Option[DataFrame] = None, dim: Int = 0): DataFrame = {
+    val norm = normCorpus.getOrElse(Dedup.normalized(corpus))
+    val unit = norm
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
+      .withColumn("nrm", lit(1.0))
+    val d = resolveDim(unit, dim)
+    require(d % m == 0, s"PQ needs m to divide the embedding dim: dim=$d, m=$m")
+    val cents = kmeansCentroids(unit, nCells, iters, seed, dim = d)
+    val resid = assignCells(unit, cents)
+      .join(broadcast(cents.select(col("cell_id"), col("cv"))), Seq("cell_id"))
+      .select(col("vec_id"), col("cell_id"),
+        expr("zip_with(v, cv, (x, c) -> x - c)").as("v"))
+    val cbs = pqCodebooks(resid.select(col("vec_id"), col("v")), m, ks,
+      iters, seed, dim = d)
+    // encode: nearest residual code per (vec, subspace), cell_id rides
+    // along so ADC can restrict to probed cells without a second join
+    val sub = d / m
+    val subv = resid.select(col("vec_id"), col("cell_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
+      .as(Seq("sub", "sv")))
+    val codes = subv.join(broadcast(cbs), Seq("sub"))
+      .select(col("vec_id"), col("cell_id"), col("sub"), col("code"),
+        (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("sv"), col("cv")))
+          .as("dd"))
+      .groupBy(col("vec_id"), col("cell_id"), col("sub"))
+      .agg(min_by(col("code"), col("dd")).as("code"))
+    val qn = Dedup.normalized(queries)
+    val qunit = qn
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
+    val qw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell_id"))
+    val probes = qunit.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.dotp(col("v"), col("cv")).as("qc"),
+        (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("v"), col("cv")))
+          .as("d"))
+      .withColumn("cell_rnk", row_number().over(qw))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell_id"), col("qc"))
+    val lut = pqSubvectors(qunit, m, d)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cbs), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.functions.dotp(col("sv"), col("cv")).as("pdot"))
+    val adcScored = codes.join(broadcast(probes), Seq("cell_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((first(col("qc")) + sum(col("pdot"))).as("adc_score"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val shortlist = adcScored.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= k * shortlistFactor)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val c = norm.select(col("vec_id").as("neighbor_id"),
+      col("v").as("vc"), col("nrm").as("nc"))
+    val q = qn.select(col("vec_id").as("query_id"),
+      col("v").as("vq"), col("nrm").as("nq"))
+    val scored = shortlist.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.dotp(col("vq"), col("vc"))
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Recall audit of every approximate ANN path against the exact
     * brute-force top-k (SURVEY.md §2 P6/P6d `ann_recall`). Emits one row
     * per method: `(method, n_queries, recall)` where `recall` =
@@ -373,6 +476,8 @@ object Similarity {
     val d = resolveDim(norm, 0)
     val out = row("ivf",
         ivfTopK(corpus, queries, k, normCorpus = Some(norm), dim = d))
+      .unionAll(row("ivfpq",
+        ivfpqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
       .unionAll(row("lsh",
         lshTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
       .unionAll(row("pq",

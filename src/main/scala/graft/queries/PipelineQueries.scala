@@ -418,11 +418,23 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  // P6f: classic IVF-PQ (coarse inverted file + residual product codes,
+  // the IVFADC composition) — approximate → rows-only; recall asserted
+  // in SimilaritySpec and oracled via ann_recall like its siblings.
+  private val annIvfPq = Q(
+    "ann_ivfpq",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    })
+
   // P6 recall gate: every approximate ANN path audited against the exact
   // top-10 THROUGH the driver gate, not just sbt. The raw recall ratio is
   // engine-reproducible only by rebuilding the LSH/IVF/PQ structures, so
   // the cross-engine claim is the thresholded boolean: recall ≥ 0.3 with
-  // wide margin (measured 0.40–0.66 across sf0.001/0.01/0.1; seeds fixed,
+  // wide margin (r6 measured 0.40–0.76 across sf0.001/0.01/0.1 and methods; seeds fixed,
   // so the ratio itself is deterministic per dataset). n_queries is
   // genuinely DuckDB-computed from the probe-set definition.
   private val annRecall = Q(
@@ -437,7 +449,7 @@ object PipelineQueries {
     Some("""WITH p AS (SELECT count(DISTINCT vec_id) AS n_queries
         FROM embeddings WHERE vec_id < 5)
       SELECT m.method, p.n_queries, TRUE AS recall_ok
-      FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method), p
+      FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) m(method), p
       ORDER BY method"""))
 
   // P12: concat-and-chunk sequence packing — pure window + integer
@@ -818,7 +830,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
-    annTopk, annLsh, annIvf, annPq, annRecall, packSequences, splitTrain,
+    annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
+    splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
     packWindows,
     textVocab, textEncode, textXent,

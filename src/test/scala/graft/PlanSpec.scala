@@ -152,6 +152,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // the 100 TB mechanism for fact⨝filtered-fact: the selective side's
+    // join keys become a bloom filter evaluated INSIDE the big side's
+    // scan stage, so most of the fact table never reaches the shuffle
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      val ord = Tables.load(spark, TestSpark.sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected on the fact side:\n" + p)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("quota sampling never windows the corpus by the group key alone (P20)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val q = graft.pipeline.Packing.quotaSample(docs, nPerGroup = 50)

@@ -94,6 +94,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"PQ recall too low: $hit of ${exact10.length}")
   }
 
+  test("ivfpq top-k: exact rerank scores and at least flat-PQ-grade recall") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact10 = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactMap = exact10.map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivfpq = Similarity.ivfpqTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.length == 30,
+      s"expected 10 results × 3 queries, got ${ivfpq.length}")
+    // the final stage is an exact rescore: overlapping pairs must agree
+    ivfpq.foreach { case (q, n, c) =>
+      exactMap.get((q, n)).foreach(ec => assert(math.abs(ec - c) < 1e-9))
+    }
+    // residual codes spend precision inside the probed cells — the
+    // composed path must hold the same recall grade as flat PQ
+    val hit = exact10.count { case (q, n, _) =>
+      ivfpq.exists(r => r._1 == q && r._2 == n) }
+    assert(hit >= exact10.length / 2,
+      s"IVF-PQ recall too low: $hit of ${exact10.length}")
+  }
+
   test("identical vector is its own nearest neighbor when duplicated") {
     val e = Seq(
       (0L, Array.fill(64)(0.5f)),
@@ -147,7 +170,9 @@ class SimilaritySpec extends AnyFunSuite {
     for (res <- Seq(
         Similarity.lshTopK(c16, q16, k = 5, nTables = 8),
         Similarity.ivfTopK(c16, q16, k = 5, nCells = 4, nProbe = 4),
-        Similarity.pqTopK(c16, q16, k = 5, m = 4, ks = 8))) {
+        Similarity.pqTopK(c16, q16, k = 5, m = 4, ks = 8),
+        Similarity.ivfpqTopK(c16, q16, k = 5, nCells = 4, nProbe = 4,
+          m = 4, ks = 8))) {
       val rows = res.select("query_id", "neighbor_id", "cos_sim")
         .as[(Long, Long, Double)].collect()
       assert(rows.nonEmpty, "approximate path returned nothing at dim 16")
