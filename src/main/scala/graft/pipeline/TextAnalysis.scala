@@ -209,6 +209,48 @@ object TextAnalysis {
             coalesce(col("token_id"), lit(-1L)).as("tid")))),
           p => p.getField("tid").cast("string"))).as("ids"))
 
+  /** Per-document TF-IDF keyword extraction over a [[vocabulary]]
+    * (SURVEY.md §2 P18c): tf = in-doc count, idf = ln((N+1)/(df+1))+1
+    * (the smoothed form), top `k` tokens per doc by (tfidf DESC,
+    * token). Returns (doc_id, token, tf, df, tfidf, tfidf_rank).
+    *
+    * Cross-engine determinism: the idf rounds at 6dp before the
+    * product and tfidf at 3dp before ranking (§6 round-early
+    * discipline — the transcendental ln agrees across libms far inside
+    * 6dp, and tf ≤ doc length keeps the product's error under the 3dp
+    * half-grain), so rank order is computed over identical values in
+    * any engine; ties break by token.
+    *
+    * Scale: the corpus explodes once, pre-filtered by the BROADCAST
+    * vocab (out-of-vocab tokens never shuffle); tf is one partial-
+    * agg'd shuffle on (doc_id, token); df derives from the tf table
+    * (≤V rows out) and broadcasts back; N rides as a broadcast 1-row
+    * frame, never a driver-side action. The top-k window partitions by
+    * doc_id — per-doc groups are ≤V rows on a high-cardinality key. */
+  def tfidfTopK(docs: DataFrame, vocab: DataFrame, k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(
+        log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0),
+        6))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 3))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("tfidf_rank", row_number().over(w).cast("long"))
+      .filter(col("tfidf_rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("tfidf_rank"))
+  }
+
   // ------------------------------------------- bigram LM perplexity proxy
   /** Corpus-internal bigram cross-entropy per document (the CCNet-style
     * perplexity quality signal computed WITHOUT an external model;

@@ -734,6 +734,38 @@ object PipelineQueries {
   // add-one smoothed ln P(w2|w1); each ln rounded 6dp BEFORE the mean
   // (round-early: libm differences live far below that grain), mean
   // rounded 4dp. Fully oracled.
+  // P18c: TF-IDF keyword extraction over the vocabulary — top-3 tokens
+  // per doc by smoothed tf-idf; idf rounds at 6dp and the product at
+  // 3dp BEFORE ranking on both sides, so the rank ordering is computed
+  // over identical doubles (ties break by token).
+  private val textTfidf = Q(
+    "text_tfidf",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextAnalysis.tfidfTopK(docs, TextAnalysis.vocabulary(docs, 200))
+        .orderBy(col("doc_id"), col("tfidf_rank"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      voc AS (SELECT token FROM (
+        SELECT token, count(*) AS n FROM tnz GROUP BY token
+        ORDER BY n DESC, token LIMIT 200)),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+        FROM tnz JOIN voc USING (token) GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, token, tf, df,
+          round(tf * round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6), 3)
+            AS tfidf
+        FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, token) AS BIGINT) AS tfidf_rank FROM sc)
+      SELECT doc_id, token, tf, df, tfidf, tfidf_rank
+      FROM r WHERE tfidf_rank <= 3 ORDER BY doc_id, tfidf_rank"""))
+
   private val textXent = Q(
     "text_xent",
     (s, d) =>
@@ -834,7 +866,7 @@ object PipelineQueries {
     splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
     packWindows,
-    textVocab, textEncode, textXent,
+    textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, multimodalMeta,
     multimodalFrames)

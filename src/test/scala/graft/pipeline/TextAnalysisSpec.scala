@@ -92,6 +92,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v == Seq((0L, "b", 4L), (1L, "a", 3L), (2L, "c", 1L)))
   }
 
+  test("tfidfTopK: hand-computed scores, rank order, token tiebreak") {
+    val df = Seq((0L, "a a b"), (1L, "b c"), (2L, "c c d")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(df, vocabSize = 10)
+    val got = TextAnalysis.tfidfTopK(df, vocab, k = 3)
+      .orderBy("doc_id", "tfidf_rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    // N=3; df: a 1, b 2, c 2, d 1; idf_rare = ln(4/2)+1, idf_common = ln(4/3)+1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rare = r6(math.log(4.0 / 2.0) + 1.0)
+    val common = r6(math.log(4.0 / 3.0) + 1.0)
+    assert(got.map(g => (g._1, g._2, g._6)).toSeq == Seq(
+      (0L, "a", 1L), (0L, "b", 2L),
+      (1L, "b", 1L), (1L, "c", 2L), // tie at tf=1, df=2 → token order
+      (2L, "c", 1L), (2L, "d", 2L)))
+    val byKey = got.map(g => (g._1, g._2) -> g._5).toMap
+    assert(byKey((0L, "a")) == r3(2 * rare))   // tf=2, rare token
+    assert(byKey((1L, "b")) == r3(1 * common))
+    assert(byKey((2L, "d")) == r3(1 * rare))
+  }
+
   test("encodeTokens: document order preserved, OOV as -1, counts right") {
     val df = Seq(
       (0L, "b b b a a c"),
