@@ -70,6 +70,57 @@ object TextAnalysis {
           + when(meanTokLen.between(3, 10), 0.2).otherwise(0.0), 6))
   }
 
+  /** Per-group robust length-outlier flag (SURVEY.md §2 P8d): flag
+    * documents whose token count sits further than `z` robust z-units
+    * (0.6745·|n−median|/MAD) from their group's median — the standard
+    * "drop truncated/concatenated junk per source" curation filter,
+    * with median/MAD instead of mean/stddev so the outliers being
+    * hunted can't drag the yardstick. Returns (doc_id, group, n_tokens,
+    * med, mad, flagged). Median and MAD use the LOWER-median rule
+    * (value at rank ceil(total/2)) — pure integer rank arithmetic any
+    * engine reproduces, no two-middle averaging.
+    *
+    * Scale: the group key is low-cardinality (source-like), exactly the
+    * shape where a per-group sort/percentile serializes a corpus-sized
+    * partition into one task. But token counts live in a SMALL DOMAIN,
+    * so both medians come from histograms instead: a (group, n) count
+    * table (≤ groups × |length domain| rows), a cumulative window over
+    * that tiny frame, and a broadcast join back — the quota_sample /
+    * selectByBudget idiom for exact order statistics without a
+    * corpus-sized sort. The corpus itself is touched by two narrow
+    * passes (count tokens; final flag join). */
+  def withLengthOutliers(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", z: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(col("doc_id"), col(groupCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val hist = lens.groupBy(col(groupCol), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("tc"))
+    def lowerMedian(h: DataFrame, valueCol: String): DataFrame = {
+      val wc = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      h.withColumn("cc", sum(col("c")).over(wc))
+        .join(broadcast(tot), Seq(groupCol))
+        .filter(col("cc") >= expr("(tc + 1) div 2")) // ceil(tc/2), integer
+        .groupBy(col(groupCol))
+        .agg(min(col(valueCol)).as(s"med_$valueCol"))
+    }
+    val med = lowerMedian(hist, "n_tokens")
+      .withColumnRenamed("med_n_tokens", "med")
+    val devHist = hist.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol), abs(col("n_tokens") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(devHist, "dev").withColumnRenamed("med_dev", "mad")
+    lens
+      .join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("med"),
+        col("mad"),
+        (col("mad") > 0 &&
+          abs(lit(0.6745) * (col("n_tokens") - col("med")) / col("mad"))
+            > z).as("flagged"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

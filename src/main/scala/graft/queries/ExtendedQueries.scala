@@ -735,6 +735,25 @@ object ExtendedQueries {
     Some("""SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""))
 
+  // JSONL roundtrip (IO7, r6): dump nation to newline-delimited JSON,
+  // re-import through the Importer with an explicit schema, and prove
+  // value fidelity against the original table in DuckDB — the ingest
+  // format every scrape/annotation dump arrives in.
+  private val q50 = Q(
+    "q50_jsonl_roundtrip",
+    (s, d) => {
+      val nation = t(s, d, "nation")
+      val dir = "/root/repo/target/tmp/q50_jsonl_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      nation.write.mode("overwrite").json(dir)
+      graft.sources.Importer
+        .importJsonl(s, dir, "q50_nation_jsonl", schema = Some(nation.schema))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""))
+
   // Window frame specs beyond running totals (W3): sliding ROWS frame,
   // value-based RANGE frame, nth_value.
   private val q18b = Q(
@@ -870,5 +889,5 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q18b)
+    q46, q47, q48, q49, q50, q18b)
 }

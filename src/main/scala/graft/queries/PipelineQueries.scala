@@ -734,6 +734,40 @@ object PipelineQueries {
   // add-one smoothed ln P(w2|w1); each ln rounded 6dp BEFORE the mean
   // (round-early: libm differences live far below that grain), mean
   // rounded 4dp. Fully oracled.
+  // P8d: per-source robust length outliers — lower-median + MAD from a
+  // length histogram (exact order statistics with no per-group sort);
+  // the oracle recomputes both medians with the identical rank rule.
+  private val textOutliers = Q(
+    "text_outliers",
+    (s, d) =>
+      TextAnalysis.withLengthOutliers(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      h AS (SELECT source, n_tokens, count(*) AS c FROM t GROUP BY 1, 2),
+      tot AS (SELECT source, sum(c) AS tc FROM h GROUP BY 1),
+      cum AS (SELECT source, n_tokens,
+        sum(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cc FROM h),
+      med AS (SELECT cum.source, min(n_tokens) AS med
+        FROM cum JOIN tot USING (source)
+        WHERE cc >= (tc + 1) // 2 GROUP BY 1),
+      dh AS (SELECT h.source, abs(h.n_tokens - m.med) AS dev, sum(c) AS c
+        FROM h JOIN med m ON h.source = m.source GROUP BY 1, 2),
+      dcum AS (SELECT source, dev,
+        sum(c) OVER (PARTITION BY source ORDER BY dev) AS cc FROM dh),
+      mad AS (SELECT dcum.source, min(dev) AS mad
+        FROM dcum JOIN tot USING (source)
+        WHERE cc >= (tc + 1) // 2 GROUP BY 1)
+      SELECT t.doc_id, t.source, t.n_tokens, m.med, a.mad,
+        (a.mad > 0 AND
+          abs(0.6745 * (t.n_tokens - m.med) / a.mad) > 3.5) AS flagged
+      FROM t JOIN med m ON t.source = m.source
+      JOIN mad a ON t.source = a.source
+      ORDER BY t.doc_id"""))
+
   // P18c: TF-IDF keyword extraction over the vocabulary — top-3 tokens
   // per doc by smoothed tf-idf; idf rounds at 6dp and the product at
   // 3dp BEFORE ranking on both sides, so the rank ordering is computed
@@ -868,6 +902,6 @@ object PipelineQueries {
     packWindows,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,
-    textPii, textRepetition, textFingerprint, multimodalMeta,
+    textPii, textRepetition, textFingerprint, textOutliers, multimodalMeta,
     multimodalFrames)
 }

@@ -54,6 +54,33 @@ object Importer {
     register(spark, df, tableName, fragmentSize)
   }
 
+  /** JSONL (newline-delimited JSON) import — beyond the reference's
+    * importer surface but table stakes for a training-data pipeline
+    * (web-scrape and annotation dumps ship as JSONL). Splittable
+    * line-per-record reads via Spark's native JSON source; schema
+    * explicit or inferred; malformed lines either fail the read
+    * (permissive=false) or land whole in a `_corrupt_record` column
+    * for quarantine (permissive=true) — dropping them silently is not
+    * an option a curation pipeline can afford. */
+  def importJsonl(spark: SparkSession, path: String, tableName: String,
+      schema: Option[StructType] = None,
+      permissive: Boolean = true,
+      fragmentSize: Option[Long] = None): DataFrame = {
+    val r = spark.read
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val df = schema match {
+      case Some(s) =>
+        val withCorrupt =
+          if (permissive && !s.fieldNames.contains("_corrupt_record"))
+            s.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+          else s
+        r.schema(withCorrupt).json(path)
+      case None => r.json(path)
+    }
+    register(spark, df, tableName, fragmentSize)
+  }
+
   /** import_arrow analogue (hdk.py:2361): a standard Arrow IPC stream
     * (as produced by pyarrow's RecordBatchStreamWriter, DuckDB's
     * `.arrow()`, or [[org.apache.spark.sql.GraftShim.toArrowIpcStream]])

@@ -92,6 +92,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v == Seq((0L, "b", 4L), (1L, "a", 3L), (2L, "c", 1L)))
   }
 
+  test("withLengthOutliers: lower-median/MAD from histograms, MAD=0 safe") {
+    def doc(id: Long, src: String, n: Int) =
+      (id, (1 to n).map(_ => "w").mkString(" "), src)
+    val df = Seq(
+      doc(0, "a", 5), doc(1, "a", 5), doc(2, "a", 6), doc(3, "a", 7),
+      doc(4, "a", 100), // lengths [5,5,6,7,100]: med=6 (rank 3), MAD=1
+      doc(5, "b", 4), doc(6, "b", 4), doc(7, "b", 4) // constant: MAD=0
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.withLengthOutliers(df)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    got.filter(_._2 == "a").foreach { r =>
+      assert(r._4 == 6L && r._5 == 1L, s"median/MAD wrong: $r")
+    }
+    // only the 100-token doc exceeds 3.5 robust z-units (0.6745·94/1)
+    assert(got.filter(_._2 == "a").map(g => g._1 -> g._6).toMap ==
+      Map(0L -> false, 1L -> false, 2L -> false, 3L -> false, 4L -> true))
+    // a constant-length group has MAD 0 and must flag nothing
+    got.filter(_._2 == "b").foreach { r =>
+      assert(r._4 == 4L && r._5 == 0L && !r._6, s"MAD=0 mishandled: $r")
+    }
+  }
+
   test("tfidfTopK: hand-computed scores, rank order, token tiebreak") {
     val df = Seq((0L, "a a b"), (1L, "b c"), (2L, "c c d")).toDF("doc_id", "text")
     val vocab = TextAnalysis.vocabulary(df, vocabSize = 10)
