@@ -121,6 +121,58 @@ object TextAnalysis {
             > z).as("flagged"))
   }
 
+  /** Per-group corpus data card (SURVEY.md §2 P21): the summary table a
+    * curation run publishes per source — doc/token volumes, exact
+    * token-count percentiles, exact-dup counts, language diversity and
+    * a quality mass. One row per group: (group, n_docs, n_tokens,
+    * tok_p10, tok_p50, tok_p90, n_exact_dup, n_langs, quality_sum).
+    *
+    * Determinism & scale, per idiom already proven elsewhere:
+    *  - percentiles are EXACT from the (group, n_tokens) histogram via
+    *    the rank rule `min v with cum ≥ ceil(q·total)` (integer
+    *    arithmetic; the [[withLengthOutliers]] trick) — no per-group
+    *    sort, all three quantiles from ONE cumulative;
+    *  - quality_sum sums per-doc scores as DECIMAL (order-free exact,
+    *    SURVEY §4 rule 6) then rounds once — a double sum would hash-
+    *    differ with partition order;
+    *  - n_exact_dup = Σ(copies−1) over sha256 groups, one partial-agg'd
+    *    shuffle on (group, hash). */
+  def corpusStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = withQuality(docs, textCol)
+    val base = scored.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      count_distinct(col("lang")).as("n_langs"),
+      round(sum(col("quality_score").cast("decimal(28,6)")).cast("double"),
+        6).as("quality_sum"))
+    val hist = scored.groupBy(col(groupCol), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("tc"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("n_tokens"))
+    val pct = hist.withColumn("cc", sum(col("c")).over(wc))
+      .join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol)).agg(
+        min(when(col("cc") >= expr("(tc + 9) div 10"), col("n_tokens")))
+          .as("tok_p10"),
+        min(when(col("cc") >= expr("(tc + 1) div 2"), col("n_tokens")))
+          .as("tok_p50"),
+        min(when(col("cc") >= expr("(9 * tc + 9) div 10"), col("n_tokens")))
+          .as("tok_p90"))
+    val dup = docs
+      .select(col(groupCol), sha2(col(textCol), 256).as("h"))
+      .groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("copies"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("copies") - 1).as("n_exact_dup"))
+    base
+      .join(pct, Seq(groupCol))
+      .join(dup, Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("tok_p10"), col("tok_p50"), col("tok_p90"),
+        col("n_exact_dup"), col("n_langs"), col("quality_sum"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation. */
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

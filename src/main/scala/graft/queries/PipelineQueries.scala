@@ -768,6 +768,56 @@ object PipelineQueries {
       JOIN mad a ON t.source = a.source
       ORDER BY t.doc_id"""))
 
+  // P21: per-source data card — exact histogram percentiles (same rank
+  // rule as text_outliers), decimal-exact quality mass, sha256 dup
+  // counts, all mirrored arithmetically by DuckDB.
+  private val corpusStatsQ = Q(
+    "corpus_stats",
+    (s, d) =>
+      TextAnalysis.corpusStats(Tables.load(s, d, "documents"))
+        .orderBy(col("source")),
+    Some(s"""WITH t AS (
+        SELECT doc_id, source, lang, text,
+          string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+      m AS (SELECT doc_id, source, lang, text,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          len(list_filter(toks, x -> list_contains($stopListSql, x)))
+            AS stops,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) AS mtl
+        FROM t),
+      q AS (SELECT doc_id, source, lang, text, n_tokens,
+          round(least(1.0, CAST(n_tokens AS DOUBLE) / 100) * 0.5
+            + least(1.0, CAST(stops AS DOUBLE) / n_tokens * 5) * 0.3
+            + CASE WHEN mtl BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 6)
+            AS quality_score
+        FROM m),
+      base AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          count(DISTINCT lang) AS n_langs,
+          round(CAST(sum(CAST(quality_score AS DECIMAL(28,6))) AS DOUBLE),
+            6) AS quality_sum
+        FROM q GROUP BY 1),
+      h AS (SELECT source, n_tokens AS v, count(*) AS c FROM q
+        GROUP BY 1, 2),
+      tot AS (SELECT source, sum(c) AS tc FROM h GROUP BY 1),
+      cum AS (SELECT source, v,
+        sum(c) OVER (PARTITION BY source ORDER BY v) AS cc FROM h),
+      pct AS (SELECT cum.source,
+          min(CASE WHEN cc >= (tc + 9) // 10 THEN v END) AS tok_p10,
+          min(CASE WHEN cc >= (tc + 1) // 2 THEN v END) AS tok_p50,
+          min(CASE WHEN cc >= (9 * tc + 9) // 10 THEN v END) AS tok_p90
+        FROM cum JOIN tot USING (source) GROUP BY 1),
+      dup AS (SELECT source, CAST(sum(copies - 1) AS BIGINT) AS n_exact_dup
+        FROM (
+          SELECT source, sha256(text) AS hh, count(*) AS copies
+          FROM documents GROUP BY 1, 2) GROUP BY 1)
+      SELECT b.source, b.n_docs, b.n_tokens, p.tok_p10, p.tok_p50,
+        p.tok_p90, d.n_exact_dup, b.n_langs, b.quality_sum
+      FROM base b JOIN pct p USING (source) JOIN dup d USING (source)
+      ORDER BY source"""))
+
   // P18c: TF-IDF keyword extraction over the vocabulary — top-3 tokens
   // per doc by smoothed tf-idf; idf rounds at 6dp and the product at
   // 3dp BEFORE ranking on both sides, so the rank ordering is computed
@@ -902,6 +952,6 @@ object PipelineQueries {
     packWindows,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,
-    textPii, textRepetition, textFingerprint, textOutliers, multimodalMeta,
-    multimodalFrames)
+    textPii, textRepetition, textFingerprint, textOutliers, corpusStatsQ,
+    multimodalMeta, multimodalFrames)
 }

@@ -115,6 +115,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusStats: exact percentiles by rank rule, dup counts, lang diversity") {
+    def doc(id: Long, n: Int, lang: String, text: String = null) =
+      (id, Option(text).getOrElse((1 to n).map(i => s"t$i").mkString(" ")),
+        lang, "s")
+    // token lengths [2,3,3,4,6,10] (docs 3 and 5 share a 3-token text):
+    // tc=6 → p10 rank (6+9)//10=1 → 2; p50 rank (6+1)//2=3 → 3;
+    // p90 rank (54+9)//10=6 → 10. One planted exact dup pair.
+    val df = Seq(
+      doc(0, 2, "en"), doc(1, 4, "en"), doc(2, 6, "fr"),
+      doc(3, 8, "en", "same text twice"), doc(4, 10, "de"),
+      doc(5, 8, "en", "same text twice")
+    ).toDF("doc_id", "text", "lang", "source")
+    val row = TextAnalysis.corpusStats(df)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .head()
+    assert(row._1 == "s" && row._2 == 6L)
+    assert(row._4 == 2L, s"p10 ${row._4}")
+    assert(row._5 == 3L, s"p50 ${row._5}")
+    assert(row._6 == 10L, s"p90 ${row._6}")
+    assert(row._7 == 1L, s"n_exact_dup ${row._7}")
+    assert(row._8 == 3L, s"n_langs ${row._8}")
+    assert(row._9 > 0.0)
+  }
+
   test("tfidfTopK: hand-computed scores, rank order, token tiebreak") {
     val df = Seq((0L, "a a b"), (1L, "b c"), (2L, "c c d")).toDF("doc_id", "text")
     val vocab = TextAnalysis.vocabulary(df, vocabSize = 10)
