@@ -105,24 +105,28 @@ object Similarity {
     // cuts training cost by trainMod× per round with no driver-side
     // sampling state. localCheckpoint: the sample feeds every round
     // (SURVEY §4 rule 5).
+    // persist (not localCheckpoint): the training cache is CORPUS-scale
+    // (1/trainMod of it) and must be releasable before this returns —
+    // a checkpoint's blocks outlive the operator (r6 leak-spec lesson);
+    // the stats job below materializes the cache eagerly either way.
     val sampled = normVecs
       .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
-      .localCheckpoint()
-    // One job over the (already checkpointed) sample does three things:
-    // the seed-count guard (a 1/trainMod sample of a small corpus can
-    // hold fewer than k vectors, which would silently seed fewer/zero
-    // centroids), dim resolution, and the ragged-input check — the
-    // indexed avg recompute below silently yields null components for
-    // any vector shorter than `dim`, so mismatches must fail loudly.
+      .persist()
+    // One job over the sample does three things: the seed-count guard
+    // (a 1/trainMod sample of a small corpus can hold fewer than k
+    // vectors, which would silently seed fewer/zero centroids), dim
+    // resolution, and the ragged-input check — the indexed avg
+    // recompute below silently yields null components for any vector
+    // shorter than `dim`, so mismatches must fail loudly.
     val sStats = sampled
       .agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
-    val (train, tStats) =
-      if (sStats.getLong(0) < k) {
-        val full = normVecs.localCheckpoint()
-        (full,
-          full.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
-            .head())
-      } else (sampled, sStats)
+    val useFull = sStats.getLong(0) < k
+    val train = if (useFull) normVecs.persist() else sampled
+    val tStats =
+      if (useFull)
+        train.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
+          .head()
+      else sStats
     require(tStats.getLong(0) > 0, "kmeans needs a non-empty corpus")
     val d = if (dim > 0) dim else tStats.getInt(1)
     require(tStats.getInt(1) == d && tStats.getInt(2) == d,
@@ -153,6 +157,12 @@ object Similarity {
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
+    // release the corpus-scale training cache; the final round's
+    // checkpoint materialized through it, so nothing recomputes. The
+    // k-row centroid checkpoint frames stay (plan-truncation
+    // artifacts, bounded by iters·k rows — the CC-loop convention).
+    sampled.unpersist()
+    if (useFull) train.unpersist()
     cents
   }
 
@@ -222,19 +232,21 @@ object Similarity {
     // small SFs, where fewer degenerate duplicate subvectors seed the
     // codebook). Falls back to the full set when the sample can't seed
     // ks codes per subspace.
+    // persist (not localCheckpoint) so the corpus-scale training caches
+    // release before return — the kmeansCentroids lifecycle
     val sampled = unitVecs
       .filter(pmod(xxhash64(col("vec_id"), lit(seed + 17)), lit(trainMod)) === 0)
-      .localCheckpoint()
+      .persist()
     // same fused guard job as kmeansCentroids: seed count + dim + ragged
     val sStats = sampled
       .agg(count(lit(1)), min(size(col("v"))), max(size(col("v")))).head()
-    val (train, tStats) =
-      if (sStats.getLong(0) < ks) {
-        val full = unitVecs.localCheckpoint()
-        (full,
-          full.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
-            .head())
-      } else (sampled, sStats)
+    val useFull = sStats.getLong(0) < ks
+    val train = if (useFull) unitVecs.persist() else sampled
+    val tStats =
+      if (useFull)
+        train.agg(count(lit(1)), min(size(col("v"))), max(size(col("v"))))
+          .head()
+      else sStats
     require(tStats.getLong(0) > 0, "pq codebooks need a non-empty corpus")
     val d = if (dim > 0) dim else tStats.getInt(1)
     require(tStats.getInt(1) == d && tStats.getInt(2) == d,
@@ -242,7 +254,7 @@ object Similarity {
         s"[${tStats.getInt(1)}, ${tStats.getInt(2)}]")
     require(d % m == 0,
       s"PQ needs m to divide the embedding dim: dim=$d, m=$m")
-    val subvecs = pqSubvectors(train, m, d).localCheckpoint()
+    val subvecs = pqSubvectors(train, m, d).persist()
     // deterministic seeds: per subspace, the ks smallest hashes
     var cents = subvecs
       .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
@@ -263,6 +275,11 @@ object Similarity {
         .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
         .coalesce(1).localCheckpoint()
     }
+    // release the corpus-scale training caches (final checkpoint has
+    // materialized through them); m·ks-row codebook frames stay
+    subvecs.unpersist()
+    sampled.unpersist()
+    if (useFull) train.unpersist()
     cents
   }
 
@@ -440,6 +457,46 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (SURVEY.md §2 P5c): cluster
+    * embeddings with the IVF coarse quantizer and compare pairs ONLY
+    * within a cluster — the published recipe for semantic dedup at
+    * corpus scale (cluster first, pairwise inside clusters), and the
+    * k-means sibling of [[cosinePairsLsh]]'s hyperplane bucketing.
+    * Emits (a_id, b_id, cos_sim) for within-cluster pairs with cosine
+    * ≥ threshold; every emitted pair is exactly rescored, so precision
+    * vs the all-pairs baseline is 1 by construction (the driver gate
+    * PROVES it cross-engine via n_extra = 0) and only recall depends on
+    * the clustering. Feed the pairs to [[Dedup.keepAfterNearDedup]]
+    * for the keep decision.
+    *
+    * Cost at 100 TB: one quantizer training pass (sampled), one assign
+    * pass, then a self-join per cell — O(Σ cell²) instead of O(N²),
+    * with nCells scaling the bound. The assigned table is persisted
+    * across the self-join's two sides and released after the (small)
+    * pair set checkpoints, the cosinePairsLsh lifecycle. */
+  def semDedupPairs(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16, iters: Int = 2, seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
+    val norm = Dedup.normalized(embeddings)
+    val cents = kmeansCentroids(norm, nCells, iters, seed, dim = dim)
+    val assigned = assignCells(norm, cents)
+      .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
+      .persist()
+    val a = assigned.select(col("cell_id"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val out = a.join(b, Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.dotp(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** Recall audit of every approximate ANN path against the exact

@@ -418,6 +418,45 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     })
 
+  // P5c: SemDeDup-style semantic near-dup, gated like dedup_cosine_lsh:
+  // precision 1 PROVEN cross-engine (n_extra joins found pairs against
+  // DuckDB's independent exact ≥-threshold set on identical rounded
+  // scores and must be 0); recall is the thresholded boolean. SemProbe
+  // r6 at θ=0.44 (the LSH/cluster-hostile moderate regime), nCells=8:
+  // recall 0.40/0.45/0.34 at sf0.001/0.01/0.1 vs the 0.25 gate; at real
+  // near-dup thresholds identical/near-identical vectors share a cell
+  // by construction (SimilaritySpec planted-pair case shows recovery).
+  private val semDedup = Q(
+    "dedup_semantic",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val sem = Similarity.semDedupPairs(emb, threshold = 0.44, nCells = 8)
+      val exact = Dedup.cosinePairs(emb, threshold = 0.44)
+      exact.withColumn("ex", lit(1L))
+        .join(sem.withColumn("se", lit(1L)),
+          Seq("a_id", "b_id", "cos_sim"), "full_outer")
+        .agg(
+          coalesce(sum(col("ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(when(col("ex").isNotNull && col("se").isNotNull,
+            lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_found"),
+          coalesce(sum(when(col("ex").isNull, lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("n_extra"))
+        .select(col("n_exact"), col("n_extra"),
+          (col("n_found") >= col("n_exact") * 0.25).as("recall_ok"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) AS c
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(0 AS BIGINT) AS n_extra, TRUE AS recall_ok
+      FROM p WHERE c >= 0.44"""))
+
   // P6f: classic IVF-PQ (coarse inverted file + residual product codes,
   // the IVFADC composition) — approximate → rows-only; recall asserted
   // in SimilaritySpec and oracled via ann_recall like its siblings.
@@ -946,6 +985,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
+    semDedup,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,

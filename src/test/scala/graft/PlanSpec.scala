@@ -202,6 +202,25 @@ class PlanSpec extends AnyFunSuite {
       "histogram not broadcast back onto the corpus:\n" + p)
   }
 
+  test("histogram order-statistic windows consume aggregates, not the corpus (P8d/P21)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    for (df <- Seq(
+        graft.pipeline.TextAnalysis.withLengthOutliers(docs),
+        graft.pipeline.TextAnalysis.corpusStats(docs))) {
+      val plan = df.queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, "expected a cumulative window in the plan")
+      // every window's input must be a histogram (an Aggregate below
+      // it), never raw corpus rows — the low-cardinality group key
+      // would otherwise serialize a corpus-sized sort into one task
+      windows.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          "window consumes un-aggregated corpus rows:\n" + w)
+      }
+    }
+  }
+
   test("budget selection's boundary window is bucket-partitioned (P17)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     // Reconstruct the boundary-branch shape (the operator checkpoints

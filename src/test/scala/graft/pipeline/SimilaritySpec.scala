@@ -207,6 +207,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e3.getMessage.contains("divide"))
   }
 
+  test("semDedupPairs: planted near-dups recovered in-cluster, precision 1, keep works") {
+    // same planted corpus as the cosinePairsLsh case: at the near-dup
+    // regime (cos ≈ 0.999) a pair's two members assign to the same
+    // k-means cell (their centroid distances differ by the noise), so
+    // the within-cluster comparison recovers the pairs the clustering
+    // exists to localize
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val dups = (0L until 20L).map { i =>
+      (200L + i, base(i.toInt)._2.map(x => x + rnd.nextFloat() * 0.02f - 0.01f))
+    }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val semDf = Similarity.semDedupPairs(e, threshold = 0.95)
+    val sem = semDf.as[(Long, Long, Double)].collect()
+    // allowed survivors: the checkpointed result + the quantizer's
+    // k-row per-round centroid frames (plan-truncation artifacts, the
+    // CC-loop convention). The CORPUS-scale training cache must be
+    // gone — kmeansCentroids releases it before returning (r6).
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.size <= 4, s"semDedupPairs leaked ${leaked.size} RDDs")
+    val exact = Dedup.cosinePairs(e, threshold = 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(sem.toSet.subsetOf(exact.toSet), "precision must be 1")
+    assert(sem.length >= 18,
+      s"within-cluster recall collapsed: ${sem.length} of ${exact.length}")
+    // composed keep decision drops exactly one member per found pair
+    val kept = Dedup.keepAfterNearDedup(
+      e.select(col("vec_id").as("doc_id")), semDf)
+      .as[Long].collect().toSet
+    assert(kept.size == 220 - sem.length)
+    sem.foreach { case (a, b, _) => assert(kept(a) && !kept(b)) }
+  }
+
   test("cosinePairsLsh: subset-with-equal-scores of the all-pairs baseline on real data") {
     val lsh = Similarity.cosinePairsLsh(emb, threshold = 0.44)
       .as[(Long, Long, Double)].collect().toSet
