@@ -132,6 +132,34 @@ object Packing {
           .as("tok_len"))
   }
 
+  /** Length-bucketed batching (SURVEY.md §2 P12c): group documents into
+    * fixed-size batches of similar token length — the dynamic-batching
+    * prep that minimizes padding waste (a batch's cost is its LONGEST
+    * member; sorting by length first makes batches length-homogeneous).
+    * Returns (doc_id, shard, n_tokens, batch_idx, pad_cost) where
+    * batch_idx numbers batches within a shard and pad_cost is the
+    * padding this doc would incur at its batch's max length.
+    *
+    * Scale: a single global length sort would serialize; like
+    * [[packSequences]], docs shard by `pmod(doc_id, nShards)` and each
+    * shard sorts independently (window per shard, nShards scales with
+    * the cluster). Deterministic: rank by (n_tokens, doc_id) is a
+    * total order any engine reproduces. */
+  def batchByLength(docs: DataFrame, batchSize: Int = 8, nShards: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val wb = Window.partitionBy(col("shard"), col("batch_idx"))
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("batch_idx",
+        expr(s"(row_number() over (partition by shard order by n_tokens, doc_id) - 1) div $batchSize"))
+      .withColumn("pad_cost", max(col("n_tokens")).over(wb) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("batch_idx"), col("pad_cost"))
+  }
+
   /** Deterministic quota (stratified) sampling: keep exactly
     * min(nPerGroup, |group|) docs per group, chosen by Knuth-
     * multiplicative hash rank — the "exactly N docs per language/

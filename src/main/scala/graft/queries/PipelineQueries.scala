@@ -649,6 +649,28 @@ object PipelineQueries {
         least(64, n_tokens - win_idx * 48) AS tok_len
       FROM e ORDER BY doc_id, win_idx"""))
 
+  // P12c: length-bucketed batching — per-shard rank arithmetic, fully
+  // oracled (same total order, same integer division).
+  private val packBatches = Q(
+    "pack_batches",
+    (s, d) =>
+      Packing.batchByLength(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          doc_id % 8 AS shard,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, shard, n_tokens,
+        (row_number() OVER (PARTITION BY shard
+          ORDER BY n_tokens, doc_id) - 1) // 8 AS batch_idx
+        FROM t)
+      SELECT doc_id, shard, n_tokens, batch_idx,
+        max(n_tokens) OVER (PARTITION BY shard, batch_idx) - n_tokens
+          AS pad_cost
+      FROM r ORDER BY doc_id"""))
+
   // P20: quota (stratified) sampling — exactly 10 docs per source by
   // Knuth-hash rank (10 < the ~25 docs/source at verify SF, so the
   // candidate-bucket pruning and the null-rank branch are BOTH
@@ -989,7 +1011,7 @@ object PipelineQueries {
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
-    packWindows,
+    packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,
     textPii, textRepetition, textFingerprint, textOutliers, corpusStatsQ,

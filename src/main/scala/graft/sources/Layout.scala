@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side layout control for data skipping (SURVEY.md §2 IO8) —
+  * the other half of the 100 TB table story next to hive partitioning
+  * (IO6): partitioning prunes directories on ONE low-cardinality key;
+  * Z-ORDER clustering makes parquet min/max statistics selective on
+  * SEVERAL high-cardinality keys at once, so a reader's pushed filters
+  * skip most files/row-groups without any directory structure.
+  *
+  * `zValue` interleaves the low `bits` of two non-negative integer
+  * columns (x₀y₀x₁y₁…) — points close on the Z-curve are close in BOTH
+  * dimensions, so a range-sorted write yields files whose per-file
+  * min/max boxes tile the plane instead of spanning it. Pure
+  * shift/mask arithmetic: codegen-friendly, no UDF.
+  */
+object Layout {
+
+  /** Morton (Z-curve) interleave of the low `bits` bits of `x` and `y`
+    * (both must be non-negative; values ≥ 2^bits fold into the top of
+    * the curve via their low bits — callers bucket first if the domain
+    * exceeds 2^bits). bits ≤ 31 keeps the result in a positive long. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Range-sort by Z-value and write parquet with bounded file size, so
+    * every output file covers a tight box in (xCol, yCol) and its
+    * footer min/max statistics let a selective reader skip it. The
+    * sort is a range-partitioned total sort — at 100 TB it is one
+    * shuffle whose output IS the table layout, amortized over every
+    * future selective scan. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      dir: String, maxRecordsPerFile: Long = 100000L,
+      bits: Int = 16): Unit =
+    df.sort(zValue(col(xCol), col(yCol), bits))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+}

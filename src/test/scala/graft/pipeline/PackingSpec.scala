@@ -111,6 +111,28 @@ class PackingSpec extends AnyFunSuite {
     assert(last0._3 + last0._4 == 100L)
   }
 
+  test("batchByLength: length-homogeneous fixed-size batches, pad cost right") {
+    // one shard so the batching is fully hand-checkable
+    val d = (0L until 10L).map { i =>
+      (i, (1 to (10 + i.toInt * 10)).map(_ => "w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val b = Packing.batchByLength(d, batchSize = 4, nShards = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // lengths 10,20,...,100 ascending with doc_id → batches [0..3],
+    // [4..7], [8..9]; batch maxes 40, 80, 100
+    assert(b.map(_._4).toSeq == Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L, 2L))
+    assert(b.map(_._5).toSeq ==
+      Seq(30L, 20L, 10L, 0L, 30L, 20L, 10L, 0L, 10L, 0L))
+    // every batch except a shard's last is exactly full
+    val sizes = b.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 4, 1L -> 4, 2L -> 2))
+    // sharded runs cover every doc exactly once
+    val sharded = Packing.batchByLength(docs, batchSize = 8, nShards = 4)
+    assert(sharded.count() == docs.count())
+    assert(sharded.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("quotaSample: exact per-group quotas, deterministic, hash-shuffled order") {
     val q = Packing.quotaSample(docs, nPerGroup = 10)
     // every group keeps exactly min(10, |group|)
