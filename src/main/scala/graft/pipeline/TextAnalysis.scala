@@ -406,4 +406,80 @@ object TextAnalysis {
     bigrams.unpersist()
     out
   }
+
+  // ------------------------------------------------------- winnowing
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm; SURVEY.md §2 P10b): over each document's k-token
+    * shingle hashes h₀..h_{nk−1}, every window of `w` consecutive
+    * hashes contributes its minimum (ties → RIGHTMOST, the standard
+    * rule that minimizes selected fingerprints); the distinct selected
+    * (position, hash) pairs are the document's fingerprint set — the
+    * guarantee is that any shared run of w+k−1 tokens between two
+    * documents shares at least one selected fingerprint, which is what
+    * makes this the substring-level dup detector that whole-doc
+    * hashing misses. Returns (doc_id, pos, fp), one row per selected
+    * fingerprint; docs with fewer than k tokens emit nothing.
+    *
+    * The shingle hash is the FULLY SPECIFIED mod-2^32 char polynomial
+    * of [[withFingerprint]] — engine-reproducible, so the DuckDB
+    * oracle recomputes identical fingerprints. The min-with-rightmost-
+    * tie is one integer key `h·2^21 + (2^21−1−pos)` (min key ⇒ min
+    * hash, then max pos); pos < 2^21 is enforced with an in-plan
+    * raise_error, not a silent fold (the ADVICE overflow lesson).
+    *
+    * Scale: selection is entirely per-document HOF arithmetic — ZERO
+    * shuffles, no window functions, narrow codegen'd pass; the only
+    * wide stage is the caller's (e.g. [[winnowPairs]]' fp join). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(w >= 1, "w must be positive")
+    def charPoly(s: String) =
+      s"""aggregate(transform(split($s, ''), ch -> cast(ascii(ch) as bigint)),
+            0L, (h, cd) -> (h * 31 + cd) % 4294967296)"""
+    val toksSql = s"split(trim(lower($textCol)), '\\\\s+')"
+    docs
+      .select(col("doc_id"), expr(toksSql).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), expr(
+        s"""if(size(ts) - $k >= 2097152,
+              raise_error('winnowFingerprints: > 2^21 shingles per doc'),
+              transform(sequence(0, size(ts) - $k), i ->
+                ${charPoly(s"concat_ws(' ', slice(ts, i + 1, $k))")}
+                  * 2097152 + (2097151 - i)))""").as("keys"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, greatest(size(keys) - $w, 0)),
+              q -> array_min(slice(keys, q + 1, $w))))""")).as("key"))
+      .select(col("doc_id"),
+        (lit(2097151L) - col("key") % lit(2097152L)).as("pos"),
+        expr("key div 2097152").as("fp"))
+  }
+
+  /** Substring-overlap pairs via shared winnowing fingerprints — the
+    * cross-document consumer of [[winnowFingerprints]]: document pairs
+    * sharing ≥ `minShared` distinct selected fingerprints, i.e. pairs
+    * with (at least) that many common ≥(w+k−1)-token runs — partial-
+    * plagiarism / boilerplate detection at corpus scale. Returns
+    * (d1, d2, n_shared) with d1 < d2.
+    *
+    * Scale: the fp join is the minhash-band shape — fingerprints with
+    * document frequency > `maxDf` are dropped first (boilerplate
+    * n-grams are the hot keys, exactly like high-df shingles in
+    * [[Dedup.ngramJaccardPairs]]), capping any bucket's pair fan-out
+    * at C(maxDf, 2); candidate rows carry only (doc_id, fp). */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

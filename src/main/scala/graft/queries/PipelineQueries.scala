@@ -407,6 +407,69 @@ object PipelineQueries {
           (m, wh) -> least(m, wh)) AS win_min_hash
       FROM t ORDER BY doc_id"""))
 
+  // P10b: winnowing fingerprint selection — the DuckDB oracle replays
+  // the identical mod-2^32 char polynomial, the identical h·2^21 +
+  // (2^21−1−pos) min-key trick, and the identical window sweep, so a
+  // selection bug (wrong window bounds, wrong tie rule) hash-fails.
+  private val textWinnow = Q(
+    "text_winnow",
+    (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      f AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),
+      kk AS (SELECT doc_id,
+        list_transform(range(0, len(ts) - 3 + 1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(
+                  array_to_string(list_slice(ts, i + 1, i + 3), ' '), '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296)
+          * 2097152 + (2097151 - i)) AS keys
+        FROM f),
+      s AS (SELECT doc_id,
+        list_distinct(list_transform(range(0, greatest(len(keys) - 4, 0) + 1),
+          q -> list_min(list_slice(keys, q + 1, q + 4)))) AS sel
+        FROM kk)
+      SELECT doc_id, 2097151 - (u % 2097152) AS pos, u // 2097152 AS fp
+      FROM s, unnest(s.sel) AS un(u)
+      ORDER BY doc_id, pos"""))
+
+  // P10c: substring-overlap pairs from shared winnowing fingerprints.
+  private val winnowPairsQ = Q(
+    "winnow_pairs",
+    (s, d) =>
+      TextAnalysis.winnowPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("d1"), col("d2")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      f AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),
+      kk AS (SELECT doc_id,
+        list_transform(range(0, len(ts) - 3 + 1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(
+                  array_to_string(list_slice(ts, i + 1, i + 3), ' '), '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296)
+          * 2097152 + (2097151 - i)) AS keys
+        FROM f),
+      s AS (SELECT doc_id,
+        list_distinct(list_transform(range(0, greatest(len(keys) - 4, 0) + 1),
+          q -> list_min(list_slice(keys, q + 1, q + 4)))) AS sel
+        FROM kk),
+      fps AS (SELECT DISTINCT doc_id, u // 2097152 AS fp
+        FROM s, unnest(s.sel) AS un(u)),
+      rare AS (SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND 100),
+      kept AS (SELECT f2.doc_id, f2.fp FROM fps f2 JOIN rare USING (fp))
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY d1, d2"""))
+
   // P6d: product-quantization ANN (ADC + exact rerank) — approximate →
   // rows-only; recall vs the exact baseline asserted in SimilaritySpec.
   private val annPq = Q(
@@ -1014,6 +1077,7 @@ object PipelineQueries {
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,
-    textPii, textRepetition, textFingerprint, textOutliers, corpusStatsQ,
+    textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
+    textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames)
 }

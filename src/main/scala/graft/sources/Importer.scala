@@ -81,6 +81,16 @@ object Importer {
     register(spark, df, tableName, fragmentSize)
   }
 
+  /** ORC import — beyond the reference's importer surface (parquet's
+    * sibling columnar format in the Hadoop world; warehouses hand data
+    * over as ORC as often as parquet). Spark's native vectorized ORC
+    * reader: splittable, columnar, with predicate pushdown + column
+    * pruning into the stripe reader exactly like the parquet path
+    * (ImporterSpec asserts PushedFilters on an ORC scan). */
+  def importOrc(spark: SparkSession, path: String, tableName: String,
+      fragmentSize: Option[Long] = None): DataFrame =
+    register(spark, spark.read.orc(path), tableName, fragmentSize)
+
   /** import_arrow analogue (hdk.py:2361): a standard Arrow IPC stream
     * (as produced by pyarrow's RecordBatchStreamWriter, DuckDB's
     * `.arrow()`, or [[org.apache.spark.sql.GraftShim.toArrowIpcStream]])

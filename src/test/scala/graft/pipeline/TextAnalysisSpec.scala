@@ -199,4 +199,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(leaked.size <= 1,
       s"withBigramXent leaked ${leaked.size} persisted RDDs")
   }
+
+  test("winnowing: matches reference selection incl. rightmost-tie rule") {
+    // scala reference implementation of the paper's algorithm
+    def poly(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 4294967296L)
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq
+      if (ts.size < k) Set.empty
+      else {
+        val hs = (0 to ts.size - k).map(i => poly(ts.slice(i, i + k).mkString(" ")))
+        (0 to math.max(hs.size - w, 0)).map { q =>
+          val win = hs.zipWithIndex.slice(q, q + w)
+          val m = win.map(_._1).min
+          (win.filter(_._1 == m).map(_._2).max.toLong, m) // rightmost min
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      (0L, "a b a b a b c d a b"),       // repeats → hash ties
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x y"),                        // < k tokens → nothing
+      (3L, "p q r"))                      // exactly one shingle
+    val got = TextAnalysis.winnowFingerprints(texts.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    texts.foreach { case (id, txt) =>
+      val r = ref(txt, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == r, s"doc $id")
+    }
+    // coverage guarantee: every w-window of shingle positions holds a
+    // selected position (this is winnowing's whole point)
+    val sel1 = got(1L).map(_._1)
+    val nk = texts(1)._2.split(" ").length - 3 + 1
+    (0 to nk - 4).foreach { q =>
+      assert(sel1.exists(p => p >= q && p < q + 4), s"window $q uncovered")
+    }
+  }
+
+  test("winnowPairs: shared token run found, disjoint docs not paired") {
+    val common = "one two three four five six seven eight"
+    val df = Seq(
+      (0L, s"alpha beta $common gamma delta"),
+      (1L, s"epsilon zeta $common eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi rho")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(df, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 >= 1L)
+  }
 }
