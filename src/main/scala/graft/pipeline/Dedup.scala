@@ -144,6 +144,39 @@ object Dedup {
     * aggregated map-side, and the Aggregate node is an optimizer barrier
     * so the signature is computed exactly once.
     */
+  /** The fixed-seed affine permutation constants shared by every
+    * minhash consumer (batch [[minhashSignatures]] and the streaming
+    * [[minhashSignatureCol]]) — one source of truth so batch and
+    * stream signatures are bit-identical. */
+  private[graft] def affineConstants(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature as a NARROW per-row column — the streaming-safe
+    * form of [[minhashSignatures]] (a streaming pipeline cannot put an
+    * aggregation in front of a stateful operator, and per-row HOF cost
+    * is the right trade for rows that arrive one at a time). One
+    * `aggregate` pass over the shingle-hash array carries all
+    * `numHashes` running minima in its accumulator, so the shingle
+    * expression is referenced ONCE — not once per permutation, which
+    * CollapseProject would re-inline into `numHashes` regex splits per
+    * row (the r3 lesson in minhashSignatures' scaladoc). Identical
+    * values to the batch signatures: same [[shingleHashes]], same
+    * [[affineConstants]], same mod-p arithmetic. */
+  def minhashSignatureCol(text: Column, numHashes: Int = 64): Column = {
+    val p = 2147483647L
+    val ab = affineConstants(numHashes)
+    val aLit = typedLit(ab.map(_._1).toSeq)
+    val bLit = typedLit(ab.map(_._2).toSeq)
+    val init = typedLit(Seq.fill(numHashes)(Long.MaxValue))
+    aggregate(shingleHashes(text), init, (acc, x) =>
+      zip_with(acc, sequence(lit(0), lit(numHashes - 1)), (m, i) =>
+        least(m, (x * element_at(aLit, i + lit(1))
+          + element_at(bLit, i + lit(1))) % lit(p))))
+  }
+
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       shingled: Option[DataFrame] = None): DataFrame = {
     // One string hash per shingle; the `numHashes` permutations are
@@ -152,9 +185,7 @@ object Dedup {
     // per shingle (a_i < 2^31, x < 2^31 → product < 2^62: no ANSI
     // overflow). Standard Broder construction with a fixed seed.
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    val rnd = new scala.util.Random(42)
-    val ab = Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong))
+    val ab = affineConstants(numHashes)
     val sh = shingled.getOrElse(shingleTable(docs))
     sh.groupBy("doc_id").agg(
       array(ab.map { case (a, b) =>

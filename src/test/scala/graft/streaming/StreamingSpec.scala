@@ -208,6 +208,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 5.0)) && got.contains((2L, 1L, 7.0)))
   }
 
+  test("streaming near-dup: batch twin equals minhashPairs pair set") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val expected = graft.pipeline.Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val got = StreamDedup.nearDupHits(docs, threshold = 0.5,
+        maxPerBucket = 10000)
+      .collect().map(h => (h.a_id, h.b_id)).toSet
+    assert(got == expected,
+      s"stream-plan pairs diverge: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("streaming near-dup: detects a pair arriving in different microbatches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    // no idle timeout here: registering a processing-time timeout makes
+    // the engine re-run (empty) micro-batches continuously to check
+    // deadlines, and MemoryStream's processAllAvailable never settles
+    val q = StreamDedup.nearDupHits(streamDf, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and then"
+    try {
+      mem.addData(Seq((1L, a), (5L, "completely different words about spark shuffles here")))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, b)))   // near-dup of doc 1, later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("neardup_out")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 2L)), s"got $hits")
+  }
+
   test("sessionize splits on gap and aggregates state (batch mode)") {
     val evs = Seq(
       EventPipeline.Ev(1L, 0L, 1.0),
