@@ -675,4 +675,38 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Semantic decontamination (SURVEY.md §2 P14b): flag corpus vectors
+    * whose best cosine against a benchmark/eval embedding set reaches
+    * `threshold` — the embedding-space twin of the shingle-overlap
+    * [[graft.pipeline.Packing.decontaminate]], catching paraphrased
+    * eval leakage that token n-grams miss. Returns one row per corpus
+    * vector: (vec_id, best_bench_id, best_cos, contaminated), with
+    * best_bench_id the LOWEST benchmark id among cosine ties (cos is
+    * rounded at 6dp BEFORE the argmax, so tie behavior is engine-
+    * reproducible — the §6 round-early discipline).
+    *
+    * Scale: the benchmark side is small by definition (an eval set) and
+    * broadcasts; the corpus streams ONCE through the broadcast join and
+    * the per-vector argmax partial-aggregates map-side (a single
+    * struct-max), so the only shuffle is |corpus| pre-aggregated rows.
+    * For benchmark sets too big to broadcast, compose [[ivfTopK]]'s
+    * bucketing instead of this exact form. */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.44): DataFrame = {
+    val c = Dedup.normalized(corpus)
+      .select(col("vec_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val b = Dedup.normalized(benchmark)
+      .select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    c.join(broadcast(b))
+      .select(col("vec_id"), col("b_id"),
+        round(graft.functions.dotp(col("vc"), col("vb"))
+          / (col("nc") * col("nb")), 6).as("cos_sim"))
+      // max over struct(cos, −id): best cosine, ties → lowest bench id
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_sim"), (-col("b_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("best_bench_id"),
+        col("m.cos_sim").as("best_cos"),
+        (col("m.cos_sim") >= threshold).as("contaminated"))
+  }
 }

@@ -178,6 +178,33 @@ object PipelineQueries {
       WHERE cos_sim >= 0.44
       ORDER BY a_id, b_id"""))
 
+  // P14b: semantic decontamination — corpus vs benchmark best-cosine
+  // with the 6dp round-early argmax; DuckDB recomputes the argmax
+  // independently (max + tie-min join), so both the scores and the tie
+  // rule are cross-engine proven.
+  private val semDecontamQ = Q(
+    "semantic_decontam",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.semanticDecontam(
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          threshold = 0.44)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      p AS (SELECT c.vec_id, b.vec_id AS b_id,
+          round(list_dot_product(c.v, b.v) /
+            (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+            AS cos_sim
+        FROM e c JOIN e b ON c.vec_id >= 20 AND b.vec_id < 20),
+      m AS (SELECT vec_id, max(cos_sim) AS best_cos FROM p GROUP BY vec_id)
+      SELECT p.vec_id, min(p.b_id) AS best_bench_id, m.best_cos,
+        m.best_cos >= 0.44 AS contaminated
+      FROM p JOIN m ON p.vec_id = m.vec_id AND p.cos_sim = m.best_cos
+      GROUP BY p.vec_id, m.best_cos ORDER BY p.vec_id"""))
+
   // P5b: the LSH scale path for cosine near-dup, gated like ann_recall.
   // Precision is cross-engine PROVEN: n_extra counts LSH pairs absent
   // from the exact ≥-threshold set (joined on the identical rounded
@@ -1070,7 +1097,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
-    semDedup,
+    semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
     textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,

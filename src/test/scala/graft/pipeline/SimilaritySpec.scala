@@ -117,6 +117,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ recall too low: $hit of ${exact10.length}")
   }
 
+  test("semanticDecontam: planted leak flagged, orthogonal not, ties take lowest id") {
+    def v(f: Int => Float) = Array.tabulate(4)(f)
+    val bench = Seq(
+      (0L, v(_ => 0.5f)),                              // all-ones direction
+      (1L, v(i => if (i % 2 == 0) 1.0f else -1.0f)))   // alternating
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, v(_ => 2.0f)),                            // parallel to bench 0
+      (101L, v(i => if (i % 2 == 0) -3.0f else 3.0f)), // anti-parallel to 1
+      (102L, v(i => if (i < 2) 1.0f else -1.0f)))      // ⊥ to both (cos 0)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontam(corpus, bench, threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Long, Double, Boolean)].collect()
+    assert(got(0) == ((100L, 0L, 1.0, true)))
+    // anti-parallel: best cos is 0.0 vs bench 0... both benches give 0
+    // for 102; the tie must resolve to the LOWEST bench id
+    assert(got(2)._2 == 0L && math.abs(got(2)._3) < 1e-9 && !got(2)._4)
+    assert(!got(1)._4, "anti-parallel vector must not be flagged")
+  }
+
   test("identical vector is its own nearest neighbor when duplicated") {
     val e = Seq(
       (0L, Array.fill(64)(0.5f)),
