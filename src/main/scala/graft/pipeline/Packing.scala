@@ -105,6 +105,45 @@ object Packing {
       .withColumn("keep", bucket < rate)
   }
 
+  /** Deterministic epoch upsampling: per-group epoch weights in basis
+    * points (10000 = exactly one pass over the group), e.g. "3.2 epochs
+    * of wiki, 0.5 of web" — the REPEAT side of mixture assembly
+    * ([[sampleMixture]] can only thin a source; epoch weighting over
+    * high-quality sources needs copies). Every doc yields
+    * `epochs div 10000` whole copies plus one more iff its hash bucket
+    * falls under the fractional remainder, so a group's expected volume
+    * is exactly `epochs/10000 × |group|` and the decision is pure
+    * arithmetic any engine reproduces (multiplier ⟂ [[withSplit]]'s ⟂
+    * [[sampleMixture]]'s ⟂ [[quotaSample]]'s). Emits one row per copy
+    * with `copy_idx` ∈ [0, n_copies) so downstream shuffles (e.g. a
+    * corpus shuffle keyed on hash(doc_id, copy_idx)) can separate the
+    * repeats. Narrow per-row explode — zero shuffles; the explode
+    * fan-out IS the requested output volume, there is no intermediate
+    * blow-up.
+    *
+    * id < 2^31 × 3266489917 < 2^63: ANSI-overflow-free. */
+  def upsampleMixture(docs: DataFrame, epochsBp: Seq[(String, Int)],
+      defaultBp: Int = 10000, idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(epochsBp.nonEmpty && (epochsBp.map(_._2) :+ defaultBp).forall(_ >= 0),
+      "epoch weights are basis points >= 0")
+    val bucket =
+      pmod(col(idCol).cast("long") * lit(3266489917L), lit(4294967296L)) % 10000
+    val eps = epochsBp.foldRight(lit(defaultBp): org.apache.spark.sql.Column) {
+      case ((g, e), rest) => when(col(groupCol) === g, lit(e)).otherwise(rest)
+    }
+    docs
+      .withColumn("epoch_bp", eps.cast("long"))
+      .withColumn("up_bucket", bucket)
+      .withColumn("n_copies",
+        expr("epoch_bp div 10000") +
+          when(col("up_bucket") < col("epoch_bp") % 10000, lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
+
   /** Sliding context windows WITH overlap (stride < window): each doc's
     * token sequence yields windows [i·stride, i·stride + window) —
     * the standard long-document prep where consecutive windows share

@@ -718,6 +718,37 @@ object PipelineQueries {
                WHEN source = 'src2' THEN 10000 ELSE 5000 END AS "keep"
       FROM documents ORDER BY doc_id"""))
 
+  // P16b: epoch upsampling — the REPEAT side of mixture assembly.
+  // Rates exercise all three regimes: whole+fractional copies (2.5
+  // epochs of src0), a dropped source (src1 at 0), and a fractional
+  // default (0.75). Pure Knuth arithmetic → full oracle.
+  private val mixUpsample = Q(
+    "mix_upsample",
+    (s, d) =>
+      Packing.upsampleMixture(Tables.load(s, d, "documents"),
+          epochsBp = Seq("src0" -> 25000, "src1" -> 0),
+          defaultBp = 7500)
+        .select(col("doc_id"), col("source"), col("epoch_bp"),
+          col("up_bucket"), col("n_copies"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx")),
+    Some("""WITH b AS (
+        SELECT doc_id, source,
+          (CAST(doc_id AS BIGINT) * 3266489917) % 4294967296 % 10000
+            AS up_bucket,
+          CAST(CASE WHEN source = 'src0' THEN 25000
+               WHEN source = 'src1' THEN 0 ELSE 7500 END AS BIGINT)
+            AS epoch_bp
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, epoch_bp, up_bucket,
+          epoch_bp // 10000 +
+            CASE WHEN up_bucket < epoch_bp % 10000 THEN 1 ELSE 0 END
+            AS n_copies
+        FROM b)
+      SELECT doc_id, source, epoch_bp, up_bucket, n_copies,
+        unnest(range(n_copies)) AS copy_idx
+      FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx"""))
+
   // P12b: sliding context windows with overlap — integer arithmetic
   // only, oracled bit-for-bit. window=64/stride=48 so the ~50-token
   // docs genuinely produce 1–2 overlapping windows at every SF.
@@ -1100,7 +1131,8 @@ object PipelineQueries {
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
-    textDecontam, textDupfrac, mixSample, selectBudget, quotaSampleQ,
+    textDecontam, textDupfrac, mixSample, mixUpsample, selectBudget,
+    quotaSampleQ,
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,

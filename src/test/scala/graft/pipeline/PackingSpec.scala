@@ -92,6 +92,42 @@ class PackingSpec extends AnyFunSuite {
       s"keep rate in train split $trainFrac vs overall $overall")
   }
 
+  test("upsampleMixture: copy counts match epoch weights, deterministic, mixture-independent") {
+    val up = Packing.upsampleMixture(docs,
+      epochsBp = Seq("src0" -> 25000, "src1" -> 0), defaultBp = 7500).persist()
+    // epoch 0 drops every src1 doc entirely
+    assert(up.filter(col("source") === "src1").count() == 0)
+    // 2.5 epochs: every src0 doc appears 2 or 3 times, mean ≈ 2.5
+    val perDoc = up.filter(col("source") === "src0")
+      .groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") < 2 || col("count") > 3).count() == 0)
+    val src0Docs = docs.filter(col("source") === "src0").count()
+    val src0Rows = up.filter(col("source") === "src0").count()
+    assert(math.abs(src0Rows.toDouble / src0Docs - 2.5) < 0.15,
+      s"src0 volume ${src0Rows.toDouble / src0Docs} far from 2.5 epochs")
+    // copy_idx is a dense 0..n_copies-1 per doc
+    val dense = up.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), min("copy_idx").as("lo"), max("copy_idx").as("hi"))
+    assert(dense.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count() == 0)
+    // deterministic re-run
+    val again = Packing.upsampleMixture(docs,
+      epochsBp = Seq("src0" -> 25000, "src1" -> 0), defaultBp = 7500)
+    assert(up.except(again).count() == 0 && again.except(up).count() == 0)
+    // multiplier ⟂ sampleMixture's: the fractional-copy decision at 0.75
+    // epochs is uncorrelated with a 50% downsample keep decision
+    val both = Packing.sampleMixture(docs, Seq("none" -> 0), defaultBp = 5000)
+      .filter(!col("source").isin("src0", "src1"))
+      .join(up.groupBy("doc_id").agg(max("n_copies").as("nc")),
+        Seq("doc_id"), "left")
+      .withColumn("nc", coalesce(col("nc"), lit(0L)))
+    val kept = both.filter(col("keep"))
+    val extraKept = kept.filter(col("nc") === 1).count().toDouble / kept.count()
+    val all = both.filter(col("nc") === 1).count().toDouble / both.count()
+    assert(math.abs(extraKept - all) < 0.1,
+      s"fractional-copy rate within mixture-kept docs $extraKept vs overall $all")
+    up.unpersist()
+  }
+
   test("slidingWindows: full coverage, correct overlap, short docs get one window") {
     val d = Seq(
       (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 windows
