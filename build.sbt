@@ -26,8 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g: local[32] holds all executor state in one JVM; the bench's
-  // ~70 queries each persist/checkpoint intermediates and 8g showed
-  // eviction-driven slowdowns late in a pass
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 28g: local[32] holds all executor state in one JVM; the bench's
+  // ~100 queries each persist/checkpoint intermediates — 8g showed
+  // eviction-driven slowdowns late in a pass, and at 16g the old-gen
+  // debt of 103 queries still leaked ~10% into timed regions (measured
+  // 103.1s vs 93.2s same-commit at sf0.1). Single-JVM artifact only:
+  // a cluster's executors don't share one heap with the whole suite.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -264,6 +264,36 @@ object Packing {
     ranked.unionByName(rest).drop("q_key", "q_bucket", "q_cum_before")
   }
 
+  /** Deterministic corpus shuffle + sharding — the last step before a
+    * training run: break source/length ordering and write `nShards`
+    * balanced shards a dataloader can stream. Each doc gets a
+    * pseudo-random `shuffle_key` (odd Knuth multiplier mod 2^32 — a
+    * BIJECTION, so no two docs collide and the shuffled order is a true
+    * permutation) and `shard = key div (2^32/nShards)`.
+    *
+    * Scale: the key is uniform on [0, 2^32), so FIXED-WIDTH key ranges
+    * are balanced shards by construction — no `repartitionByRange`
+    * sampling pass, no sampled (nondeterministic) boundaries, and the
+    * within-shard key order is the shuffled order. The plan is one hash
+    * exchange on `shard` + an IN-PARTITION sort (global=false): the
+    * TeraSort shape without the sampling stage. No task ever sees more
+    * than |corpus|/nShards rows; nShards scales with the cluster.
+    * Multiplier ⟂ split's ⟂ mixture's ⟂ quota's ⟂ upsample's.
+    *
+    * id < 2^31 × 668265263 < 2^63: ANSI-overflow-free. */
+  def shuffleShards(docs: DataFrame, nShards: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && 4294967296L % nShards == 0,
+      "nShards must be a power of two dividing 2^32")
+    val width = 4294967296L / nShards
+    docs
+      .withColumn("shuffle_key",
+        pmod(col(idCol).cast("long") * lit(668265263L), lit(4294967296L)))
+      .withColumn("shard", expr(s"shuffle_key div $width"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+  }
+
   /** Token-budget selection: keep the highest-quality documents whose
     * cumulative token count fits `budgetTokens` — greedy by
     * (quality_score DESC, doc_id) prefix, the canonical "best N tokens"

@@ -749,6 +749,21 @@ object PipelineQueries {
         unnest(range(n_copies)) AS copy_idx
       FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx"""))
 
+  // P22: corpus shuffle + sharding — the dataloader-facing permutation.
+  // The key/shard assignment is pure bijective arithmetic → full
+  // oracle; the physical exchange+local-sort shape is PlanSpec-locked.
+  private val corpusShuffle = Q(
+    "corpus_shuffle",
+    (s, d) =>
+      Packing.shuffleShards(Tables.load(s, d, "documents"), nShards = 64)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"))
+        .orderBy(col("shuffle_key"), col("doc_id")),
+    Some("""SELECT doc_id,
+        (CAST(doc_id AS BIGINT) * 668265263) % 4294967296 AS shuffle_key,
+        (CAST(doc_id AS BIGINT) * 668265263) % 4294967296 // 67108864
+          AS shard
+      FROM documents ORDER BY shuffle_key, doc_id"""))
+
   // P12b: sliding context windows with overlap — integer arithmetic
   // only, oracled bit-for-bit. window=64/stride=48 so the ~50-token
   // docs genuinely produce 1–2 overlapping windows at every SF.
@@ -1132,7 +1147,7 @@ object PipelineQueries {
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
     textDecontam, textDupfrac, mixSample, mixUpsample, selectBudget,
-    quotaSampleQ,
+    quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textTokens,

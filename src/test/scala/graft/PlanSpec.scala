@@ -221,6 +221,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus shuffle is one exchange + in-partition sort, never a global sort (P22)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val sh = graft.pipeline.Packing.shuffleShards(docs, nShards = 16)
+    val p = sh.queryExecution.executedPlan.toString
+    // one hash exchange on the shard key — NOT range partitioning (which
+    // would add a sampling pass) and NOT a single partition
+    assert(p.contains("hashpartitioning(shard"),
+      "shuffle not hash-partitioned by shard:\n" + p)
+    assert(!p.contains("rangepartitioning"),
+      "unexpected sampling-based range partition:\n" + p)
+    // the sort must be local to each shard's partition: a global sort
+    // here would serialize the corpus through Spark's boundary sampling
+    // for no benefit (fixed-width ranges are the boundaries)
+    assert("Sort \\[.*\\], false".r.findFirstIn(p).isDefined,
+      "expected an in-partition (global=false) sort:\n" + p)
+    assert("Sort \\[.*\\], true".r.findFirstIn(p).isEmpty,
+      "found a global sort:\n" + p)
+  }
+
   test("budget selection's boundary window is bucket-partitioned (P17)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     // Reconstruct the boundary-branch shape (the operator checkpoints

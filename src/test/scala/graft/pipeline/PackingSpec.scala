@@ -128,6 +128,36 @@ class PackingSpec extends AnyFunSuite {
     up.unpersist()
   }
 
+  test("shuffleShards: bijective permutation, balanced shards, deterministic") {
+    val sh = Packing.shuffleShards(docs, nShards = 16).persist()
+    // bijection: no two docs share a shuffle key, none are lost
+    assert(sh.count() == docs.count())
+    assert(sh.select("shuffle_key").distinct().count() == docs.count())
+    // shard = key div width, consistent
+    assert(sh.filter(
+      col("shard") =!= expr(s"shuffle_key div ${4294967296L / 16}")).count() == 0)
+    // uniform key ⇒ balanced fixed-width shards (500 docs / 16 shards
+    // ≈ 31 each; allow generous binomial spread)
+    val counts = sh.groupBy("shard").count()
+      .agg(min("count").as("lo"), max("count").as("hi"))
+      .head()
+    assert(counts.getAs[Long]("hi") <= 3 * counts.getAs[Long]("lo"),
+      s"shards unbalanced: $counts")
+    // deterministic re-run
+    val again = Packing.shuffleShards(docs, nShards = 16)
+    assert(sh.select("doc_id", "shuffle_key", "shard")
+      .except(again.select("doc_id", "shuffle_key", "shard")).count() == 0)
+    // the shuffled order genuinely breaks doc_id order: the permutation
+    // has no long sorted runs (any 100-doc prefix of key order would
+    // keep < half its pairs id-adjacent)
+    val prefix = sh.orderBy("shuffle_key").limit(100)
+      .select("doc_id").collect().map(_.getLong(0))
+    val adjacent = prefix.sliding(2).count(p => p(1) == p(0) + 1)
+    assert(adjacent < 50, s"shuffle left $adjacent id-adjacent pairs in 100")
+    sh.unpersist()
+    intercept[IllegalArgumentException](Packing.shuffleShards(docs, nShards = 100))
+  }
+
   test("slidingWindows: full coverage, correct overlap, short docs get one window") {
     val d = Seq(
       (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 windows
