@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "sampleMixture shuffles:\n" + p)
   }
 
+  test("epoch upsampling is a narrow explode — zero shuffles (P16b)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val p = graft.pipeline.Packing
+      .upsampleMixture(docs, Seq("src0" -> 25000), defaultBp = 7500)
+      .queryExecution.executedPlan.toString
+    // same contract as P16: the copy fan-out is a Generate over a
+    // narrow map — any Exchange would shuffle the corpus to duplicate it
+    assert(!p.contains("Exchange"), "upsampleMixture shuffles:\n" + p)
+    assert(p.contains("Generate"), "expected the copy explode:\n" + p)
+  }
+
   test("dup-shingle fraction partial-aggregates and equi-joins (P15)") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val df = graft.pipeline.Dedup.withDupShingleFraction(docs)
