@@ -294,6 +294,19 @@ object Packing {
       .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
   }
 
+  /** Write the [[shuffleShards]] layout to disk — the dataloader-facing
+    * deliverable: at most `nShards` parquet files, every shard wholly
+    * inside one file, rows inside a file in shuffled (shard,
+    * shuffle_key) order, so a training job streams files sequentially
+    * and reads a true permutation with zero further shuffling. One
+    * write job, no driver-side collection; each task writes its own
+    * hash partition (whole shards — a shard never splits across files).
+    */
+  def writeShards(docs: DataFrame, path: String, nShards: Int = 64,
+      idCol: String = "doc_id"): Unit =
+    shuffleShards(docs, nShards, idCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Token-budget selection: keep the highest-quality documents whose
     * cumulative token count fits `budgetTokens` — greedy by
     * (quality_score DESC, doc_id) prefix, the canonical "best N tokens"

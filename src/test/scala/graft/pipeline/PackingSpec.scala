@@ -158,6 +158,38 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Packing.shuffleShards(docs, nShards = 100))
   }
 
+  test("writeShards: whole shards per file, shuffled order inside each file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Packing.writeShards(docs, dir, nShards = 8)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+      assert(files.nonEmpty && files.length <= 8,
+        s"expected <= 8 shard files, got ${files.length}")
+      // a shard never splits across files, and within a file rows are
+      // in (shard, shuffle_key) order — the dataloader's read order
+      val shardToFile = scala.collection.mutable.Map[Long, String]()
+      var total = 0L
+      for (f <- files) {
+        val rows = spark.read.parquet(f)
+          .select("shard", "shuffle_key").collect()
+        total += rows.length
+        val pairs = rows.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("shuffle_key")))
+        assert(pairs.sameElements(pairs.sortBy(identity)),
+          s"file $f not in (shard, shuffle_key) order")
+        pairs.map(_._1).distinct.foreach { s =>
+          assert(!shardToFile.get(s).exists(_ != f),
+            s"shard $s split across ${shardToFile.getOrElse(s, "?")} and $f")
+          shardToFile(s) = f
+        }
+      }
+      assert(total == docs.count(), "write lost or duplicated rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("slidingWindows: full coverage, correct overlap, short docs get one window") {
     val d = Seq(
       (0L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens → 2 windows
