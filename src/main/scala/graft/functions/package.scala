@@ -20,6 +20,15 @@ package object functions {
     GraftShim.column(
       TopKAgg(GraftShim.expression(c), k, ascending = true).toAggregateExpression())
 
+  /** Misra–Gries heavy-hitter candidates of string column `c` per
+    * group: a ≤k-counter mergeable summary guaranteed to contain every
+    * item with frequency > n/k (see [[MisraGriesAgg]]); returns the
+    * candidate items sorted. Pair with an exact count over the
+    * candidates for deterministic frequencies. */
+  def heavyHitterCandidates(c: Column, k: Int): Column =
+    GraftShim.column(
+      MisraGriesAgg(GraftShim.expression(c), k).toAggregateExpression())
+
   /** Codegen'd dot product of two double arrays (see [[DotProduct]]). */
   def dotp(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))

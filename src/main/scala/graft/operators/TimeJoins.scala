@@ -78,4 +78,44 @@ object TimeJoins {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("_bin")
   }
+
+  /** Time-series resample + forward fill: regularize an irregular
+    * observation stream onto a fixed `unit` grid per key — every key
+    * gets one row per grid step between its first and last observation,
+    * carrying the latest observed value at-or-before that step (the
+    * gap-filling half of the as-of join family; what a feature-store
+    * backfill or a metrics downsampler runs).
+    *
+    * Plan shape (all key-parallel, nothing global):
+    *  1. last observation per (key, bucket) — ONE partial-agg'd
+    *     `max_by` over the deterministic (ts, tie) order, so duplicate
+    *     timestamps resolve identically in any engine;
+    *  2. per-key span (min/max bucket) — partial-agg'd;
+    *  3. the grid is a narrow `sequence()` explode off the span row —
+    *     fan-out equals the emitted grid, no intermediate blow-up;
+    *  4. grid LEFT JOIN step-1 on (key, bucket), then one
+    *     `last(ignoreNulls)` window per key ordered by bucket.
+    * Shuffles hash on the KEY (high-cardinality), windows hold one
+    * key's grid (span/unit rows) — no low-cardinality partition grows
+    * with the corpus, so the shape survives 100×. Observation ts is
+    * compared at microsecond precision (`unix_micros`) to stay
+    * engine-reproducible against nanosecond sources.
+    */
+  def resampleFfill(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, unit: String = "hour"): DataFrame = {
+    val b = obs.select(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"),
+      unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"), col(valCol))
+    val lastPerBucket = b.groupBy(col(keyCol), col("bucket"))
+      .agg(max_by(col(valCol), struct(col("_us"), col("_tie"))).as("v_last"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("_b0"), max(col("bucket")).as("_b1"))
+      .select(col(keyCol),
+        explode(sequence(col("_b0"), col("_b1"), expr(s"interval 1 $unit")))
+          .as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerBucket, Seq(keyCol, "bucket"), "left")
+      .withColumn("v_ffill", last(col("v_last"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"), col("v_ffill"))
+  }
 }

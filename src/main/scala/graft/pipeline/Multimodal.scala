@@ -38,9 +38,16 @@ object Multimodal {
     * Spark side gets by synthesizing REAL bytes and parsing them back.
     * (A 64-bit wrapping fold would be unreachable from plain SQL.) */
   private[graft] def textSeed(text: String): Long = {
+    // Fold Unicode CODE POINTS, not UTF-16 code units: the DuckDB
+    // oracle folds `unicode(ch)` over per-code-point splits, so a
+    // charAt loop would diverge on any non-BMP character (r6 advice).
     var h = 0L
     var i = 0
-    while (i < text.length) { h = (h * 31 + text.charAt(i)) % 4294967296L; i += 1 }
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      h = (h * 31 + cp) % 4294967296L
+      i += Character.charCount(cp)
+    }
     h
   }
 

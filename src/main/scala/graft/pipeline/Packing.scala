@@ -112,8 +112,13 @@ object Packing {
     * high-quality sources needs copies). Every doc yields
     * `epochs div 10000` whole copies plus one more iff its hash bucket
     * falls under the fractional remainder, so a group's expected volume
-    * is exactly `epochs/10000 × |group|` and the decision is pure
-    * arithmetic any engine reproduces (multiplier ⟂ [[withSplit]]'s ⟂
+    * is `epochs/10000 × |group|` up to the bucket-uniformity bias of
+    * `(key mod 2^32) % 10000`: 2^32 % 10000 = 7296, so low buckets are
+    * overrepresented by ~1/430k each — negligible for sampling, and
+    * kept (rather than fixed-width key ranges) because 10000 does not
+    * divide 2^32 and the DuckDB oracle mirrors this exact arithmetic.
+    * The decision is pure arithmetic any engine reproduces
+    * (multiplier ⟂ [[withSplit]]'s ⟂
     * [[sampleMixture]]'s ⟂ [[quotaSample]]'s). Emits one row per copy
     * with `copy_idx` ∈ [0, n_copies) so downstream shuffles (e.g. a
     * corpus shuffle keyed on hash(doc_id, copy_idx)) can separate the

@@ -325,7 +325,11 @@ object Similarity {
     val cents = pqCodebooks(unit, m, ks, iters, seed, dim = d)
     val codes = pqAssign(pqSubvectors(unit, m, d), cents)
       .select(col("vec_id"), col("sub"), col("code"))
+    // query side guarded like lshTopK: a ragged/wrong-dim query row
+    // would otherwise silently truncate in the LUT dots and the exact
+    // rescore (dotp truncates to the shorter operand) — r6 advice
     val qunit = Dedup.normalized(queries)
+      .withColumn("v", vGuard(d))
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
     val lut = pqSubvectors(qunit, m, d)
       .withColumnRenamed("vec_id", "query_id")
@@ -344,7 +348,7 @@ object Similarity {
     val c = norm.select(col("vec_id").as("neighbor_id"),
       col("v").as("vc"), col("nrm").as("nc"))
     val q = Dedup.normalized(queries).select(col("vec_id").as("query_id"),
-      col("v").as("vq"), col("nrm").as("nq"))
+      vGuard(d).as("vq"), col("nrm").as("nq"))
     val scored = shortlist.join(c, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -417,7 +421,9 @@ object Similarity {
           .as("dd"))
       .groupBy(col("vec_id"), col("cell_id"), col("sub"))
       .agg(min_by(col("code"), col("dd")).as("code"))
-    val qn = Dedup.normalized(queries)
+    // query side guarded like lshTopK (r6 advice): wrong-dim query rows
+    // raise instead of silently truncating in probes/LUT/rescore
+    val qn = Dedup.normalized(queries).withColumn("v", vGuard(d))
     val qunit = qn
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
     val qw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cell_id"))

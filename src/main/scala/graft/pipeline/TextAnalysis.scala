@@ -47,6 +47,43 @@ object TextAnalysis {
       .drop("_s_en", "_s_de", "_s_es", "_s_fr")
   }
 
+  /** Gopher-style RULE filter (SURVEY.md §2 P8e): where [[withQuality]]
+    * emits a continuous score, this applies the published hard
+    * heuristics — word-count bounds, mean-word-length bounds, minimum
+    * fraction of words containing an alphabetic character, minimum
+    * number of DISTINCT stopwords present — each as its own column plus
+    * the conjunctive `gopher_keep`, so a curation run can report which
+    * rule rejected a document. All signals are arithmetic over the
+    * shared [[tokens]] list (ratios rounded 6dp, the keep decision made
+    * on the ROUNDED values) so any engine reproduces the exact booleans.
+    * Narrow per-row transform, zero shuffles. */
+  def withGopherRules(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopDistinct: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val meanLen =
+      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+        / n, 6)
+    val alphaFrac =
+      round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n, 6)
+    // distinct-stopword count iterates the (tiny) STOP list, probing the
+    // token array — 16 array_contains probes, not a distinct over tokens
+    val stopsPresent =
+      size(filter(lit(stopEn.toArray), s => array_contains(toks, s)))
+    docs
+      .withColumn("n_words", n.cast("long"))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("n_stop_distinct", stopsPresent.cast("long"))
+      .withColumn("gopher_keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop_distinct") >= minStopDistinct)
+  }
+
   /** Quality scoring: length / punctuation / stopword / word-length
     * signals, combined into a [0,1] score. All ratios rounded at 6dp for
     * cross-engine determinism. */

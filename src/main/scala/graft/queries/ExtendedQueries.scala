@@ -725,8 +725,8 @@ object ExtendedQueries {
     "q26_csv_roundtrip",
     (s, d) => {
       val nation = t(s, d, "nation")
-      val dir = "/root/repo/target/tmp/q26_csv_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.GraftSession.scratchDir(
+        "q26_csv_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       nation.write.mode("overwrite").option("header", "true").csv(dir)
       graft.sources.Importer
         .importCsv(s, dir, "q26_nation_csv", schema = Some(nation.schema))
@@ -743,8 +743,8 @@ object ExtendedQueries {
     "q50_jsonl_roundtrip",
     (s, d) => {
       val nation = t(s, d, "nation")
-      val dir = "/root/repo/target/tmp/q50_jsonl_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.GraftSession.scratchDir(
+        "q50_jsonl_" + d.replaceAll("[^A-Za-z0-9]", "_"))
       nation.write.mode("overwrite").json(dir)
       graft.sources.Importer
         .importJsonl(s, dir, "q50_nation_jsonl", schema = Some(nation.schema))
@@ -887,7 +887,96 @@ object ExtendedQueries {
         string_agg(event_type, ',' ORDER BY event_type) AS types
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
+  // MERGE / upsert (R16): apply a deterministic changeset — updates for
+  // keys ≡ 0 (mod 7), deletes for the disjoint keys ≡ 3 (mod 11), and
+  // inserts at shifted keys — through graft.operators.Merge in one
+  // full-outer shuffle join; DuckDB replays the same changeset
+  // relationally. The updated price is `+ 10.0` (one IEEE op, bit-equal
+  // everywhere) rather than a multiply that would need rounding.
+  private val q51 = Q(
+    "q51_merge",
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val upd = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("op", lit("U"))
+      val del = orders
+        .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 3)
+        .withColumn("op", lit("D"))
+      val ins = orders.filter(col("o_orderkey") % 13 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("op", lit("I"))
+      graft.operators.Merge
+        .upsert(orders, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice + 10.0 AS o_totalprice, 'U' AS op
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+          o_totalprice, 'I'
+        FROM orders WHERE o_orderkey % 13 = 1),
+      merged AS (
+        SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+               ELSE b.o_custkey END AS o_custkey,
+          CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+               ELSE b.o_orderstatus END AS o_orderstatus,
+          CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+               ELSE b.o_totalprice END AS o_totalprice,
+          c.op
+        FROM orders b FULL OUTER JOIN changes c
+          ON b.o_orderkey = c.o_orderkey)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM merged WHERE op IS NULL OR op <> 'D'
+      ORDER BY o_orderkey"""))
+
+  // Time-series resample + forward fill (TimeJoins.resampleFfill): each
+  // sampled user's irregular event stream regularized onto an hourly
+  // grid with last-observation-carried-forward. DuckDB rebuilds the
+  // grid with generate_series and fills with IGNORE NULLS last_value;
+  // the last-in-bucket pick is deterministic on (µs ts, event_id) in
+  // both engines.
+  private val q52 = Q(
+    "q52_resample",
+    (s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") % 7 === 0)
+      graft.operators.TimeJoins
+        .resampleFfill(ev, "user_id", "ts", "value", "event_id", "hour")
+        .orderBy(col("user_id"), col("bucket"))
+    },
+    Some("""WITH obs AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+          epoch_us(ts) AS us, event_id, value
+        FROM events WHERE user_id % 7 = 0),
+      lastb AS (
+        SELECT user_id, bucket, v_last FROM (
+          SELECT user_id, bucket, value AS v_last,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY us DESC, event_id DESC) AS rn
+          FROM obs) WHERE rn = 1),
+      spans AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM obs GROUP BY 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR))
+          AS bucket FROM spans)
+      SELECT user_id, bucket,
+        last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM grid LEFT JOIN lastb USING (user_id, bucket)
+      ORDER BY user_id, bucket"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q18b)
+    q46, q47, q48, q49, q50, q18b, q51, q52)
 }

@@ -348,6 +348,98 @@ object PipelineQueries {
           + CASE WHEN mtl BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END, 6) AS quality_score
       FROM m ORDER BY doc_id"""))
 
+  // P8e: Gopher-style hard rule filter — per-rule signals plus the
+  // conjunctive keep boolean, decided on 6dp-rounded ratios so the
+  // booleans are engine-exact. minWords lowered to 30 for the test
+  // corpus (10–99-word docs) so both outcomes are exercised.
+  private val textGopher = Q(
+    "text_gopher",
+    (s, d) =>
+      TextAnalysis.withGopherRules(Tables.load(s, d, "documents"),
+          minWords = 30)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("n_stop_distinct"), col("gopher_keep"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(ts) AS BIGINT) AS n_words,
+        round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+          / len(ts), 6) AS mean_word_len,
+        round(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+          AS DOUBLE) / len(ts), 6) AS alpha_frac,
+        CAST(len(list_filter($stopListSql, s -> list_contains(ts, s)))
+          AS BIGINT) AS n_stop_distinct
+        FROM tok)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_distinct,
+        (n_words BETWEEN 30 AND 100000
+          AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND alpha_frac >= 0.8 AND n_stop_distinct >= 2) AS gopher_keep
+      FROM m ORDER BY doc_id"""))
+
+  // A11: mergeable distinct-count sketches — per-(source, lang) HLL
+  // sketches built once (the stored partial state), then rolled up to
+  // per-source estimates by sketch UNION ONLY, never re-touching rows:
+  // the algebra that lets 100 TB daily partitions keep distinct counts
+  // incrementally. Gated like ann_recall: Spark emits the exact count
+  // AND the |est − exact| ≤ 5% boolean its sketch achieves; DuckDB
+  // independently recomputes the exact count and asserts the boolean.
+  private val sketchRollup = Q(
+    "sketch_rollup",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val parts = docs.groupBy(col("source"), col("lang"))
+        .agg(expr("hll_sketch_agg(text, 14)").as("sk"))
+      val est = parts.groupBy(col("source"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_tol"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(DISTINCT text) AS n_exact,
+      CAST(1 AS BOOLEAN) AS within_tol
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  // P18d: heavy hitters via the mergeable Misra–Gries sketch + exact
+  // verify. The MG aggregate ships ≤k counters per map task (never the
+  // token stream) and GUARANTEES every token with frequency > n/k is
+  // among its candidates; the exact pass counts ONLY candidate-matching
+  // tokens (broadcast semi-join — output-proportional) and applies the
+  // threshold, so the final set equals the true heavy hitters and the
+  // DuckDB oracle recomputes it directly. At 100 TB this replaces a
+  // full every-distinct-token shuffle with k rows + a candidate count.
+  private val heavyHitters = Q(
+    "heavy_hitters",
+    (s, d) => {
+      val hhK = 50 // threshold = n/50 = 2% of token occurrences
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cand = toks
+        .agg(graft.functions.heavyHitterCandidates(col("token"), hhK)
+          .as("cands"))
+        .select(explode(col("cands")).as("token"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_occurrences") * hhK > col("n_total"))
+        .select(col("token"), col("n_occurrences"))
+        .orderBy(col("token"))
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tot AS (SELECT count(*) AS n_total FROM tok)
+      SELECT token, count(*) AS n_occurrences
+      FROM tok, tot GROUP BY token, n_total
+      HAVING count(*) * 50 > n_total
+      ORDER BY token"""))
+
   // P9: token counting — whitespace + BPE-ish regex, oracled.
   private val textTokens = Q(
     "text_tokens",
@@ -1150,7 +1242,8 @@ object PipelineQueries {
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
-    textLangid, textQuality, textTokens,
+    textLangid, textQuality, textGopher, sketchRollup, heavyHitters,
+    textTokens,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames)

@@ -281,7 +281,7 @@ class ParquetLayoutSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("partitionBy write → plan-time partition pruning + pushed data filter") {
-    val dir = "/root/repo/target/tmp/events_by_type"
+    val dir = graft.GraftSession.scratchDir("events_by_type")
     val events = Tables.load(spark, TestSpark.sf, "events")
     events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
     val subdirs = new java.io.File(dir).listFiles
@@ -309,7 +309,7 @@ class CsvSourceSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("csv roundtrip preserves rows and schema") {
-    val dir = "/root/repo/target/tmp/csv_roundtrip"
+    val dir = graft.GraftSession.scratchDir("csv_roundtrip")
     val src = Tables.load(spark, TestSpark.sf, "nation")
     src.write.mode("overwrite").option("header", "true").csv(dir)
     val back = spark.read
@@ -324,7 +324,7 @@ class CsvSourceSpec extends AnyFunSuite {
   }
 
   test("csv options: custom delimiter and skipped malformed rows") {
-    val dir = "/root/repo/target/tmp/csv_opts"
+    val dir = graft.GraftSession.scratchDir("csv_opts")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/data.csv"),

@@ -43,6 +43,31 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (2L, 100L)))
   }
 
+  test("resampleFfill: full grid per key, ffill, deterministic in-bucket pick") {
+    val obs = Seq(
+      // key 1: observations at 10:xx and 13:xx — 11:00 and 12:00 filled
+      (1L, ts("2024-01-01 10:10:00"), 1.0, 100L),
+      (1L, ts("2024-01-01 10:40:00"), 2.0, 101L), // later in same bucket wins
+      (1L, ts("2024-01-01 13:05:00"), 9.0, 102L),
+      // key 2: single observation → single grid row
+      (2L, ts("2024-01-02 00:30:00"), 5.0, 103L),
+      // key 3: equal ts in one bucket → higher tie id wins
+      (3L, ts("2024-01-01 08:15:00"), 7.0, 104L),
+      (3L, ts("2024-01-01 08:15:00"), 8.0, 105L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = TimeJoins
+      .resampleFfill(obs, "user_id", "ts", "value", "event_id", "hour")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+      .map { case (k, b, v) => (k, b.toString, v) }.toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", 2.0),
+      (1L, "2024-01-01 11:00:00.0", 2.0),
+      (1L, "2024-01-01 12:00:00.0", 2.0),
+      (1L, "2024-01-01 13:00:00.0", 9.0),
+      (2L, "2024-01-02 00:00:00.0", 5.0),
+      (3L, "2024-01-01 08:00:00.0", 8.0)))
+  }
+
   test("range join matches a BETWEEN cross join on events") {
     val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
     val errors = ev.filter(col("event_type") === "error")

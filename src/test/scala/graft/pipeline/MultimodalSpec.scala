@@ -35,6 +35,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(y4m.length == offs.last + vw * vh * 3 / 2)
   }
 
+  test("textSeed folds Unicode code points, not UTF-16 code units") {
+    // U+1F600 is ONE code point but TWO UTF-16 units; the DuckDB oracle
+    // folds unicode(ch) per code point, so the seed must be 0x1F600 —
+    // a charAt loop would fold the surrogate pair (r6 advice).
+    assert(Multimodal.textSeed(new String(Character.toChars(0x1F600))) ==
+      0x1F600L)
+    // BMP text is unchanged vs the code-unit fold
+    assert(Multimodal.textSeed("ab") == 'a'.toLong * 31 + 'b'.toLong)
+  }
+
   test("frame sampling yields ceil(n_frames/stride) REAL frames per video") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val feats = Multimodal.features(docs)

@@ -225,6 +225,20 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.pqTopK(c16, q16, k = 5, m = 5)
     }
     assert(e3.getMessage.contains("divide"))
+    // a ragged QUERY row must raise too (r7: the PQ paths guard the
+    // query frames like lshTopK, instead of truncating LUT dots)
+    def msg(e: Exception) =
+      e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    val raggedQ = Seq((0L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val e4 = intercept[Exception] {
+      Similarity.pqTopK(c16, raggedQ, k = 5, m = 4, ks = 8).collect()
+    }
+    assert(msg(e4).contains("dim mismatch"))
+    val e5 = intercept[Exception] {
+      Similarity.ivfpqTopK(c16, raggedQ, k = 5, nCells = 4, nProbe = 4,
+        m = 4, ks = 8).collect()
+    }
+    assert(msg(e5).contains("dim mismatch"))
   }
 
   test("semDedupPairs: planted near-dups recovered in-cluster, precision 1, keep works") {

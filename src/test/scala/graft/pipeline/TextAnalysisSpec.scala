@@ -237,6 +237,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule rejects independently, keep is the conjunction") {
+    val docs = Seq(
+      // passes all rules: 6 words (minWords=5 below), mean len in
+      // bounds, all alpha, two distinct stopwords
+      (0L, "the quick brown fox and turtle"),
+      (1L, "the cat"),                          // too few words
+      (2L, "the xx of 11 22 33"),               // alpha_frac 3/6 = 0.5
+      (3L, "zz yy xx ww vv uu"),                // zero stopwords
+      (4L, "a bb supercalifragilisticexpialidocious " +
+        "pneumonoultramicroscopicsilicovolcanoconiosis the of") // mean len > 10
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withGopherRules(docs, minWords = 5)
+      .select("doc_id", "gopher_keep")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false))
+    val r0 = TextAnalysis.withGopherRules(docs, minWords = 5)
+      .filter($"doc_id" === 0L)
+      .select("n_words", "mean_word_len", "alpha_frac", "n_stop_distinct")
+      .as[(Long, Double, Double, Long)].head()
+    // "the quick brown fox and turtle": 25 chars over 6 words, rounded 6dp
+    assert(r0 == ((6L, 4.166667, 1.0, 2L)))
+  }
+
   test("winnowPairs: shared token run found, disjoint docs not paired") {
     val common = "one two three four five six seven eight"
     val df = Seq(

@@ -30,8 +30,8 @@ class LayoutSpec extends AnyFunSuite {
     val pts = spark.range(n).select(
       pmod(xxhash64(col("id")), lit(1024L)).as("x"),
       pmod(xxhash64(col("id"), lit(7)), lit(1024L)).as("y"))
-    val zdir = "/root/repo/target/tmp/layout_z"
-    val rdir = "/root/repo/target/tmp/layout_plain"
+    val zdir = graft.GraftSession.scratchDir("layout_z")
+    val rdir = graft.GraftSession.scratchDir("layout_plain")
     Layout.writeZOrdered(pts, "x", "y", zdir, maxRecordsPerFile = 1000)
     pts.write.mode("overwrite").option("maxRecordsPerFile", "1000")
       .parquet(rdir)

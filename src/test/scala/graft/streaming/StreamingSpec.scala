@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("file-source streaming: append mode emits only watermark-finalized windows") {
     // FileStreamSource requires a directory — stage the parquet file
-    val dir = java.nio.file.Paths.get("/root/repo/target/tmp/events_stream")
+    val dir = java.nio.file.Paths.get(graft.GraftSession.scratchDir("events_stream"))
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${graft.TestSpark.sf}/events.parquet"),
