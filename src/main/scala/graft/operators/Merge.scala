@@ -57,4 +57,27 @@ object Merge {
         when(col("_op").isNotNull, col(s"_c_$n")).otherwise(col(n))
           .as(n))): _*)
   }
+
+  /** SCD type-2 historize: turn a keyed change log into versioned
+    * history rows — each change becomes a row valid from its own
+    * timestamp until the next change of the same key (`valid_to` null
+    * and `is_current` true on the latest). The companion to [[upsert]]
+    * for consumers who need to query "as of" any past moment instead of
+    * only the latest state.
+    *
+    * Ties on `tsCol` are ordered by `tieCols` so the version chain is
+    * deterministic in any engine. One `lead` window partitioned by the
+    * (high-cardinality) key — each partition holds one key's change
+    * chain, so no task's work grows with the corpus.
+    */
+  def historize(changes: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

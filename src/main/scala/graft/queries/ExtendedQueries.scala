@@ -976,7 +976,82 @@ object ExtendedQueries {
       FROM grid LEFT JOIN lastb USING (user_id, bucket)
       ORDER BY user_id, bucket"""))
 
+  // SCD type-2 historize (Merge.historize): each customer's order
+  // stream becomes versioned rows valid until the next order; lead()
+  // per key, ties broken on o_orderkey so the chain is deterministic.
+  private val q53 = Q(
+    "q53_scd2",
+    (s, d) => {
+      val ch = t(s, d, "orders").filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      graft.operators.Merge
+        .historize(ch, Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP) AS valid_to,
+        (lead(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+      FROM orders WHERE o_custkey % 50 = 0
+      ORDER BY o_custkey, valid_from, o_orderkey"""))
+
+  // One-pass column profiler: every exact stat (nulls, min, max,
+  // decimal-exact mean) for every profiled column in a SINGLE scan +
+  // aggregate — the data-card utility for a table you can't afford to
+  // re-scan per column at 100 TB. Approx NDV (HLL, 2% rsd) rides in the
+  // same pass; the exact NDV it is gated against uses a second
+  // expand-based aggregate (the gate's price, not the operator's —
+  // production ships the approx).
+  private val q54 = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Q(
+      "q54_profile",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val aggs = cols.flatMap(c => Seq(
+          sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"),
+          sum(col(c).cast("decimal(18,2)")).as(s"sm_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
+        val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val ex = li.agg(
+          countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
+          cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
+        val st = cols.map(c =>
+          s"'$c', nn_$c, mn_$c, mx_$c, sm_$c, andv_$c, ndv_$c")
+          .mkString(", ")
+        one.crossJoin(ex)
+          .selectExpr("n_rows", s"stack(${cols.size}, $st) AS " +
+            "(col_name, n_nulls, min_v, max_v, sum_dec, andv, ndv_exact)")
+          .select(col("col_name"), col("n_rows"), col("n_nulls"),
+            col("min_v"), col("max_v"),
+            round(col("sum_dec").cast("double")
+              / (col("n_rows") - col("n_nulls")), 6).as("mean_v"),
+            col("ndv_exact"),
+            (abs(col("andv") - col("ndv_exact"))
+              <= col("ndv_exact") * 0.05).as("ndv_ok"))
+          .orderBy(col("col_name"))
+      },
+      Some(cols.map(c => s"""SELECT '$c' AS col_name,
+          count(*) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          min($c) AS min_v, max($c) AS max_v,
+          round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+            / count($c), 6) AS mean_v,
+          count(DISTINCT $c) AS ndv_exact,
+          CAST(1 AS BOOLEAN) AS ndv_ok
+        FROM lineitem""").mkString("SELECT * FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY col_name")))
+  }
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q18b, q51, q52)
+    q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54)
 }

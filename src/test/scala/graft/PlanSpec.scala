@@ -43,6 +43,34 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final ObjectHashAggregate:\n" + p)
   }
 
+  test("Misra-Gries summary partial-aggregates; verify joins, never cartesian (P18d)") {
+    val p = plan("heavy_hitters")
+    // the MG sketch must combine map-side: k counters shuffle per task,
+    // never the token stream
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final ObjectHashAggregate:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "candidate verify must stay an equi-join:\n" + p)
+  }
+
+  test("MERGE is one equi-join pass — no cartesian, no window (R16)") {
+    val p = plan("q51_merge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), "non-equi merge join:\n" + p)
+    assert(!p.contains("Window"), "MERGE must not need a window:\n" + p)
+  }
+
+  test("resample windows partition on the high-cardinality key (R17)") {
+    val p = plan("q52_resample")
+    // the ffill window must be keyed by user_id — a keyless (global)
+    // window would serialize the whole grid into one task
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(winLines.nonEmpty, p)
+    assert(winLines.forall(_.contains("user_id")),
+      "ffill window not partitioned by the key:\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 pipeline") {
     // materialize so AQE finalizes the physical plan with codegen spans
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.sf)

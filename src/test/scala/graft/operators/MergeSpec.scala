@@ -34,6 +34,25 @@ class MergeSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("historize: version chain per key, tie broken deterministically") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ch = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, 11L, ts("2024-02-01 00:00:00"), "b"),
+      (1L, 12L, ts("2024-02-01 00:00:00"), "c"), // same ts → tie on id
+      (2L, 20L, ts("2024-03-01 00:00:00"), "z")
+    ).toDF("k", "id", "ts", "v")
+    val got = Merge.historize(ch, Seq("k"), "ts", Seq("id"))
+      .select("k", "id", "valid_to", "is_current")
+      .as[(Long, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3.map(_.toString), r._4)))
+      .toMap
+    assert(got((1L, 10L)) == ((Some("2024-02-01 00:00:00.0"), false)))
+    assert(got((1L, 11L)) == ((Some("2024-02-01 00:00:00.0"), false)))
+    assert(got((1L, 12L)) == ((None, true)))
+    assert(got((2L, 20L)) == ((None, true)))
+  }
+
   test("upsert validates the changeset schema") {
     val base = Seq((1L, "a")).toDF("k", "s")
     val bad = Seq((1L, "U")).toDF("k", "op") // missing data column s
