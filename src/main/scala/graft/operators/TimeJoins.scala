@@ -118,4 +118,31 @@ object TimeJoins {
       .withColumn("v_ffill", last(col("v_last"), ignoreNulls = true).over(w))
       .select(col(keyCol), col("bucket"), col("v_ffill"))
   }
+
+  /** Exponentially weighted moving average over the trailing `span`
+    * observations per key, ordered by (tsCol, tieCol):
+    * ewma_i = Σ_j (1−α)^(i−j)·v_j / Σ_j (1−α)^(i−j), j over the frame —
+    * the bias-corrected ("adjust=true") form. The frame truncation
+    * makes the state bounded: each row's value is a pure fold over its
+    * own ROWS-frame list, so the only data movement is the one window
+    * shuffle on the HIGH-cardinality key. The numerator is a single
+    * left fold `a·(1−α)+x` (identical FP order in any engine); the
+    * denominator is the closed-form geometric sum (1−(1−α)^n)/α.
+    * Rounded to 6dp so the last-ulp of `pow`/`exp` libm differences
+    * cannot leak cross-engine.
+    */
+  def ewma(obs: DataFrame, keyCol: String, tsCol: String, valCol: String,
+      tieCol: String, alpha: Double = 0.1, span: Int = 20): DataFrame = {
+    require(alpha > 0 && alpha < 1 && span >= 1, "need 0<alpha<1, span>=1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val q = 1 - alpha
+    obs
+      .withColumn("_vs", collect_list(col(valCol)).over(w))
+      .withColumn("ewma",
+        round(expr(s"aggregate(_vs, cast(0 as double), (a, x) -> a * $q + x)")
+          / ((lit(1.0) - pow(lit(q), size(col("_vs")))) / alpha), 6))
+      .drop("_vs")
+  }
 }

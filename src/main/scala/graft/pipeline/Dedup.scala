@@ -114,6 +114,54 @@ object Dedup {
     out
   }
 
+  /** Duplicate-SPAN scrubbing (the Lee et al. "Deduplicating Training
+    * Data" substring pass, re-expressed relationally): any k-token run
+    * occurring ≥2 times in the corpus is removed from every document,
+    * and the survivors are re-joined in order. Where [[withDupShingleFraction]]
+    * flags documents, this edits them — the within-document half of the
+    * pipeline's dedup story.
+    *
+    * Plan shape = the dupfrac idiom with positions kept: ONE positional
+    * shingle explode (the zip_with gram build — the token array is only
+    * ever a HOF argument, see [[shingles]]), one count shuffle on the
+    * shingle string, and the duplicated starts joined back per doc.
+    * Token-keep is then pure per-row HOF arithmetic: position i
+    * survives iff no duplicated start s covers it (s ≤ i < s+k). Cost
+    * is O(corpus shingles) — no pairwise work, no window; the exists()
+    * scan per token is bounded by that doc's duplicated-span count.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, k: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sz = size(toks)
+    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
+    }
+    val shArr = when(sz < k, array().cast("array<string>"))
+      .otherwise(slice(grams, lit(1), sz - (k - 1)))
+    val sh = docs
+      .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "sh")))
+      .persist() // two consumers: the frequency table and the join back
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val starts = sh.join(freq, Seq("sh")).filter(col("df") > 1)
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("_starts"))
+    val out = docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_toks", toks)
+      .withColumn("_kept", filter(col("_toks"), (_, i) =>
+        !exists(col("_starts"), s => i >= s && i < s + lit(k))))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("_kept"), " ").as("scrubbed"))
+      .localCheckpoint() // materialize so the shingle cache can release
+    sh.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------- exact
   /** Exact dedup: keep the lowest doc_id per identical text (sha256
     * identity). Hash-groupBy → map-side partial agg, one shuffle on the

@@ -507,16 +507,78 @@ object TextAnalysis {
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 100,
       textCol: String = "text"): DataFrame = {
+    // The fingerprint HOF sweep is the expensive part and the frame is
+    // consumed three times (df table + both sides of the self-join) —
+    // cache it once, release after materializing (the dupfrac idiom).
     val fps = winnowFingerprints(docs, k, w, textCol)
       .select(col("doc_id"), col("fp")).distinct()
+      .persist()
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("fp")
     val kept = fps.join(rare, Seq("fp"))
-    kept.as("a").join(kept.as("b"),
+    val out = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint()
+    fps.unpersist()
+    out
   }
+
+  /** Model-based quality scoring, the fastText-classifier shape every
+    * production pipeline runs (hashed bag-of-words → linear model →
+    * sigmoid), with a DETERMINISTIC weight table so the whole scorer is
+    * engine-reproducible arithmetic: token → mod-2^32 char polynomial →
+    * bucket h mod nBuckets → weight ((b·2654435761) mod 2^32)/2^32·2−1
+    * ∈ [−1,1). score = σ(4·mean weight), rounded 6dp BEFORE the ≥0.5
+    * keep decision so libm exp() last-ulp differences cannot flip the
+    * boolean. Swapping the arithmetic weights for a trained table is a
+    * broadcast join on the bucket id — the plan shape is already the
+    * production one.
+    *
+    * Purely narrow per-row HOF arithmetic: no shuffle, no UDF; the
+    * token fold is left-to-right in both engines so the FP sum order is
+    * pinned.
+    */
+  def withClassifierScore(docs: DataFrame, nBuckets: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    def charPoly(s: String) =
+      s"""aggregate(transform(split($s, ''), ch -> cast(ascii(ch) as bigint)),
+            0L, (h, cd) -> (h * 31 + cd) % 4294967296)"""
+    val toksSql = s"split(trim(lower($textCol)), '\\\\s+')"
+    docs
+      .withColumn("_ws", expr(
+        s"""transform($toksSql, tk ->
+              cast(${charPoly("tk")} % $nBuckets * 2654435761 % 4294967296
+                as double) / 4294967296 * 2 - 1)"""))
+      .withColumn("quality_score",
+        round(lit(1.0) / (lit(1.0) + exp(lit(-4.0) *
+          expr("aggregate(_ws, cast(0 as double), (a, x) -> a + x)")
+          / size(col("_ws")))), 6))
+      .withColumn("clf_keep", col("quality_score") >= 0.5)
+      .drop("_ws")
+  }
+
+  /** The first BPE tokenizer-training iteration: adjacent within-token
+    * character-pair frequencies over the corpus, top `topK` by
+    * (count DESC, pair ASC) — the merge-candidate table BPE folds into
+    * its vocabulary one pair at a time. Returns (pair, cnt).
+    *
+    * One pair explode + partial-agg'd count (one shuffle on the 2-char
+    * key, trivially partial-aggregable) + TakeOrderedAndProject — the
+    * same shape as [[vocabulary]]; the full iterated training loop is
+    * this operator re-run on re-paired symbols, each round identical in
+    * cost. */
+  def bpeMergePairs(docs: DataFrame, topK: Int = 30,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("tk"))
+      .select(explode(expr(
+        """case when length(tk) < 2 then array()
+           else transform(sequence(1, length(tk) - 1),
+             j -> substring(tk, j, 2)) end""")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
 }

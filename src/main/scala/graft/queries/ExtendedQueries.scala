@@ -1051,7 +1051,87 @@ object ExtendedQueries {
         "\nUNION ALL\n", "\n) ORDER BY col_name")))
   }
 
+  // Sequential conversion funnel (Funnel.funnel): deepest step of
+  // view -> click -> purchase reached in order within 7 days of the
+  // anchoring first view. DuckDB rebuilds the same chained min-ts
+  // stages; strict ordering + the anchored window bound are exactly
+  // mirrored, so an off-by-one in either bound hash-fails.
+  private val q55 = Q(
+    "q55_funnel",
+    (s, d) =>
+      graft.operators.Funnel
+        .funnel(t(s, d, "events"), Seq("view", "click", "purchase"), "7 days")
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level")),
+    Some("""WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY 1)
+      SELECT 1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+          AS level,
+        count(*) AS n_users
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // Weekly cohort retention matrix (Funnel.retention): cohort = ISO
+  // week of first event, n_users active per (cohort, week offset).
+  // Both engines truncate weeks to Monday and the offset is exact
+  // integer arithmetic on day differences (always a multiple of 7).
+  private val q56 = Q(
+    "q56_retention",
+    (s, d) =>
+      graft.operators.Funnel.retention(t(s, d, "events"))
+        .orderBy(col("cohort_week"), col("week_offset")),
+    Some("""WITH first AS (
+        SELECT user_id,
+          CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY 1),
+      act AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+        count(*) AS n_users
+      FROM act JOIN first USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // Trailing-window EWMA per user (TimeJoins.ewma): bias-corrected
+  // exponential smoothing over the last 20 events. The fold order and
+  // the geometric-sum denominator are replayed verbatim by DuckDB
+  // (list() over the identical ROWS frame), so frame bounds, ordering
+  // ties, and FP fold order are all pinned cross-engine.
+  private val q57 = Q(
+    "q57_ewma",
+    (s, d) =>
+      graft.operators.TimeJoins
+        .ewma(t(s, d, "events").filter(col("user_id") % 5 === 0),
+          "user_id", "ts", "value", "event_id")
+        .select(col("user_id"), col("event_id"), col("ewma"))
+        .orderBy(col("user_id"), col("event_id")),
+    Some("""WITH f AS (
+        SELECT user_id, event_id,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vs
+        FROM events WHERE user_id % 5 = 0)
+      SELECT user_id, event_id,
+        round(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+            (a, x) -> a * 0.9 + x)
+          / ((1 - pow(0.9, len(vs))) / 0.1), 6) AS ewma
+      FROM f ORDER BY user_id, event_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54)
+    q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57)
 }

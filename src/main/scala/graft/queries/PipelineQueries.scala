@@ -785,6 +785,92 @@ object PipelineQueries {
         round(CAST(n_dup AS DOUBLE) / n_shingles, 6) >= 0.5 AS flagged
       FROM per ORDER BY doc_id"""))
 
+  // P15b: duplicate-SPAN scrubbing (Lee et al. substring dedup): every
+  // 8-token run occurring >=2 times in the corpus is cut from every
+  // document and the survivors re-joined in order. The DuckDB oracle
+  // rebuilds positional shingles, the duplicated-start set, and the
+  // coverage predicate (NOT EXISTS s: s <= i < s+8) verbatim, then
+  // string_aggs the kept tokens back — so span bounds, the coverage
+  // off-by-ones, and the reassembly order are all pinned cross-engine.
+  private val textScrub = Q(
+    "text_scrub",
+    (s, d) =>
+      Dedup.scrubDuplicateSpans(Tables.load(s, d, "documents"), k = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS sh
+        FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS r(i)
+        WHERE len(ts) >= 8),
+      freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+      st AS (SELECT doc_id, pos FROM sh JOIN freq USING (sh) WHERE df > 1),
+      tk AS (
+        SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        FROM tok, unnest(range(1, len(ts) + 1)) AS r(i)),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tk t
+        WHERE NOT EXISTS (SELECT 1 FROM st s
+          WHERE s.doc_id = t.doc_id AND t.pos >= s.pos
+            AND t.pos < s.pos + 8)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+        FROM kept GROUP BY 1)
+      SELECT tok.doc_id, len(ts) AS n_tokens,
+        len(ts) - coalesce(n_kept, 0) AS n_removed,
+        coalesce(scrubbed, '') AS scrubbed
+      FROM tok LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
+  // P8f: hashed-BoW linear quality classifier (fastText shape) with a
+  // deterministic arithmetic weight table — DuckDB replays the char
+  // polynomial, bucket map, weight formula, FP fold order, and the
+  // round-before-compare keep rule.
+  private val textClassify = Q(
+    "text_classify",
+    (s, d) =>
+      TextAnalysis.withClassifierScore(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("quality_score"), col("clf_keep"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      w AS (
+        SELECT doc_id, list_transform(ts, tk ->
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(tk, '.'),
+                  ch -> CAST(unicode(ch) AS BIGINT))),
+              (h, cd) -> (h * 31 + cd) % 4294967296)
+              % 4096 * 2654435761 % 4294967296 AS DOUBLE)
+            / 4294967296 * 2 - 1) AS ws
+        FROM t)
+      SELECT doc_id,
+        round(1.0 / (1.0 + exp(-4.0 *
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), ws),
+            (a, x) -> a + x) / len(ws))), 6) AS quality_score,
+        round(1.0 / (1.0 + exp(-4.0 *
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), ws),
+            (a, x) -> a + x) / len(ws))), 6) >= 0.5 AS clf_keep
+      FROM w ORDER BY doc_id"""))
+
+  // P18e: first BPE merge iteration — top-30 adjacent within-token
+  // char-pair frequencies, the merge-candidate table tokenizer training
+  // folds in. Deterministic (cnt DESC, pair ASC) boundary.
+  private val textBpe = Q(
+    "text_bpe",
+    (s, d) =>
+      TextAnalysis.bpeMergePairs(Tables.load(s, d, "documents"), topK = 30)
+        .orderBy(col("cnt").desc, col("pair")),
+    Some("""WITH t AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      tok AS (SELECT unnest(ts) AS tk FROM t),
+      pr AS (SELECT tk[j:j+1] AS pair
+        FROM tok, unnest(range(1, len(tk))) AS r(j))
+      SELECT pair, count(*) AS cnt FROM pr GROUP BY 1
+      ORDER BY cnt DESC, pair LIMIT 30"""))
+
   // P16: deterministic mixture sampling — downsample src0 to 25%, drop
   // src1, keep src2 whole, halve the rest. Pure Knuth-mod-2^32
   // arithmetic (multiplier independent of split_train's), oracled
@@ -1238,12 +1324,13 @@ object PipelineQueries {
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
-    textDecontam, textDupfrac, mixSample, mixUpsample, selectBudget,
+    textDecontam, textDupfrac, textScrub, mixSample, mixUpsample,
+    selectBudget,
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
-    textLangid, textQuality, textGopher, sketchRollup, heavyHitters,
-    textTokens,
+    textLangid, textQuality, textGopher, textClassify, sketchRollup,
+    heavyHitters, textTokens, textBpe,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames)

@@ -83,4 +83,21 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(bucketed == naive)
     assert(naive.nonEmpty, "fixture produced no ranged pairs")
   }
+
+  test("ewma: bias-corrected trailing smoothing, frame truncation") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 01:00:00"), 2.0, 2L),
+      (1L, ts("2024-01-01 02:00:00"), 3.0, 3L),
+      (2L, ts("2024-01-01 00:00:00"), 10.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = TimeJoins.ewma(obs, "user_id", "ts", "value", "event_id",
+        alpha = 0.5, span = 2)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    // row1: 1.0; row2: (1*0.5+2)/(0.5+1)=1.666667; row3 (frame drops
+    // row1): (2*0.5+3)/1.5=2.666667; single-row user: 10.0
+    assert(got == Map(1L -> 1.0, 2L -> 1.666667, 3L -> 2.666667,
+      4L -> 10.0))
+  }
 }

@@ -122,6 +122,36 @@ class DedupSpec extends AnyFunSuite {
       s"withDupShingleFraction leaked ${leaked.size} persisted RDDs")
   }
 
+  test("scrubDuplicateSpans: shared runs cut, order kept, clean doc intact") {
+    val shared = "s1 s2 s3 s4"  // 4-token run shared by docs 0 and 1
+    val df = Seq(
+      (0L, s"a b $shared c d"),
+      (1L, s"e f $shared g h"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(df, k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    // the duplicated 4-gram covers exactly tokens s1..s4 in both docs
+    assert(got(0) == ((0L, 8L, 4L, "a b c d")))
+    assert(got(1) == ((1L, 8L, 4L, "e f g h")))
+    assert(got(2) == ((2L, 8L, 0L, "p q r s t u v w")))
+  }
+
+  test("scrubDuplicateSpans: overlapping starts merge their coverage") {
+    // docs share a 5-token run => two overlapping duplicated 4-grams;
+    // coverage is the union [0,5), not double-counted
+    val df = Seq(
+      (0L, "x1 x2 x3 x4 x5 tailA"),
+      (1L, "x1 x2 x3 x4 x5 tailB")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(df, k = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((0L, 6L, 5L, "taila")))
+    assert(got(1) == ((1L, 6L, 5L, "tailb")))
+  }
+
   test("cosine pairs: identical vectors similarity 1") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

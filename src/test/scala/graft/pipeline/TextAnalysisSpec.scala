@@ -273,4 +273,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(pairs.head._3 >= 1L)
   }
+
+  test("classifier score: deterministic, bounded, keep matches score") {
+    val df = Seq((0L, "alpha beta gamma"), (1L, "zq xv wk"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withClassifierScore(df)
+      .select("doc_id", "quality_score", "clf_keep")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.forall(r => r._2 > 0.0 && r._2 < 1.0))
+    assert(got.forall(r => r._3 == (r._2 >= 0.5)))
+    // same text twice scores identically
+    val again = TextAnalysis.withClassifierScore(df)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(got.map(r => (r._1, r._2)).toMap == again)
+  }
+
+  test("bpeMergePairs: counts adjacent char pairs, ordered cut") {
+    val df = Seq((0L, "aab aab ab"), (1L, "x")).toDF("doc_id", "text")
+    // pairs: "aab" -> aa, ab (x2 docs' tokens: aab aab => aa,ab twice),
+    // "ab" -> ab; "x" has no pair
+    val got = TextAnalysis.bpeMergePairs(df, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 3L))
+  }
 }
