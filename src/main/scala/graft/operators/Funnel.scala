@@ -58,6 +58,23 @@ object Funnel {
     chained.select(col(userCol), col("t1"), level.as("level"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): how
+    * often each event type follows each other type within a user's
+    * event-time-ordered stream — the path-analysis primitive behind
+    * "what do users do after X". One lag window per HIGH-cardinality
+    * user plus an output-sized (from, to) rollup.
+    */
+  def transitions(ev: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    ev.withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; for each (cohort week, week offset) the number of
     * cohort users active in that later week. The product-analytics

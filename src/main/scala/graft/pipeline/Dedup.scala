@@ -162,6 +162,54 @@ object Dedup {
     out
   }
 
+  /** Longest duplicated token run per document: the Lee et al. paper's
+    * headline statistic ("how long is the longest substring this doc
+    * shares with the rest of the corpus"), and the natural threshold
+    * dial for [[scrubDuplicateSpans]]. Duplicated k-gram start
+    * positions are merged as intervals [s, s+k) — two starts merge iff
+    * the next begins at or before the previous run's end — and the
+    * longest merged interval is the answer (0 for docs with no
+    * duplicated span).
+    *
+    * Same O(corpus shingles) front half as the scrubber; the merge is
+    * one lag window + one rollup, both partitioned by the
+    * HIGH-cardinality doc id, never by anything low-cardinality.
+    */
+  def withMaxDupRun(docs: DataFrame, k: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sz = size(toks)
+    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
+    }
+    val shArr = when(sz < k, array().cast("array<string>"))
+      .otherwise(slice(grams, lit(1), sz - (k - 1)))
+    val sh = docs
+      .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "sh")))
+      .persist()
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = sh.join(freq, Seq("sh")).filter(col("df") > 1)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("run_len"))
+      .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_dup_run"))
+    val out = docs.select(col("doc_id")).join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_dup_run"), lit(0L)).cast("long").as("max_dup_run"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------- exact
   /** Exact dedup: keep the lowest doc_id per identical text (sha256
     * identity). Hash-groupBy → map-side partial agg, one shuffle on the

@@ -105,6 +105,44 @@ object Packing {
       .withColumn("keep", bucket < rate)
   }
 
+  /** Temperature-flattened mixture sampling: where [[sampleMixture]]
+    * takes hand-set rates, this DERIVES them from the data — target
+    * share of group g ∝ |g|^α (α < 1 flattens the source distribution,
+    * the unigram-temperature trick for not letting a giant web crawl
+    * drown curated sources), scaled to an expected `budget` docs, rate
+    * capped at 1. Two tiny aggregates (group counts, a 1-row denom)
+    * and a broadcast join back — the corpus itself never shuffles, and
+    * the per-doc keep is the same Knuth-bucket arithmetic as its
+    * siblings (fresh multiplier, so temperature ⟂ mixture ⟂ split).
+    *
+    * Determinism: |g|^α is rounded 6dp per group then summed as
+    * DECIMAL(28,6) — exact, order-free addition — so the denominator
+    * is bit-identical in any engine/partitioning; the final rate is one
+    * double division chain rounded 6dp. The keep compare stays in
+    * doubles (bucket < rate·10⁴) — no engine-divergent double→int cast.
+    *
+    * id < 2^31 × 1540483477 < 2^63: ANSI-overflow-free. */
+  def temperatureMixture(docs: DataFrame, alpha: Double, budget: Long,
+      idCol: String = "doc_id", groupCol: String = "source"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && budget > 0,
+      "need 0 < alpha <= 1 and a positive doc budget")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_group"))
+    val denom = counts.agg(
+      sum(round(pow(col("n_group"), alpha), 6).cast("decimal(28,6)"))
+        .as("denom"))
+    val rates = counts.crossJoin(broadcast(denom))
+      .withColumn("t_rate", round(
+        least(lit(1.0),
+          lit(budget.toDouble) * round(pow(col("n_group"), alpha), 6)
+            / col("denom").cast("double") / col("n_group")), 6))
+      .select(col(groupCol), col("n_group"), col("t_rate"))
+    val bucket =
+      pmod(col(idCol).cast("long") * lit(1540483477L), lit(4294967296L)) % 10000
+    docs.join(broadcast(rates), Seq(groupCol))
+      .withColumn("mix_bucket", bucket)
+      .withColumn("keep", bucket < col("t_rate") * 10000)
+  }
+
   /** Deterministic epoch upsampling: per-group epoch weights in basis
     * points (10000 = exactly one pass over the group), e.g. "3.2 epochs
     * of wiki, 0.5 of web" — the REPEAT side of mixture assembly

@@ -1131,7 +1131,27 @@ object ExtendedQueries {
           / ((1 - pow(0.9, len(vs))) / 0.1), 6) AS ewma
       FROM f ORDER BY user_id, event_id"""))
 
+  // Event-type transition matrix (Funnel.transitions): first-order
+  // Markov counts over each user's event-time-ordered stream. The lag
+  // window partitions on the high-cardinality user key; ties pinned by
+  // event_id in both engines.
+  private val q58 = Q(
+    "q58_transitions",
+    (s, d) =>
+      graft.operators.Funnel.transitions(t(s, d, "events"))
+        .orderBy(col("from_type"), col("to_type")),
+    Some("""WITH l AS (
+        SELECT user_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type,
+          event_type AS to_type
+        FROM events)
+      SELECT from_type, to_type, count(*) AS n
+      FROM l WHERE from_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57)
+    q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
+    q58)
 }

@@ -823,6 +823,46 @@ object PipelineQueries {
         coalesce(scrubbed, '') AS scrubbed
       FROM tok LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  // P15c: longest duplicated token run per doc — duplicated 8-gram
+  // starts merged as intervals (two starts merge iff the next begins at
+  // or before the previous run's end); DuckDB replays the identical
+  // gaps-and-islands window (brk on pos > prev + 8, running-sum island
+  // ids, max-min+8 per island), so the merge rule is pinned.
+  private val textMaxdup = Q(
+    "text_maxdup",
+    (s, d) =>
+      Dedup.withMaxDupRun(Tables.load(s, d, "documents"), k = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS sh
+        FROM tok, unnest(range(1, greatest(len(ts) - 6, 1))) AS r(i)
+        WHERE len(ts) >= 8),
+      freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+      st AS (SELECT doc_id, pos FROM sh JOIN freq USING (sh) WHERE df > 1),
+      brk AS (
+        SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id
+              ORDER BY pos) + 8 THEN 1 ELSE 0 END AS b
+        FROM st),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM brk),
+      runs AS (
+        SELECT doc_id, island, max(pos) - min(pos) + 8 AS run_len
+        FROM isl GROUP BY 1, 2),
+      per AS (SELECT doc_id, max(run_len) AS max_dup_run
+        FROM runs GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(per.max_dup_run, 0) AS BIGINT) AS max_dup_run
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id"""))
+
   // P8f: hashed-BoW linear quality classifier (fastText shape) with a
   // deterministic arithmetic weight table — DuckDB replays the char
   // polynomial, bucket map, weight formula, FP fold order, and the
@@ -870,6 +910,34 @@ object PipelineQueries {
         FROM tok, unnest(range(1, len(tk))) AS r(j))
       SELECT pair, count(*) AS cnt FROM pr GROUP BY 1
       ORDER BY cnt DESC, pair LIMIT 30"""))
+
+  // P16c: temperature-flattened mixture sampling — rates DERIVED from
+  // group counts (share ∝ |g|^0.5, expected 300-doc budget) instead of
+  // hand-set. The denominator sums 6dp-rounded pow values as
+  // DECIMAL(28,6) (exact, order-free), so DuckDB reproduces the rate
+  // table bit-for-bit, then the same fresh-multiplier Knuth bucket.
+  private val mixTemperature = Q(
+    "mix_temperature",
+    (s, d) =>
+      Packing.temperatureMixture(Tables.load(s, d, "documents"),
+          alpha = 0.5, budget = 300)
+        .select(col("doc_id"), col("source"), col("n_group"), col("t_rate"),
+          col("mix_bucket"), col("keep"))
+        .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+        SELECT source, count(*) AS n_group FROM documents GROUP BY 1),
+      d AS (
+        SELECT sum(CAST(round(pow(n_group, 0.5), 6) AS DECIMAL(28,6)))
+          AS denom FROM g),
+      r AS (
+        SELECT source, n_group,
+          round(least(1.0, 300.0 * round(pow(n_group, 0.5), 6)
+            / CAST(denom AS DOUBLE) / n_group), 6) AS t_rate
+        FROM g, d)
+      SELECT doc_id, source, n_group, t_rate,
+        (doc_id * 1540483477 % 4294967296) % 10000 AS mix_bucket,
+        (doc_id * 1540483477 % 4294967296) % 10000 < t_rate * 10000 AS keep
+      FROM documents JOIN r USING (source) ORDER BY doc_id"""))
 
   // P16: deterministic mixture sampling — downsample src0 to 25%, drop
   // src1, keep src2 whole, halve the rest. Pure Knuth-mod-2^32
@@ -1324,8 +1392,8 @@ object PipelineQueries {
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
     splitTrain,
-    textDecontam, textDupfrac, textScrub, mixSample, mixUpsample,
-    selectBudget,
+    textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,
+    mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,

@@ -123,4 +123,59 @@ object EventPipeline {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  case class FunnelEv(user_id: Long, ts_ms: Long, event_type: String)
+  case class FunnelProgress(user_id: Long, level: Int, at_ms: Long)
+  // JVM-visible (not `private`): the state deserializer is Janino-
+  // compiled codegen, which cannot construct a Scala-private class
+  private[streaming] case class FunnelState(anchor_ms: Long, prev_ms: Long,
+      level: Int)
+
+  /** Streaming twin of [[graft.operators.Funnel.funnel]] (ST9): a
+    * per-user O(1) state machine — (anchor t1, last advance ts, level)
+    * — that emits a FunnelProgress row each time a user advances a
+    * step. The greedy first-qualifying-event advance equals the batch
+    * chained-min-ts semantics because events are processed in event-
+    * time order (sorted within each group batch; the equal-ts tie
+    * processes the EARLIER step first, which the strictly-after rule
+    * then rejects, matching batch `>`). Cross-microbatch disorder
+    * carries the same caveat as [[sessionize]]: state never rewinds, so
+    * late events past their group's frontier are ignored rather than
+    * re-folded — the bounded-state price every streaming funnel pays.
+    */
+  def funnelProgress(events: Dataset[FunnelEv], steps: Seq[String],
+      windowMs: Long): Dataset[FunnelProgress] = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val keyEnc = Encoders.scalaLong
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def fn(userId: Long, rows: Iterator[FunnelEv],
+        state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      val sorted = rows.toSeq
+        .filter(e => stepIdx.contains(e.event_type))
+        .sortBy(e => (e.ts_ms, stepIdx(e.event_type)))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[FunnelProgress]
+      sorted.foreach { e =>
+        val i = stepIdx(e.event_type)
+        if (st == null) {
+          if (i == 0) {
+            st = FunnelState(e.ts_ms, e.ts_ms, 1)
+            out += FunnelProgress(userId, 1, e.ts_ms)
+          }
+        } else if (i == st.level && st.level < steps.size &&
+            e.ts_ms > st.prev_ms && e.ts_ms <= st.anchor_ms + windowMs) {
+          st = FunnelState(st.anchor_ms, e.ts_ms, st.level + 1)
+          out += FunnelProgress(userId, st.level, e.ts_ms)
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -44,6 +44,18 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2))
   }
 
+  test("transitions: lag pairs per user, cross-user pairs excluded") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view", 1L),
+      (1L, ts("2024-01-01 00:01:00"), "click", 2L),
+      (1L, ts("2024-01-01 00:02:00"), "click", 3L),
+      (2L, ts("2024-01-01 00:03:00"), "purchase", 4L) // no prev for u2
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Funnel.transitions(ev)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("view", "click", 1L), ("click", "click", 1L)))
+  }
+
   test("retention: cohort weeks and offsets") {
     val ev = Seq(
       // u1 first active week of Jan 1 (Mon), active again wk+1, wk+3

@@ -152,6 +152,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 6L, 5L, "tailb")))
   }
 
+  test("withMaxDupRun: merged interval length, zero for clean docs") {
+    // docs 0/1 share a 6-token run => dup 4-gram starts 2,3,4 merge to
+    // one interval [2, 8) = 6 tokens; doc 2 is clean
+    val df = Seq(
+      (0L, "a b x1 x2 x3 x4 x5 x6 c"),
+      (1L, "d e x1 x2 x3 x4 x5 x6 f"),
+      (2L, "p q r s t u v w z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.withMaxDupRun(df, k = 4)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 6L), (1L, 6L), (2L, 0L)))
+  }
+
+  test("withMaxDupRun: disjoint islands don't merge") {
+    // shared 4-gram at the start AND at the end, 4 unique tokens apart:
+    // two islands of 4, max is 4 — not 12
+    val df = Seq(
+      (0L, "h1 h2 h3 h4 m1 m2 m3 m4 t1 t2 t3 t4"),
+      (1L, "h1 h2 h3 h4 n1 n2 n3 n4 t1 t2 t3 t4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.withMaxDupRun(df, k = 4)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 4L), (1L, 4L)))
+  }
+
   test("cosine pairs: identical vectors similarity 1") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

@@ -327,4 +327,27 @@ class PackingSpec extends AnyFunSuite {
     assert(!res(1)._3, "doc 1 shares nothing")
     assert(res(2)._3 && res(2)._2 >= 4, "doc 2 shares many 5-grams")
   }
+
+  test("temperatureMixture: flattened data-derived rates, cap, determinism") {
+    // 90/10 skew, alpha=0.5, budget 50: share ∝ sqrt(n) gives the small
+    // group 25% of the budget => rate 1.25 capped at 1.0; big group
+    // gets 50*0.75/90 ≈ 0.416667
+    val docs = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (90 until 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val r = Packing.temperatureMixture(docs, alpha = 0.5, budget = 50)
+      .select("doc_id", "source", "t_rate", "keep")
+      .as[(Long, String, Double, Boolean)].collect()
+    val bySrc = r.groupBy(_._2)
+    assert(bySrc("small").forall(x => x._3 == 1.0 && x._4),
+      "capped rate keeps the whole small group")
+    val bigRate = bySrc("big").head._3
+    assert(math.abs(bigRate - 50.0 * 0.75 / 90) < 1e-4, s"got $bigRate")
+    val kept = bySrc("big").count(_._4)
+    assert(kept > 20 && kept < 55, s"kept $kept of 90 at rate ~0.417")
+    // deterministic: re-run produces the identical keep set
+    val again = Packing.temperatureMixture(docs, alpha = 0.5, budget = 50)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(r.map(x => (x._1, x._4)).toMap == again)
+  }
 }

@@ -257,4 +257,44 @@ class StreamingSpec extends AnyFunSuite {
     // batch flatMapGroupsWithState emits only completed (pre-gap) sessions
     assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
   }
+
+  test("streaming funnel: final levels equal the batch funnel on real events") {
+    // one ms-truncated replay feeds BOTH engines so the strict-`>` time
+    // comparisons see identical instants
+    val rows = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), unix_millis(col("ts")), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val ev = rows.toSeq.toDF("user_id", "ms", "event_type")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("ts"),
+        col("event_type"))
+    val expected = graft.operators.Funnel
+      .funnel(ev, Seq("view", "click", "purchase"), "7 days")
+      .select("user_id", "level").as[(Long, Int)].collect().toMap
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF()
+      .select(col("_1").as("user_id"), col("_2").as("ts_ms"),
+        col("_3").as("event_type"))
+      .as[EventPipeline.FunnelEv]
+    val q = EventPipeline
+      .funnelProgress(stream, Seq("view", "click", "purchase"),
+        windowMs = 7L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // two microbatches split by time: state must carry the frontier
+      val cut = rows.map(_._2).sorted.apply(rows.length / 2)
+      mem.addData(rows.filter(_._2 <= cut).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._2 > cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("level").as("level"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == expected,
+      s"diverging users: ${((got.toSet diff expected.toSet) ++
+        (expected.toSet diff got.toSet)).take(5)}")
+  }
 }
