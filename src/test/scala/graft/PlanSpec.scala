@@ -71,6 +71,53 @@ class PlanSpec extends AnyFunSuite {
       "ffill window not partitioned by the key:\n" + p)
   }
 
+  test("funnel stages join without cartesian products, windows stay keyed (R19/R22)") {
+    val p55 = plan("q55_funnel")
+    assert(!p55.contains("CartesianProduct") &&
+      !p55.contains("BroadcastNestedLoop"),
+      "funnel must stay equi-keyed on user_id:\n" + p55)
+    val p58 = plan("q58_transitions")
+    val winLines = p58.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      "transition lag window not keyed by user_id:\n" + p58)
+  }
+
+  test("temperature mixture broadcasts the rate table; corpus never sort-merges (P16c)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val p = graft.pipeline.Packing
+      .temperatureMixture(docs, alpha = 0.5, budget = 300)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "rates must broadcast-join back to the corpus:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle for the rate join:\n" + p)
+  }
+
+  test("max-dup-run islands window is keyed by doc_id (P15c)") {
+    // The operator checkpoints its result (truncating the inspectable
+    // plan), so probe the islands-window shape it builds: both the lag
+    // and the running sum must partition on the high-cardinality doc id
+    // — an unkeyed window here would serialize every duplicated start
+    // in the corpus into one task.
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val starts = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val probe = starts
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+    val p = probe.queryExecution.executedPlan.toString
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      "island windows must partition on doc_id:\n" + p)
+    assert(p.contains("hashpartitioning(doc_id"),
+      "window exchange not hashed on doc_id:\n" + p)
+  }
+
   test("whole-stage codegen covers the q01 pipeline") {
     // materialize so AQE finalizes the physical plan with codegen spans
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.sf)
