@@ -92,7 +92,12 @@ object Bench {
         n -> best
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision: ns-precision doubles made the JSON line
+    // ~4.7KB at 121 queries, overflowing the driver's stdout tail
+    // window (BENCH_r06 recorded parsed:null). 3dp is ~2.5KB and well
+    // above measurement noise.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // -1.0 failure sentinels must not leak into the headline: summing
     // them would skew the total DOWN and a partial total would read as
@@ -101,7 +106,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ > 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Loss-proofing: the driver captures stdout, but a truncated capture
     // (observed round 2) loses per-query timings irrecoverably. Persist

@@ -219,6 +219,20 @@ object Dedup {
     docs.groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Word-order-insensitive exact dedup: identity = the sha256 of the
+    * SORTED token multiset, catching shuffled/templated near-copies
+    * that byte-exact dedup misses while staying a pure one-shuffle
+    * hash-groupBy (same 100 TB plan as [[exactKept]]; the sort is
+    * per-row, narrow). The canonical key — sort, single-space join,
+    * then hash — is engine-reproducible arithmetic, so the whole
+    * operator is oracle-checkable, unlike minhash-family near-dup. */
+  def bagKept(docs: DataFrame): DataFrame =
+    docs.groupBy(
+        sha2(concat_ws(" ",
+          array_sort(split(trim(lower(col("text"))), "\\s+"))), 256)
+          .as("bag_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
   // ----------------------------------------------------------- minhash
   /** MinHash signatures (`numHashes` permutations via seeded xxhash64)
     * banded into `bands` buckets; candidate pairs = docs sharing any

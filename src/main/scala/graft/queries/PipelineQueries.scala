@@ -24,6 +24,24 @@ object PipelineQueries {
       sha256(text) AS text_hash
       FROM documents GROUP BY sha256(text) ORDER BY doc_id"""))
 
+  // P1b: bag-of-words dedup — identity = sha256 of the sorted token
+  // multiset; catches token-shuffled/templated copies exact dedup
+  // misses, same one-shuffle hash-groupBy plan. Both engines sort
+  // ASCII tokens in binary order and join with single spaces.
+  private val dedupBag = Q(
+    "dedup_bag",
+    (s, d) =>
+      Dedup.bagKept(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("n_copies"), col("bag_hash"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+      sha256(array_to_string(list_sort(
+        string_split_regex(trim(lower(text)), '\s+')), ' ')) AS bag_hash
+      FROM documents
+      GROUP BY sha256(array_to_string(list_sort(
+        string_split_regex(trim(lower(text)), '\s+')), ' '))
+      ORDER BY doc_id"""))
+
   // P2: MinHash + LSH banding. Hash-function-specific → rows-only.
   private val dedupMinhash = Q(
     "dedup_minhash",
@@ -1387,7 +1405,7 @@ object PipelineQueries {
       FROM v ORDER BY doc_id, frame_idx"""))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
+    dedupExact, dedupBag, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,

@@ -152,6 +152,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 6L, 5L, "tailb")))
   }
 
+  test("bagKept: order-shuffled copies collapse, different multisets don't") {
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "gamma alpha beta"),   // same multiset, different order
+      (2L, "alpha beta beta"),    // different multiplicity
+      (3L, "Alpha  beta gamma")   // case/whitespace-normalized dup of 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.bagKept(df)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 3L), (2L, 1L)))
+  }
+
   test("withMaxDupRun: merged interval length, zero for clean docs") {
     // docs 0/1 share a 6-token run => dup 4-gram starts 2,3,4 merge to
     // one interval [2, 8) = 6 tokens; doc 2 is clean
