@@ -15,14 +15,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long only
-    // under spark.sql.legacy.parquet.nanosAsLong (set by GraftSession /
-    // Verify / Bench); normalize to a proper TimestampType (micros).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
+      nanosAsLongCols = if (name == "events") Set("ts") else Set.empty)
+
+  /** Timestamp normalization across driver data vintages. The tables
+    * have carried two parquet encodings: TIMESTAMP(NANOS) (read as
+    * long under spark.sql.legacy.parquet.nanosAsLong, set by
+    * GraftSession / Verify / Bench) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ since Spark 4
+    * infers NTZ). Every session here pins spark.sql.session.timeZone
+    * = UTC, so NTZ → LTZ preserves the wall clock exactly and keeps
+    * one engine-wide timestamp type the operator code (unix_micros,
+    * windows, watermarks) can rely on. */
+  def normalizeTimestamps(df: DataFrame,
+      nanosAsLongCols: Set[String] = Set.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast("timestamp"))
+        case LongType if nanosAsLongCols(f.name) =>
+          acc.withColumn(f.name,
+            expr(s"timestamp_micros(${f.name} div 1000)"))
+        case _ => acc
+      }
+    }
   }
 
   /** Register every table as a temp view (idempotent) — the analogue of

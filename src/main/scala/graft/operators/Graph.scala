@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as join/aggregate rounds — the Pregel
+  * pattern expressed in DataFrames (each superstep = one edge⋈rank
+  * join + one destination-keyed aggregate), the same decomposition
+  * GraphX/Pregel lower to but kept in Catalyst so AQE, codegen, and
+  * shuffle reuse all apply. The reference serves this class through
+  * repeated self-joins over its relational layer (omniscidb
+  * QueryEngine RelAlgExecutor re-entrant execution); a native
+  * fixed-point operator is deliberately NOT introduced — a bounded
+  * unrolled loop of standard shuffles is the plan a 1000-executor
+  * cluster wants.
+  */
+object Graph {
+
+  /** PageRank over an undirected edge list, a fixed number of
+    * power-iteration rounds (damping `d`):
+    * `r'(v) = (1−d)/N + d · Σ_{u→v} r(u)/deg(u)`.
+    * `edges` needs (src, dst) — each undirected edge listed ONCE; both
+    * directions are derived. Returns (node_id, rank) for every node,
+    * rank rounded 8dp.
+    *
+    * Cross-engine determinism: every per-edge contribution rounds at
+    * 12dp and the per-node sum runs as DECIMAL(20,12) — exact and
+    * order-free, so no float-summation ordering can diverge between
+    * engines (the [[graft.pipeline.Packing.temperatureMixture]]
+    * decimal-sum idiom); the damping update is then a single double
+    * expression on the exact sum, re-rounded 12dp per round.
+    *
+    * Scale: per round, ONE shuffle — ranks join edges on src (ranks =
+    * one row per node: broadcast-able until the node set itself is
+    * huge, after which AQE falls back to a hash join co-partitioned
+    * with the NEXT round's dst aggregate), then a partial-agg'd
+    * groupBy(dst). Degrees are computed once and ride inside the rank
+    * frame, so no second join per round. Iterations are UNROLLED
+    * (fixed `iters`, the bounded-analytics contract) with a
+    * localCheckpoint per round to truncate lineage — the
+    * [[graft.pipeline.Dedup]] connected-components discipline. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      d: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = bidir.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("node_id"), col("deg"), col("n_nodes"),
+        round(lit(1.0) / col("n_nodes"), 12).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = bidir
+        .join(ranks.withColumnRenamed("node_id", "src"), Seq("src"))
+        .select(col("dst").as("node_id"),
+          round(col("rank") / col("deg"), 12)
+            .cast("decimal(20,12)").as("contrib"))
+      val sums = contrib.groupBy("node_id")
+        .agg(sum(col("contrib")).as("in_mass"))
+      ranks = ranks.select(col("node_id"), col("deg"), col("n_nodes"))
+        .join(sums, Seq("node_id"))
+        .select(col("node_id"), col("deg"), col("n_nodes"),
+          round(lit(1.0 - d) / col("n_nodes")
+            + lit(d) * col("in_mass").cast("double"), 12).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node_id"), col("deg"), round(col("rank"), 8).as("rank"))
+  }
+}

@@ -233,6 +233,35 @@ object Dedup {
           .as("bag_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup (SURVEY.md §2 P1c): dedup a new batch
+    * against an already-deduped index WITHOUT re-touching the index —
+    * the daily-crawl shape ("today's docs vs everything ingested so
+    * far"). `batch` rows get `dup_in_index` (text hash already
+    * present), `dup_in_batch` (an earlier batch row — lower id — has
+    * the same hash), and `keep` = neither. Running [[exactKept]] over
+    * index ∪ batch gives the same survivors, but costs a full-corpus
+    * shuffle per day; this touches the index side once per batch.
+    *
+    * Scale: the index side reduces to DISTINCT digests (partial-agg'd
+    * projection of a stored column — at 100 TB the digest column is
+    * persisted at ingest and the scan reads 32 bytes/row); the batch
+    * (days, not corpora) partial-aggs per digest, LEFT-joins the index
+    * digests on the hash key, and a min-id groupBy decides in-batch
+    * firsts — no window, no index rewrite. */
+  def incrementalKept(index: DataFrame, batch: DataFrame): DataFrame = {
+    val idx = index.select(sha2(col("text"), 256).as("text_hash")).distinct()
+      .withColumn("in_index", lit(true))
+    val b = batch.select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+    val firsts = b.groupBy("text_hash").agg(min(col("doc_id")).as("first_id"))
+    b.join(firsts, Seq("text_hash"))
+      .join(idx, Seq("text_hash"), "left")
+      .select(col("doc_id"), col("text_hash"),
+        coalesce(col("in_index"), lit(false)).as("dup_in_index"),
+        (col("doc_id") > col("first_id")).as("dup_in_batch"),
+        (coalesce(col("in_index"), lit(false)) === lit(false)
+          && col("doc_id") === col("first_id")).as("keep"))
+  }
+
   // ----------------------------------------------------------- minhash
   /** MinHash signatures (`numHashes` permutations via seeded xxhash64)
     * banded into `bands` buckets; candidate pairs = docs sharing any

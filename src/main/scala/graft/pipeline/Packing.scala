@@ -411,6 +411,81 @@ object Packing {
     * xxhash64) keep the operator engine-reproducible for the oracle;
     * swap in [[Dedup.shingleHashes]] at 100 TB to move 8-byte keys.
     */
+  /** Deterministic WEIGHTED sampling without replacement, `nPerGroup`
+    * docs per group with inclusion odds ∝ `weightCol` (SURVEY.md §2
+    * P16d) — the importance-sampling sibling of [[quotaSample]]
+    * (uniform) and [[temperatureMixture]] (rate-thinning): "keep the
+    * 50 highest-value docs per source, value-weighted, reproducibly".
+    * Efraimidis–Spirakis exponential sort: each row draws
+    * `u ∈ (0,1)` from its Knuth hash and ranks by
+    * `es_key = ln(u)/w` DESC — the top-n by that key are exactly a
+    * weighted sample without replacement (A-ES, Efraimidis & Spirakis
+    * 2006). Returns every row with (es_key, wr_rank, kept).
+    *
+    * Cross-engine determinism: u = (q+0.5)/2^32 is exact dyadic
+    * arithmetic; the single `ln` agrees across libms to ~1 ulp and
+    * es_key rounds at 12dp — a grain ~5 orders above the libm
+    * disagreement band (§6); ties break by id.
+    *
+    * Scale: same two-phase decomposition as [[quotaSample]], but the
+    * rank key is a double with an exponential-like shape (mass piles
+    * near 0 for heavy weights), so equal-WIDTH buckets would put half
+    * a group in one bucket. Buckets are equal-RATIO instead:
+    * `bucket = floor(ln(−es_key)·8)` — monotone in the rank order, ~8
+    * buckets per e-fold, so candidate overshoot stays a constant
+    * factor regardless of the weight distribution. The tiny
+    * (groups × ~270) histogram decides non-candidate buckets
+    * wholesale; only ≈nPerGroup rows per group reach the exact-rank
+    * window, partitioned (group, bucket). Exact by construction, not
+    * ε-probabilistic.
+    *
+    * Multiplier 2654435761 (Knuth's 2^32/φ) ⟂ split ⟂ mixture ⟂ quota
+    * ⟂ upsample ⟂ shuffle. id < 2^31 × 2654435761 < 2^63: ANSI-safe. */
+  def weightedSample(docs: DataFrame, nPerGroup: Int,
+      weightCol: String = "n_chars", groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nPerGroup > 0, "nPerGroup must be positive")
+    val u = (pmod(col(idCol).cast("long") * lit(2654435761L),
+      lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = docs
+      .withColumn("es_key",
+        round(log(u) / greatest(col(weightCol).cast("double"), lit(1.0)), 12))
+      .withColumn("es_bucket",
+        floor(log(-col("es_key")) * lit(8.0)).cast("long"))
+    // histogram + cumulative over (groups × buckets) rows, never data;
+    // ordering: es_key DESC ⟺ −es_key ASC ⟺ es_bucket ASC
+    val hist = keyed.groupBy(col(groupCol), col("es_bucket"))
+      .agg(count(lit(1)).as("es_bcount"))
+      .withColumn("es_cum_before", coalesce(
+        sum(col("es_bcount")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("es_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("es_bucket"), col("es_cum_before"))
+    val withCum = keyed.join(broadcast(hist), Seq(groupCol, "es_bucket"))
+    val wb = Window.partitionBy(col(groupCol), col("es_bucket"))
+      .orderBy(col("es_key").desc, col(idCol))
+    val ranked = withCum.filter(col("es_cum_before") < nPerGroup)
+      .withColumn("wr_rank",
+        col("es_cum_before") + row_number().over(wb).cast("long"))
+      .withColumn("kept", col("wr_rank") <= nPerGroup)
+    val rest = withCum.filter(col("es_cum_before") >= nPerGroup)
+      .withColumn("wr_rank", lit(null).cast("long"))
+      .withColumn("kept", lit(false))
+    ranked.unionByName(rest).drop("es_bucket", "es_cum_before")
+  }
+
+  /** Eval-set decontamination: flag every corpus doc sharing at least
+    * one `k`-token shingle with the benchmark set (the standard n-gram
+    * overlap contamination check run before training). Returns
+    * (doc_id, n_shared, contaminated) for every corpus doc.
+    *
+    * Scale: the benchmark side is an eval set — small by definition —
+    * so its distinct shingles broadcast and the corpus streams past in
+    * one narrow pass (explode + broadcast-semi probe + partial-agg
+    * count); the corpus is never shuffled. String shingles (not
+    * xxhash64) keep the operator engine-reproducible for the oracle;
+    * swap in [[Dedup.shingleHashes]] at 100 TB to move 8-byte keys.
+    */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 5,
       textCol: String = "text"): DataFrame = {
     val d = docs.select(col("doc_id"),

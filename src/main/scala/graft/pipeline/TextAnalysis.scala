@@ -581,4 +581,58 @@ object TextAnalysis {
              j -> substring(tk, j, 2)) end""")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
+
+  // --------------------------------------------------- BM25 retrieval
+  /** BM25 document ranking for a fixed bag of query terms (SURVEY.md §2
+    * P18f) — the retrieval scorer behind corpus search / RAG candidate
+    * generation, and the lexical sibling of the ANN family. Okapi BM25
+    * with the Lucene non-negative idf:
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+    * `score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    * Returns the top `k` docs by (score DESC, doc_id) with their
+    * per-doc token length.
+    *
+    * Cross-engine determinism: idf rounds 6dp; `dl/avgdl` rounds 6dp
+    * (avgdl itself is one exact `sum/count` division); each per-term
+    * score rounds 6dp and the per-doc sum runs as DECIMAL(18,6) —
+    * exact and order-free, so no float-summation ordering can diverge
+    * between engines (§6 round-early discipline, the
+    * [[temperatureMixture]] decimal-sum idiom).
+    *
+    * Scale: the corpus explodes once, immediately filtered to the
+    * query terms (a literal IN list — Catalyst folds it into the scan
+    * filter, so non-matching tokens never shuffle); tf is one
+    * partial-agg'd (doc, term) shuffle over MATCHING tokens only; doc
+    * lengths partial-agg on doc_id; df/avgdl/N are term- or 1-row
+    * frames that ride as broadcasts. The final top-k is a global
+    * orderBy+limit = TakeOrderedAndProject (output-proportional,
+    * per-partition heaps), never a window. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val matching = toks.filter(col("token").isin(queryTerms: _*))
+    val tf = matching.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl")))
+    val perTerm = tf
+      .join(broadcast(dfT), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0)
+        + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .withColumn("ndl", round(col("dl") / col("avgdl"), 6))
+      .withColumn("tscore", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("ndl"))), 6))
+    perTerm
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tscore").cast("decimal(18,6)")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
 }

@@ -1150,8 +1150,61 @@ object ExtendedQueries {
       FROM l WHERE from_type IS NOT NULL
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // Iterative graph analytics (Graph.pageRank): 3 power-iteration
+  // rounds over the customer↔supplier bipartite graph derived from
+  // orders⋈lineitem (node ids: custkey·2 even, suppkey·2+1 odd). The
+  // oracle unrolls the identical three join+aggregate rounds; per-edge
+  // contributions round 12dp and per-node sums run as DECIMAL(20,12)
+  // in both engines, so no float-summation order can diverge.
+  private val q59 = Q(
+    "q59_pagerank",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("node_id"))
+    },
+    Some("""WITH e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      deg AS (SELECT src AS node_id, count(*) AS deg FROM e GROUP BY 1),
+      nn AS (SELECT count(*) AS n_nodes FROM deg),
+      r0 AS (SELECT node_id, deg, n_nodes,
+          round(1.0 / n_nodes, 12) AS rank
+        FROM deg CROSS JOIN nn),
+      s1 AS (SELECT e.dst AS node_id,
+          sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(20,12))) AS m
+        FROM e JOIN r0 r ON e.src = r.node_id GROUP BY 1),
+      r1 AS (SELECT r.node_id, r.deg, r.n_nodes,
+          round((1.0 - 0.85) / r.n_nodes
+            + 0.85 * CAST(s1.m AS DOUBLE), 12) AS rank
+        FROM r0 r JOIN s1 USING (node_id)),
+      s2 AS (SELECT e.dst AS node_id,
+          sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(20,12))) AS m
+        FROM e JOIN r1 r ON e.src = r.node_id GROUP BY 1),
+      r2 AS (SELECT r.node_id, r.deg, r.n_nodes,
+          round((1.0 - 0.85) / r.n_nodes
+            + 0.85 * CAST(s2.m AS DOUBLE), 12) AS rank
+        FROM r1 r JOIN s2 USING (node_id)),
+      s3 AS (SELECT e.dst AS node_id,
+          sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(20,12))) AS m
+        FROM e JOIN r2 r ON e.src = r.node_id GROUP BY 1),
+      r3 AS (SELECT r.node_id, r.deg, r.n_nodes,
+          round((1.0 - 0.85) / r.n_nodes
+            + 0.85 * CAST(s3.m AS DOUBLE), 12) AS rank
+        FROM r2 r JOIN s3 USING (node_id))
+      SELECT node_id, deg, round(rank, 8) AS rank
+      FROM r3 ORDER BY node_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58)
+    q58, q59)
 }

@@ -1404,8 +1404,107 @@ object PipelineQueries {
         CAST(96 AS BIGINT) AS frame_len
       FROM v ORDER BY doc_id, frame_idx"""))
 
+  // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
+  // "today's crawl" slice) deduped against the already-ingested index
+  // (doc_id % 10 < 6) without re-touching index rows: index side
+  // reduces to distinct digests, batch side partial-aggs per digest.
+  private val dedupIncr = Q(
+    "dedup_incr",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.incrementalKept(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 6))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH idx AS (
+        SELECT DISTINCT sha256(text) AS text_hash
+        FROM documents WHERE doc_id % 10 < 6),
+      b AS (SELECT doc_id, sha256(text) AS text_hash
+        FROM documents WHERE doc_id % 10 >= 6),
+      f AS (SELECT text_hash, min(doc_id) AS first_id FROM b GROUP BY 1)
+      SELECT b.doc_id, b.text_hash,
+        (i.text_hash IS NOT NULL) AS dup_in_index,
+        (b.doc_id > f.first_id) AS dup_in_batch,
+        (i.text_hash IS NULL AND b.doc_id = f.first_id) AS keep
+      FROM b JOIN f USING (text_hash) LEFT JOIN idx i USING (text_hash)
+      ORDER BY b.doc_id"""))
+
+  // P16d: weighted sampling without replacement (Efraimidis–Spirakis
+  // exponential sort, weight = n_chars) — the oracle replays the
+  // equal-ratio log-bucket histogram gate so candidate-bucket rows
+  // carry their exact global rank and all others carry NULL, exactly
+  // the two-phase plan's output contract (the quota_sample idiom).
+  private val mixWeighted = Q(
+    "mix_weighted",
+    (s, d) =>
+      Packing.weightedSample(Tables.load(s, d, "documents"), nPerGroup = 10)
+        .select(col("doc_id"), col("source"), col("es_key"),
+          col("wr_rank"), col("kept"))
+        .orderBy(col("doc_id")),
+    Some("""WITH k AS (
+        SELECT doc_id, source,
+          round(ln((((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296)
+              + 0.5) / 4294967296.0)
+            / greatest(CAST(n_chars AS DOUBLE), 1.0), 12) AS es_key
+        FROM documents),
+      b AS (SELECT doc_id, source, es_key,
+        CAST(floor(ln(-es_key) * 8.0) AS BIGINT) AS es_bucket FROM k),
+      h AS (SELECT source, es_bucket, count(*) AS bcount
+        FROM b GROUP BY 1, 2),
+      c AS (SELECT source, es_bucket,
+        coalesce(sum(bcount) OVER (PARTITION BY source ORDER BY es_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum_before
+        FROM h),
+      r AS (SELECT b.doc_id, b.source, b.es_key, c.cum_before,
+        CAST(row_number() OVER (PARTITION BY b.source
+          ORDER BY b.es_key DESC, b.doc_id) AS BIGINT) AS grank
+        FROM b JOIN c USING (source, es_bucket))
+      SELECT doc_id, source, es_key,
+        CASE WHEN cum_before < 10 THEN grank END AS wr_rank,
+        coalesce(CASE WHEN cum_before < 10 THEN grank END <= 10, false)
+          AS kept
+      FROM r ORDER BY doc_id"""))
+
+  // P18f: BM25 retrieval for a fixed query-term bag — Lucene
+  // non-negative idf, k1=1.2, b=0.75; idf/ndl/per-term scores round
+  // 6dp and the per-doc sum runs as DECIMAL(18,6) in BOTH engines, so
+  // the ranking compares identical values. The oracle mirrors the
+  // Scala-side float arithmetic literally ((1.2 + 1.0), (1.0 - 0.75))
+  // so both engines evaluate the same double expressions.
+  private val textBm25 = Q(
+    "text_bm25",
+    (s, d) =>
+      TextAnalysis.bm25TopK(Tables.load(s, d, "documents"),
+          Seq("spark", "hash", "window"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st)
+      SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+        CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBag, dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
+    dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25,
+    dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,

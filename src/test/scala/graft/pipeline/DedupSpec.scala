@@ -199,4 +199,29 @@ class DedupSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("incrementalKept: batch deduped against the index and itself") {
+    val index = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"), // dup of index doc 1
+      (11L, "delta"),      // fresh → keep
+      (12L, "delta"),      // in-batch dup of 11
+      (13L, "gamma"),      // dup of index doc 2
+      (14L, "epsilon")     // fresh → keep
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalKept(index, batch)
+      .select("doc_id", "dup_in_index", "dup_in_batch", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(10L) == ((true, false, false)))
+    assert(r(11L) == ((false, false, true)))
+    assert(r(12L) == ((false, true, false)))
+    assert(r(13L) == ((true, false, false)))
+    assert(r(14L) == ((false, false, true)))
+    // equivalence: survivors = exactKept(index ∪ batch) ∩ batch
+    val full = Dedup.exactKept(index.union(batch))
+      .select("doc_id").as[Long].collect().toSet
+    val kept = r.filter(_._2._3).keySet
+    assert(kept == full.filter(_ >= 10L))
+  }
 }

@@ -350,4 +350,40 @@ class PackingSpec extends AnyFunSuite {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(r.map(x => (x._1, x._4)).toMap == again)
   }
+
+  test("weightedSample: two-phase equals the global A-ES window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 300).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", (i % 7 + 1) * 40)
+    }.toDF("doc_id", "source", "n_chars")
+    val got = Packing.weightedSample(df, nPerGroup = 10)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // reference: the same es_key ranked by one full window per group
+    val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val ref = df
+      .withColumn("es_key",
+        round(log(u) / greatest(col("n_chars").cast("double"), lit(1.0)), 12))
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id"))))
+      .filter(col("r") <= 10).select("doc_id").as[Long].collect().toSet
+    assert(got == ref)
+    assert(got.size == 20, "10 per group, 2 groups")
+  }
+
+  test("weightedSample: heavier docs are sampled proportionally more") {
+    // weights 1 vs 9: across many rows the heavy class should dominate
+    val df = (1 to 2000).map { i =>
+      (i.toLong, "g", if (i % 2 == 0) 9 else 1)
+    }.toDF("doc_id", "source", "n_chars")
+    val kept = Packing.weightedSample(df, nPerGroup = 200)
+      .filter(col("kept"))
+      .select("doc_id").as[Long].collect()
+    val heavy = kept.count(_ % 2 == 0)
+    // E[heavy] ≈ 180 of 200 (9:1 odds); even a loose bound proves the
+    // weighting is live and directional
+    assert(heavy > 140, s"heavy=$heavy of ${kept.length}")
+    // kept honors the exact quota
+    assert(kept.length == 200)
+  }
 }

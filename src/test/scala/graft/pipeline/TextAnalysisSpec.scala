@@ -296,4 +296,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("aa" -> 2L, "ab" -> 3L))
   }
+
+  test("bm25TopK: tf saturation, idf discrimination, length norm") {
+    val df = Seq(
+      (0L, "spark spark spark pad pad pad"), // tf=3 on 'spark'
+      (1L, "spark pad pad pad pad pad"),     // tf=1, same length
+      (2L, "hash pad pad pad pad pad"),      // rarer term (df=1)
+      (3L, "pad pad pad pad pad pad"),       // no query term → absent
+      (4L, "spark pad")                      // tf=1, SHORT doc
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(df, Seq("spark", "hash"), k = 10)
+      .select("doc_id", "n_terms", "bm25")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(!r.contains(3L), "doc without any query term is absent")
+    // higher tf scores higher at equal length and term
+    assert(r(0L)._3 > r(1L)._3)
+    // rarer term (df 1 of 5) outranks the common one (df 3 of 5) at tf=1
+    assert(r(2L)._3 > r(1L)._3)
+    // shorter doc outranks longer at same tf/term (length normalization)
+    assert(r(4L)._3 > r(1L)._3)
+    assert(r(0L)._2 == 1L && r.values.forall(_._2 == 1L))
+  }
+
+  test("bm25TopK: multi-term scores sum and k cuts the tail") {
+    val df = Seq(
+      (0L, "spark hash join"),
+      (1L, "spark pad pad"),
+      (2L, "hash pad pad")
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.bm25TopK(df, Seq("spark", "hash"), k = 10)
+      .select("doc_id", "n_terms").as[(Long, Long)].collect().toMap
+    assert(all(0L) == 2L && all(1L) == 1L && all(2L) == 1L)
+    val top1 = TextAnalysis.bm25TopK(df, Seq("spark", "hash"), k = 1)
+      .select("doc_id").as[Long].collect()
+    assert(top1.toSeq == Seq(0L), "two matched terms outrank one")
+  }
 }

@@ -43,11 +43,12 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${graft.TestSpark.sf}/events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // infer the staged file's actual schema (the ts encoding has
+    // changed across data vintages) and normalize like Tables.load
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.Tables.normalizeTimestamps(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      nanosAsLongCols = Set("ts"))
     val q = EventPipeline.hourlyAgg(stream).writeStream
       .format("memory").queryName("hourly_append").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
