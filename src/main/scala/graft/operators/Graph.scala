@@ -38,12 +38,21 @@ object Graph {
     * frame, so no second join per round. Iterations are UNROLLED
     * (fixed `iters`, the bounded-analytics contract) with a
     * localCheckpoint per round to truncate lineage — the
-    * [[graft.pipeline.Dedup]] connected-components discipline. */
+    * [[graft.pipeline.Dedup]] connected-components discipline.
+    *
+    * The bidirectional edge frame itself is localCheckpoint'd ONCE
+    * before the loop: `edges` is usually derived (a fact join +
+    * distinct), and without materialization every superstep — and the
+    * degree pass — would re-execute that full lineage. At 100 TB that
+    * is iters+1 re-scans and re-shuffles of the fact tables; with the
+    * checkpoint the derivation runs exactly once and each round reads
+    * the materialized (src, dst) blocks. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       d: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     val deg = bidir.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))

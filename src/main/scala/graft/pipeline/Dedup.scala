@@ -114,6 +114,30 @@ object Dedup {
     out
   }
 
+  /** Positional `k`-gram shingle table (doc_id, pos, hk): gram at token
+    * position `pos` (0-based), keyed by its 64-bit xxhash64. The gram
+    * build keeps the token array strictly in HOF-argument position (the
+    * [[shingles]] re-inlining discipline: zip_with folds, never
+    * element_at-inside-transform), and the STRING gram dies inside the
+    * projection — only the 8-byte hash ever reaches a shuffle, so the
+    * corpus-scale count shuffle and join-back move fixed-width keys
+    * (the [[shingleHashes]] idiom; a 64-bit collision needs ~2^32
+    * distinct grams, far beyond any per-round corpus slice). Shared by
+    * [[scrubDuplicateSpans]] and [[withMaxDupRun]] — one code path, so
+    * a boundary fix in one cannot silently miss the other. */
+  private[graft] def positionalShingles(docs: DataFrame, k: Int,
+      textCol: String): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sz = size(toks)
+    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
+    }
+    val shArr = when(sz < k, array().cast("array<string>"))
+      .otherwise(slice(grams, lit(1), sz - (k - 1)))
+    docs.select(col("doc_id"), posexplode(shArr).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("sh")).as("hk"))
+  }
+
   /** Duplicate-SPAN scrubbing (the Lee et al. "Deduplicating Training
     * Data" substring pass, re-expressed relationally): any k-token run
     * occurring ≥2 times in the corpus is removed from every document,
@@ -121,10 +145,9 @@ object Dedup {
     * flags documents, this edits them — the within-document half of the
     * pipeline's dedup story.
     *
-    * Plan shape = the dupfrac idiom with positions kept: ONE positional
-    * shingle explode (the zip_with gram build — the token array is only
-    * ever a HOF argument, see [[shingles]]), one count shuffle on the
-    * shingle string, and the duplicated starts joined back per doc.
+    * Plan shape = the dupfrac idiom with positions kept: ONE
+    * [[positionalShingles]] explode, one count shuffle on the 8-byte
+    * gram hash, and the duplicated starts joined back per doc.
     * Token-keep is then pure per-row HOF arithmetic: position i
     * survives iff no duplicated start s covers it (s ≤ i < s+k). Cost
     * is O(corpus shingles) — no pairwise work, no window; the exists()
@@ -134,17 +157,10 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sz = size(toks)
-    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
-    }
-    val shArr = when(sz < k, array().cast("array<string>"))
-      .otherwise(slice(grams, lit(1), sz - (k - 1)))
-    val sh = docs
-      .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "sh")))
+    val sh = positionalShingles(docs, k, textCol)
       .persist() // two consumers: the frequency table and the join back
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val starts = sh.join(freq, Seq("sh")).filter(col("df") > 1)
+    val freq = sh.groupBy("hk").agg(count(lit(1)).as("df"))
+    val starts = sh.join(freq, Seq("hk")).filter(col("df") > 1)
       .groupBy("doc_id").agg(collect_list(col("pos")).as("_starts"))
     val out = docs.join(starts, Seq("doc_id"), "left")
       .withColumn("_starts",
@@ -171,27 +187,20 @@ object Dedup {
     * longest merged interval is the answer (0 for docs with no
     * duplicated span).
     *
-    * Same O(corpus shingles) front half as the scrubber; the merge is
+    * Same O(corpus shingles) front half as the scrubber (the shared
+    * [[positionalShingles]] table, hashed keys); the merge is
     * one lag window + one rollup, both partitioned by the
     * HIGH-cardinality doc id, never by anything low-cardinality.
     */
   def withMaxDupRun(docs: DataFrame, k: Int = 8,
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sz = size(toks)
-    val grams = (2 to k).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j), sz), (a, b) => concat_ws(" ", a, b))
-    }
-    val shArr = when(sz < k, array().cast("array<string>"))
-      .otherwise(slice(grams, lit(1), sz - (k - 1)))
-    val sh = docs
-      .select(col("doc_id"), posexplode(shArr).as(Seq("pos", "sh")))
+    val sh = positionalShingles(docs, k, textCol)
       .persist()
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val freq = sh.groupBy("hk").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = sh.join(freq, Seq("sh")).filter(col("df") > 1)
+    val runs = sh.join(freq, Seq("hk")).filter(col("df") > 1)
       .select(col("doc_id"), col("pos"))
       .withColumn("brk",
         when(lag(col("pos"), 1).over(w).isNull ||

@@ -399,18 +399,6 @@ object Packing {
     out
   }
 
-  /** Eval-set decontamination: flag every corpus doc sharing at least
-    * one `k`-token shingle with the benchmark set (the standard n-gram
-    * overlap contamination check run before training). Returns
-    * (doc_id, n_shared, contaminated) for every corpus doc.
-    *
-    * Scale: the benchmark side is an eval set — small by definition —
-    * so its distinct shingles broadcast and the corpus streams past in
-    * one narrow pass (explode + broadcast-semi probe + partial-agg
-    * count); the corpus is never shuffled. String shingles (not
-    * xxhash64) keep the operator engine-reproducible for the oracle;
-    * swap in [[Dedup.shingleHashes]] at 100 TB to move 8-byte keys.
-    */
   /** Deterministic WEIGHTED sampling without replacement, `nPerGroup`
     * docs per group with inclusion odds ∝ `weightCol` (SURVEY.md §2
     * P16d) — the importance-sampling sibling of [[quotaSample]]
@@ -440,7 +428,14 @@ object Packing {
     * ε-probabilistic.
     *
     * Multiplier 2654435761 (Knuth's 2^32/φ) ⟂ split ⟂ mixture ⟂ quota
-    * ⟂ upsample ⟂ shuffle. id < 2^31 × 2654435761 < 2^63: ANSI-safe. */
+    * ⟂ upsample ⟂ shuffle. id < 2^31 × 2654435761 < 2^63: ANSI-safe.
+    *
+    * The key clamps to ≤ −1e-12 (one 12dp grain below zero): when u is
+    * within ~5e-13·w of 1 and w is large (default weight n_chars
+    * routinely exceeds the ~233 where this first bites), round(ln(u)/w,
+    * 12) lands on exactly 0 — then ln(−es_key) would be NULL/error and
+    * the row would silently lose its bucket. Both engines clamp
+    * identically, so bucketing and rank order stay engine-agreed. */
   def weightedSample(docs: DataFrame, nPerGroup: Int,
       weightCol: String = "n_chars", groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
@@ -449,7 +444,8 @@ object Packing {
       lit(4294967296L)).cast("double") + lit(0.5)) / lit(4294967296.0)
     val keyed = docs
       .withColumn("es_key",
-        round(log(u) / greatest(col(weightCol).cast("double"), lit(1.0)), 12))
+        least(round(log(u) / greatest(col(weightCol).cast("double"), lit(1.0)),
+          12), lit(-1e-12)))
       .withColumn("es_bucket",
         floor(log(-col("es_key")) * lit(8.0)).cast("long"))
     // histogram + cumulative over (groups × buckets) rows, never data;

@@ -1162,8 +1162,8 @@ object ExtendedQueries {
       val edges = t(s, d, "orders")
         .join(t(s, d, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
       graft.operators.Graph.pageRank(edges, iters = 3)
         .orderBy(col("node_id"))

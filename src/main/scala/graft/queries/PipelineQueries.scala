@@ -1444,9 +1444,9 @@ object PipelineQueries {
         .orderBy(col("doc_id")),
     Some("""WITH k AS (
         SELECT doc_id, source,
-          round(ln((((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296)
-              + 0.5) / 4294967296.0)
-            / greatest(CAST(n_chars AS DOUBLE), 1.0), 12) AS es_key
+          least(round(ln((((CAST(doc_id AS BIGINT) * 2654435761)
+                % 4294967296) + 0.5) / 4294967296.0)
+            / greatest(CAST(n_chars AS DOUBLE), 1.0), 12), -1e-12) AS es_key
         FROM documents),
       b AS (SELECT doc_id, source, es_key,
         CAST(floor(ln(-es_key) * 8.0) AS BIGINT) AS es_bucket FROM k),

@@ -29,6 +29,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.forall(v => math.abs(v - 0.25) < 1e-9), r.toString)
   }
 
+  test("pageRank: edge derivation executes once, not once per superstep") {
+    // The edge frame is usually derived (fact join + distinct); the
+    // operator must localCheckpoint it before the loop so that lineage
+    // runs ONCE. A partition-level accumulator on the input counts
+    // executions: the bidirectional union scans the input twice in its
+    // single materialization job (two union branches), so one pass adds
+    // at most 2·rows; re-execution per superstep would add
+    // 2·rows·(iters+1) or more.
+    val execs = spark.sparkContext.longAccumulator("edgeExecs")
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(raw, 1).map { p =>
+        execs.add(1); org.apache.spark.sql.Row(p._1, p._2)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.LongType))))
+    val r = Graph.pageRank(edges, iters = 4).collect()
+    assert(r.length == 4)
+    assert(execs.value <= 2L * raw.length,
+      s"edge lineage re-executed: $execs adds for ${raw.length} rows")
+  }
+
   test("pageRank: more in-links means more rank after convergence steps") {
     // node 100 linked by 5 spokes; node 200 by 1
     val edges = (Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
