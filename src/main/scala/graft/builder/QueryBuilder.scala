@@ -168,6 +168,37 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   /** hdk.py:1865 `ref` — column reference off this node. */
   def ref(c: String): Column = df(c)
 
+  // ---- event-sequence analytics (SURVEY §2 R19/R20/R22 at the builder
+  // surface): the ClickHouse windowFunnel/retention vocabulary the
+  // reference's users run as chained self-joins (RelCompound stages)
+  // becomes one chain step here. Thin wrappers over
+  // [[graft.operators.Funnel]], so the builder path and the operator
+  // path produce THE SAME Catalyst plan (QueryBuilderSpec asserts the
+  // results coincide; the q60 driver query oracles the builder chain).
+
+  /** Sequential conversion funnel over this node's event relation:
+    * deepest step of `steps` reached in order within `window` of the
+    * anchoring first step — see [[graft.operators.Funnel.funnel]]. */
+  def funnel(steps: Seq[String], window: String = "7 days",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): QueryNode =
+    new QueryNode(graft.operators.Funnel.funnel(
+      df, steps, window, userCol, tsCol, typeCol))
+
+  /** Weekly cohort retention matrix — see
+    * [[graft.operators.Funnel.retention]]. */
+  def retention(userCol: String = "user_id",
+      tsCol: String = "ts"): QueryNode =
+    new QueryNode(graft.operators.Funnel.retention(df, userCol, tsCol))
+
+  /** First-order event-type transition counts — see
+    * [[graft.operators.Funnel.transitions]]. */
+  def transitions(userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): QueryNode =
+    new QueryNode(graft.operators.Funnel.transitions(
+      df, userCol, tsCol, typeCol, tieCol))
+
   /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
     * variant renames columns in bulk. */
   def rename(mapping: (String, String)*): QueryNode =

@@ -341,6 +341,67 @@ object Dedup {
       }: _*).as("sig"))
   }
 
+  /** (doc_id, band_idx, band_hash) from a signature table: band bucket
+    * = arithmetic fold of the band's signature slice (no string
+    * building; mod-2^32 keeps ANSI long arithmetic overflow-free).
+    * Shared by [[minhashPairs]] and [[minhashBandRows]] — one fold, so
+    * batch pairs, the stored incremental index, and the streaming state
+    * ([[graft.streaming.StreamDedup]] uses the same constants) bucket
+    * identically. */
+  private def sigBandRows(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sig.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+          b -> aggregate(slice(sig, b * $rows + 1, $rows), cast(b as bigint),
+                         (acc, x) -> (acc * 1000003L + (x & 4294967295L)) % 4294967296L))"""))
+      .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** The minhash band-bucket INDEX representation (doc_id, band_idx,
+    * band_hash) — what an incremental pipeline stores at ingest (and
+    * the batch twin of the state [[graft.streaming.StreamDedup]] keeps
+    * per bucket). N·bands fixed-width rows; at 100 TB this is the table
+    * persisted as parquet so tomorrow's batch joins against it without
+    * re-shingling the corpus. */
+  def minhashBandRows(docs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, shingled: Option[DataFrame] = None): DataFrame =
+    sigBandRows(minhashSignatures(docs, numHashes, shingled),
+      numHashes, bands)
+
+  /** INCREMENTAL near-dup candidates (SURVEY.md §2 P2c): today's
+    * `batch` against a STORED band-bucket `indexBands` table
+    * ([[minhashBandRows]] output, persisted at ingest), without
+    * re-shingling the index corpus — the near-dup sibling of
+    * [[incrementalKept]]'s daily-crawl shape. Returns DISTINCT
+    * (batch_id, index_id) pairs sharing ≥1 band bucket; feed them to
+    * [[verifyCandidates]] for the exact-Jaccard decision.
+    *
+    * Scale: the batch side re-derives signatures for the BATCH only
+    * (days, not corpora); the index side is two scans of a stored
+    * fixed-width table (hot-bucket sizes + the probe join) and is never
+    * re-shingled. Index buckets above `maxBucketDf` are dropped — the
+    * [[minhashPairs]] degenerate-bucket guard; a 1-row index bucket
+    * still produces candidates (unlike the self-join's ≥2 floor,
+    * a single stored doc must still catch its new duplicate). */
+  def incrementalMinhashCandidates(indexBands: DataFrame, batch: DataFrame,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketDf: Int = 1000): DataFrame = {
+    val bb = minhashBandRows(batch, numHashes, bands)
+    val coolBuckets = indexBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketDf)
+      .select("band_idx", "band_hash")
+    indexBands.join(coolBuckets, Seq("band_idx", "band_hash"))
+      .select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("index_id"))
+      .join(bb.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("batch_id")), Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("index_id"))
+      .distinct()
+  }
+
   def minhashPairs(
       docs: DataFrame,
       numHashes: Int = 64,
@@ -349,7 +410,6 @@ object Dedup {
       maxBucketDf: Int = 1000,
       shingled: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // Two caches with disjoint jobs: the signatures (N rows, one
     // 64-long array each) and the band rows (N·bands rows, three longs
     // each — doc_id, band_idx, band_hash). Keeping `sig` OUT of the
@@ -359,14 +419,7 @@ object Dedup {
     // joined on ids alone, and the signatures come back only for the
     // (small, distinct) candidate set.
     val sig = minhashSignatures(docs, numHashes, shingled).persist()
-    // Band bucket = arithmetic fold of the band's signature slice (no
-    // string building; mod-2^32 keeps ANSI long arithmetic overflow-free).
-    val bandRows = sig
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-            b -> aggregate(slice(sig, b * $rows + 1, $rows), cast(b as bigint),
-                           (acc, x) -> (acc * 1000003L + (x & 4294967295L)) % 4294967296L))"""))
-        .as(Seq("band_idx", "band_hash")))
+    val bandRows = sigBandRows(sig, numHashes, bands)
       // N·bands narrow rows feeding three consumers (bucket sizes + both
       // self-join sides); without the persist the whole signature
       // pipeline (explode + 64 partial-agg minima) re-runs per consumer.

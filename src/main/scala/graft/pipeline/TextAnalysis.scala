@@ -582,6 +582,77 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
 
+  /** Full BPE tokenizer TRAINING loop (SURVEY.md §2 P18e): `nMerges`
+    * rounds of count-pairs → pick the top pair (count DESC, pair ASC) →
+    * greedily merge it left-to-right in every word → repeat on the
+    * re-paired symbols. Returns the learned merge table
+    * (merge_rank, pair, cnt) — `pair` is the two symbols space-joined,
+    * exactly the merges.txt contract of a trained BPE tokenizer.
+    * [[bpeMergePairs]] is this loop's first candidate table standalone.
+    *
+    * The greedy merge is a left-fold with a string accumulator (symbols
+    * space-joined; tokens are whitespace-split so symbols never contain
+    * a space): if the accumulated repr ends with symbol `a` and the next
+    * symbol is `b`, the tail rewrites to the merged symbol, else append.
+    * No "just merged" flag is needed — a cascade would require
+    * a+b == a, impossible for non-empty b. The identical fold runs in
+    * DuckDB (list_reduce with the same CASE arms), so the oracle replays
+    * every round bit-for-bit.
+    *
+    * Scale: the corpus is read ONCE into a word-frequency table; every
+    * round after that runs at VOCAB scale (distinct words), not corpus
+    * scale — one pair-explode + partial-agg'd sum + TakeOrderedAndProject
+    * limit(1), then a narrow per-word fold, localCheckpoint'd per round
+    * (SURVEY §4 rule 5: truncate iterative lineage). The per-round
+    * driver collect is ONE row (the winning pair — the dim-probe
+    * precedent), bounded by `nMerges`. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 30, "nMerges must be in [1, 30]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // array_remove: Spark's regex split keeps a trailing "" on empty
+    // pattern (Java split semantics); DuckDB's string_split does not
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("syms", array_remove(split(col("w"), ""), ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val sy = col("syms")
+      val pairsArr = when(size(sy) < 2, array().cast("array<string>"))
+        .otherwise(slice(
+          zip_with(sy, slice(sy, lit(2), size(sy)),
+            (a, b) => concat_ws(" ", a, b)),
+          lit(1), size(sy) - 1))
+      val top = vocab
+        .select(col("n"), explode(pairsArr).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, pair, cnt))
+        val folded = aggregate(sy, lit(""), (acc, x) =>
+          when(acc === "", x)
+            .when((acc === lit(a) || acc.endsWith(lit(" " + a)))
+                && x === lit(b),
+              concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+                lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x)))
+        vocab = vocab.withColumn("syms", split(folded, " "))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "cnt")
+  }
+
   // --------------------------------------------------- BM25 retrieval
   /** BM25 document ranking for a fixed bag of query terms (SURVEY.md §2
     * P18f) — the retrieval scorer behind corpus search / RAG candidate

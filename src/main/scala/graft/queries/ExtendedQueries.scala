@@ -1203,8 +1203,47 @@ object ExtendedQueries {
       SELECT node_id, deg, round(rank, 8) AS rank
       FROM r3 ORDER BY node_id"""))
 
+  // Funnel at the BUILDER surface (stretch r8): the full QueryNode
+  // chain — scan → filter → funnel → agg mini-language → sort — with a
+  // different step sequence, window, and population than q55, so the
+  // builder path earns its own oracle instead of duplicating the
+  // operator query. DuckDB rebuilds the chained min-ts stages with the
+  // 3-day anchored window over the filtered population.
+  private val q60 = Q(
+    "q60_builder_funnel",
+    (s, d) =>
+      new graft.builder.GraftBuilder(s, d)
+        .scan("events")
+        .filter(pmod(col("user_id"), lit(3)) === 0)
+        .funnel(Seq("signup", "view", "purchase"), window = "3 days")
+        .agg(Seq("level"), "count")
+        .sort(("level", "asc"))
+        .run(),
+    Some("""WITH ev AS (
+        SELECT * FROM events WHERE user_id % 3 = 0),
+      s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM ev e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 3 DAY
+        GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 3 DAY
+        GROUP BY 1)
+      SELECT 1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+          AS level,
+        count(*) AS count
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59)
+    q58, q59, q60)
 }

@@ -158,6 +158,66 @@ object PipelineQueries {
     },
     Some(keepOracleSql))
 
+  // P2c: INCREMENTAL near-dup — today's batch (doc_id % 10 >= 6) vs the
+  // STORED minhash band-bucket index of the already-ingested corpus
+  // (doc_id % 10 < 6), the near-dup twin of dedup_incr. The index is
+  // materialized once (the "persisted at ingest" table — its corpus is
+  // never re-shingled per batch); candidates come only from the band
+  // join, then the exact-Jaccard verify decides. The oracle recomputes
+  // the FULL exact batch×index Jaccard relation in DuckDB — matching it
+  // PROVES band-candidate recall 1 on every true ≥0.5 cross pair (a
+  // missed candidate would lower that batch doc's count).
+  private val dedupMinhashIncr = Q(
+    "dedup_minhash_incr",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val index = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
+      val indexBands = Dedup.minhashBandRows(index).localCheckpoint()
+      val cands = Dedup.incrementalMinhashCandidates(indexBands, batch)
+        .select(col("batch_id").as("a_id"), col("index_id").as("b_id"))
+      val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5)
+      val perBatch = verified.groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_index_dups"))
+      batch.select(col("doc_id"))
+        .join(perBatch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
+        .withColumn("dup_in_index", col("n_index_dups") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+      kept AS (SELECT doc_id, sh0.sh FROM sh0 JOIN rare USING (sh)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      inter AS (
+        SELECT b.doc_id AS batch_id, a.doc_id AS index_id, count(*) AS i
+        FROM kept b JOIN kept a ON b.sh = a.sh
+        WHERE b.doc_id % 10 >= 6 AND a.doc_id % 10 < 6
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT batch_id FROM inter
+        JOIN sizes sb ON sb.doc_id = batch_id
+        JOIN sizes sa ON sa.doc_id = index_id
+        WHERE CAST(i AS DOUBLE) / (sb.sz + sa.sz - i) >= 0.5),
+      agg AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1)
+      SELECT d.doc_id,
+        coalesce(agg.n, CAST(0 AS BIGINT)) AS n_index_dups,
+        coalesce(agg.n, 0) > 0 AS dup_in_index
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 6) d
+      LEFT JOIN agg ON d.doc_id = agg.batch_id
+      ORDER BY d.doc_id"""))
+
   // P3b: the SimHash DECISION under the same gate — chunk-blocked
   // candidates, exact verification, CC keep.
   private val dedupSimhashKeep = Q(
@@ -929,6 +989,59 @@ object PipelineQueries {
       SELECT pair, count(*) AS cnt FROM pr GROUP BY 1
       ORDER BY cnt DESC, pair LIMIT 30"""))
 
+  // P18e full loop: 3 rounds of BPE training. The oracle replays every
+  // round — pair counts (exact long sums), top-1 by (cnt DESC, pair
+  // ASC), and the identical greedy left-fold merge (list_reduce with
+  // the same CASE arms as the Spark aggregate() fold) — so the learned
+  // merge table must agree bit-for-bit, proving the claimed
+  // re-pair-at-vocab-scale per-round cost is what actually runs.
+  private val textBpeTrain = Q(
+    "text_bpe_train",
+    (s, d) =>
+      TextAnalysis.bpeTrain(Tables.load(s, d, "documents"), nMerges = 3)
+        .orderBy(col("merge_rank")),
+    Some("""WITH w AS (
+        SELECT tk AS word, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+          FROM documents) WHERE tk <> '' GROUP BY 1),
+      s0 AS (SELECT word, n, string_split(word, '') AS sy FROM w),
+      p1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s0)
+        GROUP BY 1),
+      t1 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS sa,
+          string_split(pair, ' ')[2] AS sb
+        FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      s1 AS (SELECT word, n, string_split(list_reduce(list_prepend('', sy),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = sa OR ends_with(acc, ' ' || sa)) AND x = sb
+              THEN substr(acc, 1, length(acc) - length(sa)) || sa || sb
+            ELSE acc || ' ' || x END), ' ') AS sy
+        FROM s0 CROSS JOIN t1),
+      p2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s1)
+        GROUP BY 1),
+      t2 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS sa,
+          string_split(pair, ' ')[2] AS sb
+        FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      s2 AS (SELECT word, n, string_split(list_reduce(list_prepend('', sy),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = sa OR ends_with(acc, ' ' || sa)) AND x = sb
+              THEN substr(acc, 1, length(acc) - length(sa)) || sa || sb
+            ELSE acc || ' ' || x END), ' ') AS sy
+        FROM s1 CROSS JOIN t2),
+      p3 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s2)
+        GROUP BY 1),
+      t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+      SELECT * FROM (
+        SELECT 1 AS merge_rank, pair, cnt FROM t1
+        UNION ALL SELECT 2, pair, cnt FROM t2
+        UNION ALL SELECT 3, pair, cnt FROM t3)
+      ORDER BY merge_rank"""))
+
   // P16c: temperature-flattened mixture sampling — rates DERIVED from
   // group counts (share ∝ |g|^0.5, expected 300-doc budget) instead of
   // hand-set. The denominator sums 6dp-rounded pow values as
@@ -1504,7 +1617,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25,
-    dedupMinhash, dedupSimhash, dedupNgram, dedupKeep,
+    dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
@@ -1515,7 +1628,7 @@ object PipelineQueries {
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
-    heavyHitters, textTokens, textBpe,
+    heavyHitters, textTokens, textBpe, textBpeTrain,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames)

@@ -199,6 +199,29 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(n2 == 5L)
   }
 
+  test("analytics at the builder surface: funnel/retention/transitions" +
+      " coincide with the operator path") {
+    val ev = graft.Tables.load(spark, TestSpark.sf, "events")
+    val bf = hdk.scan("events")
+      .funnel(Seq("view", "click"), window = "2 days").run()
+    val of = graft.operators.Funnel.funnel(ev, Seq("view", "click"), "2 days")
+    assert(bf.exceptAll(of).isEmpty && of.exceptAll(bf).isEmpty)
+    val br = hdk.scan("events").retention().run()
+    val or = graft.operators.Funnel.retention(ev)
+    assert(br.exceptAll(or).isEmpty && or.exceptAll(br).isEmpty)
+    val bt = hdk.scan("events").transitions().run()
+    val ot = graft.operators.Funnel.transitions(ev)
+    assert(bt.exceptAll(ot).isEmpty && ot.exceptAll(bt).isEmpty)
+    // and the chain keeps composing: funnel output into the agg
+    // mini-language
+    val levels = hdk.scan("events")
+      .funnel(Seq("view", "click"), window = "2 days")
+      .agg(Seq("level"), "count")
+      .sort(("level", "asc")).run().collect()
+    assert(levels.map(_.getInt(0)).toSeq == levels.map(_.getInt(0)).sorted.toSeq)
+    assert(levels.map(_.getLong(1)).sum == bf.count())
+  }
+
   test("explainString returns the plan without executing (hdk.py:2089)") {
     val s = hdk.scan("nation").filter(col("n_nationkey") > 5).explainString()
     assert(s.contains("Physical Plan"))

@@ -42,6 +42,29 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(cands.sorted == Seq("p", "q", "r"))
   }
 
+  test("property: batch-weight add ≡ repeated unit adds (randomized)") {
+    // MGBuffer.add's batch-decrement loop claims equivalence to feeding
+    // the item w times with weight 1. Drive both buffers through the
+    // same random stream (small alphabet + small k so eviction churns)
+    // and require identical surviving (item, weight) counters after
+    // every single operation — not just at the end.
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4)
+      val batch = new MGBuffer(k)
+      val unit = new MGBuffer(k)
+      for (step <- 1 to 400) {
+        val item = s"i${rnd.nextInt(12)}"
+        val w = 1L + rnd.nextInt(9)
+        batch.add(item, w)
+        (1L to w).foreach(_ => unit.add(item, 1L))
+        assert(batch.entries.sortBy(_._1).toSeq ==
+          unit.entries.sortBy(_._1).toSeq,
+          s"diverged at seed=$seed step=$step k=$k item=$item w=$w")
+      }
+    }
+  }
+
   test("non-string input rejected at analysis time") {
     val df = Seq(1, 2, 3).toDF("v")
     val e = intercept[Exception] {

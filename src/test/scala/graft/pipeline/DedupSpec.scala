@@ -224,4 +224,33 @@ class DedupSpec extends AnyFunSuite {
     val kept = r.filter(_._2._3).keySet
     assert(kept == full.filter(_ >= 10L))
   }
+
+  test("incrementalMinhashCandidates: planted near-dup found via the " +
+      "stored index, disjoint batch doc is not") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val index = Seq(
+      (1L, base),
+      (2L, "completely different words about database query engines " +
+        "and columnar execution with vectorized operators")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-copy of index doc 1 (one token changed)
+      (10L, base.replace("tonight", "today")),
+      (11L, "unrelated text on mountain weather patterns snow wind " +
+        "and the slow cold river under winter ice")
+    ).toDF("doc_id", "text")
+    val indexBands = Dedup.minhashBandRows(index).localCheckpoint()
+    val cands = Dedup.incrementalMinhashCandidates(indexBands, batch)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((10L, 1L)), s"planted pair missing: $cands")
+    assert(!cands.exists(_._1 == 11L), s"disjoint doc matched: $cands")
+    // batch cost shape: the index side never re-shingles — the operator
+    // consumes ONLY the stored band rows for the index corpus
+    val verified = Dedup.verifyCandidates(index.union(batch),
+      cands.toSeq.toDF("a_id", "b_id").select(
+        col("a_id"), col("b_id")), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(verified.exists(v => v._2 == 10L || v._1 == 10L))
+  }
 }

@@ -297,6 +297,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map("aa" -> 2L, "ab" -> 3L))
   }
 
+  test("bpeTrain: learns merges round by round on re-paired symbols") {
+    // vocab: ab:2, ac:1, low:2, lower:1
+    // round 1 pairs: 'a b':2, 'a c':1, 'l o':3, 'o w':3, 'w e':1,
+    //   'e r':1 → top = 'l o' (cnt 3, tie beats 'o w' lexically)
+    // round 2 (low→[lo,w], lower→[lo,w,e,r]): 'lo w':3 top
+    // round 3: 'a b':2 top ('low' now one symbol; 'lo w' merged away)
+    val df = Seq((0L, "ab ab ac low"), (1L, "low lower"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 3)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "l o", 3L), (2, "lo w", 3L), (3, "a b", 2L)))
+  }
+
+  test("bpeTrain: greedy left-to-right on overlapping same-char runs") {
+    // 'aaaa': round-1 pairs 'a a' ×3; greedy merge → [aa, aa] (not
+    // [aa, a, a]); round 2 must therefore find 'aa aa', not 'aa a'
+    val df = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 2)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", 3L), (2, "aa aa", 1L)))
+  }
+
+  test("bpeTrain: stops early when every word is a single symbol") {
+    val df = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, nMerges = 5)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a b", 2L)))
+  }
+
   test("bm25TopK: tf saturation, idf discrimination, length norm") {
     val df = Seq(
       (0L, "spark spark spark pad pad pad"), // tf=3 on 'spark'
