@@ -29,6 +29,24 @@ package object functions {
     GraftShim.column(
       MisraGriesAgg(GraftShim.expression(c), k).toAggregateExpression())
 
+  /** Count–Min sketch of string column `c` per group: d·w mergeable
+    * counters flattened to array<bigint> (see [[CountMinAgg]]). */
+  def cmsSketch(c: Column, depth: Int, width: Int): Column =
+    GraftShim.column(
+      CountMinAgg(GraftShim.expression(c), depth, width).toAggregateExpression())
+
+  /** Point estimate of literal `item` from a [[cmsSketch]] column:
+    * min over the d rows of the counter at that row's bucket. The d
+    * bucket indices are computed here (driver side, the item is a
+    * literal) so the plan is plain element_at/least arithmetic. */
+  def cmsPointEstimate(sketch: Column, item: String, depth: Int,
+      width: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, least}
+    val cells = (0 until depth).map(r =>
+      element_at(sketch, r * width + CountMinAgg.bucket(item, r, width) + 1))
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+
   /** Codegen'd dot product of two double arrays (see [[DotProduct]]). */
   def dotp(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))

@@ -77,4 +77,53 @@ object Graph {
     }
     ranks.select(col("node_id"), col("deg"), round(col("rank"), 8).as("rank"))
   }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts as its own label; each
+    * round a node takes the minimum label among itself and its
+    * neighbors; stop when no label changes (or `maxIters`). Returns
+    * (node_id, component) for every node WITH at least one edge —
+    * component = min node id in the group. Callers with isolated
+    * entities re-attach them with a left join + coalesce (see
+    * [[graft.pipeline.Dedup.connectedComponents]], which delegates
+    * here — the dedup keep decision and the relational graph query run
+    * ONE implementation).
+    *
+    * Scale: per round ONE shuffle join (edges ⋈ labels on the neighbor
+    * key) + a partial-agg'd min groupBy; labels and edges are
+    * localCheckpoint'd so round r's plan never re-executes rounds
+    * 1..r−1 (or the edge derivation — the [[pageRank]] materialization
+    * discipline). Convergence is O(component diameter) rounds;
+    * dedup clusters and order graphs are shallow. The convergence
+    * probe rides the SAME frame as the label update (old + new labels
+    * side by side), so it costs a count, not a second join. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = bidir.select(col("src").as("node_id")).distinct()
+      .withColumn("component", col("node_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = bidir
+        .join(labels, bidir("dst") === labels("node_id"))
+        .groupBy(bidir("src").as("node_id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val t0 = System.nanoTime()
+      val step = labels.join(neighborMin, Seq("node_id"), "left")
+        .select(col("node_id"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next_component"))
+        .localCheckpoint()
+      val changed = step.filter(col("next_component") =!= col("component"))
+        .count()
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      labels = step.select(col("node_id"), col("next_component").as("component"))
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

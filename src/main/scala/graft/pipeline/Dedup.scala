@@ -713,46 +713,17 @@ object Dedup {
   /** Labels for docs that have at least one edge (isolated docs keep
     * their own id and never enter the loop). At 100 TB this is the
     * difference between shuffling the corpus per round and shuffling
-    * the dup clusters. */
+    * the dup clusters. Delegates to the generic
+    * [[graft.operators.Graph.connectedComponents]] (localCheckpoint
+    * lineage truncation per round; on a real cluster prefer
+    * `checkpoint()` to a reliable dir if executor loss during the
+    * short loop matters) — one min-label implementation serves both
+    * the dedup keep decision and the relational graph surface. */
   private def connectedComponentsActive(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (not persist): an iterative loop's logical plan
-    // otherwise CONTAINS the full lineage of every previous round (and
-    // of the whole pair-generation pipeline), so Catalyst re-analyzes a
-    // tree that grows per round — planning time swamps execution.
-    // Checkpointing truncates the plan to the materialized RDD. On a
-    // real cluster prefer `checkpoint()` to a reliable dir if executor
-    // loss during the (short) loop matters.
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .localCheckpoint()
-    var labels = edges.select(col("a_id").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("b_id") === labels("doc_id"))
-        .groupBy(edges("a_id").as("doc_id"))
-        .agg(min(col("component")).as("nbr_min"))
-      // One join per round: keep old + new side by side so the
-      // convergence probe needs no second join against the old labels.
-      val t0 = System.nanoTime()
-      val step = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("component"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next_component"))
-        .localCheckpoint()
-      val changed = step.filter(col("next_component") =!= col("component"))
-        .count()
-      if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      labels = step.select(col("doc_id"), col("next_component").as("component"))
-      converged = changed == 0
-      iter += 1
-    }
-    labels
-  }
+      maxIters: Int = 20): DataFrame =
+    graft.operators.Graph.connectedComponents(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")), maxIters)
+      .select(col("node_id").as("doc_id"), col("component"))
 
   /** The dedup DECISION: docs surviving near-dup removal — one doc
     * (the min doc_id) kept per connected component of `pairs`. Joins the

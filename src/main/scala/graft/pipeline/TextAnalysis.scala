@@ -608,9 +608,19 @@ object TextAnalysis {
     * precedent), bounded by `nMerges`. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 3,
       textCol: String = "text"): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 30, "nMerges must be in [1, 30]")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainLoop(docs, nMerges, textCol)._1.toDF("merge_rank", "pair", "cnt")
+  }
+
+  /** Shared BPE training loop: returns (merge table rows, final
+    * word-frequency vocab with its fully-merged `syms` column) so
+    * [[bpeTrain]] (the merges.txt surface) and [[bpeEncode]] (the
+    * apply-tokenizer surface) run the ONE loop — a merge-rule change
+    * cannot drift between them. */
+  private def bpeTrainLoop(docs: DataFrame, nMerges: Int,
+      textCol: String): (Seq[(Int, String, Long)], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 30, "nMerges must be in [1, 30]")
     // array_remove: Spark's regex split keeps a trailing "" on empty
     // pattern (Java split semantics); DuckDB's string_split does not
     var vocab = docs
@@ -650,7 +660,46 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    merges.toSeq.toDF("merge_rank", "pair", "cnt")
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE ENCODING with the learned merge table (SURVEY.md §2 P18h) —
+    * the apply-tokenizer step that turns [[bpeTrain]]'s merges into a
+    * per-document symbol stream (what a dataloader actually consumes).
+    * Returns (doc_id, n_tokens, n_syms, encoded) where `encoded` is the
+    * space-joined symbol sequence in document order (§6 convention: no
+    * array columns cross the oracle boundary) and n_syms counts emitted
+    * symbols — the compression dial (n_syms/n_tokens falls as merges
+    * are added).
+    *
+    * Key property exploited: after training, every corpus word's merged
+    * symbol split already EXISTS in the training vocab's final state —
+    * encoding a word the tokenizer was trained on IS a lookup. So the
+    * corpus never re-runs the merge fold: the final word→syms table
+    * (vocab-scale, distinct words) broadcasts, the corpus explodes once
+    * with positions, and reassembly is the [[encodeTokens]] idiom — one
+    * partial-agg'd groupBy on doc_id with a per-doc array_sort, no
+    * window, no global sort. (Out-of-corpus words at serving time would
+    * re-run the fold per distinct unseen word — still vocab-scale.)
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val (_, vocab) = bpeTrainLoop(docs, nMerges, textCol)
+    val wordMap = vocab.select(col("w"),
+      concat_ws(" ", col("syms")).as("enc"),
+      size(col("syms")).cast("long").as("n_syms_w"))
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(wordMap), Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("n_syms_w")).as("n_syms"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          p => p.getField("enc"))).as("encoded"))
   }
 
   // --------------------------------------------------- BM25 retrieval
@@ -678,6 +727,111 @@ object TextAnalysis {
     * frames that ride as broadcasts. The final top-k is a global
     * orderBy+limit = TakeOrderedAndProject (output-proportional,
     * per-partition heaps), never a window. */
+  /** Hybrid retrieval with Reciprocal Rank Fusion (SURVEY.md §2 P18i) —
+    * the standard RAG candidate-generation shape: a lexical [[bm25TopK]]
+    * leg and a dense exact-cosine leg
+    * ([[graft.pipeline.Similarity.bruteForceTopK]]) are fused by
+    * `RRF(d) = Σ_legs 1/(kRrf + rank_leg(d))` (Cormode's kRrf=60
+    * convention), which rewards documents BOTH retrievers surface
+    * without having to calibrate incomparable score scales. Documents
+    * table and embeddings table join implicitly by rank only — a doc
+    * missing from one leg simply contributes that leg's term as 0.
+    * Returns (doc_id, lex_rank, den_rank, rrf_score) top `k` by
+    * (rrf_score DESC, doc_id); absent-leg ranks emit as −1 (§6: no
+    * nullable ints across the oracle boundary).
+    *
+    * Determinism: both legs already produce engine-identical rankings
+    * (BM25's 6dp-rounded DECIMAL sum; cosine's 6dp round + id
+    * tie-break); the fusion terms 1/(kRrf+rank) are exact IEEE
+    * divisions of integers — no transcendental, so no rounding is
+    * needed before the 6dp display round.
+    *
+    * Scale: each leg is its own audited scale shape (BM25: IN-folded
+    * scan + output-proportional top-k; dense: the ANN family's
+    * broadcast-query join). The fusion itself touches 2·kLeg rows — a
+    * full-outer join of two k-row frames; the rank windows run over
+    * kLeg rows (config-bounded, never corpus-bounded). */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int = 10,
+      kLeg: Int = 20, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, queryTerms, kLeg)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val den = Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") === queryVecId), kLeg)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("den_rank"))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+        coalesce(col("den_rank"), lit(-1)).as("den_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(kRrf) + col("den_rank")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Token-distribution DRIFT between corpus groups (SURVEY.md §2 P23)
+    * — the data-quality monitor a refreshed training corpus needs:
+    * Jensen–Shannon divergence between every pair of per-`groupCol`
+    * unigram distributions, add-one smoothed over the shared global
+    * vocabulary. JS = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q): symmetric,
+    * bounded by ln 2, and zero iff the smoothed distributions agree —
+    * the standard "did this source's language shift" dial. Returns one
+    * row per unordered pair (source_a < source_b): (source_a, source_b,
+    * n_a, n_b, js_div).
+    *
+    * Determinism: p = (c+1)/(n+V) is an exact integer-ratio IEEE
+    * division; each ln ratio rounds 6dp (libm differences live far
+    * below), each p·ln term rounds 12dp and sums as DECIMAL(28,12) —
+    * exact, order-free (the [[bm25TopK]] decimal-sum idiom); the final
+    * ½(KLa+KLb) rounds 6dp.
+    *
+    * Scale: ONE corpus token-count shuffle (grp, token) — the same
+    * front half as every vocabulary pass; everything after runs at
+    * VOCAB scale: the aligned table is V×S rows (totals broadcast),
+    * the pair join fans each token row out S−1 ways, so the term table
+    * is O(V·S²) — S is a config-bounded handful of sources/snapshots,
+    * never corpus-bounded. The JS groupBy partial-aggs map-side. */
+  def distributionDrift(docs: DataFrame, textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tc = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val totals = tc.groupBy("grp").agg(sum(col("c")).as("n"))
+    val vocab = tc.select("token").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val aligned = vocab
+      .crossJoin(broadcast(totals))
+      .join(tc, Seq("grp", "token"), "left")
+      .na.fill(0L, Seq("c"))
+    val a = aligned.select(col("token"), col("grp").as("source_a"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = aligned.select(col("token"), col("grp").as("source_b"),
+      col("c").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("nb") + col("v")))
+      .withColumn("ta", round(col("pa")
+        * round(log(col("pa") / ((col("pa") + col("pb")) / 2)), 6), 12)
+        .cast("decimal(28,12)"))
+      .withColumn("tb", round(col("pb")
+        * round(log(col("pb") / ((col("pa") + col("pb")) / 2)), 6), 12)
+        .cast("decimal(28,12)"))
+      .groupBy("source_a", "source_b")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round((sum(col("ta")) + sum(col("tb"))).cast("double") / 2, 6)
+          .as("js_div"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("js_div"))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {

@@ -1242,8 +1242,76 @@ object ExtendedQueries {
       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       GROUP BY 1 ORDER BY 1"""))
 
+  // R24: UNPIVOT/melt — wide→long reshaping (the inverse of q45's
+  // pivot), a LogicalValues-free relational reshape Spark serves
+  // natively via Dataset.unpivot (MELT). Narrow: each input row emits
+  // its value columns as (metric, value) rows in-place — zero shuffles;
+  // the oracle replays the semantics as a UNION ALL of per-column
+  // projections (the portable definition of UNPIVOT).
+  private val q61 = Q(
+    "q61_unpivot",
+    (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_partkey") <= 300)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size").cast("double").as("p_size")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+    Some("""SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        FROM part WHERE p_partkey <= 300
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+        FROM part WHERE p_partkey <= 300)
+      ORDER BY p_partkey, metric"""))
+
+  // R25: connected components over a territory-sharded customer–
+  // supplier order graph — the second first-class graph operator
+  // (PageRank's structural sibling): which customers and suppliers are
+  // linked through chains of shared orders. Edges are thinned (1-in-7
+  // orders) and restricted to same-territory pairs (custkey ≡ suppkey
+  // mod 20 — the sharded-marketplace shape) so the graph genuinely
+  // FRAGMENTS (53 components / 420 nodes at sf0.01, measured): label
+  // assignment is exercised per component instead of collapsing to one
+  // giant min, and the oracle's transitive-closure CTE stays
+  // output-proportional (0.4s at sf0.01 vs 2.7s unsharded). The oracle
+  // recomputes min reachable id per node by recursive reachability
+  // (the dedup_keep CTE idiom), which equals min-label CC by
+  // definition.
+  private val q62 = Q(
+    "q62_components",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && pmod(col("o_custkey"), lit(20)) === pmod(col("l_suppkey"), lit(20)))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.connectedComponents(edges)
+        .orderBy(col("node_id"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND o_custkey % 20 = l_suppkey % 20
+        WHERE o_orderkey % 7 = 0),
+      edges AS (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT a AS node_id FROM edges),
+      reach(src, dst) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      SELECT src AS node_id, min(dst) AS component FROM reach
+      GROUP BY src ORDER BY node_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60)
+    q58, q59, q60, q61, q62)
 }

@@ -518,6 +518,164 @@ object PipelineQueries {
       HAVING count(*) * 50 > n_total
       ORDER BY token"""))
 
+  // P18j: Count–Min point-frequency sketch + exact verify — the
+  // point-query sibling of heavy_hitters (MG) and the count analogue of
+  // sketch_rollup (HLL): per-(source, lang) CMS partials built once
+  // (the stored daily-partition state), rolled up per source by PURE
+  // COUNTER ADDITION (a zip_with fold — never re-touching rows), then
+  // probed for a fixed token set. Gated like sketch_rollup: Spark
+  // emits the exact count and the two CMS guarantees its sketch
+  // achieves (est ≥ exact always; est ≤ exact + (e/w)·N w.h.p.);
+  // DuckDB independently recomputes the exact counts and asserts the
+  // booleans. Probe "nosuchtoken" exercises the absent-item case
+  // (exact 0, estimate = collision mass only).
+  private val cmsCounts = Q(
+    "cms_counts",
+    (s, d) => {
+      import s.implicits._
+      val cmsD = 4; val cmsW = 2048
+      val probes = Seq("join", "scan", "window", "dup", "nosuchtoken")
+      val docs = Tables.load(s, d, "documents")
+      val toks = docs.select(col("source"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val parts = toks.groupBy(col("source"), col("lang"))
+        .agg(graft.functions.cmsSketch(col("token"), cmsD, cmsW).as("sk"))
+      val rolled = parts.groupBy(col("source"))
+        .agg(aggregate(collect_list(col("sk")),
+          array_repeat(lit(0L), cmsD * cmsW),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sk"))
+      val total = toks.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      val exact = toks.filter(col("token").isin(probes: _*))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val est = probes.map(p => when(col("token") === p,
+        graft.functions.cmsPointEstimate(col("sk"), p, cmsD, cmsW)))
+      total.crossJoin(probes.toDF("token"))
+        .join(exact, Seq("source", "token"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(rolled, Seq("source"))
+        .withColumn("est", coalesce(est: _*))
+        .select(col("source"), col("token"), col("c").as("n_exact"),
+          (col("est") >= col("c")).as("cms_ge"),
+          ((col("est") - col("c")).cast("double")
+            <= lit(math.E / cmsW) * col("n_total")).as("cms_tol"))
+        .orderBy(col("source"), col("token"))
+    },
+    Some("""WITH tok AS (
+        SELECT source,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT source, token FROM tok WHERE token <> ''),
+      tot AS (SELECT source FROM tnz GROUP BY 1),
+      probes AS (SELECT unnest(
+        ['join', 'scan', 'window', 'dup', 'nosuchtoken']) AS token),
+      e AS (SELECT source, token, count(*) AS c FROM tnz
+        WHERE token IN ('join', 'scan', 'window', 'dup', 'nosuchtoken')
+        GROUP BY 1, 2)
+      SELECT source, token, CAST(coalesce(c, 0) AS BIGINT) AS n_exact,
+        CAST(1 AS BOOLEAN) AS cms_ge, CAST(1 AS BOOLEAN) AS cms_tol
+      FROM tot CROSS JOIN probes LEFT JOIN e USING (source, token)
+      ORDER BY source, token"""))
+
+  // P23: token-distribution drift between sources — pairwise
+  // Jensen–Shannon divergence over add-one-smoothed unigram
+  // distributions on the shared global vocabulary; the corpus-refresh
+  // monitoring dial. One corpus token-count shuffle, then everything at
+  // vocab scale. FULL oracle: DuckDB replays the smoothing, the
+  // 6dp-rounded ln ratios, the 12dp DECIMAL term sums, and the final
+  // ½(KLa+KLb).
+  private val textDrift = Q(
+    "text_drift",
+    (s, d) =>
+      TextAnalysis.distributionDrift(Tables.load(s, d, "documents"))
+        .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH tok AS (
+        SELECT source AS grp,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT grp, token FROM tok WHERE token <> ''),
+      tc AS (SELECT grp, token, count(*) AS c FROM tnz GROUP BY 1, 2),
+      tot AS (SELECT grp, sum(c) AS n FROM tc GROUP BY 1),
+      voc AS (SELECT DISTINCT token FROM tc),
+      vs AS (SELECT count(*) AS v FROM voc),
+      al AS (SELECT token, grp, n, coalesce(c, 0) AS c
+        FROM voc CROSS JOIN tot LEFT JOIN tc USING (grp, token)),
+      pr AS (SELECT a.grp AS source_a, b.grp AS source_b,
+          a.n AS na, b.n AS nb,
+          CAST(a.c + 1 AS DOUBLE) / (a.n + v) AS pa,
+          CAST(b.c + 1 AS DOUBLE) / (b.n + v) AS pb
+        FROM al a JOIN al b ON a.token = b.token AND a.grp < b.grp
+        CROSS JOIN vs),
+      t2 AS (SELECT source_a, source_b, na, nb,
+          CAST(round(pa * round(ln(pa / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS ta,
+          CAST(round(pb * round(ln(pb / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS tb
+        FROM pr)
+      SELECT source_a, source_b, CAST(max(na) AS BIGINT) AS n_a,
+        CAST(max(nb) AS BIGINT) AS n_b,
+        round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_div
+      FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // P18i: hybrid retrieval — BM25 lexical leg + exact-cosine dense leg
+  // fused by Reciprocal Rank Fusion (1/(60+rank), the calibration-free
+  // standard). Both legs are engine-deterministic rankings, the fusion
+  // terms are exact integer-ratio IEEE divisions, so the fused top-10
+  // is FULLY oracled: DuckDB replays BM25 (the text_bm25 CTEs), the
+  // dense ranking (the ann_topk CTE for one query), and the fusion.
+  private val textRrf = Q(
+    "text_rrf",
+    (s, d) =>
+      TextAnalysis.hybridRrfTopK(
+        Tables.load(s, d, "documents"), Tables.load(s, d, "embeddings"),
+        Seq("spark", "hash", "window"), queryVecId = 0L, k = 10)
+        .orderBy(col("rrf_score").desc, col("doc_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+      bm AS (SELECT doc_id,
+          CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+      lex AS (SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank FROM bm),
+      ev AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+      den AS (SELECT neighbor_id AS doc_id, CAST(rnk AS INTEGER) AS den_rank
+        FROM (
+          SELECT c.vec_id AS neighbor_id,
+            row_number() OVER (ORDER BY
+              round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+              c.vec_id) AS rnk
+          FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id = 0)
+        WHERE rnk <= 20),
+      f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+          lex_rank, den_rank,
+          round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+            + coalesce(CAST(1 AS DOUBLE) / (60 + den_rank), 0), 6)
+            AS rrf_score
+        FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+      SELECT doc_id, coalesce(lex_rank, -1) AS lex_rank,
+        coalesce(den_rank, -1) AS den_rank, rrf_score
+      FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
   // P9: token counting — whitespace + BPE-ish regex, oracled.
   private val textTokens = Q(
     "text_tokens",
@@ -1041,6 +1199,74 @@ object PipelineQueries {
         UNION ALL SELECT 2, pair, cnt FROM t2
         UNION ALL SELECT 3, pair, cnt FROM t3)
       ORDER BY merge_rank"""))
+
+  // P18h: BPE ENCODING with the learned merges — the apply-tokenizer
+  // step. The oracle replays the full 3-round training (same CTE chain
+  // as text_bpe_train) and then applies one MORE fold (s3 = t3's merge
+  // applied), joins the final word→symbols table to the positional
+  // corpus explode, and reassembles each doc's symbol stream in order —
+  // so the encoded output proves both the training replay AND the
+  // lookup-based encoding agree bit-for-bit.
+  private val textBpeEncode = Q(
+    "text_bpe_encode",
+    (s, d) =>
+      TextAnalysis.bpeEncode(Tables.load(s, d, "documents"), nMerges = 3)
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (
+        SELECT tk AS word, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+          FROM documents) WHERE tk <> '' GROUP BY 1),
+      s0 AS (SELECT word, n, string_split(word, '') AS sy FROM w),
+      p1 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s0)
+        GROUP BY 1),
+      t1 AS (SELECT string_split(pair, ' ')[1] AS sa,
+          string_split(pair, ' ')[2] AS sb
+        FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      s1 AS (SELECT word, n, string_split(list_reduce(list_prepend('', sy),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = sa OR ends_with(acc, ' ' || sa)) AND x = sb
+              THEN substr(acc, 1, length(acc) - length(sa)) || sa || sb
+            ELSE acc || ' ' || x END), ' ') AS sy
+        FROM s0 CROSS JOIN t1),
+      p2 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s1)
+        GROUP BY 1),
+      t2 AS (SELECT string_split(pair, ' ')[1] AS sa,
+          string_split(pair, ' ')[2] AS sb
+        FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      s2 AS (SELECT word, n, string_split(list_reduce(list_prepend('', sy),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = sa OR ends_with(acc, ' ' || sa)) AND x = sb
+              THEN substr(acc, 1, length(acc) - length(sa)) || sa || sb
+            ELSE acc || ' ' || x END), ' ') AS sy
+        FROM s1 CROSS JOIN t2),
+      p3 AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT n, unnest(list_transform(range(1, len(sy)),
+            j -> sy[j] || ' ' || sy[j + 1])) AS pair FROM s2)
+        GROUP BY 1),
+      t3 AS (SELECT string_split(pair, ' ')[1] AS sa,
+          string_split(pair, ' ')[2] AS sb
+        FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+      s3 AS (SELECT word, string_split(list_reduce(list_prepend('', sy),
+          (acc, x) -> CASE WHEN acc = '' THEN x
+            WHEN (acc = sa OR ends_with(acc, ' ' || sa)) AND x = sb
+              THEN substr(acc, 1, length(acc) - length(sa)) || sa || sb
+            ELSE acc || ' ' || x END), ' ') AS sy
+        FROM s2 CROSS JOIN t3),
+      tl AS (SELECT doc_id,
+        string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+      e AS (SELECT doc_id, unnest(ts) AS w,
+        unnest(range(1, len(ts) + 1)) AS pos FROM tl),
+      f AS (SELECT doc_id, pos, array_to_string(sy, ' ') AS enc,
+          len(sy) AS ns
+        FROM e JOIN s3 ON s3.word = e.w WHERE e.w <> '')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(ns) AS BIGINT) AS n_syms,
+        string_agg(enc, ' ' ORDER BY pos) AS encoded
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
   // P16c: temperature-flattened mixture sampling — rates DERIVED from
   // group counts (share ∝ |g|^0.5, expected 300-doc budget) instead of
@@ -1628,7 +1854,8 @@ object PipelineQueries {
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
-    heavyHitters, textTokens, textBpe, textBpeTrain,
+    heavyHitters, cmsCounts, textDrift, textRrf,
+    textTokens, textBpe, textBpeTrain, textBpeEncode,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames)

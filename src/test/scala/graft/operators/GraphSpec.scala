@@ -54,6 +54,26 @@ class GraphSpec extends AnyFunSuite {
       s"edge lineage re-executed: $execs adds for ${raw.length} rows")
   }
 
+  test("connectedComponents: chains, isolates excluded, min labels") {
+    // two chains (0-1-2-3, 10-11) and a self-contained pair (20-21)
+    val edges = Seq((1L, 0L), (1L, 2L), (2L, 3L), (11L, 10L), (20L, 21L))
+      .toDF("src", "dst")
+    val r = Graph.connectedComponents(edges)
+      .select("node_id", "component").as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    assert(Seq(0L, 1L, 2L, 3L).forall(r(_) == 0L), r.toString)
+    assert(r(10L) == 10L && r(11L) == 10L)
+    assert(r(20L) == 20L && r(21L) == 20L)
+  }
+
+  test("connectedComponents: deep path converges within diameter rounds") {
+    // a 12-node path: min label must walk the whole chain
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Graph.connectedComponents(edges, maxIters = 20)
+      .select("component").as[Long].collect()
+    assert(r.length == 12 && r.forall(_ == 0L))
+  }
+
   test("pageRank: more in-links means more rank after convergence steps") {
     // node 100 linked by 5 spokes; node 200 by 1
     val edges = (Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),

@@ -360,4 +360,78 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect()
     assert(top1.toSeq == Seq(0L), "two matched terms outrank one")
   }
+
+  test("bpeEncode: learned merges apply in order, n_syms tracks compression") {
+    // 'abab' dominates: merge 1 fuses the most frequent adjacent pair,
+    // later merges build on it; every token here is fully mergeable so
+    // 4 merges collapse 'abab' to ONE symbol.
+    val df = Seq(
+      (0L, "abab abab ab"),
+      (1L, "ab cd abab")
+    ).toDF("doc_id", "text")
+    val enc1 = TextAnalysis.bpeEncode(df, nMerges = 1)
+      .select("doc_id", "n_tokens", "n_syms", "encoded")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // after merge 1 ("a b" -> "ab"): 'abab' = [ab, ab], 'ab' = [ab]
+    assert(enc1(0L) == ((0L, 3L, 5L, "ab ab ab ab ab")))
+    assert(enc1(1L)._4 == "ab c d ab ab" || enc1(1L)._4 == "ab cd ab ab",
+      s"got ${enc1(1L)._4}") // 'cd' merges only if "c d" won a round
+    val enc3 = TextAnalysis.bpeEncode(df, nMerges = 3)
+      .select("doc_id", "n_syms").as[(Long, Long)].collect().toMap
+    assert(enc3(0L) < enc1(0L)._3,
+      "more merges must not increase the symbol count")
+    // every doc's symbol stream concatenates to its original characters
+    val flat = TextAnalysis.bpeEncode(df, nMerges = 2)
+      .select("doc_id", "encoded").as[(Long, String)].collect().toMap
+    assert(flat(0L).replace(" ", "") == "ababababab",
+      "symbols must spell the original tokens back")
+  }
+
+  test("hybridRrfTopK: fusion rewards docs both legs surface") {
+    // docs: 0 matches lexically AND is the dense query's neighbor;
+    // 1 only lexical; 2 only dense-near; 3 neither.
+    val docs = Seq(
+      (0L, "spark spark pad"),
+      (1L, "spark pad pad"),
+      (2L, "pad pad pad"),
+      (3L, "other other other")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (9L, Array(1.0f, 0.05f), 0) // the query vector
+    ).toDF("vec_id", "embedding", "label")
+    val r = TextAnalysis.hybridRrfTopK(docs, emb, Seq("spark"),
+        queryVecId = 9L, k = 4, kLeg = 3)
+      .select("doc_id", "lex_rank", "den_rank", "rrf_score")
+      .as[(Long, Int, Int, Double)].collect()
+    val byId = r.map(x => x._1 -> x).toMap
+    // doc 0: in both legs → two terms; docs 1/2: one leg each
+    assert(byId(0L)._2 > 0 && byId(0L)._3 > 0)
+    assert(byId(0L)._4 > byId(1L)._4 && byId(0L)._4 > byId(2L)._4,
+      "doc surfaced by both retrievers must outrank single-leg docs")
+    assert(byId(1L)._3 == -1 || byId(1L)._3 > 0) // absent leg encodes -1
+    assert(!byId.contains(3L) ||
+      (byId(3L)._2 == -1 && byId(3L)._3 > 0) ||
+      (byId(3L)._2 > 0 && byId(3L)._3 == -1) ||
+      (byId(3L)._2 > 0 && byId(3L)._3 > 0))
+  }
+
+  test("distributionDrift: zero for identical groups, positive and symmetric-bounded otherwise") {
+    val df = Seq(
+      (0L, "a b c d", "s1"), (1L, "a b c d", "s2"), // identical dists
+      (2L, "x x x x", "s3")                          // disjoint tokens
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.distributionDrift(df)
+      .select("source_a", "source_b", "js_div")
+      .as[(String, String, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(r.size == 3, "all unordered pairs present")
+    assert(r(("s1", "s2")) == 0.0, "identical smoothed dists → JS 0")
+    assert(r(("s1", "s3")) > 0.0 && r(("s1", "s3")) <= math.log(2.0) + 1e-9,
+      "JS is positive and bounded by ln 2")
+    assert(r(("s1", "s3")) == r(("s2", "s3")),
+      "s1 and s2 have the same distribution, so same drift vs s3")
+  }
 }
