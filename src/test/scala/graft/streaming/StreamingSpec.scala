@@ -259,6 +259,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.exists(s => s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0))
   }
 
+  test("streaming heavy hitters: candidates + exact verify equal true HH set across microbatches") {
+    // the real corpus tokens, split into two microbatches mid-stream:
+    // state must carry each shard's MG counters across the batch cut
+    val hhK = 50
+    val toks = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .as[String].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamHeavyHitters
+      .mgCandidates(mem.toDF().select(col("value").as("token")),
+        k = hhK, nShards = 8)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = toks.splitAt(toks.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // keep each shard's LAST emission (highest n_seen) — the current
+    // candidate set — then union across shards
+    val cands = spark.table("hh_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1)
+      .select(explode(col("candidates")).as("token"))
+      .as[String].collect().toSet
+    // true heavy hitters (freq*k > n) computed directly
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueHH = exact.filter { case (_, c) => c * hhK > n }.keySet
+    assert(trueHH.subsetOf(cands),
+      s"MG guarantee violated: missing ${trueHH -- cands}")
+    // exact verify over candidates reproduces exactly the true HH set
+    val verified = cands.filter(t => exact.getOrElse(t, 0L) * hhK > n)
+    assert(verified == trueHH)
+  }
+
   test("streaming funnel: final levels equal the batch funnel on real events") {
     // one ms-truncated replay feeds BOTH engines so the strict-`>` time
     // comparisons see identical instants
