@@ -47,6 +47,38 @@ package object functions {
     if (cells.size == 1) cells.head else least(cells: _*)
   }
 
+  /** KLL quantile sketch of double column `c` per group: bounded
+    * (value, weight) summary flattened to array<double>
+    * [v₀,w₀,v₁,w₁,…] sorted by value (see [[KllQuantileAgg]]). */
+  def kllSketch(c: Column, k: Int): Column =
+    GraftShim.column(
+      KllQuantileAgg(GraftShim.expression(c), k).toAggregateExpression())
+
+  /** φ-quantile estimate from a [[kllSketch]] column: the first summary
+    * value whose cumulative weight reaches φ·W — plain per-row HOF
+    * arithmetic (a fold with a (cum, ans, done) struct accumulator),
+    * no UDF. */
+  def kllQuantile(sketch: Column, phi: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val n = (size(sketch) / 2).cast("int")
+    val idx = sequence(lit(0), n - 1)
+    val wTotal = aggregate(idx, lit(0.0),
+      (a, i) => a + element_at(sketch, i * 2 + 2))
+    val target = lit(phi) * wTotal
+    aggregate(idx,
+      struct(lit(0.0).as("cum"), lit(Double.NaN).as("ans"),
+        lit(false).as("done")),
+      (acc, i) => {
+        val cum = acc.getField("cum") + element_at(sketch, i * 2 + 2)
+        val hit = !acc.getField("done") && cum >= target
+        struct(cum.as("cum"),
+          when(hit, element_at(sketch, i * 2 + 1))
+            .otherwise(acc.getField("ans")).as("ans"),
+          (acc.getField("done") || hit).as("done"))
+      },
+      acc => acc.getField("ans"))
+  }
+
   /** Codegen'd dot product of two double arrays (see [[DotProduct]]). */
   def dotp(a: Column, b: Column): Column =
     GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))

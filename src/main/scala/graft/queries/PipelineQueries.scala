@@ -577,6 +577,75 @@ object PipelineQueries {
       FROM tot CROSS JOIN probes LEFT JOIN e USING (source, token)
       ORDER BY source, token"""))
 
+  // P18k: KLL quantile sketch + exact verify — the rank/quantile member
+  // of the sketch family (HLL=distinct, MG/CMS=frequency, KLL=ranks):
+  // per-group bounded summaries built by the native mergeable
+  // aggregate, probed for p25/p50/p75, then verified output-
+  // proportionally — the estimate's true rank (count ≤/< est, 9 rows
+  // against the corpus) must sit within the DETERMINISTIC n·L/k rank
+  // bound of the derandomized sketch. Exact quantiles come from the
+  // (grp, value) histogram rank rule (the corpus_stats idiom — no
+  // per-group sort) and hash-match DuckDB; gates are booleans the
+  // oracle asserts, the sketch_rollup discipline.
+  private val kllQuantiles = Q(
+    "kll_quantiles",
+    (s, d) => {
+      val kllK = 32
+      val docs = Tables.load(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(3)).as("grp"), col("n_chars"))
+      val sk = docs.groupBy("grp")
+        .agg(graft.functions.kllSketch(col("n_chars").cast("double"), kllK)
+            .as("sk"),
+          count(lit(1)).as("n"))
+      val est = sk.select(col("grp"), col("n"),
+        explode(array(Seq(0.25, 0.5, 0.75).map(p =>
+          struct(lit(p).as("phi"),
+            graft.functions.kllQuantile(col("sk"), p).as("est"))): _*))
+          .as("pq"))
+        .select(col("grp"), col("n"),
+          col("pq.phi").as("phi"), col("pq.est").as("est"))
+      val ranks = est.join(docs, Seq("grp"))
+        .groupBy(col("grp"), col("phi"), col("n"), col("est"))
+        .agg(
+          sum(when(col("n_chars") < col("est"), 1L).otherwise(0L))
+            .as("rank_lo"),
+          sum(when(col("n_chars") <= col("est"), 1L).otherwise(0L))
+            .as("rank_hi"))
+      val hist = docs.groupBy(col("grp"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cc", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("n_chars"))))
+      import s.implicits._
+      val phis = Seq(0.25, 0.5, 0.75).toDF("phi")
+      val exact = cum.crossJoin(broadcast(phis))
+        .join(sk.select(col("grp"), col("n").as("n_g")), Seq("grp"))
+        .filter(col("cc") >= ceil(col("phi") * col("n_g")))
+        .groupBy(col("grp"), col("phi"))
+        .agg(min(col("n_chars")).as("q_exact"))
+      ranks.join(exact, Seq("grp", "phi"))
+        .withColumn("bound", col("n")
+          * greatest(ceil(log(2.0, col("n") / lit(kllK))) + 1, lit(1L))
+          / lit(kllK))
+        .select(col("grp"), col("phi"), col("n"), col("q_exact"),
+          ((col("rank_hi") >= col("phi") * col("n") - col("bound"))
+            && (col("rank_lo") < col("phi") * col("n") + col("bound")))
+            .as("within_bound"))
+        .orderBy(col("grp"), col("phi"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id % 3 AS grp, n_chars FROM documents),
+      tot AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+      h AS (SELECT grp, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+      cum AS (SELECT grp, n_chars,
+        sum(c) OVER (PARTITION BY grp ORDER BY n_chars) AS cc FROM h),
+      p AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS phi),
+      e AS (SELECT grp, phi, min(n_chars) AS q_exact
+        FROM cum CROSS JOIN p JOIN tot USING (grp)
+        WHERE cc >= ceil(phi * n) GROUP BY 1, 2)
+      SELECT grp, phi, n, q_exact, CAST(1 AS BOOLEAN) AS within_bound
+      FROM e JOIN tot USING (grp) ORDER BY grp, phi"""))
+
   // P23: token-distribution drift between sources — pairwise
   // Jensen–Shannon divergence over add-one-smoothed unigram
   // distributions on the shared global vocabulary; the corpus-refresh
@@ -1854,7 +1923,7 @@ object PipelineQueries {
     packWindows, packBatches,
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
-    heavyHitters, cmsCounts, textDrift, textRrf,
+    heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,

@@ -53,6 +53,37 @@ class PlanSpec extends AnyFunSuite {
       "candidate verify must stay an equi-join:\n" + p)
   }
 
+  test("CMS and KLL sketches partial-aggregate map-side (P18j/P18k)") {
+    // the whole point of a mergeable sketch: d*w counters (CMS) or a
+    // bounded summary (KLL) shuffle per map task, never the row stream
+    val pc = plan("cms_counts")
+    assert("ObjectHashAggregate".r.findAllIn(pc).length >= 2,
+      "CMS must combine map-side:\n" + pc)
+    val pk = plan("kll_quantiles")
+    assert("ObjectHashAggregate".r.findAllIn(pk).length >= 2,
+      "KLL must combine map-side:\n" + pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+  }
+
+  test("drift pair join is an equi-join on token; totals broadcast (P23)") {
+    val p = plan("text_drift")
+    // the V×S² pair table comes from a token equi-join of two aligned
+    // frames, never a cartesian; the per-source totals ride broadcast
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must equi-join on token:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "totals/vocab-size frames must broadcast:\n" + p)
+    // the final JS rollup partial-aggregates map-side
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("BPE encode looks up a broadcast word map; reassembly is one doc_id agg (P18h)") {
+    val p = plan("text_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "word→syms table must broadcast (vocab-scale lookup):\n" + p)
+    assert(!p.contains("Window"), "no window in reassembly:\n" + p)
+  }
+
   test("MERGE is one equi-join pass — no cartesian, no window (R16)") {
     val p = plan("q51_merge")
     assert(!p.contains("CartesianProduct") &&
