@@ -154,4 +154,86 @@ object Graph {
     }
     labels
   }
+
+  /** Exact triangle counting + local clustering coefficient over an
+    * undirected edge list — the third member of the graph family
+    * (pageRank = centrality, connectedComponents = reachability,
+    * triangles = local density). Returns one row per node WITH at
+    * least one edge: (node_id, deg, n_triangles, clustering) where
+    * clustering = 2·tri / (deg·(deg−1)) rounded 6dp (0.0 when
+    * deg < 2). Self-loops and duplicate/reversed edge listings are
+    * canonicalized away first.
+    *
+    * Algorithm: DEGREE-ORIENTED wedge closure (the MapReduce-era
+    * standard, Suri & Vassilvitskii "Counting Triangles and the Curse
+    * of the Last Reducer", WWW'11). Orient every canonical edge from
+    * the (deg, id)-smaller endpoint to the larger; each triangle
+    * {a<b<c} in that total order then appears EXACTLY once as wedge
+    * (a→b, a→c) closed by oriented edge b→c — no per-triangle dedup,
+    * no ÷6. The payoff is the fan-out bound: after orientation the
+    * out-degree of ANY node is O(√m) (a node of degree d > √m only
+    * points at nodes of degree ≥ d, and there are < 2√m of those), so
+    * the wedge self-join — the quadratic step that kills naive
+    * triangle counting on skewed graphs — generates O(m^{3/2}) rows
+    * worst-case instead of Σ deg², star hubs included. That bound is
+    * exactly why this survives a web-scale graph whose top hub has
+    * 10^8 neighbors.
+    *
+    * Plan shape: canonical edges and the oriented table are each
+    * localCheckpoint'd (canon feeds degree + orientation; oriented
+    * feeds BOTH wedge legs and the closure probe — three consumers,
+    * and the input `edges` is usually a derived fact join that must
+    * not re-execute). The wedge order tie-breaks by (hi_deg, hi) so
+    * the self-join emits each unordered wedge once; closure is one
+    * equi-join on the composite (lo, hi) key; per-node counts explode
+    * the three corners and partial-agg map-side. Cross-engine: all
+    * counts are integers, the coefficient is a single IEEE division
+    * on exact integers + one 6dp round — engine-identical. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("u").as("node_id"))
+      .unionAll(canon.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    // orient u—v from the (deg, id)-smaller endpoint; carry the head's
+    // degree so the wedge self-join can order its two legs without a
+    // second degree join
+    val oriented = canon
+      .join(deg.select(col("node_id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node_id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"),
+        greatest(col("du"), col("dv")).as("hi_deg"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("lo"), col("hi").as("b"),
+      col("hi_deg").as("db"))
+    val w2 = oriented.select(col("lo"), col("hi").as("c"),
+      col("hi_deg").as("dc"))
+    val wedges = w1.join(w2, Seq("lo"))
+      .filter(col("db") < col("dc")
+        || (col("db") === col("dc") && col("b") < col("c")))
+    val tri = wedges.join(
+        oriented.select(col("lo").as("b"), col("hi").as("c")),
+        Seq("b", "c"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1.0))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -1310,8 +1310,60 @@ object ExtendedQueries {
       SELECT src AS node_id, min(dst) AS component FROM reach
       GROUP BY src ORDER BY node_id"""))
 
+  // Exact triangle counts + clustering coefficient (Graph.triangles)
+  // over the part co-occurrence graph: parts are adjacent iff some
+  // order contains both. The oracle replays the identical
+  // degree-oriented wedge closure — orientation CASE, (hi_deg, hi)
+  // wedge order, and the (lo, hi) closure join — so each triangle is
+  // counted exactly once in both engines; the coefficient is one IEEE
+  // division on exact integers + a 6dp round.
+  private val q63 = Q(
+    "q63_triangles",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.triangles(edges).orderBy(col("node_id"))
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      e0 AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      deg AS (SELECT x AS node_id, count(*) AS deg FROM (
+          SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) t
+        GROUP BY 1),
+      o AS (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.u < e0.v)
+            THEN e0.u ELSE e0.v END AS lo,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.u < e0.v)
+            THEN e0.v ELSE e0.u END AS hi,
+          greatest(da.deg, db.deg) AS hi_deg
+        FROM e0 JOIN deg da ON da.node_id = e0.u
+          JOIN deg db ON db.node_id = e0.v),
+      tri AS (SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+        FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+          AND (w1.hi_deg < w2.hi_deg
+            OR (w1.hi_deg = w2.hi_deg AND w1.hi < w2.hi))
+        JOIN o e ON e.lo = w1.hi AND e.hi = w2.hi),
+      tn AS (SELECT x AS node_id, count(*) AS n_triangles FROM (
+          SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+          UNION ALL SELECT c AS x FROM tri) t
+        GROUP BY 1)
+      SELECT d.node_id, d.deg,
+        coalesce(tn.n_triangles, 0) AS n_triangles,
+        CASE WHEN d.deg >= 2 THEN round(
+            2.0 * coalesce(tn.n_triangles, 0) / (d.deg * (d.deg - 1.0)), 6)
+          ELSE 0.0 END AS clustering
+      FROM deg d LEFT JOIN tn USING (node_id)
+      ORDER BY node_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62)
+    q58, q59, q60, q61, q62, q63)
 }

@@ -74,6 +74,45 @@ class GraphSpec extends AnyFunSuite {
     assert(r.length == 12 && r.forall(_ == 0L))
   }
 
+  test("triangles: K4 plus a pendant — exact counts and coefficients") {
+    // K4 on {0,1,2,3} (4 triangles, each node in 3) + pendant 3–9.
+    // Duplicate and reversed listings plus a self-loop must all be
+    // canonicalized away.
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 9L), (9L, 3L), (1L, 0L), (2L, 2L)))
+      .toDF("src", "dst")
+    val r = Graph.triangles(edges)
+      .select("node_id", "deg", "n_triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 9L))
+    assert(r(0L) == ((3L, 3L, 1.0)) && r(1L) == ((3L, 3L, 1.0))
+      && r(2L) == ((3L, 3L, 1.0)), r.toString)
+    // node 3 has deg 4 (K4 + pendant): 3 triangles of C(4,2)=6 wedges
+    assert(r(3L) == ((4L, 3L, 0.5)), r.toString)
+    assert(r(9L) == ((1L, 0L, 0.0)), r.toString)
+  }
+
+  test("triangles: triangle-free bipartite graph counts zero") {
+    val edges = (for { l <- 0L to 2L; r <- 10L to 12L } yield (l, r))
+      .toDF("src", "dst")
+    val out = Graph.triangles(edges).select("n_triangles").as[Long].collect()
+    assert(out.length == 6 && out.forall(_ == 0L))
+  }
+
+  test("triangles: per-node counts sum to 3x the global triangle total") {
+    // random-ish deterministic graph: i—(i*7+3)%20 and i—(i*5+1)%20
+    val edges = (0L until 20L)
+      .flatMap(i => Seq((i, (i * 7 + 3) % 20), (i, (i * 5 + 1) % 20)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val per = Graph.triangles(edges)
+      .agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .as[Long].head()
+    assert(per % 3 == 0, s"per-node triangle mass $per not divisible by 3")
+  }
+
   test("pageRank: more in-links means more rank after convergence steps") {
     // node 100 linked by 5 spokes; node 200 by 1
     val edges = (Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
