@@ -690,6 +690,87 @@ object Dedup {
     pairs
   }
 
+  /** EXACT all-pairs shingle-set similarity join by PREFIX FILTERING —
+    * recall 1 by construction, the scale-honest replacement for both
+    * [[ngramJaccardPairs]]'s df-cap approximation and the minhash
+    * family's probabilistic recall (SURVEY.md §2 P4c). Returns every
+    * pair with Jaccard ≥ `threshold` over the exact (uncapped) shingle
+    * sets: (a_id, b_id, jaccard 6dp).
+    *
+    * Algorithm (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs,
+    * WWW'07): fix ANY total order on tokens — here (df ASC, hash ASC),
+    * rarest first — and define each set's prefix as its first
+    * p = |X| − ⌈τ·|X|⌉ + 1 tokens in that order. Prefix-filter
+    * principle: Jaccard(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two
+    * sets overlapping that much MUST intersect within these prefixes
+    * (if A∩B missed A's prefix it would fit inside A's last
+    * ⌈τ|A|⌉−1 tokens — too small). So the candidate join runs on
+    * PREFIX tokens only: df-ascending ordering puts each doc's RAREST
+    * shingles in its prefix, which is what keeps stop-phrase shingles
+    * — the df² blowup that forced ngramJaccardPairs' cap — out of the
+    * join entirely, with zero approximation. A length filter
+    * (τ·|A| ≤ |B| ∧ τ·|B| ≤ |A|, necessary for Jaccard ≥ τ) prunes
+    * candidates before the distinct.
+    *
+    * Exactness of the prefix boundary: ⌈τ·sz⌉ is computed in INTEGER
+    * arithmetic (basis points: (sz·τ_bp + 9999) div 10000), so no
+    * float wobble can shorten a prefix below the principle's bound —
+    * a one-grain error there would silently cost recall, the one
+    * thing this operator exists to guarantee. The length filter
+    * compares sz_b·10⁴ ≥ sz_a·τ_bp the same way.
+    *
+    * Scale: one shingle explode (8-byte [[shingleHashes]] keys — the
+    * strings never leave their row), one df groupBy, one per-doc
+    * (high-cardinality key) sort_array/collect_list to slice the
+    * prefix, the prefix-token self-join, then the standard
+    * output-proportional exact verify (candidates ⋈ both exploded
+    * sides on (doc, token)). No window functions, no global rank — the
+    * (df, hash) tuple IS the order, so no token-rank table needs
+    * materializing. The exploded table persists once and feeds df,
+    * prefixes, and both verify legs; released after the eager pair
+    * materialization. */
+  def allPairsJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tauBp = math.round(threshold * 10000).toInt
+    val tok = shingleTable(docs).persist()
+    val dfTab = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfTab, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
+        count(lit(1)).as("sz"))
+      // p = sz − ⌈τ·sz⌉ + 1, exact in basis points: the numerator is
+      // ≤ ~1e8 ≪ 2^53 so the double division + floor is integer-exact
+      // (Column `/` is always fp division; `div` exists only in SQL
+      // text)
+      .withColumn("p",
+        (col("sz") - floor((col("sz") * tauBp + lit(9999)) / lit(10000.0))
+          + 1).cast("int"))
+    val prefix = ordered
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ord"), lit(1), col("p"))).as("pt"))
+      .select(col("doc_id"), col("sz"), col("pt.h").as("h"))
+    val cand = prefix
+      .select(col("h"), col("doc_id").as("a_id"), col("sz").as("sz_a"))
+      .join(prefix.select(col("h"), col("doc_id").as("b_id"),
+        col("sz").as("sz_b")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("sz_b") * 10000 >= col("sz_a") * tauBp
+        && col("sz_a") * 10000 >= col("sz_b") * tauBp)
+      .select("a_id", "b_id", "sz_a", "sz_b").distinct()
+    val inter = cand.select("a_id", "b_id")
+      .join(tok.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(tok.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val pairs = cand.join(inter, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    tok.unpersist()
+    pairs
+  }
+
   // --------------------------------------- components / keep decision
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: every doc starts as its own label; each round, a doc

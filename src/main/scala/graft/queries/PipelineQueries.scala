@@ -88,6 +88,40 @@ object PipelineQueries {
       WHERE jaccard >= 0.5
       ORDER BY a_id, b_id"""))
 
+  // P4c: EXACT all-pairs similarity join via prefix filtering — the
+  // oracle computes the complete uncapped pair relation (no df cap, no
+  // prefix), so a hash match proves the prefix-filter candidates had
+  // recall 1 on every true ≥ 0.5 pair. Shingling CASE mirrors
+  // dedup_ngram; sizes/intersections run over the FULL shingle sets.
+  private val dedupAllpairs = Q(
+    "dedup_allpairs",
+    (s, d) =>
+      Dedup.allPairsJaccard(Tables.load(s, d, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT * FROM (
+        SELECT a_id, b_id,
+          round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id)
+      WHERE jaccard >= 0.5
+      ORDER BY a_id, b_id"""))
+
   // Shared oracle for every near-dup DECISION query: exact-Jaccard
   // pairs closed with a recursive CTE (reachable min == self ⇒ kept).
   private val keepOracleSql = """WITH RECURSIVE tok AS (
@@ -1912,7 +1946,8 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25,
-    dedupMinhash, dedupSimhash, dedupNgram, dedupKeep, dedupMinhashIncr,
+    dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs, dedupKeep,
+    dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,

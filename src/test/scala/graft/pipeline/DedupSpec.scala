@@ -79,6 +79,42 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(j - 1.0 / 3.0) < 1e-6)
   }
 
+  test("allPairsJaccard: exact pair relation equals brute force, recall 1") {
+    // hostile mix: exact dup, near dup, overlap chains with varied
+    // lengths (exercises the length filter), plus unrelated noise
+    val corpus = (Seq(
+      (0L, base),
+      (1L, base),
+      (2L, base.replace("word25", "changed")),
+      (3L, (1 to 25).map(i => s"word$i").mkString(" ")), // half of 0
+      (4L, (1 to 60).map(i => s"word$i").mkString(" ")), // superset of 0
+      (5L, (1 to 50).map(i => s"other$i").mkString(" "))
+    ) ++ (10L to 29L).map(i =>
+      (i, (1 to 40).map(j => s"n${i}x$j").mkString(" ")))).toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(corpus, threshold = 0.5)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same hashed shingle sets
+    val sets = corpus.select(col("doc_id"),
+        Dedup.shingleHashes(col("text")).as("sh"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = math.rint(inter.toDouble / (sa.size + sb.size - inter) * 1e6) / 1e6
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(want.nonEmpty && want.exists(_._3 < 1.0),
+      "fixture must contain exact AND proper near pairs")
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("allPairsJaccard: threshold 1.0 keeps only identical sets") {
+    val got = Dedup.allPairsJaccard(docs, threshold = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
   test("connected components merge transitive near-dup chains") {
     // edges: 0-1, 1-2 (chain), 5-6; 3,4 isolated
     val ids = (0L to 6L).map(i => Tuple1(i)).toDF("doc_id")
