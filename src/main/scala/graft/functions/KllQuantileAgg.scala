@@ -197,4 +197,9 @@ final class KllBuffer(k: Int) {
     while (lvls.length <= h) lvls += ArrayBuffer.empty[Double]
     lvls(h) ++= items
   }
+  // state round-trips (streaming ST11) must also carry the compaction
+  // counter, or a restored sketch would restart the derandomized
+  // parity alternation and diverge from an uninterrupted run
+  private[graft] def parityCounter: Long = parity
+  private[graft] def restoreParity(p: Long): Unit = parity = p
 }

@@ -339,4 +339,55 @@ class StreamingSpec extends AnyFunSuite {
       s"diverging users: ${((got.toSet diff expected.toSet) ++
         (expected.toSet diff got.toSet)).take(5)}")
   }
+
+  test("streaming KLL: mass conserved and rank bound holds across microbatches") {
+    // real event values, split into two microbatches: shard compactor
+    // stacks (including the parity counter) must survive the batch cut
+    val kllK = 64
+    val nShards = 4
+    val vals = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("value").cast("double")).as[Double].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val q = StreamQuantiles
+      .kllShards(mem.toDF().select(col("value")), k = kllK,
+        nShards = nShards)
+      .writeStream.format("memory").queryName("kll_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = vals.splitAt(vals.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // freshest summary per shard, then union the (value, weight) lists
+    val latest = spark.table("kll_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1)
+      .select(col("n_seen"), col("summary"))
+      .as[(Long, Seq[Double])].collect()
+    val n = vals.length.toLong
+    // mass conservation: per-shard Σ weights == n_seen, totals == n
+    latest.foreach { case (seen, sum) =>
+      val mass = sum.grouped(2).map(_(1)).sum
+      assert(mass == seen.toDouble, s"shard mass $mass != n_seen $seen")
+    }
+    assert(latest.map(_._1).sum == n)
+    val union = latest.flatMap(_._2.grouped(2).map(p => (p(0), p(1))))
+    // rank bound: estimated rank within the summed per-shard bounds
+    val bound = latest.map { case (seen, _) =>
+      val lv = math.ceil(math.log(seen.toDouble / kllK)
+        / math.log(2)).max(1) + 1
+      seen * lv / kllK
+    }.sum
+    val sorted = vals.sorted
+    Seq(0.1, 0.5, 0.9).foreach { phi =>
+      val v = sorted(((sorted.length - 1) * phi).toInt)
+      val estRank = union.filter(_._1 <= v).map(_._2).sum
+      val exactRank = sorted.count(_ <= v).toDouble
+      assert(math.abs(estRank - exactRank) <= bound,
+        s"phi=$phi: est $estRank vs exact $exactRank, bound $bound")
+    }
+  }
 }
