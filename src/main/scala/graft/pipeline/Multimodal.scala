@@ -226,6 +226,82 @@ object Multimodal {
   def features(docs: DataFrame): DataFrame =
     decodeFeatures(mediaTable(docs)).toDF()
 
+  /** Pixel-data offset of a P6 PPM: one whitespace byte follows the
+    * maxval token, then raw RGB. */
+  private[graft] def ppmPixelOffset(bytes: Array[Byte]): Int = {
+    var i = 2
+    var v = 0
+    while (v < 3) {
+      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+      while (i < bytes.length && !Character.isWhitespace(bytes(i))) i += 1
+      v += 1
+    }
+    i + 1
+  }
+
+  case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, out_len: Long, px_sum: Long,
+      resized: Array[Byte])
+
+  /** Image RESIZE + feature extraction (SURVEY.md §2 P11c): every
+    * image downsampled to `tw`×`th` by nearest-neighbor (out pixel
+    * (x,y) ← source pixel (⌊x·w/tw⌋, ⌊y·h/th⌋)) — REAL pixel
+    * arithmetic on the decoded P6 bytes producing a REAL P6 output,
+    * plus the summed-RGB feature of the resized image (the
+    * normalization statistic a training dataloader wants per image).
+    * Swap the body of the per-record function for an FFI codec
+    * (libjpeg/ffmpeg) and nothing else changes — the Spark plumbing
+    * (binary column in, narrow per-partition map, typed output
+    * schema) is the production shape.
+    *
+    * Scale: narrow mapPartitions — no shuffle, each image row maps to
+    * one fixed-size output row, so work scales with row count and
+    * output bytes are BOUNDED (tw·th·3) regardless of source size:
+    * exactly the property that lets the downstream training pipeline
+    * repartition/pack the resized tensor column without moving
+    * source-resolution payloads.
+    *
+    * Cross-engine: nearest-neighbor index math is integer-exact, and
+    * the px_sum feature is an integer — the oracle replays the
+    * synthesizer's LCG byte stream in 128-bit SQL arithmetic and
+    * re-derives the same sum, making even the PIXEL CONTENT of this
+    * pass cross-engine-verified (the resized bytes themselves are
+    * byte-checked in MultimodalSpec). */
+  def resizeImages(docs: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[ResizedImage]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("image/"))
+      .mapPartitions(_.map { r =>
+        val (w, h) = parsePpm(r.media)
+        val off = ppmPixelOffset(r.media)
+        val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + tw * th * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          val sy = y * h / th
+          var x = 0
+          while (x < tw) {
+            val sx = x * w / tw
+            val src = off + 3 * (sy * w + sx)
+            val dst = header.length + 3 * (y * tw + x)
+            var c = 0
+            while (c < 3) {
+              out(dst + c) = r.media(src + c)
+              sum += java.lang.Byte.toUnsignedInt(r.media(src + c))
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.doc_id, w, h, tw, th, out.length.toLong, sum, out)
+      }).toDF()
+  }
+
   /** Frame sampling for video media: every `stride`-th frame, with the
     * REAL frame payload sliced out of the Y4M stream (w·h·3/2 bytes of
     * 4:2:0 planes). Narrow per-partition flatMap — each media row fans

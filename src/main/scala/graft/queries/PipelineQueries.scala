@@ -1846,6 +1846,52 @@ object PipelineQueries {
         CAST(96 AS BIGINT) AS frame_len
       FROM v ORDER BY doc_id, frame_idx"""))
 
+  // P11c: image resize + pixel-sum feature — FULLY oracled INCLUDING
+  // the pixel content: DuckDB replays the synthesizer's 64-bit LCG in
+  // HUGEINT arithmetic (a recursive CTE stepping every image's byte
+  // stream), picks the nearest-neighbor source indices with the same
+  // integer math, and re-derives the resized image's summed-RGB
+  // feature. A hash match proves the decode→resize→extract pass is
+  // byte-deterministic cross-engine, not just shape-correct.
+  private val multimodalResize = Q(
+    "multimodal_resize",
+    (s, d) =>
+      Multimodal.resizeImages(Tables.load(s, d, "documents"), tw = 8, th = 8)
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          col("out_w"), col("out_h"), col("out_len"), col("px_sum"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents),
+      m AS (SELECT doc_id, seed, 4 + seed % 29 AS pw,
+          4 + (seed // 65536) % 29 AS ph
+        FROM s WHERE doc_id % 3 = 0),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), pw * ph * 3 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      pos AS (SELECT m.doc_id,
+          3 * (((y.y * ph) // 8) * pw + ((x.x * pw) // 8)) + c.c AS idx
+        FROM m, range(8) y(y), range(8) x(x), range(3) c(c)),
+      sums AS (SELECT p.doc_id, CAST(sum(b.b) AS BIGINT) AS px_sum
+        FROM pos p JOIN bytes b USING (doc_id, idx) GROUP BY 1)
+      SELECT m.doc_id, CAST(pw AS INTEGER) AS src_w,
+        CAST(ph AS INTEGER) AS src_h,
+        CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+        CAST(203 AS BIGINT) AS out_len, sums.px_sum
+      FROM m JOIN sums USING (doc_id) ORDER BY m.doc_id"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -1962,5 +2008,5 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
-    multimodalMeta, multimodalFrames)
+    multimodalMeta, multimodalFrames, multimodalResize)
 }

@@ -83,4 +83,37 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_frames") >= 1)
     }
   }
+
+  test("resizeImages: output is a valid P6 whose bytes are the exact nearest-neighbor sample") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val out = Multimodal.resizeImages(docs, tw = 8, th = 8).collect()
+    assert(out.nonEmpty)
+    // source payloads for byte-level comparison
+    val srcByDoc = Multimodal.mediaTable(docs)
+      .filter(org.apache.spark.sql.functions.col("mime").startsWith("image/"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+      .toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val resized = r.getAs[Array[Byte]]("resized")
+      // a REAL P6 that the repo's own parser round-trips
+      assert(Multimodal.parsePpm(resized) == ((8, 8)))
+      assert(resized.length == 203 && r.getAs[Long]("out_len") == 203L)
+      val src = srcByDoc(id)
+      val (w, h) = Multimodal.parsePpm(src)
+      val srcOff = Multimodal.ppmPixelOffset(src)
+      val outOff = Multimodal.ppmPixelOffset(resized)
+      var sum = 0L
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+        val sx = x * w / 8
+        val sy = y * h / 8
+        val expect = src(srcOff + 3 * (sy * w + sx) + c)
+        val got = resized(outOff + 3 * (y * 8 + x) + c)
+        assert(got == expect, s"doc $id pixel ($x,$y,$c)")
+        sum += java.lang.Byte.toUnsignedInt(expect)
+      }
+      assert(r.getAs[Long]("px_sum") == sum)
+    }
+  }
 }
