@@ -172,6 +172,59 @@ object Multimodal {
     (sampleRate, dataLen / (channels * bitsPerSample / 8))
   }
 
+  /** Byte offset of the PCM payload: the chunk walk [[parseWav]] runs,
+    * stopped at the `data` chunk body. */
+  private[graft] def wavDataOffset(bytes: Array[Byte]): Int = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (id == "data") return pos + 8
+      pos += 8 + len + (len & 1)
+    }
+    sys.error("RIFF/WAVE without a data chunk")
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Long, abs_sum: Long, zero_crossings: Long)
+
+  /** Audio feature extraction (SURVEY.md §2 P11d; the audio leg of the
+    * pixel pass [[resizeImages]]): total absolute amplitude and
+    * zero-crossing count over the REAL decoded 16-bit PCM samples —
+    * the loudness/zero-crossing-rate pair a speech-vs-music or
+    * silence-trim filter reads. Integer outputs only: engine-exact, no
+    * float summation order anywhere. Sign convention: a sample counts
+    * as a crossing when the `s ≥ 0` predicate flips between
+    * neighbors. Narrow per-partition map — one bounded feature row per
+    * media row, no shuffle. */
+  def audioFeatures(docs: DataFrame): DataFrame = {
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[AudioFeatures]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("audio/"))
+      .mapPartitions(_.map { r =>
+        val (rate, n) = parseWav(r.media)
+        val off = wavDataOffset(r.media)
+        var absSum = 0L
+        var crossings = 0L
+        var prevNonNeg = true
+        var i = 0
+        while (i < n) {
+          val lo = java.lang.Byte.toUnsignedInt(r.media(off + 2 * i))
+          val hi = r.media(off + 2 * i + 1).toInt // sign-carrying byte
+          val s = (hi << 8) | lo
+          absSum += math.abs(s)
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        AudioFeatures(r.doc_id, rate, n, absSum, crossings)
+      }).toDF()
+  }
+
   /** Y4M stream header parse → (width, height, frameSize, frameOffsets). */
   private[graft] def parseY4m(bytes: Array[Byte]): (Int, Int, Seq[Int]) = {
     require(bytes.length > 10 &&

@@ -1892,6 +1892,54 @@ object PipelineQueries {
         CAST(203 AS BIGINT) AS out_len, sums.px_sum
       FROM m JOIN sums USING (doc_id) ORDER BY m.doc_id"""))
 
+  // P11d: audio feature extraction — FULLY oracled including the PCM
+  // sample content, by the same HUGEINT LCG replay as
+  // multimodal_resize: DuckDB regenerates every audio byte, pairs them
+  // into little-endian signed 16-bit samples, and recomputes |s| sums
+  // and the zero-crossing count with a lag window.
+  private val multimodalAudio = Q(
+    "multimodal_audio",
+    (s, d) =>
+      Multimodal.audioFeatures(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents),
+      m AS (SELECT doc_id, seed, 64 + seed % 4096 AS ns FROM s
+        WHERE doc_id % 3 = 1),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), ns * 2 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      smp AS (SELECT lo.doc_id, lo.idx // 2 AS j,
+          CASE WHEN lo.b + 256 * hi.b >= 32768
+            THEN lo.b + 256 * hi.b - 65536
+            ELSE lo.b + 256 * hi.b END AS sv
+        FROM bytes lo JOIN bytes hi
+          ON hi.doc_id = lo.doc_id AND hi.idx = lo.idx + 1
+        WHERE lo.idx % 2 = 0),
+      lagd AS (SELECT doc_id, sv,
+          lag(sv) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+        FROM smp),
+      f AS (SELECT doc_id, CAST(sum(abs(sv)) AS BIGINT) AS abs_sum,
+          CAST(count(*) FILTER (pv IS NOT NULL
+            AND ((sv >= 0) != (pv >= 0))) AS BIGINT) AS zero_crossings
+        FROM lagd GROUP BY 1)
+      SELECT m.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(ns AS BIGINT) AS n_samples, f.abs_sum, f.zero_crossings
+      FROM m JOIN f USING (doc_id) ORDER BY m.doc_id"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -2008,5 +2056,5 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
-    multimodalMeta, multimodalFrames, multimodalResize)
+    multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio)
 }

@@ -116,4 +116,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("px_sum") == sum)
     }
   }
+
+  test("audioFeatures: abs-sum and zero crossings match an independent ByteBuffer decode") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val out = Multimodal.audioFeatures(docs).collect()
+    assert(out.nonEmpty)
+    val srcByDoc = Multimodal.mediaTable(docs)
+      .filter(org.apache.spark.sql.functions.col("mime").startsWith("audio/"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+      .toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = srcByDoc(id)
+      // independent decode: ByteBuffer's own little-endian short view
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = r.getAs[Long]("n_samples").toInt
+      val samples = (0 until n).map(i => bb.getShort(44 + 2 * i).toInt)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("abs_sum") == samples.map(s => math.abs(s).toLong).sum)
+      val zc = samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(r.getAs[Long]("zero_crossings") == zc.toLong)
+    }
+  }
 }
