@@ -90,13 +90,17 @@ object PipelineQueries {
 
   // P4c: EXACT all-pairs similarity join via prefix filtering — the
   // oracle computes the complete uncapped pair relation (no df cap, no
-  // prefix), so a hash match proves the prefix-filter candidates had
-  // recall 1 on every true ≥ 0.5 pair. Shingling CASE mirrors
-  // dedup_ngram; sizes/intersections run over the FULL shingle sets.
+  // prefix, no positional filter), so a hash match proves the filtered
+  // candidates had recall 1 on every true ≥ 0.8 pair. τ=0.8 is the
+  // operating point substring-level dedup actually runs at AND the
+  // regime where the prefix+positional filters stay sub-linear on a
+  // saturated vocabulary (see allPairsJaccard's threshold-regime
+  // scaladoc). Shingling CASE mirrors dedup_ngram; sizes/intersections
+  // run over the FULL shingle sets.
   private val dedupAllpairs = Q(
     "dedup_allpairs",
     (s, d) =>
-      Dedup.allPairsJaccard(Tables.load(s, d, "documents"), threshold = 0.5)
+      Dedup.allPairsJaccard(Tables.load(s, d, "documents"), threshold = 0.8)
         .orderBy(col("a_id"), col("b_id")),
     Some("""WITH tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
@@ -119,7 +123,7 @@ object PipelineQueries {
         FROM inter
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id)
-      WHERE jaccard >= 0.5
+      WHERE jaccard >= 0.8
       ORDER BY a_id, b_id"""))
 
   // Shared oracle for every near-dup DECISION query: exact-Jaccard

@@ -109,6 +109,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("allPairsJaccard: tau 0.8 exact relation equals brute force (positional filter keeps recall)") {
+    val corpus = (Seq(
+      (0L, base),
+      (1L, base),
+      (2L, base.replace("word25", "changed")), // j ~ 0.85 at tau 0.8
+      (3L, base.replace("word10", "x").replace("word40", "y")) // lower j
+    ) ++ (10L to 24L).map(i =>
+      (i, (1 to 40).map(j => s"m${i}w$j").mkString(" ")))).toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(corpus, threshold = 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = corpus.select(col("doc_id"),
+        Dedup.shingleHashes(col("text")).as("sh"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = math.rint(inter.toDouble / (sa.size + sb.size - inter) * 1e6) / 1e6
+      if j >= 0.8
+    } yield (a, b, j)).toSet
+    assert(want.exists(_._3 < 1.0), "fixture must have a proper near pair at 0.8")
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("allPairsJaccard: threshold 1.0 keeps only identical sets") {
     val got = Dedup.allPairsJaccard(docs, threshold = 1.0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
