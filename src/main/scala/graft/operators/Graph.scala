@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * unrolled loop of standard shuffles is the plan a 1000-executor
   * cluster wants.
   */
-object Graph {
+object Graph extends org.apache.spark.internal.Logging {
 
   /** PageRank over an undirected edge list, a fixed number of
     * power-iteration rounds (damping `d`):
@@ -111,7 +111,7 @@ object Graph {
     * [[pageRank]] materialization discipline); the convergence probe
     * rides the SAME frame as the update, so it costs a count, not a
     * second join. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 40): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -138,20 +138,35 @@ object Graph {
       // and without the checkpoint the join would EMBED the neighbor
       // shuffle lineage twice in one plan
       val hashMinM = hashMin.localCheckpoint()
+      val t1 = System.nanoTime()
       val parents = hashMinM.select(col("node_id").as("p_id"),
         col("mid").as("p_comp"))
-      val step = hashMinM.join(parents, col("mid") === col("p_id"))
-        .select(col("node_id"), col("component"),
-          least(col("mid"), col("p_comp")).as("next_component"))
-        .localCheckpoint()
+      // stats barrier (GraftShim scaladoc): the jump self-join squares
+      // the checkpoint-propagated sizeInBytes each round — without the
+      // barrier, plan-time BigInt arithmetic doubles in bit-length per
+      // iteration and dominates wall time by round ~16 (measured 5×
+      // probe: 0.13 s → 23.8 s per jump on FLAT data)
+      val step = org.apache.spark.sql.GraftShim.statsBarrier(
+        hashMinM.join(parents, col("mid") === col("p_id"))
+          .select(col("node_id"), col("component"),
+            least(col("mid"), col("p_comp")).as("next_component"))
+          .localCheckpoint())
+      val t2 = System.nanoTime()
       val changed = step.filter(col("next_component") =!= col("component"))
         .count()
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[cc] iter=$iter changed=$changed hashmin=${(t1 - t0) / 1e9}%.2f jump=${(t2 - t1) / 1e9}%.2f count=${(System.nanoTime() - t2) / 1e9}%.2f s parts=${step.rdd.getNumPartitions}/${hashMinM.rdd.getNumPartitions}")
       labels = step.select(col("node_id"), col("next_component").as("component"))
       converged = changed == 0
       iter += 1
     }
+    // an unconverged cutoff silently returns min-so-far labels, which
+    // are NOT components — at scale that's a wrong answer dressed as a
+    // result, so it must be loud (callers with a known-shallow graph
+    // can still lower maxIters deliberately)
+    if (!converged)
+      logWarning(s"connectedComponents: not converged after $maxIters " +
+        "rounds; labels are an upper approximation")
     labels
   }
 

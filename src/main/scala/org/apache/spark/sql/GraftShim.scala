@@ -14,6 +14,28 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Statistics barrier for iterative DataFrame loops: rebuild `df` as
+    * a fresh LogicalRDD over the SAME underlying InternalRow RDD — no
+    * row conversion and no recompute when `df` is already
+    * localCheckpoint'd — dropping the per-plan statistics the
+    * checkpoint would otherwise propagate. Spark's checkpointed
+    * LogicalRDD carries the ORIGIN plan's sizeInBytes estimate; a loop
+    * whose round SELF-JOINS its previous round's checkpoint (pointer
+    * jumping in [[graft.operators.Graph.connectedComponents]]) squares
+    * that estimate every round, so the BigInt bit-length DOUBLES per
+    * iteration and Catalyst's stats arithmetic goes from nanoseconds
+    * to tens of seconds by round 20 (measured on the 5× scaling probe:
+    * jump-step wall time 0.13 s → 23.8 s with flat data volume, pure
+    * planning). The rebuilt frame reports the constant
+    * defaultSizeInBytes instead — a shuffle-planning pessimism that is
+    * irrelevant inside AQE (runtime sizes win) but keeps plan-time
+    * arithmetic O(1) across unbounded iteration counts. */
+  def statsBarrier(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema)
+  }
+
   /** DataFrame → ONE standard Arrow IPC stream (schema header +
     * record batches + EOS), readable by any Arrow implementation
     * (pyarrow, DuckDB, arrow-rs). The batches are produced
