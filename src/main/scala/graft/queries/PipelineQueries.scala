@@ -171,6 +171,51 @@ object PipelineQueries {
     },
     Some(keepOracleSql))
 
+  // P4d: the EXACT-path end-to-end dedup — keep decision (CC, min id
+  // per component) over the all-pairs τ=0.8 EXACT pair relation. The
+  // oracle rebuilds the UNCAPPED pair relation (no df cap, no prefix/
+  // positional filter) and closes it with the recursive CTE: a missed
+  // true pair would change the kept set, so a hash match proves the
+  // filtered candidate path lost nothing on the way to the DECISION —
+  // the contract users actually consume.
+  private val dedupAllpairsKeep = Q(
+    "dedup_allpairs_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.keepAfterNearDedup(docs,
+          Dedup.allPairsJaccard(docs, threshold = 0.8))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a_id, b_id FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      SELECT src AS doc_id FROM reach
+      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""))
+
   // P2b: the MinHash DECISION under the full oracle gate — band-bucket
   // candidates (no estimate threshold), exact-Jaccard verification on
   // candidates only, then the CC keep decision. Matching the exact
@@ -2044,8 +2089,8 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25,
-    dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs, dedupKeep,
-    dedupMinhashIncr,
+    dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
+    dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
