@@ -747,8 +747,30 @@ object Dedup {
     * high-τ path. */
   def allPairsJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    val tauBp = math.round(threshold * 10000).toInt
     val tok = shingleTable(docs).persist()
+    val cand = allPairsCandidates(tok, threshold)
+    val inter = cand.select("a_id", "b_id")
+      .join(tok.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(tok.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val pairs = cand.join(inter, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    tok.unpersist()
+    pairs
+  }
+
+  /** Candidate stage of [[allPairsJaccard]] — prefix + length +
+    * positional filters over an exploded (doc_id, h) token table.
+    * Package-visible so PlanSpec can lock the pre-checkpoint plan
+    * shape (the public operator eagerly materializes, leaving only a
+    * Scan ExistingRDD behind). */
+  private[graft] def allPairsCandidates(tok: DataFrame,
+      threshold: Double): DataFrame = {
+    val tauBp = math.round(threshold * 10000).toInt
     val dfTab = tok.groupBy("h").agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfTab, Seq("h"))
       .groupBy("doc_id")
@@ -788,18 +810,7 @@ object Dedup {
         >= ceil((col("sz_a") + col("sz_b")) * tauBp
           / lit((10000 + tauBp).toDouble)))
       .select("a_id", "b_id", "sz_a", "sz_b").distinct()
-    val inter = cand.select("a_id", "b_id")
-      .join(tok.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
-      .join(tok.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val pairs = cand.join(inter, Seq("a_id", "b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .localCheckpoint()
-    tok.unpersist()
-    pairs
+    cand
   }
 
   // --------------------------------------- components / keep decision

@@ -444,4 +444,38 @@ class CsvSourceSpec extends AnyFunSuite {
     // parsing under CSV column pruning and not detect malformed rows)
     assert(df.collect().length == 2)
   }
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("triangles wedge closure is equi-joined, never cartesian (R26)") {
+    val p = plan("q63_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "triangle closure must be an equi-join on (lo, hi):\n" + p)
+    // per-node counts partial-aggregate before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("all-pairs join carries no cartesian and partial-aggregates the verify (P4c)") {
+    // the public operator eagerly checkpoints (leaving a bare Scan
+    // ExistingRDD behind), so lock the candidate stage directly
+    val tok = graft.pipeline.Dedup.shingleTable(
+      Tables.load(spark, TestSpark.sf, "documents"))
+    val p = graft.pipeline.Dedup.allPairsCandidates(tok, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "prefix-token candidate join must be an equi-join:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "df count + per-doc prefix build must partial-aggregate:\n" + p)
+  }
+
+  test("multimodal resize stays narrow — zero exchanges (P11c)") {
+    // orderBy is the query's presentation sort; the OPERATOR itself
+    // must not shuffle
+    val p = graft.pipeline.Multimodal.resizeImages(
+        Tables.load(spark, TestSpark.sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "resize must not shuffle:\n" + p)
+  }
 }
