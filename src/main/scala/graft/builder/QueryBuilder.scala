@@ -199,6 +199,22 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Funnel.transitions(
       df, userCol, tsCol, typeCol, tieCol))
 
+  /** Fixed-round PageRank over this node's (src, dst) edge relation —
+    * see [[graft.operators.Graph.pageRank]]. */
+  def pageRank(iters: Int = 3, damping: Double = 0.85): QueryNode =
+    new QueryNode(graft.operators.Graph.pageRank(df, iters, damping))
+
+  /** Connected components over this node's (src, dst) edge relation —
+    * see [[graft.operators.Graph.connectedComponents]]. */
+  def components(maxIters: Int = 40): QueryNode =
+    new QueryNode(graft.operators.Graph.connectedComponents(df, maxIters))
+
+  /** Exact per-node triangle counts + clustering coefficient over this
+    * node's (src, dst) edge relation — see
+    * [[graft.operators.Graph.triangles]]. */
+  def triangles(): QueryNode =
+    new QueryNode(graft.operators.Graph.triangles(df))
+
   /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
     * variant renames columns in bulk. */
   def rename(mapping: (String, String)*): QueryNode =

@@ -238,4 +238,28 @@ class QueryBuilderSpec extends AnyFunSuite {
     // derived nodes lose stored-table identity
     assert(node.filter(col("n_nationkey") > 5).tableName.isEmpty)
   }
+
+  test("graph analytics at the builder surface coincide with the operator path") {
+    // derive a small edge relation through the builder chain itself
+    val edges = hdk.scan("orders")
+      .joinOn(hdk.scan("lineitem"), Seq("o_orderkey"), Seq("l_orderkey"),
+        "inner")
+      .projExprs(
+        ("src", col("o_custkey").cast("long") * 2),
+        ("dst", col("l_suppkey").cast("long") * 2 + 1))
+    val eDf = edges.run()
+    val bp = edges.pageRank(iters = 2).run()
+    val op = graft.operators.Graph.pageRank(eDf, iters = 2)
+    assert(bp.exceptAll(op).isEmpty && op.exceptAll(bp).isEmpty)
+    val bc = edges.components().run()
+    val oc = graft.operators.Graph.connectedComponents(eDf)
+    assert(bc.exceptAll(oc).isEmpty && oc.exceptAll(bc).isEmpty)
+    val bt = edges.triangles().run()
+    val ot = graft.operators.Graph.triangles(eDf)
+    assert(bt.exceptAll(ot).isEmpty && ot.exceptAll(bt).isEmpty)
+    // and composes onward: top-degree nodes through the mini-language
+    val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
+      .limit(5).run().collect()
+    assert(top.length == 5)
+  }
 }
