@@ -44,4 +44,41 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
+
+  /** Small-file compaction (SURVEY.md §2 IO10) — the table-maintenance
+    * pass every streaming/incremental ingest needs: micro-batch
+    * writers leave thousands of KB-scale files, and at 100 TB the
+    * resulting task-per-file scheduling + footer-per-file reads
+    * dominate scan cost long before data volume does. Rewrites `dir`
+    * as ⌈totalBytes/targetBytes⌉ files via `coalesce` — a NARROW
+    * rewrite (no shuffle: coalesce merges input splits in place, so
+    * the job moves each byte once and never repartitions), then an
+    * atomic-ish directory swap. Returns the output file count; a
+    * directory already at or below the target count is left UNTOUCHED
+    * (no rewrite job at all — idempotent maintenance must be free when
+    * there is nothing to do).
+    *
+    * Row-order note: compaction is layout maintenance, not a query —
+    * parquet tables carry no order contract, and coalesce preserves
+    * within-input order anyway. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (nOut >= files.length) return files.length
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    // report what actually landed (a coalesce target with an empty
+    // partition writes fewer files than requested)
+    fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

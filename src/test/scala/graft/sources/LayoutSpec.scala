@@ -62,4 +62,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zdir)
       .filter(col("x") <= 100 && col("y") <= 100).count() == expected)
   }
+
+  test("compactFiles merges a micro-batch file mess to the target count, rows intact") {
+    import spark.implicits._
+    val dir = graft.GraftSession.scratchDir("compact_test")
+    val rows = (1 to 2000).map(i => (i.toLong, s"payload_$i"))
+    // simulate a streaming ingest: 50 tiny files
+    rows.toDF("id", "v").repartition(50)
+      .write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 50)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target: ~quarter of the data per file → ~4 output files
+    val n = Layout.compactFiles(spark, dir, targetBytes = totalBytes / 4)
+    assert(n >= 4 && n <= 6, s"got $n files")
+    assert(parquetFiles == n)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+    // fixed point: compact all the way down to one file, then a
+    // repeat call finds nothing to do and reports the same count
+    assert(Layout.compactFiles(spark, dir, targetBytes = Long.MaxValue) == 1)
+    assert(Layout.compactFiles(spark, dir, targetBytes = Long.MaxValue) == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      == rows.toSet)
+  }
 }
