@@ -39,6 +39,38 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining (SURVEY.md §2 P6g) — the contrastive-training
+    * consumer of the ANN family: for each query vector, the `k` most
+    * COSINE-SIMILAR vectors carrying a DIFFERENT label ("looks alike,
+    * isn't") — exactly the negatives that make a contrastive/triplet
+    * objective learn boundaries instead of memorizing easy negatives.
+    * Same audited shape as [[bruteForceTopK]]: queries broadcast,
+    * corpus streams once, label exclusion rides the join condition so
+    * same-label rows never score. Exact by construction — this is the
+    * oracle-able baseline; at 100 TB generate candidates with the
+    * IVF/LSH legs first and re-rank the label-filtered survivors (the
+    * [[ivfTopK]] composition), same as the ANN family's scale story. */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    // normalized() carries every input column through, label included
+    val c = Dedup.normalized(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vc"),
+        col("nrm").as("nc"), col("label").as("neighbor_label"))
+    val q = Dedup.normalized(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"),
+        col("nrm").as("nq"), col("label").as("query_label"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        round(graft.functions.dotp(col("vq"), col("vc"))
+          / (col("nq") * col("nc")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic random hyperplanes: `nBits` planes × `dim` components
     * in [-1, 1), seeded — same planes on every executor with zero
     * driver-side state. */

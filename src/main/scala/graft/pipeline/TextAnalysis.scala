@@ -17,6 +17,36 @@ object TextAnalysis {
   /** BPE-ish token count: words | digit runs | punctuation runs. */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
+  /** Deterministic token-dropout augmentation (SURVEY.md §2 P24) — the
+    * text-augmentation step of a training pipeline ("each epoch sees a
+    * slightly different rendition"), made REPRODUCIBLE: the per-token
+    * drop decision is pure Knuth arithmetic on (doc_id, position) —
+    * multiplier 2738186381, ⟂ every other multiplier in the repo
+    * (split 2654435761, mixture 2246822519, quota/upsample/temperature
+    * 668265263/3266489917/2971215073) — so the augmented corpus is
+    * bit-identical across engines, re-runs, and shards, and a second
+    * epoch just changes `epoch` for an independent rendition. Returns
+    * every row with (n_tokens, n_kept, aug_text).
+    *
+    * Overflow discipline (§6): the (doc, pos, epoch) key folds mod 2^31
+    * BEFORE the multiplier, so the product stays < 2^62.4 — ANSI-safe.
+    * Narrow per-row HOF arithmetic (indexed `filter` lambda), zero
+    * shuffles. */
+  def withTokenDropout(docs: DataFrame, dropBp: Int = 1000,
+      epoch: Int = 0, textCol: String = "text"): DataFrame = {
+    require(dropBp >= 0 && dropBp <= 10000, "dropBp in [0, 10000]")
+    require(epoch >= 0 && epoch < 1024, "epoch in [0, 1024)")
+    val toks = tokens(col(textCol))
+    val keep = filter(toks, (_, i) =>
+      pmod(pmod(col("doc_id") * 1048576L + i * 1024L + epoch,
+          lit(2147483648L)) * lit(2738186381L),
+        lit(4294967296L)) % 10000 >= dropBp)
+    docs.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(keep).as("n_kept"),
+      array_join(keep, " ").as("aug_text"))
+  }
+
   // Small per-language stopword profiles for the n-gram/stopword langid
   // heuristic. Deterministic and oracle-mirrorable.
   val stopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "that", "it", "as", "at", "by")

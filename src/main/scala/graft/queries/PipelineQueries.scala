@@ -432,6 +432,59 @@ object PipelineQueries {
       WHERE rnk <= 10
       ORDER BY query_id, rnk"""))
 
+  // P24: deterministic token-dropout augmentation — per-(doc, pos)
+  // Knuth arithmetic, bit-identical cross-engine; DuckDB replays the
+  // indexed comprehension.
+  private val augDropout = Q(
+    "aug_dropout",
+    (s, d) =>
+      TextAnalysis.withTokenDropout(Tables.load(s, d, "documents"),
+          dropBp = 1500, epoch = 1)
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      k AS (SELECT doc_id, ts,
+          [ts[i] FOR i IN range(1, len(ts) + 1)
+           IF ((doc_id * 1048576 + (i - 1) * 1024 + 1) % 2147483648)
+              * 2738186381 % 4294967296 % 10000 >= 1500] AS kept
+        FROM t)
+      SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+        CAST(len(kept) AS INTEGER) AS n_kept,
+        coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text
+      FROM k ORDER BY doc_id"""))
+
+  // P6g: hard-negative mining — the contrastive-training consumer of
+  // the ANN family ("most similar with a DIFFERENT label"); exact
+  // baseline path, fully oracled like ann_topk with the label
+  // exclusion in the join.
+  private val annHardNeg = Q(
+    "ann_hardneg",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("neighbor_label"), col("rnk"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM e)
+      SELECT query_id, neighbor_id, neighbor_label, rnk, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          c.label AS neighbor_label,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos_sim,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                     c.vec_id) AS rnk
+        FROM n q JOIN n c ON c.label <> q.label
+        WHERE q.vec_id < 5)
+      WHERE rnk <= 10
+      ORDER BY query_id, rnk"""))
+
   // P6b: LSH-bucketed ANN (the 100 TB path) — approximate → rows-only;
   // recall vs the exact baseline is asserted in SimilaritySpec.
   private val annLsh = Q(
@@ -2093,7 +2146,8 @@ object PipelineQueries {
     dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
-    annTopk, annLsh, annIvf, annPq, annIvfPq, annRecall, packSequences,
+    annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,
+    packSequences,
     splitTrain,
     textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,
     mixUpsample, mixTemperature, selectBudget,
@@ -2102,7 +2156,7 @@ object PipelineQueries {
     textVocab, textEncode, textTfidf, textXent,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
     heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
-    textTokens, textBpe, textBpeTrain, textBpeEncode,
+    textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio)

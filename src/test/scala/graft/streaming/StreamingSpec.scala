@@ -340,6 +340,39 @@ class StreamingSpec extends AnyFunSuite {
         (expected.toSet diff got.toSet)).take(5)}")
   }
 
+  test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
+    val (depth, width) = (3, 128)
+    val toks = Tables.load(spark, TestSpark.sf, "documents")
+      .select(explode(graft.pipeline.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .as[String].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamCountMin
+      .cmsShards(mem.toDF().select(col("value").as("token")),
+        depth = depth, width = width, nShards = 4)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = toks.splitAt(toks.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table("cms_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1)
+      .select(col("counters")).as[Seq[Long]].collect()
+    val streamed = latest.reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+    val batch = toks.toSeq.toDF("token")
+      .agg(graft.functions.cmsSketch(col("token"), depth, width).as("s"))
+      .as[Seq[Long]].head()
+    assert(streamed == batch,
+      "shard-sum must equal the batch sketch exactly (CMS merge is addition)")
+  }
+
   test("streaming KLL: mass conserved and rank bound holds across microbatches") {
     // real event values, split into two microbatches: shard compactor
     // stacks (including the parity counter) must survive the batch cut
