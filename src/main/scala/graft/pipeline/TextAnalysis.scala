@@ -474,6 +474,65 @@ object TextAnalysis {
     out
   }
 
+  /** Reference-LM perplexity scoring (SURVEY.md §2 P25; the CCNet
+    * discriminator shape) — [[withBigramXent]] scores every doc
+    * against the WHOLE corpus's own statistics; this one trains the
+    * add-one-smoothed bigram LM on a REFERENCE slice only (the Knuth
+    * train-split arithmetic of [[Packing.withSplit]], multiplier
+    * shared DELIBERATELY: the reference slice IS the train split) and
+    * scores EVERY doc against it — "how much does this doc look like
+    * the curated data" is the CCNet head/middle/tail quality signal.
+    * Unseen words/bigrams fall to the smoothing floor via left joins
+    * (ln(1/V) resp. ln((0+1)/(c1+V))) instead of dropping rows — an
+    * out-of-domain doc must score WORSE, not shorter. Same rounding
+    * discipline as [[withBigramXent]] (lp 6dp before the 4dp mean).
+    *
+    * Scale: reference counts are token-vocab-scale aggregates; the
+    * corpus explodes once; scoring is two hash LEFT joins on token
+    * keys + one broadcast 1-row V frame — no window, no corpus
+    * self-join. */
+  def withReferenceXent(docs: DataFrame, refPct: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(refPct > 0 && refPct <= 100, "refPct in (0, 100]")
+    val bucket = pmod(col("doc_id").cast("long") * lit(2654435761L),
+      lit(4294967296L)) % 100
+    val t = docs.select(col("doc_id"), bucket.as("bk"),
+      tokens(col(textCol)).as("ts"))
+    val sz = size(col("ts"))
+    val bigrams = t.filter(sz >= 2)
+      .select(col("doc_id"), col("bk"), explode(slice(
+        zip_with(col("ts"), slice(col("ts"), lit(2), sz),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("b"))),
+        lit(1), sz - 1)).as("s"))
+      .select(col("doc_id"), col("bk"), col("s.w1").as("w1"),
+        col("s.b").as("b"))
+      .persist()
+    val refUni = t.filter(col("bk") < refPct)
+      .select(explode(col("ts")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = refUni.agg(count(lit(1)).as("v"))
+    val refBi = bigrams.filter(col("bk") < refPct)
+      .groupBy("b").agg(count(lit(1)).as("c12"))
+    val scored = bigrams
+      .join(refBi, Seq("b"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))), 6).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("ref_xent"))
+    val out = docs.select(col("doc_id"), (bucket < refPct).as("in_ref"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_ref"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ref_xent"))
+      .localCheckpoint()
+    bigrams.unpersist()
+    out
+  }
+
   // ------------------------------------------------------- winnowing
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm; SURVEY.md §2 P10b): over each document's k-token

@@ -1879,6 +1879,40 @@ object PipelineQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // P25: reference-LM perplexity scoring (CCNet discriminator shape) —
+  // the bigram LM trains on the Knuth train-split slice only; every
+  // doc scores against it, unseen tokens at the smoothing floor.
+  private val textRefXent = Q(
+    "text_refxent",
+    (s, d) =>
+      TextAnalysis.withReferenceXent(Tables.load(s, d, "documents"),
+          refPct = 50)
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bk,
+          string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      bgf AS (SELECT doc_id, bk, unnest(ts[1:len(ts)-1]) AS w1,
+        unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b
+        FROM t WHERE len(ts) >= 2),
+      uc AS (SELECT w1, count(*) AS c1 FROM
+        (SELECT unnest(ts) AS w1 FROM t WHERE bk < 50) GROUP BY w1),
+      vv AS (SELECT count(*) AS v FROM uc),
+      bc AS (SELECT b, count(*) AS c12 FROM bgf WHERE bk < 50 GROUP BY b),
+      sc AS (SELECT doc_id,
+          round(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)), 6)
+            AS lp
+        FROM bgf LEFT JOIN bc USING (b) LEFT JOIN uc USING (w1)
+        CROSS JOIN vv),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(-avg(lp), 4) AS ref_xent FROM sc GROUP BY doc_id)
+      SELECT d.doc_id,
+        (d.doc_id * 2654435761) % 4294967296 % 100 < 50 AS in_ref,
+        coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        a.ref_xent
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   // P11: multimodal metadata — FULLY oracled (r6). The Spark side
   // synthesizes REAL PPM/WAV/Y4M bytes from a mod-2^32 text seed and
   // parses them back with the real decoders; DuckDB recomputes the
@@ -2153,7 +2187,7 @@ object PipelineQueries {
     mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
-    textVocab, textEncode, textTfidf, textXent,
+    textVocab, textEncode, textTfidf, textXent, textRefXent,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
     heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
