@@ -145,4 +145,37 @@ object TimeJoins {
           / ((lit(1.0) - pow(lit(q), size(col("_vs")))) / alpha), 6))
       .drop("_vs")
   }
+
+  /** Rolling z-score anomaly flag (SURVEY.md §2 R27; the alerting
+    * sibling of [[ewma]]'s smoothing): each observation scored against
+    * the trailing `span` observations STRICTLY BEFORE it — the frame
+    * excludes the current row, so an outlier cannot dilute its own
+    * baseline, and the first rows of a key score NULL rather than
+    * against a fabricated window. z rounds 4dp from 6dp-rounded
+    * mean/std (the q19 stddev discipline); NULL when fewer than
+    * `minObs` prior rows or zero variance — emitted honestly instead
+    * of a fake 0. `flagged` = |z| > `threshold` on the rounded z, so
+    * the boolean is engine-exact.
+    *
+    * Scale: one window shuffle on the HIGH-cardinality key; the frame
+    * is ROWS-bounded (O(span) state per row), never RANGE over a
+    * low-cardinality key. */
+  def rollingZScore(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, span: Int = 20, minObs: Int = 5,
+      threshold: Double = 3.0): DataFrame = {
+    require(span >= minObs && minObs >= 2, "need span >= minObs >= 2")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-span, -1)
+    val mean6 = round(avg(col(valCol)).over(w), 6)
+    val sd6 = round(stddev_samp(col(valCol)).over(w), 6)
+    val nPrev = count(col(valCol)).over(w)
+    val z = when(nPrev >= minObs && sd6 > 0,
+      round((col(valCol) - mean6) / sd6, 4))
+    obs
+      .withColumn("roll_n", nPrev)
+      .withColumn("z", z)
+      .withColumn("flagged",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
 }

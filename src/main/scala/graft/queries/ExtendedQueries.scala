@@ -1362,8 +1362,39 @@ object ExtendedQueries {
       FROM deg d LEFT JOIN tn USING (node_id)
       ORDER BY node_id"""))
 
+  // Rolling z-score anomaly flag (TimeJoins.rollingZScore): each event
+  // scored against the trailing 20 observations strictly before it,
+  // per user. The oracle replays the identical exclusive ROWS frame,
+  // 6dp mean/std rounds, and the 4dp z — booleans engine-exact.
+  private val q64 = Q(
+    "q64_anomaly",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("double").as("value"))
+      graft.operators.TimeJoins.rollingZScore(ev, "user_id", "us",
+          "value", "event_id")
+        .orderBy(col("user_id"), col("us"), col("event_id"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+          CAST(value AS DOUBLE) AS value
+        FROM events),
+      sc AS (SELECT event_id, user_id, us, value,
+          count(value) OVER w AS roll_n,
+          round(avg(value) OVER w, 6) AS m6,
+          round(stddev_samp(value) OVER w, 6) AS s6
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, us, value, roll_n,
+        CASE WHEN roll_n >= 5 AND s6 > 0
+          THEN round((value - m6) / s6, 4) END AS z,
+        coalesce(abs(CASE WHEN roll_n >= 5 AND s6 > 0
+          THEN round((value - m6) / s6, 4) END) > 3.0, false) AS flagged
+      FROM sc ORDER BY user_id, us, event_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63)
+    q58, q59, q60, q61, q62, q63, q64)
 }
