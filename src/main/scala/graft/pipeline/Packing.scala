@@ -498,4 +498,59 @@ object Packing {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Exact-rank fractional bucketing WITHOUT a global sort (SURVEY.md
+    * §2 P26; the CCNet head/middle/tail curriculum step over a quality
+    * score like [[TextAnalysis.withReferenceXent]]'s): each row gets
+    * the bucket its EXACT global rank falls into, but the rank is
+    * never computed per row — a histogram of the (discrete, e.g.
+    * 4dp-rounded) score decides boundary VALUES by the cumulative-count
+    * rank rule (boundary_i = smallest value whose cumulative count
+    * reaches ⌈fᵢ·n⌉, the [[TextAnalysis.withLengthOutliers]]
+    * lowerMedian idiom), and rows bucket by comparing against the
+    * boundaries. Ties share a value and therefore a bucket — the only
+    * honest choice when ranks are computed from values alone, and
+    * exactly what the oracle replays. NULL scores bucket as
+    * 'unscored' rather than polluting the rank space.
+    *
+    * Scale: one partial-agg'd histogram shuffle (distinct score
+    * values, NOT corpus rows) + a cum-sum window over HISTOGRAM rows
+    * (bounded by score cardinality — the P8d/P21 precedent) + a
+    * broadcast boundary join. No ntile, no global window over the
+    * corpus. `fractions` are cumulative upper bounds in basis points,
+    * e.g. Seq(("head", 3333), ("middle", 6667)) with the remainder
+    * falling to `lastBucket`. */
+  def bucketByRank(scored: DataFrame, valueCol: String,
+      fractions: Seq[(String, Int)], lastBucket: String = "tail",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty &&
+      fractions.map(_._2) == fractions.map(_._2).sorted &&
+      fractions.forall(f => f._2 > 0 && f._2 < 10000),
+      "fractions must be increasing cumulative basis points in (0, 10000)")
+    val hist = scored.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum(col("c")).as("n"))
+    // cum-sum over histogram rows only — bounded by score cardinality
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+    // boundary per fraction: smallest v with cum ≥ ceil(f·n / 10000)
+    val bounds = fractions.map { case (name, bp) =>
+      cum.filter(col("cum") * 10000 >= col("n") * bp)
+        .agg(min(col("v")).as("b"))
+        .select(lit(name).as("bucket_name"), col("b"))
+    }.reduce(_ unionAll _)
+      .agg(collect_list(struct(col("bucket_name"), col("b"))).as("bs"))
+    val bucket = fractions.reverse.foldLeft(lit(lastBucket)) {
+      case (rest, (name, _)) =>
+        when(col(valueCol) <=
+          element_at(map_from_entries(col("bs")), name), name)
+          .otherwise(rest)
+    }
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col(valueCol).isNull, lit("unscored")).otherwise(bucket))
+      .drop("bs")
+  }
 }

@@ -1913,6 +1913,55 @@ object PipelineQueries {
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // P26: CCNet head/middle/tail quality curriculum — exact-rank
+  // tercile bucketing of the reference-LM score WITHOUT a global sort
+  // (histogram rank rule); the oracle recomputes boundaries with the
+  // identical cumulative-count rule and CASE.
+  private val qualityBuckets = Q(
+    "quality_buckets",
+    (s, d) => {
+      val scored = TextAnalysis.withReferenceXent(
+        Tables.load(s, d, "documents"), refPct = 50)
+      Packing.bucketByRank(scored, "ref_xent",
+          Seq(("head", 3333), ("middle", 6667)))
+        .select(col("doc_id"), col("ref_xent"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bk,
+          string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      bgf AS (SELECT doc_id, bk, unnest(ts[1:len(ts)-1]) AS w1,
+        unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b
+        FROM t WHERE len(ts) >= 2),
+      uc AS (SELECT w1, count(*) AS c1 FROM
+        (SELECT unnest(ts) AS w1 FROM t WHERE bk < 50) GROUP BY w1),
+      vv AS (SELECT count(*) AS v FROM uc),
+      bc AS (SELECT b, count(*) AS c12 FROM bgf WHERE bk < 50 GROUP BY b),
+      sc AS (SELECT doc_id,
+          round(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + v)), 6)
+            AS lp
+        FROM bgf LEFT JOIN bc USING (b) LEFT JOIN uc USING (w1)
+        CROSS JOIN vv),
+      agg AS (SELECT doc_id, round(-avg(lp), 4) AS ref_xent
+        FROM sc GROUP BY doc_id),
+      scored AS (SELECT d.doc_id, a.ref_xent
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      hist AS (SELECT ref_xent AS v, count(*) AS c FROM scored
+        WHERE ref_xent IS NOT NULL GROUP BY 1),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          (SELECT sum(c) FROM hist) AS n
+        FROM hist),
+      b1 AS (SELECT min(v) AS b FROM cum WHERE cum * 10000 >= n * 3333),
+      b2 AS (SELECT min(v) AS b FROM cum WHERE cum * 10000 >= n * 6667)
+      SELECT s.doc_id, s.ref_xent,
+        CASE WHEN s.ref_xent IS NULL THEN 'unscored'
+             WHEN s.ref_xent <= (SELECT b FROM b1) THEN 'head'
+             WHEN s.ref_xent <= (SELECT b FROM b2) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM scored s ORDER BY s.doc_id"""))
+
   // P11: multimodal metadata — FULLY oracled (r6). The Spark side
   // synthesizes REAL PPM/WAV/Y4M bytes from a mod-2^32 text seed and
   // parses them back with the real decoders; DuckDB recomputes the
@@ -2187,7 +2236,7 @@ object PipelineQueries {
     mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
-    textVocab, textEncode, textTfidf, textXent, textRefXent,
+    textVocab, textEncode, textTfidf, textXent, textRefXent, qualityBuckets,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
     heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
