@@ -386,4 +386,28 @@ class PackingSpec extends AnyFunSuite {
     // kept honors the exact quota
     assert(kept.length == 200)
   }
+
+  test("bucketByRank: exact tercile boundaries, ties share a bucket, NULL unscored") {
+    // 9 distinct values ×10 rows each + 5 NULLs; tercile boundaries
+    // land exactly at value 3 (cum 30 ≥ ceil(0.3333·90)=30) and 7
+    val rows = (for {
+      v <- 1 to 9; i <- 1 to 10
+    } yield ((v * 100 + i).toLong, Some(v.toDouble))) ++
+      (1 to 5).map(i => (9000L + i, Option.empty[Double]))
+    val df = rows.toDF("doc_id", "score")
+    val out = Packing.bucketByRank(df, "score",
+        Seq(("head", 3333), ("middle", 6667)))
+      .select(col("doc_id"), col("score"), col("bucket"))
+      .as[(Long, Option[Double], String)].collect()
+    out.foreach { case (_, s, b) =>
+      s match {
+        case None => assert(b == "unscored")
+        case Some(v) if v <= 3.0 => assert(b == "head", s"v=$v b=$b")
+        case Some(v) if v <= 7.0 => assert(b == "middle", s"v=$v b=$b")
+        case Some(v) => assert(b == "tail", s"v=$v b=$b")
+      }
+    }
+    // all rows of a tied value share one bucket
+    assert(out.filter(_._2.contains(3.0)).map(_._3).distinct.length == 1)
+  }
 }
