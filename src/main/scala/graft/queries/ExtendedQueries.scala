@@ -1393,8 +1393,49 @@ object ExtendedQueries {
           THEN round((value - m6) / s6, 4) END) > 3.0, false) AS flagged
       FROM sc ORDER BY user_id, us, event_id"""))
 
+  // The SCD2 CONSUMER (R18's other half): fact rows enriched with the
+  // dimension version valid AT their query time — an as-of join onto
+  // the version chain (the valid_from/valid_to intervals historize
+  // materializes are implicit in "latest version ≤ ts"). Versions
+  // dedupe to one per (key, ts) so the as-of pick is deterministic.
+  private val q65 = Q(
+    "q65_scd2_asof",
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .filter(pmod(col("o_custkey"), lit(50)) === 0)
+      val dim = base
+        .groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        .agg(max(col("o_orderkey")).as("ver_orderkey"),
+          expr("max_by(o_totalprice, o_orderkey)").as("ver_price"))
+      val fact = base.select(col("o_custkey"), col("o_orderkey"),
+        (col("o_orderdate").cast("timestamp")
+          + expr("INTERVAL 30 DAY")).as("ts"))
+      graft.operators.TimeJoins.asofJoin(fact, dim, "o_custkey", "ts",
+          Seq("ver_orderkey", "ver_price"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("ts").as("query_ts"),
+          col("asof_ver_orderkey"), col("asof_ver_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""WITH base AS (
+        SELECT * FROM orders WHERE o_custkey % 50 = 0),
+      dim AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+          max(o_orderkey) AS ver_orderkey,
+          max_by(o_totalprice, o_orderkey) AS ver_price
+        FROM base GROUP BY 1, 2),
+      fact AS (SELECT o_custkey, o_orderkey,
+          CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS ts
+        FROM base)
+      SELECT f.o_custkey, f.o_orderkey, f.ts AS query_ts,
+        d.ver_orderkey AS asof_ver_orderkey,
+        d.ver_price AS asof_ver_price
+      FROM fact f ASOF LEFT JOIN dim d
+        ON f.o_custkey = d.o_custkey AND d.ts <= f.ts
+      ORDER BY f.o_custkey, f.o_orderkey"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64)
+    q58, q59, q60, q61, q62, q63, q64, q65)
 }

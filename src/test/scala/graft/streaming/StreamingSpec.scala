@@ -340,6 +340,42 @@ class StreamingSpec extends AnyFunSuite {
         (expected.toSet diff got.toSet)).take(5)}")
   }
 
+  test("streaming anomaly z-scores EQUAL the batch rollingZScore bitwise") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("double").as("value"))
+    val batch = graft.operators.TimeJoins
+      .rollingZScore(ev, "user_id", "us", "value", "event_id")
+      .select(col("event_id"), col("roll_n"), col("z"), col("flagged"))
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // replay ordered per event time so cross-batch arrival matches the
+    // operator's in-order contract; cut mid-stream
+    val rows = ev.orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, Double)].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamAnomaly.zScores(
+        mem.toDF().toDF("event_id", "user_id", "us", "value"))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out")
+      .select(col("event_id"), col("roll_n"), col("z"), col("flagged"))
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect {
+      case (id, b) if streamed(id) != b => (id, b, streamed(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
