@@ -133,6 +133,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("allPairsJaccard: randomized corpora x thresholds equal brute force") {
+    // seeded sweep: hostile vocab sizes (tiny → everything resembles
+    // everything) and thresholds on both sides of the prefix/positional
+    // boundary arithmetic; any lost candidate shows as a missing pair
+    val rnd = new scala.util.Random(42)
+    for ((vocab, tau) <- Seq((8, 0.35), (8, 0.8), (40, 0.5), (40, 0.92),
+        (15, 0.65))) {
+      val corpus = (0L until 30L).map { i =>
+        val n = 5 + rnd.nextInt(30)
+        val base = (0 until n).map(_ => s"w${rnd.nextInt(vocab)}")
+        (i, base.mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = Dedup.allPairsJaccard(corpus, threshold = tau)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.select(col("doc_id"),
+          Dedup.shingleHashes(col("text")).as("sh"))
+        .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2.toSet)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = math.rint(inter.toDouble / (sa.size + sb.size - inter) * 1e6) / 1e6
+        if j >= tau
+      } yield (a, b, j)).toSet
+      assert(got == want,
+        s"vocab=$vocab tau=$tau: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("allPairsJaccard: threshold 1.0 keeps only identical sets") {
     val got = Dedup.allPairsJaccard(docs, threshold = 1.0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
