@@ -454,6 +454,58 @@ object PipelineQueries {
         coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text
       FROM k ORDER BY doc_id"""))
 
+  // R28: entity resolution across relations — dirty feed = the P24
+  // dropout op as the corruption model (8% token drop, epoch 2), clean
+  // registry = the documents table; blocked prefix-filter matching on
+  // the Spark side vs the oracle's UNBLOCKED full-cross-product argmax
+  // — a hash match proves blocking recall 1 above the threshold.
+  private val erMatch = Q(
+    "er_match",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val dirty = TextAnalysis.withTokenDropout(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          dropBp = 800, epoch = 2)
+        .select(col("doc_id").as("dirty_id"), col("aug_text").as("text"))
+      val clean = docs.select(col("doc_id").as("clean_id"), col("text"))
+      graft.operators.Linkage.matchEntities(dirty, clean, threshold = 0.5)
+        .orderBy(col("dirty_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      dirty AS (SELECT doc_id AS dirty_id,
+          [ts[i] FOR i IN range(1, len(ts) + 1)
+           IF ((doc_id * 1048576 + (i - 1) * 1024 + 2) % 2147483648)
+              * 2738186381 % 4294967296 % 10000 >= 800] AS ks
+        FROM t WHERE doc_id % 4 = 0),
+      dsh AS (SELECT dirty_id, unnest(CASE WHEN len(ks) < 3
+          THEN [list_aggregate(ks, 'string_agg', ' ')]
+          ELSE list_distinct([ks[i] || ' ' || ks[i+1] || ' ' || ks[i+2]
+                              for i in range(1, len(ks) - 1)]) END) AS sh
+        FROM dirty),
+      csh AS (SELECT doc_id AS clean_id, unnest(CASE WHEN len(ts) < 3
+          THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END) AS sh
+        FROM t),
+      dsz AS (SELECT dirty_id, count(*) AS sz FROM dsh GROUP BY 1),
+      csz AS (SELECT clean_id, count(*) AS sz FROM csh GROUP BY 1),
+      inter AS (SELECT d.dirty_id, c.clean_id, count(*) AS i
+        FROM dsh d JOIN csh c ON d.sh = c.sh GROUP BY 1, 2),
+      sims AS (SELECT dirty_id, clean_id,
+          round(CAST(i AS DOUBLE) / (ds.sz + cs.sz - i), 6) AS sim
+        FROM inter JOIN dsz ds USING (dirty_id) JOIN csz cs USING (clean_id)),
+      ranked AS (SELECT dirty_id, clean_id, sim,
+          row_number() OVER (PARTITION BY dirty_id
+            ORDER BY sim DESC, clean_id) AS rn
+        FROM sims WHERE sim >= 0.5),
+      best AS (SELECT dirty_id, clean_id AS match_id, sim
+        FROM ranked WHERE rn = 1)
+      SELECT d.dirty_id, b.match_id, b.sim
+      FROM dirty d LEFT JOIN best b USING (dirty_id)
+      ORDER BY d.dirty_id"""))
+
   // P6g: hard-negative mining — the contrastive-training consumer of
   // the ANN family ("most similar with a DIFFERENT label"); exact
   // baseline path, fully oracled like ann_topk with the label
@@ -2229,7 +2281,7 @@ object PipelineQueries {
     dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
-    annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,
+    annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall, erMatch,
     packSequences,
     splitTrain,
     textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,
