@@ -170,6 +170,69 @@ object Graph extends org.apache.spark.internal.Logging {
     labels
   }
 
+  /** k-core extraction — the maximal subgraph where every node keeps
+    * degree ≥ k — by iterative peeling (Matula & Beck 1983): drop all
+    * nodes below degree k, recompute degrees on the surviving
+    * subgraph, repeat to fixpoint. The fourth member of the graph
+    * family ([[pageRank]] = centrality, [[connectedComponents]] =
+    * reachability, [[triangles]] = local density, this one =
+    * engagement/robustness — "the subcommunity that remains after
+    * every marginal participant cascades out"). Returns (node_id,
+    * core_deg) for the surviving nodes; core_deg ≥ k by construction.
+    *
+    * Peeling is inherently iterative (removing one node can strand its
+    * neighbors — a chain peels one node per round), so the loop runs
+    * the [[connectedComponents]] discipline verbatim: canonical edges
+    * localCheckpoint ONCE (the input is usually a derived fact join
+    * that must not re-execute), the live edge set localCheckpoints per
+    * round behind a stats barrier, and the convergence probe rides the
+    * SAME materialized frame as the update (a count, not a second
+    * join). Per round: ONE partial-agg'd degree shuffle + two
+    * node-frame semi joins — the edge frame only ever SHRINKS, so
+    * round cost is monotone non-increasing; at 100 TB the first round
+    * dominates and is exactly one degree aggregation over the edge
+    * list. An unconverged maxIters cutoff returns a SUPERSET of the
+    * k-core (peeling monotonically removes) and warns loudly — the
+    * CC non-convergence contract. */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 40): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    var live = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var nLive = live.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val keep = live.select(col("u").as("node_id"))
+        .unionAll(live.select(col("v").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node_id"))
+      val step = org.apache.spark.sql.GraftShim.statsBarrier(
+        live
+          .join(keep.select(col("node_id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node_id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint())
+      val after = step.count()
+      live = step
+      converged = after == nLive
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(s"[kcore] iter=$iter edges=$nLive -> $after")
+      nLive = after
+      iter += 1
+    }
+    if (!converged)
+      logWarning(s"kCore: not converged after $maxIters rounds; " +
+        "result is a superset of the true k-core")
+    live.select(col("u").as("node_id"))
+      .unionAll(live.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Exact triangle counting + local clustering coefficient over an
     * undirected edge list — the third member of the graph family
     * (pageRank = centrality, connectedComponents = reachability,

@@ -58,6 +58,54 @@ object Merge {
           .as(n))): _*)
   }
 
+  /** Snapshot diff — derive the changeset [[upsert]] consumes from two
+    * keyed snapshots (the CDC-extract inverse of MERGE): rows only in
+    * `next` emit op "I", rows only in `prev` emit "D", keys present in
+    * both with any differing data column emit "U" carrying the NEW
+    * values; identical rows emit nothing. `upsert(prev, snapshotDiff
+    * (prev, next, keys), keys)` reproduces `next` exactly — the
+    * round-trip contract the spec asserts.
+    *
+    * This is how a warehouse turns "yesterday's table + today's full
+    * re-export" into the small changeset everything downstream
+    * (incremental dedup indexes, SCD2 history, stream replays) wants:
+    * ship ops, not snapshots.
+    *
+    * Plan shape: ONE full-outer shuffle join on the key (both sides
+    * hash-partition once; at 100 TB co-locate by bucketing both
+    * snapshots on the key and the Exchange disappears — BucketingSpec's
+    * idiom), then a narrow per-column `<=>`-conjunction filter. NULL
+    * data values compare with null-safe equality, so NULL→NULL is "no
+    * change" and NULL→value is an update — a plain `=!=` would silently
+    * drop both. No window, no collect; output is change-proportional.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    val dataCols = prev.columns.toSeq.filterNot(keys.contains)
+    require(prev.columns.sorted.sameElements(next.columns.sorted),
+      "snapshots must share a schema")
+    require(!prev.columns.contains(opCol), s"column $opCol already exists")
+    val p = prev.select(
+      (keys.map(col) :+ lit(true).as("_in_p")) ++
+        dataCols.map(n => col(n).as(s"_p_$n")): _*)
+    val n = next.select(
+      (keys.map(col) :+ lit(true).as("_in_n")) ++
+        dataCols.map(c => col(c).as(s"_n_$c")): _*)
+    val same = dataCols
+      .map(c => col(s"_p_$c") <=> col(s"_n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    p.join(n, keys, "full_outer")
+      .withColumn(opCol,
+        when(col("_in_p").isNull, lit("I"))
+          .when(col("_in_n").isNull, lit("D"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col(opCol).isNotNull)
+      .select((keys.map(col) :+ col(opCol)) ++ dataCols.map(c =>
+        when(col(opCol) === "D", col(s"_p_$c"))
+          .otherwise(col(s"_n_$c")).as(c)): _*)
+  }
+
   /** SCD type-2 historize: turn a keyed change log into versioned
     * history rows — each change becomes a row valid from its own
     * timestamp until the next change of the same key (`valid_to` null

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint audit — the validation gate a
+  * warehouse runs before publishing a table (the Deequ/Great-
+  * Expectations shape): NOT NULL, value range, set membership, key
+  * uniqueness, referential integrity. One report row per rule:
+  * (rule, violations, total, ok).
+  *
+  * Plays the role HDK users fill with ad-hoc Python sweeps after
+  * `import_parquet` (reference: python/pyhdk/hdk.py:2313 — the storage
+  * layer validates nothing); here the checks are plan-level so they
+  * fuse, push down, and scale.
+  *
+  * Scale shape — three cost classes, each minimal for its rule kind:
+  *  - ALL row-level rules (not-null / range / set) fold into ONE
+  *    aggregate over ONE scan regardless of rule count: each rule is a
+  *    `sum(violation-indicator)` column in the same partial-agg'd
+  *    aggregate, so auditing 40 columns costs one table pass, not 40.
+  *    The 1-row result melts into report rows via a narrow
+  *    explode-of-struct-array projection (1-row frame — free).
+  *  - uniqueness: one partial-agg'd shuffle on the key (map-side
+  *    combine collapses each partition's duplicates first);
+  *    violations = Σ(n−1) over groups seen more than once — "rows
+  *    that would be dropped by a dedup", the actionable number.
+  *  - referential integrity: LEFT ANTI join against the dimension's
+  *    distinct keys — broadcast when the dimension is small (the usual
+  *    case), so the fact table never shuffles.
+  * Nothing collects; the report is output-sized (one row per rule).
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** `column` must not be NULL. */
+  final case class NotNull(column: String) extends Rule {
+    val name = s"not_null($column)"
+  }
+
+  /** Non-null values of `column` must lie in [lo, hi]. NULLs are
+    * [[NotNull]]'s business — counting them twice would double-report
+    * one defect. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Rule {
+    val name = s"in_range($column,$lo,$hi)"
+  }
+
+  /** Non-null values of `column` must be one of `values`. */
+  final case class InSet(column: String, values: Seq[String]) extends Rule {
+    val name = s"in_set($column)"
+  }
+
+  /** `columns` must be unique across the table. */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    val name = s"unique(${columns.mkString(",")})"
+  }
+
+  /** Every non-null `column` value must exist in `dim.pk` — FK
+    * referential integrity. */
+  final case class RefIntegrity(column: String, dim: DataFrame, pk: String)
+      extends Rule {
+    val name = s"ref_integrity($column)"
+  }
+
+  /** Run every rule against `df`; returns (rule, violations, total, ok)
+    * with `total` = rows the rule examined (all rows for not-null and
+    * uniqueness; non-null values for range/set; non-null FK values for
+    * referential integrity). */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    val rowRules = rules.collect {
+      case r: NotNull => (r.name, col(r.column).isNull, lit(true))
+      case r: InRange =>
+        (r.name,
+          col(r.column).cast("double") < r.lo ||
+            col(r.column).cast("double") > r.hi,
+          col(r.column).isNotNull)
+      case r: InSet =>
+        (r.name, !col(r.column).isInCollection(r.values),
+          col(r.column).isNotNull)
+    }
+    val rowReport: Option[DataFrame] =
+      if (rowRules.isEmpty) None
+      else {
+        // intermediate columns are indexed, not rule-named: rule names
+        // contain '.' and '(' which column resolution would parse
+        val aggs = rowRules.zipWithIndex.flatMap {
+          case ((_, bad, scope), i) =>
+            Seq(
+              sum((scope && bad).cast("long")).as(s"_v$i"),
+              sum(scope.cast("long")).as(s"_t$i"))
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(rowRules.zipWithIndex.map {
+          case ((n, _, _), i) =>
+            struct(lit(n).as("rule"),
+              coalesce(col(s"_v$i"), lit(0L)).as("violations"),
+              coalesce(col(s"_t$i"), lit(0L)).as("total"))
+        }: _*)).as("r")).select(col("r.*")))
+      }
+    val keyReports = rules.collect { case r: Unique =>
+      df.groupBy(r.columns.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .agg(
+          coalesce(sum(when(col("_n") > 1, col("_n") - 1)), lit(0L))
+            .as("violations"),
+          coalesce(sum(col("_n")), lit(0L)).as("total"))
+        .select(lit(r.name).as("rule"), col("violations"), col("total"))
+    }
+    val fkReports = rules.collect { case r: RefIntegrity =>
+      val dimKeys = broadcast(
+        r.dim.select(col(r.pk).as(r.column)).distinct())
+      val checked = df.select(col(r.column)).filter(col(r.column).isNotNull)
+      val orphans = checked.join(dimKeys, Seq(r.column), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val totals = checked.agg(count(lit(1)).as("total"))
+      orphans.crossJoin(totals)
+        .select(lit(r.name).as("rule"), col("violations"), col("total"))
+    }
+    (rowReport.toSeq ++ keyReports ++ fkReports)
+      .reduce(_.unionByName(_))
+      .withColumn("ok", col("violations") === 0L)
+  }
+}

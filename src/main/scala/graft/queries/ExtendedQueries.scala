@@ -1434,8 +1434,119 @@ object ExtendedQueries {
         ON f.o_custkey = d.o_custkey AND d.ts <= f.ts
       ORDER BY f.o_custkey, f.o_orderkey"""))
 
+  // CDC extraction (R29, Merge.snapshotDiff — the inverse of q51's
+  // MERGE): two deterministic snapshot vintages of orders diff into
+  // the I/U/D changeset. "next" drops keys ≡ 3 (mod 11), reprices keys
+  // ≡ 0 (mod 7) by +10.0 (one IEEE op, bit-equal everywhere), and adds
+  // shifted keys ≡ 1 (mod 13); the diff must recover exactly those
+  // three classes with the NEW values on U rows. DuckDB replays the
+  // full-outer join with null-safe per-column comparison.
+  private val q66 = Q(
+    "q66_cdc_diff",
+    (s, d) => {
+      val prev = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val next = prev
+        .filter(col("o_orderkey") % 11 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(10.0))
+            .otherwise(col("o_totalprice")))
+        .unionByName(prev.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      graft.operators.Merge.snapshotDiff(prev, next, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"), col("o_custkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH prev AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      next AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+               ELSE o_totalprice END AS o_totalprice
+        FROM prev WHERE o_orderkey % 11 <> 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        FROM prev WHERE o_orderkey % 13 = 1),
+      d AS (
+        SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN p.o_orderkey IS NULL THEN 'I'
+               WHEN n.o_orderkey IS NULL THEN 'D'
+               WHEN p.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                AND p.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                 THEN NULL
+               ELSE 'U' END AS op,
+          CASE WHEN n.o_orderkey IS NULL THEN p.o_custkey
+               ELSE n.o_custkey END AS o_custkey,
+          CASE WHEN n.o_orderkey IS NULL THEN p.o_totalprice
+               ELSE n.o_totalprice END AS o_totalprice
+        FROM prev p FULL OUTER JOIN next n
+          ON p.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey, op, o_custkey, o_totalprice
+      FROM d WHERE op IS NOT NULL ORDER BY o_orderkey"""))
+
+  // Data-quality constraint audit (R30, Quality.audit): five rule
+  // kinds over orders in their three cost classes — the three row
+  // rules share ONE scan/aggregate, uniqueness is one partial-agg'd
+  // shuffle, FK integrity is one broadcast anti-join. The FK dimension
+  // drops c_custkey ≡ 3 (mod 10) so orphans exist and the range/set
+  // bounds are chosen so real rows violate them — every count is
+  // non-degenerate. DuckDB recomputes each count relationally.
+  private val q67 = Q(
+    "q67_dq_audit",
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+        .filter(col("c_custkey") % 10 =!= 3)
+      graft.operators.Quality.audit(orders, Seq(
+        graft.operators.Quality.NotNull("o_custkey"),
+        graft.operators.Quality.InRange("o_totalprice", 0.0, 200000.0),
+        graft.operators.Quality.InSet("o_orderstatus", Seq("O", "F")),
+        graft.operators.Quality.Unique(Seq("o_custkey")),
+        graft.operators.Quality.RefIntegrity("o_custkey", cust,
+          "c_custkey")))
+        .orderBy(col("rule"))
+    },
+    Some("""WITH rowr AS (
+        SELECT 'not_null(o_custkey)' AS rule,
+          count(*) FILTER (WHERE o_custkey IS NULL) AS violations,
+          count(*) AS total
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,200000.0)',
+          count(*) FILTER (WHERE o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)),
+          count(*) FILTER (WHERE o_totalprice IS NOT NULL)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+          count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')),
+          count(*) FILTER (WHERE o_orderstatus IS NOT NULL)
+        FROM orders),
+      uq AS (
+        SELECT 'unique(o_custkey)' AS rule,
+          CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+            AS BIGINT) AS violations,
+          CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)),
+      fk AS (
+        SELECT 'ref_integrity(o_custkey)' AS rule,
+          (SELECT count(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_custkey % 10 <> 3)) AS violations,
+          (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL) AS total)
+      SELECT rule, violations, total, violations = 0 AS ok
+      FROM (SELECT * FROM rowr UNION ALL
+            SELECT * FROM uq UNION ALL
+            SELECT * FROM fk)
+      ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -122,4 +122,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r(100L) > r(200L))
     assert(math.abs(r.values.sum - 1.0) < 1e-8)
   }
+
+  test("kCore: cascading peel — chain strips one node per round") {
+    // triangle {1,2,3} + path 3-4-5-6: for k=2 the path peels from the
+    // tail one node per round (6, then 5, then 4) — three cascading
+    // rounds before the fixpoint, the behavior a single-pass degree
+    // filter cannot reproduce
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1 keeps everything (degrees are all >= 1 already)
+    assert(Graph.kCore(edges, k = 1).count() == 6)
+    // k=3 dissolves the graph entirely: the triangle's nodes have
+    // degree 2 once the tail is gone
+    assert(Graph.kCore(edges, k = 3).count() == 0)
+  }
+
+  test("kCore: duplicate, reversed and self-loop edges canonicalize") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L),
+      (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

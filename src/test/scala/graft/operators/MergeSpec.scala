@@ -53,6 +53,46 @@ class MergeSpec extends AnyFunSuite {
     assert(got((2L, 20L)) == ((None, true)))
   }
 
+  test("snapshotDiff: I/U/D classes, null-safe compare, round-trip") {
+    val prev = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0),
+      (5L, Some("e"), 50.0)
+    ).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), 10.0),             // unchanged → no row
+      (2L, Some("B"), 20.0),             // changed value → U
+      (3L, None: Option[String], 30.0),  // NULL == NULL → no row
+      (4L, None: Option[String], 40.0),  // value → NULL IS a change → U
+      (6L, Some("f"), 60.0)              // new key → I; 5 gone → D
+    ).toDF("k", "s", "v")
+    val diff = Merge.snapshotDiff(prev, next, Seq("k"))
+    val got = diff.as[(Long, String, Option[String], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      2L -> (("U", Some("B"), 20.0)),
+      4L -> (("U", None, 40.0)),
+      5L -> (("D", Some("e"), 50.0)),
+      6L -> (("I", Some("f"), 60.0))))
+    // round-trip contract: prev + diff == next
+    val replayed = Merge.upsert(prev, diff, Seq("k"))
+      .as[(Long, Option[String], Double)].collect().toSet
+    val want = next.as[(Long, Option[String], Double)].collect().toSet
+    assert(replayed == want)
+  }
+
+  test("snapshotDiff rejects mismatched schemas and clashing op column") {
+    val a = Seq((1L, "x")).toDF("k", "s")
+    val b = Seq((1L, 2.0)).toDF("k", "v")
+    assert(intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(a, b, Seq("k"))
+    }.getMessage.contains("schema"))
+    val c = Seq((1L, "x", "U")).toDF("k", "s", "op")
+    assert(intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(c, c, Seq("k"))
+    }.getMessage.contains("op"))
+  }
+
   test("upsert validates the changeset schema") {
     val base = Seq((1L, "a")).toDF("k", "s")
     val bad = Seq((1L, "U")).toDF("k", "op") // missing data column s
