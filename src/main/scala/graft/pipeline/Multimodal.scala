@@ -376,4 +376,98 @@ object Multimodal {
         }
       }).toDF()
   }
+
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) per image (SURVEY.md §2 P11e) —
+    * the image leg of the near-dup family: resize to `tw`×`th` by the
+    * SAME nearest-neighbor index math as [[resizeImages]], gray each
+    * output pixel as r+g+b, set bit p = y·tw+x iff gray_p·(tw·th) >
+    * Σ gray (strictly — the all-integer form of "above the mean", no
+    * division, engine-exact). Images that survive recompression or
+    * mild tone shifts keep most bits; unrelated images agree on ~half.
+    * Narrow per-partition map, one 8-byte hash per image — at 100 TB
+    * the hash table is the only thing that ever shuffles, never
+    * pixels. */
+  private[graft] def ahashOf(media: Array[Byte], tw: Int, th: Int): Long = {
+    val (w, h) = parsePpm(media)
+    val off = ppmPixelOffset(media)
+    val gray = new Array[Long](tw * th)
+    var total = 0L
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        val src = off + 3 * (sy * w + sx)
+        var g = 0L
+        var c = 0
+        while (c < 3) {
+          g += java.lang.Byte.toUnsignedInt(media(src + c))
+          c += 1
+        }
+        gray(y * tw + x) = g
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var p = 0
+    while (p < tw * th) {
+      if (gray(p) * (tw * th) > total) hash |= (1L << p)
+      p += 1
+    }
+    hash
+  }
+
+  def imageAHash(docs: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0 && tw * th <= 64,
+      "tw*th must fit a 64-bit hash")
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[ImageHash]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("image/"))
+      .mapPartitions(_.map(r => ImageHash(r.doc_id, ahashOf(r.media, tw, th))))
+      .toDF()
+  }
+
+  /** Near-duplicate IMAGE pairs by aHash hamming distance ≤
+    * `maxHamming` — [[imageAHash]] closed with the simhash banding
+    * idiom: split the 64-bit hash into `maxHamming + 1` chunks; by
+    * pigeonhole any pair within the radius agrees on at least one
+    * whole chunk, so candidates come from equi-joins on (chunk_idx,
+    * chunk_value) — recall 1 by construction, never an all-pairs
+    * scan — then the exact `bit_count(xor)` filter runs only on
+    * collisions (output-proportional, the [[Dedup.simhashPairs]]
+    * discipline). Returns (a, b, hamming), a < b. */
+  def imageHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      tw: Int = 8, th: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0,64)")
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks
+    val hashes = imageAHash(docs, tw, th).localCheckpoint()
+    val chunks = hashes.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_idx"))
+      .withColumn("chunk_val",
+        // unsigned-shift the chunk into the low bits; the LAST chunk
+        // keeps the 64 % nChunks remainder bits too (still disjoint)
+        when(col("chunk_idx") === nChunks - 1,
+          shiftrightunsigned(col("ahash"), (nChunks - 1) * bits))
+          .otherwise(pmod(
+            expr(s"shiftrightunsigned(ahash, chunk_idx * $bits)"),
+            lit(1L << bits))))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("a"), col("ahash").as("ha"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("b"), col("ahash").as("hb"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -2177,6 +2177,77 @@ object PipelineQueries {
         CAST(ns AS BIGINT) AS n_samples, f.abs_sum, f.zero_crossings
       FROM m JOIN f USING (doc_id) ORDER BY m.doc_id"""))
 
+  // P11e: image near-dup by perceptual aHash — the pixel path of the
+  // near-dup family. DuckDB replays the LCG byte stream, the
+  // nearest-neighbor gray sums, the integer above-mean threshold, the
+  // 64-bit hash (signed two's-complement built term-by-term so bit 63
+  // lands exactly on BIGINT), and brute-forces ALL image pairs with
+  // bit_count(xor) — a hash match proves the banded candidate join
+  // has recall 1 at the radius AND the hash bits are engine-exact.
+  private val multimodalPhash = Q(
+    "multimodal_phash",
+    (s, d) => {
+      // the corpus has no duplicate texts, so no two synthesized
+      // images are within any sane radius (LCG avalanche) — plant
+      // exact re-ingests (the "same image crawled twice" case) at
+      // shifted ids; +999999 ≡ 0 (mod 3) keeps them images. The
+      // non-zero radius behavior is pixel-level spec-tested
+      // (MultimodalSpec perturbation case) — text-level edits cannot
+      // make NEAR-dup images, only exact ones.
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      Multimodal.imageHashPairs(docs.unionByName(planted), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 0),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 4 + seed % 29 AS pw,
+          4 + (seed // 65536) % 29 AS ph
+        FROM s WHERE doc_id % 3 = 0),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), pw * ph * 3 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      pix AS (SELECT m.doc_id, y.y * 8 + x.x AS p,
+          3 * (((y.y * ph) // 8) * pw + ((x.x * pw) // 8)) AS base
+        FROM m, range(8) y(y), range(8) x(x)),
+      gray AS (SELECT p.doc_id, p.p, b0.b + b1.b + b2.b AS g
+        FROM pix p
+        JOIN bytes b0 ON b0.doc_id = p.doc_id AND b0.idx = p.base
+        JOIN bytes b1 ON b1.doc_id = p.doc_id AND b1.idx = p.base + 1
+        JOIN bytes b2 ON b2.doc_id = p.doc_id AND b2.idx = p.base + 2),
+      tot AS (SELECT doc_id, sum(g) AS total FROM gray GROUP BY 1),
+      h AS (SELECT g.doc_id,
+          CAST(sum(CASE WHEN g.g * 64 > t.total THEN
+              CASE WHEN g.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << g.p) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM gray g JOIN tot t USING (doc_id) GROUP BY 1)
+      SELECT h1.doc_id AS a, h2.doc_id AS b,
+        CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS hamming
+      FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+      WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
+      ORDER BY a, b"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -2294,5 +2365,6 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
-    multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio)
+    multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
+    multimodalPhash)
 }

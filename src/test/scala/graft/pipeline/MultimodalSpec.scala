@@ -140,4 +140,54 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("zero_crossings") == zc.toLong)
     }
   }
+
+  // handcrafted 8x8 P6 (identity nearest-neighbor map at tw=th=8) with
+  // per-pixel gray level chosen by a function — pixel-exact control
+  private def p6(px: (Int, Int) => Int): Array[Byte] = {
+    val header = "P6\n8 8\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 8 * 8 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      out(header.length + 3 * (y * 8 + x) + c) = px(x, y).toByte
+    out
+  }
+
+  test("ahashOf: uniform image hashes to 0; a lone bright pixel sets its bit") {
+    assert(Multimodal.ahashOf(p6((_, _) => 100), 8, 8) == 0L)
+    val one = p6((x, y) => if (x == 2 && y == 1) 255 else 0)
+    assert(Multimodal.ahashOf(one, 8, 8) == (1L << 10)) // p = 1*8+2
+  }
+
+  test("ahashOf: near-dup perturbation moves few bits; strict above-mean rule") {
+    // checkerboard: half bright half dark — bright bits set
+    val base = p6((x, y) => if ((x + y) % 2 == 0) 200 else 10)
+    val h0 = Multimodal.ahashOf(base, 8, 8)
+    assert(java.lang.Long.bitCount(h0) == 32)
+    // flip ONE dark pixel bright: that bit turns on; the mean moves a
+    // little but crosses no other pixel's threshold
+    val pert = p6((x, y) =>
+      if (x == 3 && y == 3) 200 else if ((x + y) % 2 == 0) 200 else 10)
+    val h1 = Multimodal.ahashOf(pert, 8, 8)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2)
+    assert(((h1 >> 27) & 1L) == 1L) // p = 3*8+3
+    // exactly-at-mean pixels are NOT set (strict >): all-equal already
+    // proves it; a two-level image where one level IS the mean would too
+  }
+
+  test("imageHashPairs equals brute-force hamming pairs (banding recall 1)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val hashes = Multimodal.imageAHash(docs)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    assert(hashes.nonEmpty)
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Multimodal.imageHashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .collect().toSet
+    assert(banded == brute)
+  }
 }
