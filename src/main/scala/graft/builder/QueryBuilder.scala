@@ -215,6 +215,11 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def triangles(): QueryNode =
     new QueryNode(graft.operators.Graph.triangles(df))
 
+  /** k-core extraction over this node's (src, dst) edge relation —
+    * see [[graft.operators.Graph.kCore]]. */
+  def kCore(k: Int, maxIters: Int = 40): QueryNode =
+    new QueryNode(graft.operators.Graph.kCore(df, k, maxIters))
+
   /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
     * variant renames columns in bulk. */
   def rename(mapping: (String, String)*): QueryNode =

@@ -1545,8 +1545,58 @@ object ExtendedQueries {
             SELECT * FROM fk)
       ORDER BY rule"""))
 
+  // k-core peeling oracle: DuckDB can't aggregate over a recursive
+  // reference, so the rounds unroll as chained CTEs — generated, not
+  // hand-copied, so the per-round SQL cannot drift between rounds.
+  // k=25 on this graph cascades for 11 rounds at sf0.01 (KCoreProbe);
+  // 14 unrolled rounds = measured fixpoint + margin (post-fixpoint
+  // rounds are no-ops in both engines, so over-unrolling is safe).
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // each round references its predecessor three times — without
+    // MATERIALIZED, CTE inlining expands 3^rounds plan copies (the
+    // first attempt hit DuckDB's file-handle limit re-opening the
+    // parquet exponentially many times)
+    val steps = (1 to rounds).map { i =>
+      s""",
+      n$i AS MATERIALIZED (SELECT x AS node_id FROM (
+          SELECT u AS x FROM e${i - 1}
+          UNION ALL SELECT v AS x FROM e${i - 1}) t
+        GROUP BY 1 HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+        WHERE u IN (SELECT node_id FROM n$i)
+          AND v IN (SELECT node_id FROM n$i))"""
+    }.mkString
+    s"""WITH li AS (
+        SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS u, y.pk AS v
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)$steps
+      SELECT x AS node_id, count(*) AS core_deg FROM (
+        SELECT u AS x FROM e$rounds
+        UNION ALL SELECT v AS x FROM e$rounds) t
+      GROUP BY 1 ORDER BY node_id"""
+  }
+
+  // k-core extraction (R31, Graph.kCore): the 25-core of the part
+  // co-occurrence graph — the q63 graph one notch denser in demand.
+  // 11 peel rounds at sf0.01 (a genuine cascade, not a one-pass
+  // degree filter), 1,554 surviving parts.
+  private val q68 = Q(
+    "q68_kcore",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.kCore(edges, k = 25).orderBy(col("node_id"))
+    },
+    Some(kcoreOracle(k = 25, rounds = 14)))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

@@ -257,6 +257,9 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bt = edges.triangles().run()
     val ot = graft.operators.Graph.triangles(eDf)
     assert(bt.exceptAll(ot).isEmpty && ot.exceptAll(bt).isEmpty)
+    val bk = edges.kCore(k = 2).run()
+    val ok = graft.operators.Graph.kCore(eDf, k = 2)
+    assert(bk.exceptAll(ok).isEmpty && ok.exceptAll(bk).isEmpty)
     // and composes onward: top-degree nodes through the mini-language
     val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
       .limit(5).run().collect()
