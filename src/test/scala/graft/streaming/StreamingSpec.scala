@@ -459,4 +459,62 @@ class StreamingSpec extends AnyFunSuite {
         s"phi=$phi: est $estRank vs exact $exactRank, bound $bound")
     }
   }
+
+  test("streaming CDC ops across a microbatch cut EQUAL batch snapshotDiff") {
+    import org.apache.spark.sql.DataFrame
+    val s1 = Tables.load(spark, TestSpark.sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")).localCheckpoint()
+    val rows = s1.as[(Long, Long, Double)].collect()
+    // batch 1: first ingest of every row; batch 2: disjoint classes —
+    // tombstones (k%11=3), repriced re-ingests (k%7=0), unchanged
+    // re-crawls (k%4=0), and brand-new keys (k%13=1 shifted)
+    val b1 = rows.zipWithIndex.map { case ((k, ck, p), i) =>
+      (i.toLong, k, ck, p, "R") }
+    var seq = rows.length.toLong
+    val b2 = rows.flatMap { case (k, ck, p) =>
+      val r =
+        if (k % 11 == 3) Some((k, 0L, 0.0, "D"))
+        else if (k % 7 == 0) Some((k, ck, p + 10.0, "R"))
+        else if (k % 4 == 0) Some((k, ck, p, "R"))
+        else None
+      val ins = if (k % 13 == 1)
+        Some((k + 1000000000L, ck, p, "R")) else None
+      (r.toSeq ++ ins.toSeq).map { t =>
+        seq += 1; (seq, t._1, t._2, t._3, t._4) }
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double, String)]
+    val q = StreamCdc.ops(mem.toDF()
+        .toDF("seq", "o_orderkey", "o_custkey", "o_totalprice", "op"))
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    def sink(): Set[(Long, String, Long, Option[Double])] =
+      spark.table("cdc_out")
+        .as[(Long, String, Long, Option[Double])].collect().toSet
+    val (after1, after2) = try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      val a1 = sink()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      (a1, sink())
+    } finally q.stop()
+    // batch 1 is all inserts
+    assert(after1.size == rows.length && after1.forall(_._2 == "I"))
+    // batch 2's emissions must equal Merge.snapshotDiff(s1, s2) where
+    // s2 is the intended second snapshot — the online/offline CDC
+    // equivalence (unchanged re-crawls emit nothing on both sides)
+    val s2: DataFrame = s1.filter(col("o_orderkey") % 11 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(s1.filter(col("o_orderkey") % 13 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+    val want = graft.operators.Merge.snapshotDiff(s1, s2, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"), col("o_custkey"),
+        col("o_totalprice"))
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    val got = after2 diff after1
+    assert(got == want, s"first diffs: ${((got diff want) ++
+      (want diff got)).take(5)}")
+  }
 }
