@@ -178,4 +178,72 @@ object TimeJoins {
       .withColumn("flagged",
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
+
+  /** OHLC bars (SURVEY.md §2 R32): per key and `unit` time bucket, the
+    * open/high/low/close/count summary — the downsample every
+    * time-series dashboard and feature pipeline reads instead of raw
+    * ticks. Open/close are the FIRST/LAST value in (ts, tie) order;
+    * ties pinned on `tieCol` so the picks are engine-deterministic.
+    *
+    * Scale: ONE partial-agg'd shuffle on the (high-cardinality key,
+    * bucket) pair — open/close ride as `min`/`max` over a
+    * (us, tie, value) struct (lexicographic struct ordering; (us, tie)
+    * is unique per row so the value never tiebreaks), high/low/count
+    * are plain aggregates in the SAME aggregate. No window: map-side
+    * combine keeps per-bucket state O(1), so a hot key's ticks
+    * collapse before they shuffle — the reason this beats the
+    * row_number formulation the oracle replays. */
+  def ohlcBars(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, unit: String = "hour"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    obs
+      .withColumn("bucket", date_trunc(unit, col(tsCol)))
+      .withColumn("_ord", struct(us.as("u"), col(tieCol).as("t"),
+        col(valCol).as("v")))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        min(col("_ord")).getField("v").as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(col("_ord")).getField("v").as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  /** Time-weighted average (SURVEY.md §2 R33) — the irregular-series
+    * mean where each observation counts for how LONG it held, not how
+    * often it was sampled (a value observed once that held for an hour
+    * outweighs ten ticks in a millisecond): Σ vᵢ·Δtᵢ / Σ Δtᵢ with
+    * Δtᵢ = time to the next observation; the last observation carries
+    * no weight (its holding period is unobserved — counting it would
+    * fabricate data). NULL for keys with < 2 observations or a zero
+    * span: honest, not a fake simple mean.
+    *
+    * Cross-engine determinism: values round 6dp, weights are exact µs
+    * integers, the weighted sum accumulates as DECIMAL(38,6) (exact,
+    * order-free), and the single IEEE division of two exactly-agreed
+    * operands rounds 6dp (§6 discipline).
+    *
+    * Scale: one lead window + one partial-agg'd groupBy, both on the
+    * HIGH-cardinality key. */
+  def twap(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    obs
+      .withColumn("_us", us)
+      .withColumn("_dt", lead(col("_us"), 1).over(w) - col("_us"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (max(col("_us")) - min(col("_us"))).as("span_us"),
+        sum((round(col(valCol), 6).cast("decimal(18,6)") *
+          col("_dt").cast("decimal(20,0)")).cast("decimal(38,6)"))
+          .as("_ws"))
+      .withColumn("twap",
+        when(col("span_us") > 0,
+          round(col("_ws").cast("double") /
+            col("span_us").cast("double"), 6)))
+      .drop("_ws")
+  }
 }

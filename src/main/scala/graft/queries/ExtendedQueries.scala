@@ -1595,8 +1595,69 @@ object ExtendedQueries {
     },
     Some(kcoreOracle(k = 25, rounds = 14)))
 
+  // OHLC bars (R32, TimeJoins.ohlcBars): hourly open/high/low/close
+  // per sampled user. The operator picks open/close via struct min/max
+  // in ONE partial-agg'd aggregate; the oracle replays with the q52
+  // row_number-per-bucket idiom — different plan, identical picks,
+  // because (us, event_id) is unique per row.
+  private val q69 = Q(
+    "q69_ohlc",
+    (s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") % 5 === 0)
+      graft.operators.TimeJoins
+        .ohlcBars(ev, "user_id", "ts", "value", "event_id", "hour")
+        .orderBy(col("user_id"), col("bucket"))
+    },
+    Some("""WITH obs AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+          epoch_us(ts) AS us, event_id, value
+        FROM events WHERE user_id % 5 = 0),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id, bucket
+            ORDER BY us, event_id) AS ra,
+          row_number() OVER (PARTITION BY user_id, bucket
+            ORDER BY us DESC, event_id DESC) AS rd
+        FROM obs)
+      SELECT user_id, bucket,
+        max(CASE WHEN ra = 1 THEN value END) AS open,
+        max(value) AS high, min(value) AS low,
+        max(CASE WHEN rd = 1 THEN value END) AS close,
+        count(*) AS n_obs
+      FROM r GROUP BY 1, 2 ORDER BY user_id, bucket"""))
+
+  // Time-weighted average (R33, TimeJoins.twap): per sampled user over
+  // their whole event span; exact µs weights, DECIMAL(38,6) weighted
+  // sum, one 6dp-rounded IEEE division.
+  private val q70 = Q(
+    "q70_twap",
+    (s, d) => {
+      val ev = t(s, d, "events").filter(col("user_id") % 7 === 0)
+      graft.operators.TimeJoins
+        .twap(ev, "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+          round(value, 6) AS v
+        FROM events WHERE user_id % 7 = 0),
+      d AS (SELECT user_id, v, us,
+          lead(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) - us AS dt
+        FROM obs),
+      a AS (SELECT user_id, count(*) AS n_obs,
+          CAST(sum(CAST(CAST(v AS DECIMAL(18,6))
+            * CAST(dt AS DECIMAL(20,0)) AS DECIMAL(38,6)))
+            AS DECIMAL(38,6)) AS ws,
+          max(us) - min(us) AS span_us
+        FROM d GROUP BY 1)
+      SELECT user_id, n_obs, span_us,
+        CASE WHEN span_us > 0
+          THEN round(CAST(ws AS DOUBLE) / CAST(span_us AS DOUBLE), 6)
+        END AS twap
+      FROM a ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }

@@ -100,4 +100,47 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1.0, 2L -> 1.666667, 3L -> 2.666667,
       4L -> 10.0))
   }
+
+  test("ohlcBars: first/last by (ts, tie), hi/lo/count per bucket") {
+    val obs = Seq(
+      // one bucket, same-second ties broken by event_id
+      (1L, ts("2024-01-01 10:00:05"), 2L, 105.0),
+      (1L, ts("2024-01-01 10:00:05"), 1L, 104.0), // open (tie: lower id)
+      (1L, ts("2024-01-01 10:59:59"), 4L, 99.0),
+      (1L, ts("2024-01-01 10:59:59"), 5L, 101.0), // close (tie: higher id)
+      (1L, ts("2024-01-01 10:30:00"), 3L, 110.0), // high
+      // second bucket, single row: open=close=high=low
+      (1L, ts("2024-01-01 11:10:00"), 6L, 50.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeJoins
+      .ohlcBars(obs, "user_id", "ts", "value", "event_id", "hour")
+      .select("bucket", "open", "high", "low", "close", "n_obs")
+      .as[(java.sql.Timestamp, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1.toString -> ((r._2, r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(got("2024-01-01 10:00:00.0") == ((104.0, 110.0, 99.0, 101.0, 5L)))
+    assert(got("2024-01-01 11:00:00.0") == ((50.0, 50.0, 50.0, 50.0, 1L)))
+  }
+
+  test("twap: holding-period weights, last row unweighted, degenerate NULL") {
+    val obs = Seq(
+      // 10 held for 3s, 20 held for 1s, 30 unobserved-holding (last)
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:03"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:00:04"), 3L, 30.0),
+      // single observation → NULL (no holding period at all)
+      (2L, ts("2024-01-01 00:00:00"), 4L, 7.0),
+      // two rows at the SAME instant → span 0 → NULL, not ÷0
+      (3L, ts("2024-01-01 00:00:00"), 5L, 1.0),
+      (3L, ts("2024-01-01 00:00:00"), 6L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeJoins.twap(obs, "user_id", "ts", "value", "event_id")
+      .select("user_id", "n_obs", "twap")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // (10*3 + 20*1) / 4 = 12.5 — NOT the simple mean 20
+    assert(got(1L) == ((3L, Some(12.5))))
+    assert(got(2L) == ((1L, None)))
+    assert(got(3L) == ((2L, None)))
+  }
 }
