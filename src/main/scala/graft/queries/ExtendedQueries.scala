@@ -1656,8 +1656,34 @@ object ExtendedQueries {
         END AS twap
       FROM a ORDER BY user_id"""))
 
+  // Join-key skew profile (R34, Skew.keyProfile) over the events
+  // event_type key — low-cardinality and uneven, exactly the key shape
+  // the diagnostic exists to flag before a shuffle strategy is chosen.
+  private val q71 = Q(
+    "q71_skew_profile",
+    (s, d) =>
+      graft.operators.Skew
+        .keyProfile(t(s, d, "events"), Seq("event_type"), topK = 5,
+          saltThreshold = 4.0)
+        .orderBy(col("rank")),
+    Some("""WITH c AS (
+        SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+      g AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+          count(*) AS n_keys, max(n_rows) AS mx FROM c),
+      r AS (SELECT event_type, n_rows,
+          row_number() OVER (ORDER BY n_rows DESC, event_type) AS rank
+        FROM c)
+      SELECT r.event_type, r.n_rows, r.rank, g.n_total, g.n_keys,
+        round(CAST(r.n_rows AS DOUBLE) / g.n_total, 6) AS share,
+        round(CAST(g.n_total AS DOUBLE) / g.n_keys, 6) AS avg_rows,
+        round(CAST(g.mx AS DOUBLE) * g.n_keys / g.n_total, 6)
+          AS skew_factor,
+        round(CAST(g.mx AS DOUBLE) * g.n_keys / g.n_total, 6) > 4.0
+          AS salt_recommended
+      FROM r, g WHERE r.rank <= 5 ORDER BY r.rank"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

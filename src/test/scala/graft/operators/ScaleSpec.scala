@@ -31,6 +31,27 @@ class SkewSpec extends AnyFunSuite {
       keys = Seq("rf"), salt = 4, saltBy = col("l_orderkey"))
     assert(!out.columns.contains("__salt"))
   }
+
+  test("keyProfile: planted hot key, exact stats, threshold dial") {
+    import spark.implicits._
+    val rows = (Seq.fill(8)("hot") ++ Seq("a", "b")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    // n_total=10, n_keys=3, mx=8 → avg 3.333333, skew 2.4
+    val got = Skew.keyProfile(rows, Seq("k"), topK = 2,
+        saltThreshold = 2.0)
+      .select("k", "rank", "n_rows", "share", "n_total", "n_keys",
+        "avg_rows", "skew_factor", "salt_recommended")
+      .as[(String, Long, Long, Double, Long, Long, Double, Double, Boolean)]
+      .collect().sortBy(_._2)
+    assert(got.length == 2) // topK caps the report
+    assert(got(0) == (("hot", 1L, 8L, 0.8, 10L, 3L, 3.333333, 2.4, true)))
+    assert(got(1)._1 == "a" && got(1)._2 == 2L && got(1)._3 == 1L)
+    // same distribution under a laxer threshold: no salt recommended
+    val lax = Skew.keyProfile(rows, Seq("k"), topK = 1,
+        saltThreshold = 4.0)
+      .select("salt_recommended").as[Boolean].head()
+    assert(!lax)
+  }
 }
 
 /** Bucketing: pre-shuffled storage layout → co-located joins with no
