@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical hypothesis tests as plan-level operators (SURVEY.md §2
+  * R35/R36) — the "is this difference real" layer every experiment
+  * dashboard and data-drift monitor needs on top of the descriptive
+  * aggregates (q19's moments, P23's divergence). Both tests follow the
+  * §6 cross-engine discipline: counts exact, each derived quantity a
+  * single IEEE operation on exactly-agreed (or grain-rounded) inputs,
+  * sums of rounded terms accumulated as DECIMAL — order-free.
+  */
+object Stats {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Returns the full contingency diagnostic — one row per
+    * A×B grid cell (zero-observed cells included — they still carry
+    * their expected-count evidence): (a, b, observed, expected, term)
+    * plus the
+    * denormalized verdict columns (chi2, dof) — the shape an
+    * experiment review actually reads (WHICH cells drive the
+    * statistic), not just the scalar.
+    *
+    * Scale: ONE partial-agg'd shuffle builds the contingency cells;
+    * margins, totals, and the statistic all run at CELL cardinality
+    * (bounded by |A|·|B| — category counts, not rows) and join back by
+    * broadcast. expected rounds 6dp from exact integer margins; each
+    * cell term rounds 12dp; chi2 = 6dp round of the DECIMAL(38,12)
+    * term sum — no float-summation order anywhere. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+      .localCheckpoint()
+    val rowTot = cells.groupBy(col(aCol))
+      .agg(sum(col("observed")).as("row_tot"))
+    val colTot = cells.groupBy(col(bCol))
+      .agg(sum(col("observed")).as("col_tot"))
+    val totals = cells.agg(
+      sum(col("observed")).as("n_total"),
+      countDistinct(col(aCol)).as("_na"),
+      countDistinct(col(bCol)).as("_nb"))
+    // the FULL A×B grid, not just observed cells: a zero-observed cell
+    // still contributes (0−expected)²/expected — dropping zeros would
+    // understate the statistic exactly when dependence is strongest
+    val withE = rowTot.crossJoin(colTot)
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("expected",
+        round(col("row_tot").cast("double") * col("col_tot") /
+          col("n_total"), 6))
+      .withColumn("term",
+        round(pow(col("observed") - col("expected"), 2) /
+          col("expected"), 12))
+    val stat = withE.agg(
+      round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+        .as("chi2"))
+    withE
+      .crossJoin(broadcast(stat))
+      .withColumn("dof", ((col("_na") - 1) * (col("_nb") - 1)).cast("long"))
+      .select(col(aCol), col(bCol), col("observed"), col("expected"),
+        col("term"), col("chi2"), col("dof"))
+  }
+
+  /** Welch's two-sample t-test (unequal variances) of `valCol` between
+    * the `gA` and `gB` levels of `groupCol`. One row: group sizes,
+    * 6dp means and sample variances, the 4dp t statistic and 4dp
+    * Welch–Satterthwaite degrees of freedom. NULL t/dof when either
+    * group has < 2 observations or both variances are zero — honest,
+    * not a fabricated verdict.
+    *
+    * Scale: ONE aggregate over ONE scan — both groups' moments ride as
+    * conditional aggregates in the same partial-agg'd pass (the
+    * Quality.audit fold idiom); nothing shuffles but the 1-row result.
+    * t and dof are IEEE arithmetic on the 6dp-ROUNDED moments (the q19
+    * stddev discipline), so the verdict is engine-exact. */
+  def welchTTest(df: DataFrame, groupCol: String, gA: String, gB: String,
+      valCol: String): DataFrame = {
+    val inA = col(groupCol) === gA
+    val inB = col(groupCol) === gB
+    val v = col(valCol).cast("double")
+    val agg = df.agg(
+      count(when(inA, 1)).as("n_a"),
+      count(when(inB, 1)).as("n_b"),
+      round(avg(when(inA, v)), 6).as("mean_a"),
+      round(avg(when(inB, v)), 6).as("mean_b"),
+      round(var_samp(when(inA, v)), 6).as("var_a"),
+      round(var_samp(when(inB, v)), 6).as("var_b"))
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    agg
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && (sa + sb) > 0,
+          round((col("mean_a") - col("mean_b")) / sqrt(sa + sb), 4)))
+      .withColumn("dof",
+        when(col("n_a") >= 2 && col("n_b") >= 2 && (sa + sb) > 0,
+          round(pow(sa + sb, 2) /
+            (pow(sa, 2) / (col("n_a") - 1) +
+              pow(sb, 2) / (col("n_b") - 1)), 4)))
+  }
+}

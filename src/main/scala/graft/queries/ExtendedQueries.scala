@@ -1682,8 +1682,73 @@ object ExtendedQueries {
           AS salt_recommended
       FROM r, g WHERE r.rank <= 5 ORDER BY r.rank"""))
 
+  // Chi-square independence (R35, Stats.chiSquare): is document
+  // language independent of source? Full contingency diagnostic —
+  // per-cell observed/expected/term with the denormalized verdict.
+  private val q72 = Q(
+    "q72_chi2",
+    (s, d) =>
+      graft.operators.Stats
+        .chiSquare(t(s, d, "documents"), "lang", "source")
+        .orderBy(col("lang"), col("source")),
+    Some("""WITH cells AS (
+        SELECT lang, source, count(*) AS observed
+        FROM documents GROUP BY 1, 2),
+      rt AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1),
+      ct AS (SELECT source, CAST(sum(observed) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1),
+      g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total,
+          count(DISTINCT lang) AS na, count(DISTINCT source) AS nb
+        FROM cells),
+      e AS (SELECT rt.lang, ct.source,
+          coalesce(c.observed, 0) AS observed,
+          round(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / g.n_total, 6)
+            AS expected
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells c ON c.lang = rt.lang AND c.source = ct.source,
+        g),
+      tt AS (SELECT *,
+          round(pow(observed - expected, 2) / expected, 12) AS term
+        FROM e),
+      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+          AS DOUBLE), 6) AS chi2 FROM tt)
+      SELECT tt.lang, tt.source, tt.observed, tt.expected, tt.term,
+        st.chi2, CAST((g.na - 1) * (g.nb - 1) AS BIGINT) AS dof
+      FROM tt, st, g ORDER BY tt.lang, tt.source"""))
+
+  // Welch's t-test (R36, Stats.welchTTest): do click and purchase
+  // events carry different mean values? One conditional-aggregate
+  // pass; t and dof from the 6dp-rounded moments.
+  private val q73 = Q(
+    "q73_welch",
+    (s, d) =>
+      graft.operators.Stats
+        .welchTTest(t(s, d, "events"), "event_type", "click",
+          "purchase", "value"),
+    Some("""WITH a AS (SELECT
+        count(*) FILTER (event_type = 'click') AS n_a,
+        count(*) FILTER (event_type = 'purchase') AS n_b,
+        round(avg(value) FILTER (event_type = 'click'), 6) AS mean_a,
+        round(avg(value) FILTER (event_type = 'purchase'), 6) AS mean_b,
+        round(var_samp(value) FILTER (event_type = 'click'), 6) AS var_a,
+        round(var_samp(value) FILTER (event_type = 'purchase'), 6)
+          AS var_b
+      FROM events)
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        CASE WHEN n_a >= 2 AND n_b >= 2
+              AND (var_a / n_a + var_b / n_b) > 0
+          THEN round((mean_a - mean_b)
+            / sqrt(var_a / n_a + var_b / n_b), 4) END AS t_stat,
+        CASE WHEN n_a >= 2 AND n_b >= 2
+              AND (var_a / n_a + var_b / n_b) > 0
+          THEN round(pow(var_a / n_a + var_b / n_b, 2)
+            / (pow(var_a / n_a, 2) / (n_a - 1)
+              + pow(var_b / n_b, 2) / (n_b - 1)), 4) END AS dof
+      FROM a"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("chiSquare: perfect independence scores 0") {
+    // balanced 2x2: every expected equals its observed
+    val t = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 4 < 2) "b1" else "b2"))
+      .toDF("a", "b")
+    val out = Stats.chiSquare(t, "a", "b")
+      .select("chi2", "dof").as[(Double, Long)].head()
+    assert(out == ((0.0, 1L)))
+  }
+
+  test("chiSquare: diagonal dependence includes zero-observed cells") {
+    // 5 (a1,b1) + 5 (a2,b2): the true chi2 is n = 10, HALF of which
+    // comes from the two zero-observed off-diagonal cells — an
+    // observed-cells-only implementation reports 5
+    val t = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("a", "b")
+    val rows = Stats.chiSquare(t, "a", "b")
+    assert(rows.count() == 4) // full grid, not 2 observed cells
+    val out = rows.select("chi2", "dof").as[(Double, Long)].head()
+    assert(out == ((10.0, 1L)))
+    val zeroCells = rows.filter(col("observed") === 0).count()
+    assert(zeroCells == 2)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+
+  test("welchTTest: hand-checked groups and degenerate guards") {
+    val t = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 10.0), ("g2", 14.0)).toDF("g", "v")
+    val r = Stats.welchTTest(t, "g", "g1", "g2", "v")
+      .as[(Long, Long, Double, Double, Double, Double,
+        Option[Double], Option[Double])].head()
+    // means 2 and 12; vars 1 and 8; se² = 1/3 + 8/2 = 4.333333
+    assert(r._1 == 3L && r._2 == 2L)
+    assert(r._3 == 2.0 && r._4 == 12.0)
+    assert(r._5 == 1.0 && r._6 == 8.0)
+    assert(r._7.contains(BigDecimal(-10.0 / math.sqrt(1.0 / 3 + 4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // singleton group → NULL verdict, not a fabricated t
+    val s = Stats.welchTTest(
+        Seq(("g1", 1.0), ("g1", 2.0), ("g2", 5.0)).toDF("g", "v"),
+        "g", "g1", "g2", "v")
+      .select("t_stat").as[Option[Double]].head()
+    assert(s.isEmpty)
+    // zero variance in BOTH groups → NULL (division by zero guarded)
+    val z = Stats.welchTTest(
+        Seq(("g1", 4.0), ("g1", 4.0), ("g2", 9.0), ("g2", 9.0))
+          .toDF("g", "v"),
+        "g", "g1", "g2", "v")
+      .select("t_stat").as[Option[Double]].head()
+    assert(z.isEmpty)
+  }
+}
