@@ -63,6 +63,51 @@ object Stats {
         col("term"), col("chi2"), col("dof"))
   }
 
+  /** NDCG@k over per-query ranked results (SURVEY.md §2 P27) — the
+    * retrieval-quality metric that closes the loop on the BM25 / RRF /
+    * ANN candidate generators: not "what did we retrieve" but "how
+    * good was the ORDER". Standard exponential gain 2^rel − 1,
+    * log2(rank+1) discount, both the score ranking's DCG and the
+    * ideal (rel-sorted) IDCG truncated at `k`; ndcg = dcg/idcg, NULL
+    * when the query has no relevant docs (idcg 0) — honest, not 0.
+    *
+    * Determinism: both rankings tie-break on the doc id; discount
+    * terms round 12dp (log2 agrees across libms to ~1 ulp — the §6
+    * single-transcendental rule) and sum as DECIMAL(38,12); ndcg is
+    * one 6dp-rounded IEEE division.
+    *
+    * Scale: ONE shuffle on the (high-cardinality) query key carrying
+    * both row_number orders; the aggregate is partial-agg'd. Input is
+    * a candidate-set frame (k-proportional per query), never the
+    * corpus. */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(docCol))
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - lit(1.0)
+    val terms = ranked
+      .withColumn("_rs", row_number().over(wS))
+      .withColumn("_ri", row_number().over(wI))
+      .withColumn("_dterm", when(col("_rs") <= k,
+        round(gain / log2(col("_rs") + lit(1.0)), 12)).otherwise(lit(0.0)))
+      .withColumn("_iterm", when(col("_ri") <= k,
+        round(gain / log2(col("_ri") + lit(1.0)), 12)).otherwise(lit(0.0)))
+    terms.groupBy(col(queryCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("_dterm").cast("decimal(38,12)")).cast("double"), 6)
+          .as("dcg"),
+        round(sum(col("_iterm").cast("decimal(38,12)")).cast("double"), 6)
+          .as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6)))
+  }
+
   /** Welch's two-sample t-test (unequal variances) of `valCol` between
     * the `gA` and `gB` levels of `groupCol`. One row: group sizes,
     * 6dp means and sample variances, the 4dp t statistic and 4dp

@@ -2346,8 +2346,66 @@ object PipelineQueries {
       FROM sc GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id LIMIT 20"""))
 
+  // P27: NDCG@10 of the BM25 ranking against a lexical-containment
+  // relevance grading (n_terms — how many distinct query terms the doc
+  // holds, 1..3) over the top-50 candidate set. Closes the retrieval
+  // loop: text_bm25 generates, this one SCORES the ordering. DuckDB
+  // replays the BM25 CTEs, both row_number orders, the 2^rel−1 gains,
+  // the 12dp log2 discounts, and the decimal sums.
+  private val textNdcg = Q(
+    "text_ndcg",
+    (s, d) => {
+      val ranked = TextAnalysis
+        .bm25TopK(Tables.load(s, d, "documents"),
+          Seq("spark", "hash", "window"), k = 50)
+        .withColumn("query_id", lit("q1"))
+      graft.operators.Stats
+        .ndcgAtK(ranked, "query_id", "doc_id", "bm25", "n_terms", k = 10)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+      top AS (SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50),
+      r AS (SELECT *,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs,
+          row_number() OVER (ORDER BY n_terms DESC, doc_id) AS ri
+        FROM top),
+      t AS (SELECT
+          CASE WHEN rs <= 10 THEN round((pow(2.0, n_terms) - 1.0)
+            / log2(rs + 1.0), 12) ELSE 0.0 END AS dterm,
+          CASE WHEN ri <= 10 THEN round((pow(2.0, n_terms) - 1.0)
+            / log2(ri + 1.0), 12) ELSE 0.0 END AS iterm
+        FROM r),
+      a AS (SELECT count(*) AS n_docs,
+          round(CAST(sum(CAST(dterm AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS dcg,
+          round(CAST(sum(CAST(iterm AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS idcg
+        FROM t)
+      SELECT 'q1' AS query_id, n_docs, dcg, idcg,
+        CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+      FROM a"""))
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25,
+    dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
     dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,

@@ -32,6 +32,34 @@ class StatsSpec extends AnyFunSuite {
 
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
+  test("ndcgAtK: perfect ranking is 1, misranking penalized, no-rel NULL") {
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = Seq(
+      // q1: score order C,A,B but rel order A,B,C — misranked
+      ("q1", 1L, 10.0, 3L), // A
+      ("q1", 2L, 5.0, 2L),  // B
+      ("q1", 3L, 20.0, 0L), // C
+      // q2: score order == rel order — perfect
+      ("q2", 4L, 9.0, 2L), ("q2", 5L, 1.0, 1L),
+      // q3: nothing relevant
+      ("q3", 6L, 4.0, 0L)
+    ).toDF("q", "doc", "score", "rel")
+    val got = Stats.ndcgAtK(t, "q", "doc", "score", "rel", k = 10)
+      .select("q", "dcg", "idcg", "ndcg")
+      .as[(String, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val lg = (x: Int) => math.log(x) / math.log(2)
+    val dcg1 = r6(r12(0.0) + r12(7.0 / lg(3)) + r12(3.0 / lg(4)))
+    val idcg1 = r6(r12(7.0 / lg(2)) + r12(3.0 / lg(3)) + r12(0.0))
+    assert(got("q1") == ((dcg1, idcg1, Some(r6(dcg1 / idcg1)))))
+    assert(got("q1")._3.get < 1.0)
+    assert(got("q2")._3.contains(1.0))
+    assert(got("q3") == ((0.0, 0.0, None)))
+  }
+
   test("welchTTest: hand-checked groups and degenerate guards") {
     val t = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
       ("g2", 10.0), ("g2", 14.0)).toDF("g", "v")
