@@ -1548,9 +1548,11 @@ object ExtendedQueries {
   // k-core peeling oracle: DuckDB can't aggregate over a recursive
   // reference, so the rounds unroll as chained CTEs — generated, not
   // hand-copied, so the per-round SQL cannot drift between rounds.
-  // k=25 on this graph cascades for 11 rounds at sf0.01 (KCoreProbe);
-  // 14 unrolled rounds = measured fixpoint + margin (post-fixpoint
-  // rounds are no-ops in both engines, so over-unrolling is safe).
+  // k=22 on this graph cascades for 6 rounds at sf0.01 and 9 rounds
+  // (to 143 survivors) at sf0.001 (KCoreProbe — k=25 dissolves the
+  // sf0.001 graph entirely, failing the smoke contract); 14 unrolled
+  // rounds = measured fixpoint + margin (post-fixpoint rounds are
+  // no-ops in both engines, so over-unrolling is safe).
   private def kcoreOracle(k: Int, rounds: Int): String = {
     // each round references its predecessor three times — without
     // MATERIALIZED, CTE inlining expands 3^rounds plan copies (the
@@ -1577,10 +1579,10 @@ object ExtendedQueries {
       GROUP BY 1 ORDER BY node_id"""
   }
 
-  // k-core extraction (R31, Graph.kCore): the 25-core of the part
+  // k-core extraction (R31, Graph.kCore): the 22-core of the part
   // co-occurrence graph — the q63 graph one notch denser in demand.
-  // 11 peel rounds at sf0.01 (a genuine cascade, not a one-pass
-  // degree filter), 1,554 surviving parts.
+  // 6 peel rounds at sf0.01 (a genuine cascade, not a one-pass
+  // degree filter), 1,759 surviving parts.
   private val q68 = Q(
     "q68_kcore",
     (s, d) => {
@@ -1591,9 +1593,9 @@ object ExtendedQueries {
       val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
         .filter(col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      graft.operators.Graph.kCore(edges, k = 25).orderBy(col("node_id"))
+      graft.operators.Graph.kCore(edges, k = 22).orderBy(col("node_id"))
     },
-    Some(kcoreOracle(k = 25, rounds = 14)))
+    Some(kcoreOracle(k = 22, rounds = 14)))
 
   // OHLC bars (R32, TimeJoins.ohlcBars): hourly open/high/low/close
   // per sampled user. The operator picks open/close via struct min/max
