@@ -220,6 +220,29 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def kCore(k: Int, maxIters: Int = 40): QueryNode =
     new QueryNode(graft.operators.Graph.kCore(df, k, maxIters))
 
+  /** OHLC downsampling of this node's observations — see
+    * [[graft.operators.TimeJoins.ohlcBars]]. */
+  def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,
+      unit: String = "hour"): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .ohlcBars(df, keyCol, tsCol, valCol, tieCol, unit))
+
+  /** Time-weighted average per key — see
+    * [[graft.operators.TimeJoins.twap]]. */
+  def twap(keyCol: String, tsCol: String, valCol: String,
+      tieCol: String): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .twap(df, keyCol, tsCol, valCol, tieCol))
+
+  /** Rolling z-score anomaly flags — see
+    * [[graft.operators.TimeJoins.rollingZScore]]. */
+  def anomalyZScores(keyCol: String, tsCol: String, valCol: String,
+      tieCol: String, span: Int = 20, minObs: Int = 5,
+      threshold: Double = 3.0): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .rollingZScore(df, keyCol, tsCol, valCol, tieCol, span, minObs,
+        threshold))
+
   /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
     * variant renames columns in bulk. */
   def rename(mapping: (String, String)*): QueryNode =

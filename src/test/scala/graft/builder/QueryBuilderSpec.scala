@@ -265,4 +265,27 @@ class QueryBuilderSpec extends AnyFunSuite {
       .limit(5).run().collect()
     assert(top.length == 5)
   }
+
+  test("time-series analytics at the builder surface coincide with the operator path") {
+    val ev = hdk.scan("events")
+      .filter(col("user_id") % 7 === 0)
+    val evDf = ev.run()
+    val bo = ev.ohlc("user_id", "ts", "value", "event_id").run()
+    val oo = graft.operators.TimeJoins
+      .ohlcBars(evDf, "user_id", "ts", "value", "event_id")
+    assert(bo.exceptAll(oo).isEmpty && oo.exceptAll(bo).isEmpty)
+    val bw = ev.twap("user_id", "ts", "value", "event_id").run()
+    val ow = graft.operators.TimeJoins
+      .twap(evDf, "user_id", "ts", "value", "event_id")
+    assert(bw.exceptAll(ow).isEmpty && ow.exceptAll(bw).isEmpty)
+    val bz = ev.anomalyZScores("user_id", "ts", "value", "event_id").run()
+    val oz = graft.operators.TimeJoins
+      .rollingZScore(evDf, "user_id", "ts", "value", "event_id")
+    assert(bz.exceptAll(oz).isEmpty && oz.exceptAll(bz).isEmpty)
+    // and composes onward through the mini-language
+    val top = ev.ohlc("user_id", "ts", "value", "event_id")
+      .sort(("n_obs", "desc"), ("user_id", "asc"), ("bucket", "asc"))
+      .limit(3).run().collect()
+    assert(top.length == 3)
+  }
 }
