@@ -63,6 +63,59 @@ object Stats {
         col("term"), col("chi2"), col("dof"))
   }
 
+  /** Benford first-significant-digit conformance (SURVEY.md §2 R37) —
+    * the fraud/data-entry screen: naturally-occurring magnitudes put
+    * digit d first with probability log10(1+1/d); fabricated or
+    * truncated data doesn't. One row per digit 1–9 (all nine — a
+    * digit that never occurs is evidence, the [[chiSquare]] zero-cell
+    * rule) with observed/expected counts and shares, plus the
+    * chi-square statistic (dof 8) denormalized.
+    *
+    * Digit extraction is INTEGER arithmetic, not log10: values scale
+    * by 10^`scale` and round to exact longs, and the first digit is
+    * the first character of the integer's decimal string — identical
+    * in any engine, where a log10-based floor misassigns exact powers
+    * of ten to the wrong decade on one libm but not another.
+    * Non-positive values are out of scope (Benford is about
+    * magnitudes) and reported via n_total vs the table's row count.
+    *
+    * Scale: one partial-agg'd 9-bucket shuffle; everything after is
+    * 9-row arithmetic. Expected counts 6dp from the exact n, terms
+    * 12dp, chi2 = 6dp round of the DECIMAL(38,12) sum. */
+  def benford(df: DataFrame, valCol: String, scale: Int = 2): DataFrame = {
+    require(scale >= 0, "scale must be non-negative")
+    val ints = df
+      .select(round(abs(col(valCol)) * math.pow(10, scale), 0)
+        .cast("long").as("_v"))
+      .filter(col("_v") > 0)
+    val counts = ints
+      .select(substring(col("_v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val grid = digits.join(counts, Seq("digit"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("observed")).as("n_total"))))
+      .withColumn("exp_p",
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("expected", round(col("exp_p") * col("n_total"), 6))
+      .withColumn("obs_p",
+        round(col("observed").cast("double") / col("n_total"), 6))
+      .withColumn("term",
+        round(pow(col("observed") - col("expected"), 2) /
+          col("expected"), 12))
+    val stat = grid.agg(
+      round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+        .as("chi2"))
+    grid.crossJoin(broadcast(stat))
+      .withColumn("dof", lit(8L))
+      .select(col("digit"), col("observed"), col("expected"),
+        col("obs_p"), col("exp_p"), col("term"), col("chi2"),
+        col("dof"), col("n_total"))
+  }
+
   /** NDCG@k over per-query ranked results (SURVEY.md §2 P27) — the
     * retrieval-quality metric that closes the loop on the BM25 / RRF /
     * ANN candidate generators: not "what did we retrieve" but "how

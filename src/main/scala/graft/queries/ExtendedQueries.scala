@@ -1749,8 +1749,41 @@ object ExtendedQueries {
               + pow(var_b / n_b, 2) / (n_b - 1)), 4) END AS dof
       FROM a"""))
 
+  // Benford first-digit conformance (R37, Stats.benford) over order
+  // totals — integer-exact digit extraction (scaled-long string head),
+  // all nine digits reported including never-observed ones.
+  private val q74 = Q(
+    "q74_benford",
+    (s, d) =>
+      graft.operators.Stats
+        .benford(t(s, d, "orders"), "o_totalprice", scale = 2)
+        .orderBy(col("digit")),
+    Some("""WITH v AS (
+        SELECT CAST(round(abs(o_totalprice) * 100, 0) AS BIGINT) AS v2
+        FROM orders),
+      c AS (SELECT CAST(substr(CAST(v2 AS VARCHAR), 1, 1) AS INTEGER)
+          AS digit, count(*) AS observed
+        FROM v WHERE v2 > 0 GROUP BY 1),
+      n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM c),
+      g AS (SELECT d.digit, coalesce(c.observed, 0) AS observed,
+          n.n_total,
+          round(log10(1.0 + 1.0 / d.digit), 6) AS exp_p
+        FROM range(1, 10) d(digit) LEFT JOIN c USING (digit), n),
+      e AS (SELECT digit, observed, n_total, exp_p,
+          round(exp_p * n_total, 6) AS expected,
+          round(CAST(observed AS DOUBLE) / n_total, 6) AS obs_p
+        FROM g),
+      tt AS (SELECT *,
+          round(pow(observed - expected, 2) / expected, 12) AS term
+        FROM e),
+      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+          AS DOUBLE), 6) AS chi2 FROM tt)
+      SELECT tt.digit, tt.observed, tt.expected, tt.obs_p, tt.exp_p,
+        tt.term, st.chi2, CAST(8 AS BIGINT) AS dof, tt.n_total
+      FROM tt, st ORDER BY tt.digit"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

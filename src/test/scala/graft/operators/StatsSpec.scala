@@ -60,6 +60,27 @@ class StatsSpec extends AnyFunSuite {
     assert(got("q3") == ((0.0, 0.0, None)))
   }
 
+  test("benford: integer digit extraction, all nine digits, scope") {
+    // values whose first digits are 1,1,2,9 after 2dp scaling; zero
+    // and negative-magnitude handling: 0 excluded, -3.5 counts as 3
+    val t = Seq(1.23, 15000.0, 0.02, 9.99, -3.5, 0.0).toDF("v")
+    val got = Stats.benford(t, "v")
+      .select("digit", "observed", "n_total")
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == (1 to 9).toSet) // full grid, zero digits too
+    assert(got.values.forall(_._2 == 5L)) // 0.0 out of scope
+    assert(got(1) == ((2L, 5L))) // 1.23 and 15000
+    assert(got(2) == ((1L, 5L))) // 0.02 → 2
+    assert(got(3) == ((1L, 5L))) // |-3.5| → 3
+    assert(got(9) == ((1L, 5L)))
+    assert(got(4)._1 == 0L)
+    // exact powers of ten stay in their own decade (the log10 trap)
+    val p = Stats.benford(Seq(10.0, 100.0, 1000.0).toDF("v"), "v")
+      .select("digit", "observed").as[(Int, Long)].collect().toMap
+    assert(p(1) == 3L)
+  }
+
   test("welchTTest: hand-checked groups and degenerate guards") {
     val t = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
       ("g2", 10.0), ("g2", 14.0)).toDF("g", "v")
