@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   *    violations = Σ(n−1) over groups seen more than once — "rows
   *    that would be dropped by a dedup", the actionable number.
   *  - referential integrity: LEFT ANTI join against the dimension's
-  *    distinct keys — broadcast when the dimension is small (the usual
-  *    case), so the fact table never shuffles.
+  *    distinct keys — no explicit broadcast hint: AQE /
+  *    autoBroadcastJoinThreshold broadcasts a small dimension (the
+  *    usual case, so the fact never shuffles) but a genuinely large
+  *    one falls back to a shuffled anti join instead of OOMing the
+  *    driver with a forced broadcast.
   * Nothing collects; the report is output-sized (one row per rule).
   */
 object Quality {
@@ -110,8 +113,10 @@ object Quality {
         .select(lit(r.name).as("rule"), col("violations"), col("total"))
     }
     val fkReports = rules.collect { case r: RefIntegrity =>
-      val dimKeys = broadcast(
-        r.dim.select(col(r.pk).as(r.column)).distinct())
+      // no broadcast() hint: let AQE / autoBroadcastJoinThreshold pick
+      // — a small dim broadcasts anyway, a huge one must not be forced
+      // through the driver
+      val dimKeys = r.dim.select(col(r.pk).as(r.column)).distinct()
       val checked = df.select(col(r.column)).filter(col(r.column).isNotNull)
       val orphans = checked.join(dimKeys, Seq(r.column), "left_anti")
         .agg(count(lit(1)).as("violations"))

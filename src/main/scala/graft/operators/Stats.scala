@@ -22,6 +22,14 @@ object Stats {
     * experiment review actually reads (WHICH cells drive the
     * statistic), not just the scalar.
     *
+    * NULL categories are OUT OF SCOPE and filtered up front: a NULL
+    * is "category unknown", not a category, so it can neither occupy
+    * a grid cell nor inflate the margins/dof. (Without the filter a
+    * NULL group would contribute to row/col totals while the
+    * equi-joined grid silently zeroes its observed count — the worst
+    * of both.) Rows with a NULL in either column simply don't enter
+    * n_total; audit NULL rates separately with [[Quality.audit]].
+    *
     * Scale: ONE partial-agg'd shuffle builds the contingency cells;
     * margins, totals, and the statistic all run at CELL cardinality
     * (bounded by |A|·|B| — category counts, not rows) and join back by
@@ -29,7 +37,9 @@ object Stats {
     * cell term rounds 12dp; chi2 = 6dp round of the DECIMAL(38,12)
     * term sum — no float-summation order anywhere. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol), col(bCol))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).as("observed"))
       .localCheckpoint()
     val rowTot = cells.groupBy(col(aCol))
@@ -77,7 +87,11 @@ object Stats {
     * in any engine, where a log10-based floor misassigns exact powers
     * of ten to the wrong decade on one libm but not another.
     * Non-positive values are out of scope (Benford is about
-    * magnitudes) and reported via n_total vs the table's row count.
+    * magnitudes), and so are positives below half the resolution —
+    * |v| < 0.5·10^−scale rounds to a scaled integer of 0 and is
+    * excluded with them (at the default scale=2 that is values under
+    * 0.005: they have no first significant digit at this resolution).
+    * Both exclusions surface via n_total vs the table's row count.
     *
     * Scale: one partial-agg'd 9-bucket shuffle; everything after is
     * 9-row arithmetic. Expected counts 6dp from the exact n, terms

@@ -1695,7 +1695,9 @@ object ExtendedQueries {
         .orderBy(col("lang"), col("source")),
     Some("""WITH cells AS (
         SELECT lang, source, count(*) AS observed
-        FROM documents GROUP BY 1, 2),
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
       rt AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS row_tot
         FROM cells GROUP BY 1),
       ct AS (SELECT source, CAST(sum(observed) AS BIGINT) AS col_tot

@@ -24,7 +24,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    is not an event a row stream can observe — the same reason batch
   *    snapshotDiff needs the WHOLE prev snapshot to find D rows.
   * Value comparison is null-safe exactly as the batch operator's
-  * `<=>` conjunction: NULL→NULL is "unchanged", NULL→value is U.
+  * `<=>` conjunction: NULL→NULL is "unchanged", NULL→value is U —
+  * and EVERY value column decodes as Option (a NULL custkey must
+  * compare, not NPE in the encoder).
   *
   * Shared [[EventPipeline]] caveat: per-key arrival order across
   * microbatches is the replay order (within a batch rows sort by
@@ -32,9 +34,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamCdc {
 
-  private[graft] case class CdcState(custkey: Long, price: Option[Double])
+  private[graft] case class CdcState(custkey: Option[Long],
+      price: Option[Double])
 
-  case class CdcOp(o_orderkey: Long, op: String, o_custkey: Long,
+  case class CdcOp(o_orderkey: Long, op: String, o_custkey: Option[Long],
       o_totalprice: Option[Double])
 
   /** `changes` needs (seq, o_orderkey, o_custkey, o_totalprice, op)
@@ -45,7 +48,7 @@ object StreamCdc {
     import spark.implicits._
 
     def fn(key: Long,
-        rows: Iterator[(Long, Long, Long, Option[Double], String)],
+        rows: Iterator[(Long, Long, Option[Long], Option[Double], String)],
         state: GroupState[CdcState]): Iterator[CdcOp] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[CdcOp]
       rows.toArray.sortBy(_._1).foreach {
@@ -72,7 +75,7 @@ object StreamCdc {
       .select(col("seq").cast("long"), col("o_orderkey").cast("long"),
         col("o_custkey").cast("long"), col("o_totalprice").cast("double"),
         col("op").cast("string"))
-      .as[(Long, Long, Long, Option[Double], String)]
+      .as[(Long, Long, Option[Long], Option[Double], String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(fn)

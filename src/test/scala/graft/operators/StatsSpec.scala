@@ -30,6 +30,23 @@ class StatsSpec extends AnyFunSuite {
     assert(zeroCells == 2)
   }
 
+  test("chiSquare: NULL categories are out of scope, not margin ghosts") {
+    // same balanced 2x2 as the independence case, plus NULL-category
+    // rows in both columns — they must neither occupy cells nor
+    // inflate margins/n_total/dof, so chi2 stays exactly 0
+    val base = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 4 < 2) "b1" else "b2"))
+      .map { case (a, b) => (Option(a), Option(b)) }
+    val noisy = base ++ Seq((None, Option("b1")), (Option("a1"), None),
+      (None: Option[String], None: Option[String]))
+    val rows = Stats.chiSquare(noisy.toDF("a", "b"), "a", "b")
+    assert(rows.count() == 4) // 2x2 grid, no NULL rows/cols
+    val out = rows.select("chi2", "dof").as[(Double, Long)].head()
+    assert(out == ((0.0, 1L)))
+    assert(rows.agg(org.apache.spark.sql.functions.sum("observed"))
+      .as[Long].head() == 40L) // NULL rows not counted anywhere
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
   test("ndcgAtK: perfect ranking is 1, misranking penalized, no-rel NULL") {

@@ -517,4 +517,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"first diffs: ${((got diff want) ++
       (want diff got)).take(5)}")
   }
+
+  test("streaming CDC: NULL custkey is null-safe, not an encoder NPE") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Option[Long], Option[Double], String)]
+    val q = StreamCdc.ops(mem.toDF()
+        .toDF("seq", "o_orderkey", "o_custkey", "o_totalprice", "op"))
+      .writeStream.format("memory").queryName("cdc_null_out")
+      .outputMode("update").start()
+    def sink(): Set[(Long, String, Option[Long], Option[Double])] =
+      spark.table("cdc_null_out")
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+    try {
+      // key 1: NULL custkey at insert, re-crawled identical (no emit),
+      // then NULL→value (must be U — the <=> contract)
+      // key 2: value→NULL is also U; key 3: NULL throughout, deleted
+      mem.addData(Seq(
+        (1L, 1L, None, Some(5.0), "R"),
+        (2L, 2L, Some(7L), Some(1.0), "R"),
+        (3L, 3L, None, None, "R")))
+      q.processAllAvailable()
+      val a1 = sink()
+      assert(a1 == Set(
+        (1L, "I", None, Some(5.0)),
+        (2L, "I", Some(7L), Some(1.0)),
+        (3L, "I", None, None)))
+      mem.addData(Seq(
+        (4L, 1L, None, Some(5.0), "R"),      // unchanged NULL==NULL
+        (5L, 1L, Some(9L), Some(5.0), "R"),  // NULL→value = U
+        (6L, 2L, None, Some(1.0), "R"),      // value→NULL = U
+        (7L, 3L, None, None, "D")))          // delete carries last state
+      q.processAllAvailable()
+      val got = sink() diff a1
+      assert(got == Set(
+        (1L, "U", Some(9L), Some(5.0)),
+        (2L, "U", None, Some(1.0)),
+        (3L, "D", None, None)))
+    } finally q.stop()
+  }
 }
