@@ -470,6 +470,55 @@ class CsvSourceSpec extends AnyFunSuite {
       "df count + per-doc prefix build must partial-aggregate:\n" + p)
   }
 
+  test("global-window lint: every unpartitioned window is config-bounded") {
+    // An unpartitioned Window serializes its whole input into ONE task
+    // — fine for a k-row frame, fatal for a corpus. This lint walks
+    // EVERY locked query's optimized plan and demands each
+    // empty-partition Window be provably bounded: either a Limit sits
+    // below it in the same plan (self-evidently k rows), or the query
+    // is in the explicit aggregate-bounded allowlist below, where the
+    // window input is an aggregate over a config-bounded key. A new
+    // global window anywhere else fails this test until justified here.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LWindow, GlobalLimit, LocalLimit, LogicalPlan}
+    // window input = aggregate at config-bounded cardinality:
+    val aggBounded = Map(
+      "select_budget" ->
+        "cum-sum over the nBuckets(=20) quality-bucket aggregate (Packing.selectByBudget)",
+      "quality_buckets" ->
+        "cum-count over the distinct-rounded-score histogram aggregate (Packing.bucketByRank)")
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    var found = 0
+    def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        found += 1
+        val limitBelow = w.child.collectFirst {
+          case _: GlobalLimit => (); case _: LocalLimit => ()
+        }.isDefined
+        if (!limitBelow && !aggBounded.contains(name))
+          violations += s"$name: unpartitioned window over unbounded input: " +
+            w.simpleString(60)
+      case _ =>
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try sweep(name, fn(spark, TestSpark.sf).queryExecution.optimizedPlan)
+      catch { case e: Throwable =>
+        violations += s"$name: failed to plan (${e.getMessage})"
+      }
+    }
+    assert(violations.isEmpty,
+      "unbounded global windows found:\n" + violations.mkString("\n"))
+    // the matcher must not be vacuous: the allowlisted shapes exist
+    assert(found >= 2, s"lint found only $found unpartitioned windows — matcher broken?")
+    // negative control: a corpus-sized global window IS flagged
+    val bad = Tables.load(spark, TestSpark.sf, "documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    sweep("negative_control", bad.queryExecution.optimizedPlan)
+    assert(violations.exists(_.startsWith("negative_control")),
+      "lint failed to flag a deliberately unbounded global window")
+  }
+
   test("multimodal resize stays narrow — zero exchanges (P11c)") {
     // orderBy is the query's presentation sort; the OPERATOR itself
     // must not shuffle
