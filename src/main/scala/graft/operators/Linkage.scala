@@ -10,33 +10,74 @@ import graft.pipeline.Dedup
   * express: every dirty record matched to its best-scoring candidate
   * in a clean registry, NULL when nothing clears the threshold. The
   * reference serves this class through repeated relational self-joins;
-  * here it is the prefix-filter machinery of
-  * [[graft.pipeline.Dedup.allPairsJaccard]] generalized to TWO sides:
-  * both relations' shingle tables share ONE df order (computed over
-  * the union — any common total order satisfies the prefix-filter
-  * principle), candidates come only from cross-side prefix
-  * collisions, and the length + PPJoin positional filters apply with
-  * the same integer basis-point arithmetic. Above the threshold the
-  * candidate set has RECALL 1, so the blocked argmax EQUALS the exact
-  * full-cross-product argmax — which is precisely what the oracle
-  * computes with no blocking at all.
+  * here candidate BLOCKING is a measured two-regime switch and the
+  * exact verify + argmax are regime-independent:
+  *
+  *  - **prefix leg** (exact, the default regime): the prefix-filter
+  *    machinery of [[graft.pipeline.Dedup.allPairsJaccard]]
+  *    generalized to TWO sides — both relations' shingle tables share
+  *    ONE df order (computed over the union; any common total order
+  *    satisfies the prefix-filter principle), candidates come only
+  *    from cross-side prefix collisions, and the length + PPJoin
+  *    positional filters apply with the same integer basis-point
+  *    arithmetic. Above the threshold the candidate set has RECALL 1,
+  *    so the blocked argmax EQUALS the exact full-cross-product argmax
+  *    — which is precisely what the oracle computes with no blocking.
+  *
+  *  - **band leg** (the saturated-vocabulary escape hatch): at low τ
+  *    on a df-saturated vocabulary the prefix principle stops
+  *    filtering — prefix length ≈ sz·(1−τ)+1 covers half of every
+  *    record at τ=0.5, and when most tokens are high-df the collision
+  *    mass approaches the cross product (the r8 5×-probe finding:
+  *    exponent 0.90, the steepest in the repo). The escape is to stop
+  *    blocking on CONTENT frequency and block on SIMILARITY instead:
+  *    the P2c minhash band index ([[Dedup.minhashBandRows]]'s exact
+  *    construction — same [[Dedup.affineConstants]], same band fold,
+  *    so a stored registry index is reusable here) built over both
+  *    sides, cross-side bucket collisions only, hot buckets capped.
+  *    Banding is probabilistic: with the 64-hash/32-band (r=2)
+  *    default, a true τ=0.5 best match collides in ≥1 of 32 bands
+  *    with probability 1−(1−0.5²)³² ≈ 0.9999 (and higher above τ), so
+  *    the blocked argmax equals the exact argmax except with
+  *    vanishing probability — the P2b/P2c recall discipline, spec-
+  *    asserted band-vs-prefix on the driver corpus.
+  *
+  * The regime is SELECTED BY MEASUREMENT, not configuration: the df
+  * saturation probe is the MEDIAN df over the union df table (the
+  * table the prefix leg orders by anyway) — one token-cardinality
+  * aggregate, nearly free. On a Zipf vocabulary (real text) most
+  * token TYPES are rare, so the median df sits at 1–2 no matter how
+  * big the head dfs get, and the prefix leg keeps recall-1 exactness;
+  * on a saturated vocabulary the median tracks occurrences/vocab and
+  * grows without bound. Measured on the er_match shape: median 2 at
+  * sf0.01 (prefix mass 4/record), 12 at sf0.1 (33/record, legs
+  * equal-cost), 59 on the 5× GenScale twin (192/record, the r8
+  * blow-up) — the default threshold 32 sits mid-regime.
   *
   * Tie rule: best match = (jaccard 6dp DESC, clean id ASC), exact in
   * both engines.
   *
   * Scale: no cross product anywhere — one df groupBy over both token
-  * tables, per-record prefix slices, a prefix-token equi-join, an
-  * output-proportional exact verify, one argmax partial-agg keyed by
-  * the high-cardinality dirty id.
+  * tables, per-record prefix slices (or N·bands fixed-width band
+  * rows), a blocking equi-join, an output-proportional exact verify,
+  * one argmax partial-agg keyed by the high-cardinality dirty id.
   */
 object Linkage {
 
   /** `dirty` needs (dirty_id, text); `clean` needs (clean_id, text).
     * Returns one row per dirty record: (dirty_id, match_id, sim) with
-    * NULLs when no clean record reaches `threshold`. */
+    * NULLs when no clean record reaches `threshold`.
+    *
+    * `strategy`: "auto" (measured switch, default), "prefix" (force
+    * the exact leg), "bands" (force the minhash leg). */
   def matchEntities(dirty: DataFrame, clean: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, strategy: String = "auto",
+      medianDfThreshold: Int = 32,
+      numHashes: Int = 64, bands: Int = 32,
+      maxBucketDf: Int = 2000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(Set("auto", "prefix", "bands")(strategy),
+      s"unknown strategy '$strategy'")
     val tauBp = math.round(threshold * 10000).toInt
     val dTok = dirty.select(col("dirty_id").as("rid"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
@@ -44,35 +85,100 @@ object Linkage {
     val cTok = clean.select(col("clean_id").as("rid"),
         explode(Dedup.shingleHashes(col("text"))).as("h"))
       .persist()
+    // per-record shingle counts — both legs' size filter needs them
+    def sizes(tok: DataFrame): DataFrame =
+      tok.groupBy("rid").agg(count(lit(1)).as("sz"))
+
+    // token-cardinality, consumed by the probe AND the prefix leg's
+    // two sides — without the persist it recomputes per consumer
     val dfTab = dTok.select("h").unionAll(cTok.select("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy("h").agg(count(lit(1)).as("df")).persist()
 
-    def prefixSide(tok: DataFrame): DataFrame =
-      tok.join(dfTab, Seq("h"))
-        .groupBy("rid")
-        .agg(sort_array(collect_list(struct(col("df"), col("h"))))
-          .as("ord"), count(lit(1)).as("sz"))
-        .withColumn("p",
-          (col("sz") - floor((col("sz") * tauBp + lit(9999)) / lit(10000.0))
-            + 1).cast("int"))
-        .select(col("rid"), col("sz"),
-          posexplode(slice(col("ord"), lit(1), col("p"))))
-        .select(col("rid"), col("sz"), col("col.h").as("h"),
-          (col("pos") + 1).as("rn"))
+    val cand: DataFrame = {
+      def prefixSide(tok: DataFrame): DataFrame =
+        tok.join(dfTab, Seq("h"))
+          .groupBy("rid")
+          .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("ord"), count(lit(1)).as("sz"))
+          .withColumn("p",
+            (col("sz") - floor((col("sz") * tauBp + lit(9999)) / lit(10000.0))
+              + 1).cast("int"))
+          .select(col("rid"), col("sz"),
+            posexplode(slice(col("ord"), lit(1), col("p"))))
+          .select(col("rid"), col("sz"), col("col.h").as("h"),
+            (col("pos") + 1).as("rn"))
 
-    val cand = prefixSide(dTok)
-      .select(col("h"), col("rid").as("d_id"), col("sz").as("sz_d"),
-        col("rn").as("rn_d"))
-      .join(prefixSide(cTok).select(col("h"), col("rid").as("c_id"),
-        col("sz").as("sz_c"), col("rn").as("rn_c")), Seq("h"))
-      .filter(col("sz_c") * 10000 >= col("sz_d") * tauBp
-        && col("sz_d") * 10000 >= col("sz_c") * tauBp)
-      .filter(lit(1) + least(col("sz_d") - col("rn_d"),
-          col("sz_c") - col("rn_c"))
-        >= ceil((col("sz_d") + col("sz_c")) * tauBp
-          / lit((10000 + tauBp).toDouble)))
-      .select("d_id", "c_id", "sz_d", "sz_c").distinct()
+      val useBands = strategy match {
+        case "prefix" => false
+        case "bands" => true
+        case _ =>
+          // the MEASURED regime decision: median df over the shared df
+          // table — one aggregate at token-type cardinality (see the
+          // object scaladoc for why the MEDIAN is the right saturation
+          // statistic and how the default threshold was calibrated)
+          val med = dfTab.agg(expr("median(df)")).head().getDouble(0)
+          med > medianDfThreshold
+      }
 
+      if (!useBands) {
+        val pd = prefixSide(dTok).persist()
+        val pc = prefixSide(cTok).persist()
+        val c = pd
+          .select(col("h"), col("rid").as("d_id"), col("sz").as("sz_d"),
+            col("rn").as("rn_d"))
+          .join(pc.select(col("h"), col("rid").as("c_id"),
+            col("sz").as("sz_c"), col("rn").as("rn_c")), Seq("h"))
+          .filter(col("sz_c") * 10000 >= col("sz_d") * tauBp
+            && col("sz_d") * 10000 >= col("sz_c") * tauBp)
+          .filter(lit(1) + least(col("sz_d") - col("rn_d"),
+              col("sz_c") - col("rn_c"))
+            >= ceil((col("sz_d") + col("sz_c")) * tauBp
+              / lit((10000 + tauBp).toDouble)))
+          .select("d_id", "c_id", "sz_d", "sz_c").distinct()
+          .localCheckpoint()
+        pd.unpersist(); pc.unpersist()
+        c
+      } else {
+        // minhash band blocking: the P2c index construction on both
+        // sides (identical constants/fold — a registry that persisted
+        // minhashBandRows at ingest is joinable here unre-shingled)
+        def bandSide(tok: DataFrame): DataFrame = {
+          val sh = tok.withColumnRenamed("rid", "doc_id")
+          Dedup.sigBandRows(
+            Dedup.minhashSignatures(sh, numHashes = numHashes,
+              shingled = Some(sh)),
+            numHashes, bands)
+        }
+        val dB = bandSide(dTok)
+        val cB = bandSide(cTok).persist()
+        // degenerate-bucket guard on the registry side (the
+        // incrementalMinhashCandidates cap): a bucket holding half the
+        // registry blocks nothing and would explode the join
+        val cool = cB.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketDf)
+          .select("band_idx", "band_hash")
+        val c = dB.select(col("band_idx"), col("band_hash"),
+            col("doc_id").as("d_id"))
+          .join(cB.join(cool, Seq("band_idx", "band_hash"))
+            .select(col("band_idx"), col("band_hash"),
+              col("doc_id").as("c_id")),
+            Seq("band_idx", "band_hash"))
+          .select("d_id", "c_id").distinct()
+          .join(sizes(dTok).select(col("rid").as("d_id"),
+            col("sz").as("sz_d")), Seq("d_id"))
+          .join(sizes(cTok).select(col("rid").as("c_id"),
+            col("sz").as("sz_c")), Seq("c_id"))
+          // the same lossless length filter the prefix leg applies
+          .filter(col("sz_c") * 10000 >= col("sz_d") * tauBp
+            && col("sz_d") * 10000 >= col("sz_c") * tauBp)
+          .select("d_id", "c_id", "sz_d", "sz_c")
+          .localCheckpoint()
+        cB.unpersist()
+        c
+      }
+    }
+
+    // exact verify + argmax — identical for both legs
     val inter = cand.select("d_id", "c_id")
       .join(dTok.select(col("rid").as("d_id"), col("h")), Seq("d_id"))
       .join(cTok.select(col("rid").as("c_id"), col("h")), Seq("c_id", "h"))
@@ -92,6 +198,7 @@ object Linkage {
         "left")
       .localCheckpoint()
     dTok.unpersist()
+    dfTab.unpersist()
     cTok.unpersist()
     out
   }

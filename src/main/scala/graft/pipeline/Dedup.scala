@@ -348,7 +348,7 @@ object Dedup {
     * batch pairs, the stored incremental index, and the streaming state
     * ([[graft.streaming.StreamDedup]] uses the same constants) bucket
     * identically. */
-  private def sigBandRows(sig: DataFrame, numHashes: Int,
+  private[graft] def sigBandRows(sig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

@@ -29,6 +29,45 @@ class LinkageSpec extends AnyFunSuite {
     assert(out(99L) == ((None, None)), "unrelated record must stay NULL")
   }
 
+  test("band leg equals prefix leg on the driver er_match shape") {
+    // the regime switch must be a PERFORMANCE decision, not a semantic
+    // one: on the driver corpus the minhash-band leg's argmax must
+    // equal the exact prefix leg's (banding recall ~0.9999 at τ=0.5
+    // with r=2/b=32 — a miss here means the constants regressed)
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val dirty = graft.pipeline.TextAnalysis.withTokenDropout(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), dropBp = 800,
+        epoch = 2)
+      .select(col("doc_id").as("dirty_id"), col("aug_text").as("text"))
+    val clean = docs.select(col("doc_id").as("clean_id"), col("text"))
+    def run(strategy: String) =
+      Linkage.matchEntities(dirty, clean, threshold = 0.5,
+          strategy = strategy)
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(run("bands") == run("prefix"))
+  }
+
+  test("auto strategy stays exact on a saturated vocabulary") {
+    // tiny vocabulary → every prefix token is high-df → collision mass
+    // blows the per-record budget → auto takes the band leg; the
+    // output must still equal the exact leg's argmax
+    val words = (1 to 12).map(i => s"w$i")
+    def text(seed: Long, n: Int) = (1 to n).map { j =>
+      words(((seed * 31 + j * 7) % 12).toInt.abs)
+    }.mkString(" ")
+    val clean = (0L until 60L).map(i => (i, text(i, 30)))
+      .toDF("clean_id", "text")
+    val dirty = (0L until 15L).map { i =>
+      // dirty copy = clean text with the tail 3 words changed
+      (i + 500, text(i, 27) + " zz1 zz2 zz3")
+    }.toDF("dirty_id", "text")
+    def run(strategy: String) =
+      Linkage.matchEntities(dirty, clean, threshold = 0.4,
+          strategy = strategy, medianDfThreshold = 2)
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(run("auto") == run("prefix"))
+  }
+
   test("matchEntities argmax ties break to the lowest clean id") {
     // two identical clean records: the dirty copy must match the
     // lower id deterministically
