@@ -200,7 +200,7 @@ object Similarity {
 
   /** Nearest-cell assignment: corpus streams once past the broadcast
     * centroid table; `min_by` picks the argmin cell. */
-  private def assignCells(normVecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCells(normVecs: DataFrame, cents: DataFrame): DataFrame =
     normVecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
         (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("v"), col("cv")))
@@ -316,7 +316,7 @@ object Similarity {
   }
 
   /** (vec_id, sub, sv): the m dim/m-sized slices of `v`. */
-  private def pqSubvectors(vecs: DataFrame, m: Int, dim: Int): DataFrame = {
+  private[graft] def pqSubvectors(vecs: DataFrame, m: Int, dim: Int): DataFrame = {
     val sub = dim / m
     vecs.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $sub + 1, $sub))"))
@@ -326,7 +326,7 @@ object Similarity {
   /** Nearest-code assignment per (vec, subspace): one broadcast join,
     * argmin by `‖c‖² − 2x·c`; the subvector rides along (`first`) so
     * the training loop needs no second join back to the input. */
-  private def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def pqAssign(subvecs: DataFrame, cents: DataFrame): DataFrame =
     subvecs.join(broadcast(cents), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("sv"), col("code"),
         (col("cnorm2") - lit(2.0) * graft.functions.dotp(col("sv"), col("cv")))
