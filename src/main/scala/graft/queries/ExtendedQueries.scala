@@ -1784,8 +1784,40 @@ object ExtendedQueries {
         tt.term, st.chi2, CAST(8 AS BIGINT) AS dof, tt.n_total
       FROM tt, st ORDER BY tt.digit"""))
 
+  // Batch twin of the streaming SCD2 historize (ST15, StreamScd2):
+  // each user's event stream becomes versioned rows carrying the
+  // payload, valid until the user's next event. Same Merge.historize
+  // core as q53 but on the exact input/output shape the streaming
+  // operator serves (user-keyed event rows with event_type/value
+  // payload) — StreamingSpec proves stream ≡ this batch plan across a
+  // microbatch cut; this key puts the shared semantics under the
+  // DuckDB oracle.
+  private val q75 = Q(
+    "q75_scd2_stream_twin",
+    (s, d) => {
+      val ch = t(s, d, "events").filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      graft.operators.Merge
+        .historize(ch, Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type,
+        round(value, 6) AS value,
+        CAST(ts AS TIMESTAMP) AS valid_from,
+        CAST(lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
+        (lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) IS NULL) AS is_current
+      FROM events WHERE user_id % 20 = 0
+      ORDER BY user_id, valid_from, event_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
-    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71, q72, q73, q74, q75)
 }

@@ -518,6 +518,48 @@ class StreamingSpec extends AnyFunSuite {
       (want diff got)).take(5)}")
   }
 
+  test("streaming SCD2 across a microbatch cut EQUALS batch historize") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts"), col("event_type"), col("value"))
+      .localCheckpoint()
+    val rows = ev.as[(Long, Long, Long, String, Double)].collect()
+    assert(rows.nonEmpty)
+    // split at the median ts: every batch-1 row precedes every batch-2
+    // row, so per-key replay order equals the batch window order
+    val cut = rows.map(_._3).sorted.apply(rows.length / 2)
+    val b1 = rows.filter(_._3 < cut).toSeq
+    val b2 = rows.filter(_._3 >= cut).toSeq
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamScd2.historize(mem.toDF()
+        .toDF("user_id", "event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("scd2_out")
+      .as[(Long, Long, Option[String], Option[Double], Long,
+        Option[Long], Boolean)].collect()
+    // Update-mode reconciliation: the closed re-emission supersedes the
+    // open one for the same (user_id, event_id) version
+    val got = emitted.groupBy(r => (r._1, r._2)).map { case (_, vs) =>
+      vs.find(!_._7).getOrElse(vs.head)
+    }.toSet
+    val want = graft.operators.Merge
+      .historize(ev, Seq("user_id"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .as[(Long, Long, Option[String], Option[Double], Long,
+        Option[Long], Boolean)].collect().toSet
+    assert(got == want, s"first diffs: ${((got diff want) ++
+      (want diff got)).take(5)}")
+  }
+
   test("streaming CDC: NULL custkey is null-safe, not an encoder NPE") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Option[Long], Option[Double], String)]
