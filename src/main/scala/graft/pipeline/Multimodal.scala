@@ -433,6 +433,222 @@ object Multimodal {
       .toDF()
   }
 
+  // -------------------------------------------------------------- PNG
+  // The one COMPRESSED image format a pure-JVM decode can meet
+  // honestly: zlib is java.util.zip, CRC32 is java.util.zip, and the
+  // PNG scanline filters are integer arithmetic. This is the format
+  // public ingest actually encounters (PPM is the uncompressed
+  // teaching case); the synthesizer emits REAL spec-conformant PNGs
+  // (signature, IHDR/IDAT/IEND, per-chunk CRC32, deflated filtered
+  // scanlines) and the decoder is a REAL decoder: chunk walk with CRC
+  // verification, inflate, all five standard unfilters (None/Sub/Up/
+  // Average/Paeth — the synthesizer only writes filter 0, the spec
+  // exercises 1–4 on hand-built scanlines).
+
+  /** One PNG chunk: 4-byte BE length + type + body + CRC32(type+body). */
+  private def pngChunk(typ: String, body: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(body)
+    java.nio.ByteBuffer.allocate(12 + body.length)
+      .putInt(body.length).put(t).put(body).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** A real RGB8 PNG with the SAME dims and LCG pixel stream as
+    * [[synthPpm]] — the DuckDB oracle replays one byte stream for
+    * both formats; what differs is everything the decoder must undo
+    * (deflate, filters, CRCs). */
+  private[graft] def synthPng(seed: Long): Array[Byte] = {
+    val w = 4 + math.floorMod(seed, 29).toInt
+    val h = 4 + math.floorMod(seed >> 16, 29).toInt
+    val px = lcgBytes(seed, w * h * 3)
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      raw(y * stride) = 0 // filter type None per scanline
+      System.arraycopy(px, y * w * 3, raw, y * stride + 1, w * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decoded RGB8 image: dims + the unfiltered pixel bytes. */
+  private[graft] case class PngImage(w: Int, h: Int, px: Array[Byte])
+
+  /** REAL PNG decode: signature check, chunk walk with per-chunk CRC32
+    * verification (a mismatch returns Left — the caller QUARANTINES,
+    * never silently drops), IHDR validation (8-bit RGB, no interlace —
+    * the profile the synthesizer emits), multi-IDAT inflate, and the
+    * five standard scanline unfilters. */
+  private[graft] def parsePng(bytes: Array[Byte]): Either[String, PngImage] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    if (bytes.length < 8 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, 0, 8), sig))
+      return Left("bad PNG signature")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var pos = 8
+    var w = 0; var h = 0
+    var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= bytes.length) {
+      val len = bb.getInt(pos)
+      if (len < 0 || pos + 12 + len > bytes.length)
+        return Left("truncated chunk")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != bb.getInt(pos + 8 + len))
+        return Left(s"CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return Left("short IHDR")
+          seenIhdr = true
+          w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+          val (depth, color, interlace) =
+            (bytes(pos + 16), bytes(pos + 17), bytes(pos + 20))
+          if (depth != 8 || color != 2 || interlace != 0)
+            return Left(s"unsupported PNG profile depth=$depth color=$color")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case _ => () // IEND / ancillary
+      }
+      pos += 12 + len
+    }
+    if (!seenIhdr) return Left("missing IHDR")
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](h * stride)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished())
+        got += inflater.inflate(raw, got, raw.length - got)
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        return Left(s"bad zlib stream: ${e.getMessage}")
+    } finally inflater.end()
+    if (got != raw.length) return Left("short pixel stream")
+    // unfilter in place into the output (bpp = 3 for RGB8)
+    val px = new Array[Byte](h * w * 3)
+    val bpp = 3
+    var y = 0
+    while (y < h) {
+      val f = raw(y * stride)
+      var x = 0
+      while (x < w * 3) {
+        val cur = java.lang.Byte.toUnsignedInt(raw(y * stride + 1 + x))
+        val left = if (x >= bpp)
+          java.lang.Byte.toUnsignedInt(px(y * w * 3 + x - bpp)) else 0
+        val up = if (y > 0)
+          java.lang.Byte.toUnsignedInt(px((y - 1) * w * 3 + x)) else 0
+        val ul = if (y > 0 && x >= bpp)
+          java.lang.Byte.toUnsignedInt(px((y - 1) * w * 3 + x - bpp)) else 0
+        val recon = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case other => return Left(s"unknown filter type $other")
+        }
+        px(y * w * 3 + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Right(PngImage(w, h, px))
+  }
+
+  /** Binary PNG table over the image rows (doc_id ≡ 0 mod 3 — the
+    * [[mediaTable]] image assignment). Re-ingest corruption is planted
+    * deterministically: every doc_id ≡ 0 mod 97 gets one IDAT byte
+    * flipped AFTER the CRC was computed — the truncated-download /
+    * bit-rot case a crawler meets, detectable exactly because PNG
+    * carries per-chunk CRCs. */
+  def pngTable(docs: DataFrame): DataFrame = {
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = synthPng(textSeed(text))
+        if (id % 97 == 0) {
+          // flip a byte inside the IDAT body (offset 8+25+8 = first
+          // IDAT payload byte) — the chunk CRC no longer matches
+          val idatBody = 8 + 25 + 8
+          bytes(idatBody) = (bytes(idatBody) ^ 0xff).toByte
+        }
+        MediaRecord(id, "image/png", bytes)
+      }).toDF()
+  }
+
+  case class PngFeatures(doc_id: Long, crc_ok: Boolean,
+      error: Option[String], src_w: Option[Int], src_h: Option[Int],
+      px_sum: Option[Long])
+
+  /** PNG decode → nearest-neighbor resize features (SURVEY.md §2
+    * P11f): the [[resizeImages]] pass on COMPRESSED input — full
+    * decode (CRC walk, inflate, unfilter), then the same integer
+    * nearest-neighbor sampling and summed-RGB feature over the tw×th
+    * result. A record failing any decode step is QUARANTINED: emitted
+    * with crc_ok=false and its error string, features NULL — dropping
+    * it would silently shrink the corpus, and a quarantine table is
+    * what the re-crawl queue reads. Narrow per-partition map, no
+    * shuffle; one bounded row per image. */
+  def pngResizedFeatures(docs: DataFrame, tw: Int = 8,
+      th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[PngFeatures]
+    pngTable(docs).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        parsePng(r.media) match {
+          case Left(err) =>
+            PngFeatures(r.doc_id, crc_ok = false, Some(err), None, None, None)
+          case Right(img) =>
+            var sum = 0L
+            var y = 0
+            while (y < th) {
+              val sy = y * img.h / th
+              var x = 0
+              while (x < tw) {
+                val sx = x * img.w / tw
+                val src = 3 * (sy * img.w + sx)
+                var c = 0
+                while (c < 3) {
+                  sum += java.lang.Byte.toUnsignedInt(img.px(src + c))
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            PngFeatures(r.doc_id, crc_ok = true, None,
+              Some(img.w), Some(img.h), Some(sum))
+        }
+      }).toDF()
+  }
+
   /** Near-duplicate IMAGE pairs by aHash hamming distance ≤
     * `maxHamming` — [[imageAHash]] closed with the simhash banding
     * idiom: split the 64-bit hash into `maxHamming + 1` chunks; by

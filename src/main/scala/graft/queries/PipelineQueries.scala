@@ -2201,6 +2201,59 @@ object PipelineQueries {
         CAST(203 AS BIGINT) AS out_len, sums.px_sum
       FROM m JOIN sums USING (doc_id) ORDER BY m.doc_id"""))
 
+  // P11f: PNG decode (CRC chunk walk + zlib inflate + unfilter) →
+  // resize features, FULL-oracled by the same HUGEINT LCG replay as
+  // multimodal_resize: the synthesized PNG carries the SAME pixel
+  // stream as the PPM path, so DuckDB re-derives the decoded, resized
+  // summed-RGB feature — a hash match proves the real decompression
+  // path (deflate round-trip, filter reconstruction, CRC verification)
+  // is byte-deterministic. The planted corrupt rows (doc_id ≡ 0 mod
+  // 97, one IDAT byte flipped post-CRC) must surface as QUARANTINE
+  // rows — crc_ok false, error string, NULL features — which the
+  // oracle predicts exactly; a dropped row breaks the row-count match.
+  private val multimodalPng = Q(
+    "multimodal_png",
+    (s, d) =>
+      Multimodal.pngResizedFeatures(Tables.load(s, d, "documents"),
+          tw = 8, th = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents),
+      m0 AS (SELECT doc_id, seed, 4 + seed % 29 AS pw,
+          4 + (seed // 65536) % 29 AS ph
+        FROM s WHERE doc_id % 3 = 0),
+      ok AS (SELECT * FROM m0 WHERE doc_id % 97 != 0),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), pw * ph * 3 FROM ok
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      pos AS (SELECT ok.doc_id,
+          3 * (((y.y * ph) // 8) * pw + ((x.x * pw) // 8)) + c.c AS idx
+        FROM ok, range(8) y(y), range(8) x(x), range(3) c(c)),
+      sums AS (SELECT p.doc_id, CAST(sum(b.b) AS BIGINT) AS px_sum
+        FROM pos p JOIN bytes b USING (doc_id, idx) GROUP BY 1)
+      SELECT m0.doc_id, (m0.doc_id % 97 != 0) AS crc_ok,
+        CASE WHEN m0.doc_id % 97 = 0 THEN 'CRC mismatch in IDAT' END
+          AS error,
+        CASE WHEN m0.doc_id % 97 = 0 THEN NULL
+          ELSE CAST(pw AS INTEGER) END AS src_w,
+        CASE WHEN m0.doc_id % 97 = 0 THEN NULL
+          ELSE CAST(ph AS INTEGER) END AS src_h,
+        sums.px_sum
+      FROM m0 LEFT JOIN sums USING (doc_id) ORDER BY m0.doc_id"""))
+
   // P11d: audio feature extraction — FULLY oracled including the PCM
   // sample content, by the same HUGEINT LCG replay as
   // multimodal_resize: DuckDB regenerates every audio byte, pairs them
@@ -2497,5 +2550,6 @@ object PipelineQueries {
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
+    multimodalPng,
     multimodalPhash)
 }

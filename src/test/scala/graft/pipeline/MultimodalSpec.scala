@@ -190,4 +190,113 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toSet
     assert(banded == brute)
   }
+
+  test("synthPng round-trips: decode recovers the exact LCG pixel stream") {
+    val seed = 987654L
+    val png = Multimodal.synthPng(seed)
+    // spec-conformant signature
+    assert((png(0) & 0xff) == 0x89 &&
+      new String(png, 1, 3, "US-ASCII") == "PNG")
+    val img = Multimodal.parsePng(png).toOption.get
+    val w = 4 + math.floorMod(seed, 29).toInt
+    val h = 4 + math.floorMod(seed >> 16, 29).toInt
+    assert(img.w == w && img.h == h)
+    // the decoded (inflated + unfiltered) pixels ARE the LCG stream —
+    // same bytes the PPM path embeds raw
+    val ppm = Multimodal.synthPpm(seed)
+    val off = Multimodal.ppmPixelOffset(ppm)
+    assert(java.util.Arrays.equals(img.px,
+      java.util.Arrays.copyOfRange(ppm, off, off + w * h * 3)))
+  }
+
+  test("parsePng reconstructs all five scanline filter types") {
+    // hand-FILTER a known image with each type and demand the decoder
+    // undo it exactly (the synthesizer only emits type 0, so types 1-4
+    // are exercised here)
+    val (w, h) = (5, 4)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+    def b(a: Array[Byte], i: Int) =
+      if (i < 0) 0 else java.lang.Byte.toUnsignedInt(a(i))
+    (0 to 4).foreach { f =>
+      val stride = 1 + w * 3
+      val raw = new Array[Byte](h * stride)
+      for (y <- 0 until h) {
+        raw(y * stride) = f.toByte
+        for (x <- 0 until w * 3) {
+          val cur = b(px, y * w * 3 + x)
+          val left = if (x >= 3) b(px, y * w * 3 + x - 3) else 0
+          val up = if (y > 0) b(px, (y - 1) * w * 3 + x) else 0
+          val ul = if (y > 0 && x >= 3) b(px, (y - 1) * w * 3 + x - 3) else 0
+          val predicted = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          raw(y * stride + 1 + x) = ((cur - predicted) & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+        val t = typ.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(t); crc.update(body)
+        java.nio.ByteBuffer.allocate(12 + body.length)
+          .putInt(body.length).put(t).put(body).putInt(crc.getValue.toInt)
+          .array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .put(0.toByte).array()
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+        0x1a, '\n') ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+      val img = Multimodal.parsePng(png)
+        .fold(e => fail(s"filter $f: $e"), identity)
+      assert(java.util.Arrays.equals(img.px, px), s"filter $f mismatch")
+    }
+  }
+
+  test("PNG corruption is quarantined with its error, never dropped") {
+    val png = Multimodal.synthPng(4242L)
+    val bad = png.clone()
+    bad(8 + 25 + 8) = (bad(8 + 25 + 8) ^ 0xff).toByte // IDAT payload
+    assert(Multimodal.parsePng(bad) == Left("CRC mismatch in IDAT"))
+    assert(Multimodal.parsePng(png.take(20)).isLeft) // truncated
+    // end-to-end: the planted corrupt rows surface as quarantine rows
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val feats = Multimodal.pngResizedFeatures(docs)
+    import org.apache.spark.sql.functions._
+    val nImages = docs.filter(pmod(col("doc_id"), lit(3)) === 0).count()
+    assert(feats.count() == nImages, "quarantine must not drop rows")
+    val quarantined = feats.filter(!col("crc_ok"))
+    assert(quarantined.count() ==
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0 &&
+        col("doc_id") % 97 === 0).count())
+    assert(quarantined.filter(col("px_sum").isNotNull).count() == 0)
+  }
+
+  test("pngResizedFeatures px_sum equals the PPM resize path (same pixel stream)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    import org.apache.spark.sql.functions._
+    val png = Multimodal.pngResizedFeatures(docs).filter(col("crc_ok"))
+      .select(col("doc_id"), col("px_sum"))
+    val ppm = Multimodal.resizeImages(docs, 8, 8)
+      .select(col("doc_id"), col("px_sum").as("ppm_sum"))
+    val joined = png.join(ppm, Seq("doc_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("px_sum") =!= col("ppm_sum")).count() == 0,
+      "decoded-PNG features must equal the raw-PPM features")
+  }
 }
