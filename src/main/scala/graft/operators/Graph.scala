@@ -68,12 +68,16 @@ object Graph extends org.apache.spark.internal.Logging {
             .cast("decimal(20,12)").as("contrib"))
       val sums = contrib.groupBy("node_id")
         .agg(sum(col("contrib")).as("in_mass"))
-      ranks = ranks.select(col("node_id"), col("deg"), col("n_nodes"))
+      val next = ranks.select(col("node_id"), col("deg"), col("n_nodes"))
         .join(sums, Seq("node_id"))
         .select(col("node_id"), col("deg"), col("n_nodes"),
           round(lit(1.0 - d) / col("n_nodes")
             + lit(d) * col("in_mass").cast("double"), 12).as("rank"))
         .localCheckpoint()
+      // eager checkpoint: next is materialized, so the previous
+      // round's blocks can retire (the r9 25× loop-lifecycle rule)
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(ranks)
+      ranks = next
     }
     ranks.select(col("node_id"), col("deg"), round(col("rank"), 8).as("rank"))
   }
@@ -156,6 +160,12 @@ object Graph extends org.apache.spark.internal.Logging {
         .count()
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         println(f"[cc] iter=$iter changed=$changed hashmin=${(t1 - t0) / 1e9}%.2f jump=${(t2 - t1) / 1e9}%.2f count=${(System.nanoTime() - t2) / 1e9}%.2f s parts=${step.rdd.getNumPartitions}/${hashMinM.rdd.getNumPartitions}")
+      // step is materialized (eager checkpoints + the count above) —
+      // release this round's intermediate and the previous labels so
+      // checkpoint blocks don't accumulate across rounds (the r9 25×
+      // kCore lesson, applied to the whole loop family)
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(hashMinM)
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(labels)
       labels = step.select(col("node_id"), col("next_component").as("component"))
       converged = changed == 0
       iter += 1
@@ -218,6 +228,13 @@ object Graph extends org.apache.spark.internal.Logging {
           .select(col("u"), col("v"))
           .localCheckpoint())
       val after = step.count()
+      // release the PREVIOUS round's checkpoint blocks: step has
+      // materialized (eager checkpoint + the count above), so the old
+      // frame is dead weight — at 25× scale the accumulated rounds
+      // otherwise fill the storage pool and every later round pays
+      // eviction churn (r9 probe: 9.9 s → 69–155 s at 25×, exponent
+      // 1.21 with the leak, sub-linear without)
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(live)
       live = step
       converged = after == nLive
       if (sys.env.contains("GRAFT_CC_VERBOSE"))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * checking at small SF. All hashing is built-in `xxhash64` — codegen'd,
   * no UDFs.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** 3-token shingle set per doc. Docs shorter than `k` tokens produce a
     * single whole-doc shingle so they still participate.
@@ -748,6 +748,25 @@ object Dedup {
   def allPairsJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val tok = shingleTable(docs).persist()
+    // Regime advisory (measured, r9 25× probe): EXACT all-pairs cost
+    // IS its prefix-collision candidate mass, and on a df-SATURATED
+    // vocabulary that mass is inherently quadratic — τ=0.8 measured
+    // exponent 0.59–0.94 through 5× and 1.49 at 25× on the GenScale
+    // twin, while the minhash path's keep decision on the SAME corpus
+    // measured exponent 0.35 with 99.8% identical keeps. The median-df
+    // probe (the Linkage.matchEntities regime statistic) is one
+    // aggregate over the df table this operator builds anyway; when it
+    // crosses the calibrated boundary, warn LOUDLY — the caller chose
+    // exactness, so the operator stays exact, but silence here would
+    // hide a known cliff.
+    val medDf = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(expr("median(df)")).head().getDouble(0)
+    if (medDf > 32)
+      logWarning(f"allPairsJaccard: median shingle df $medDf%.0f is in " +
+        "the saturated-vocabulary regime — exact prefix-filter candidate " +
+        "mass grows quadratically here (measured exponent 1.49 at 25×). " +
+        "Consider minhashPairs + keepAfterNearDedup (measured 0.35) " +
+        "unless exact recall 1 is required.")
     val cand = allPairsCandidates(tok, threshold)
     val inter = cand.select("a_id", "b_id")
       .join(tok.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))

@@ -96,7 +96,7 @@ object Similarity {
 
   /** Pass-through of `v` that raises on a row whose dimensionality
     * differs from `d` — dotp would silently truncate it instead. */
-  private def vGuard(d: Int): Column =
+  private[graft] def vGuard(d: Int): Column =
     when(size(col("v")) === d, col("v"))
       .otherwise(expr(
         s"raise_error('embedding dim mismatch: expected $d, got ' || size(v))")

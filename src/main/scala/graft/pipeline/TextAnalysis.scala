@@ -745,8 +745,13 @@ object TextAnalysis {
               concat(acc.substr(lit(1), length(acc) - lit(a.length)),
                 lit(a + b)))
             .otherwise(concat(acc, lit(" "), x)))
-        vocab = vocab.withColumn("syms", split(folded, " "))
+        val next = vocab.withColumn("syms", split(folded, " "))
           .localCheckpoint()
+        // eager checkpoint: the previous round's vocab blocks retire
+        // (the r9 25×-probe loop-lifecycle rule — vocab is word-table
+        // sized, and nMerges rounds of stale copies add up)
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(vocab)
+        vocab = next
       }
     }
     (merges.toSeq, vocab)

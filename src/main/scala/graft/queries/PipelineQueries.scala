@@ -1200,6 +1200,37 @@ object PipelineQueries {
       SELECT 'ivf_stored' AS method, p.n_queries, TRUE AS recall_ok
       FROM p"""))
 
+  // P6h stored IVF-PQ: the same build-once-query-many split for the
+  // full production layout (coarse cells + residual codebooks + m-byte
+  // codes partitioned by cell). Timed passes measure ADC over STORED
+  // codes + the exact shortlist rescore — two trainings in the build,
+  // zero in the query.
+  private val annIvfPqStored = Q(
+    "ann_ivfpq_stored",
+    (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val root = graft.GraftSession.scratchDir(
+        "ann_ivfpq_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(s"$root/codes/_SUCCESS").exists())
+        graft.pipeline.AnnIndex.buildIvfPq(emb, root)
+      val q = emb.filter(col("vec_id") < 5)
+      val stored = graft.pipeline.AnnIndex.ivfpqQuery(s, root, q, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(emb, q, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(stored.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+        .select(lit("ivfpq_stored").as("method"), col("n_queries"),
+          (col("recall") >= 0.3).as("recall_ok"))
+    },
+    Some("""WITH p AS (SELECT count(DISTINCT vec_id) AS n_queries
+        FROM embeddings WHERE vec_id < 5)
+      SELECT 'ivfpq_stored' AS method, p.n_queries, TRUE AS recall_ok
+      FROM p"""))
+
   // P6h incremental: build the index on HALF the corpus, addIvfBatch
   // the other half (assign-only against the stored centroids — no
   // retraining), and gate the combined index's recall. Spark also
@@ -2536,7 +2567,7 @@ object PipelineQueries {
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,
-    annIvfStored, annIvfIncr, erMatch,
+    annIvfStored, annIvfPqStored, annIvfIncr, erMatch,
     packSequences,
     splitTrain,
     textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,

@@ -63,6 +63,21 @@ class AnnIndexSpec extends AnyFunSuite {
       "batch-added vectors must be retrievable")
   }
 
+  test("stored IVF-PQ answers EXACTLY like a freshly-trained ivfpqTopK") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val root = freshRoot("annindex_spec_ivfpq")
+    AnnIndex.buildIvfPq(emb, root)
+    val q = emb.filter(col("vec_id") < 8)
+    val stored = AnnIndex.ivfpqQuery(spark, root, q, k = 10)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val fresh = Similarity.ivfpqTopK(emb, q, 10)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(stored == fresh)
+    assert(stored.nonEmpty)
+  }
+
   test("addIvfBatch rejects a wrong-dimension batch loudly") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val root = freshRoot("annindex_spec_dim")
