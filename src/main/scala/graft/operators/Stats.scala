@@ -211,4 +211,143 @@ object Stats {
             (pow(sa, 2) / (col("n_a") - 1) +
               pow(sb, 2) / (col("n_b") - 1)), 4)))
   }
+
+  /** Shared exact-rank machinery for the two rank tests ([[ksTest]],
+    * [[mannWhitney]]): per DISTINCT value of `valCol`, the two groups'
+    * counts and INCLUSIVE cumulative counts in value order — computed
+    * WITHOUT a global sort or a corpus-sized single-partition window.
+    * Two-phase prefix sum (the [[graft.pipeline.Packing.selectByBudget]]
+    * decomposition): the value histogram buckets by `width_bucket`
+    * into ≤ nBuckets+2 ORDER-ALIGNED coarse buckets, per-bucket totals
+    * get a (bucket-bounded) cumulative offset, and within-bucket
+    * running sums add to the broadcast offsets — exact global ranks,
+    * every window either bucket-bounded or partitioned by bucket.
+    * Returns (v, n_a, n_b, cum_a, cum_b) — all exact longs. */
+  private def rankedHistogram(df: DataFrame, groupCol: String, gA: String,
+      gB: String, valCol: String, nBuckets: Int): DataFrame = {
+    val v = col(valCol).cast("double")
+    val hist = df
+      .filter((col(groupCol) === gA || col(groupCol) === gB) && v.isNotNull)
+      .groupBy(v.as("v"))
+      .agg(
+        sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("n_b"))
+      .persist()
+    val rng = hist.agg(min(col("v")), max(col("v"))).head()
+    val bkt =
+      if (rng.isNullAt(0) || rng.getDouble(0) == rng.getDouble(1)) lit(1L)
+      else width_bucket(col("v"), lit(rng.getDouble(0)),
+        lit(rng.getDouble(1)), lit(nBuckets))
+    val hb = hist.withColumn("bkt", bkt)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = hb.groupBy("bkt")
+      .agg(sum(col("n_a")).as("ba"), sum(col("n_b")).as("bb"))
+      .select(col("bkt"),
+        coalesce(sum(col("ba")).over(wOff), lit(0L)).as("off_a"),
+        coalesce(sum(col("bb")).over(wOff), lit(0L)).as("off_b"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = hb.join(broadcast(offs), Seq("bkt"))
+      .select(col("v"), col("n_a"), col("n_b"),
+        (col("off_a") + sum(col("n_a")).over(wIn)).as("cum_a"),
+        (col("off_b") + sum(col("n_b")).over(wIn)).as("cum_b"))
+      .localCheckpoint()
+    hist.unpersist()
+    out
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test of `valCol` between the `gA`
+    * and `gB` levels of `groupCol` (SURVEY.md §2 R38) — the
+    * DISTRIBUTION-shape member of the testing family: χ² compares
+    * categories, Welch compares means, this one asks whether the two
+    * samples' whole ECDFs differ. One row: group sizes, the 6dp D
+    * statistic, the 4dp scaled statistic c = D·√(n_a·n_b/(n_a+n_b)),
+    * and the α=0.05 verdict (c > 1.358, the asymptotic two-sample
+    * critical value). NULL statistics when either group is empty.
+    *
+    * Exactness: D's maximization runs over INTEGER cross-products —
+    * max |cum_a·n_b − cum_b·n_a| as DECIMAL(38,0), divided by n_a·n_b
+    * once at the end (6dp) — so no float ECDF subtraction can wobble
+    * the argmax across engines.
+    *
+    * Scale: one histogram shuffle at distinct-value cardinality, then
+    * the [[rankedHistogram]] two-phase prefix sum (no global sort, no
+    * unbounded global window), one max aggregate. */
+  def ksTest(df: DataFrame, groupCol: String, gA: String, gB: String,
+      valCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets)
+    val dec = "decimal(38,0)"
+    val totals = rh.agg(
+      coalesce(sum(col("n_a")), lit(0L)).as("_ta"),
+      coalesce(sum(col("n_b")), lit(0L)).as("_tb"))
+    // the cross-product trick needs GROUP TOTALS per row, not the
+    // per-value histogram counts — broadcast the 1-row totals in
+    val dnum = rh.crossJoin(broadcast(totals))
+      .agg(max(abs(col("cum_a").cast(dec) * col("_tb").cast(dec)
+        - col("cum_b").cast(dec) * col("_ta").cast(dec))).as("_dnum"))
+    totals.crossJoin(dnum)
+      .select(col("_ta").as("n_a"), col("_tb").as("n_b"), col("_dnum"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("_dnum").cast("double")
+            / (col("n_a").cast("double") * col("n_b")), 6)).as("d_stat"))
+      .withColumn("c_stat",
+        when(col("d_stat").isNotNull,
+          round(col("d_stat") * sqrt(col("n_a").cast("double") * col("n_b")
+            / (col("n_a") + col("n_b"))), 4)))
+      .withColumn("reject_05",
+        when(col("c_stat").isNotNull, col("c_stat") > 1.358))
+  }
+
+  /** Mann–Whitney U test (Wilcoxon rank-sum) of `valCol` between the
+    * `gA` and `gB` levels of `groupCol` (SURVEY.md §2 R39) — the
+    * nonparametric companion of [[welchTTest]]: compares RANKS, so
+    * outliers and non-normality don't poison the verdict. One row:
+    * group sizes, U (gA's statistic, exact to the tie-midrank 0.5
+    * grain), the 4dp normal-approximation z WITH tie correction, and
+    * the α=0.05 verdict. NULL z when either group is empty or the
+    * tie-corrected variance is zero (all values identical).
+    *
+    * Exactness: midranks never materialize as floats — the doubled
+    * rank sum 2·ΣR_a = Σ_v n_a(v)·(2·before(v) + t(v) + 1) is exact
+    * integer arithmetic over the histogram (before = items strictly
+    * less, t = tied count), as is the tie term Σ(t³−t); z is IEEE
+    * arithmetic on those exact integers, rounded 4dp.
+    *
+    * Scale: identical to [[ksTest]] — histogram + two-phase prefix
+    * sum, one final aggregate. */
+  def mannWhitney(df: DataFrame, groupCol: String, gA: String, gB: String,
+      valCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets)
+    val dec = "decimal(38,0)"
+    val t = (col("n_a") + col("n_b")).cast(dec)
+    val before = (col("cum_a") + col("cum_b")).cast(dec) - t
+    val agg = rh.agg(
+      coalesce(sum(col("n_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("n_b")), lit(0L)).as("n_b"),
+      coalesce(sum(col("n_a").cast(dec) * (before * 2 + t + 1)),
+        lit(0L).cast(dec)).as("_r2a"),
+      coalesce(sum(t * t * t - t), lit(0L).cast(dec)).as("_ties"))
+    val n = col("n_a") + col("n_b")
+    val u2 = col("_r2a") - (col("n_a").cast(dec) * (col("n_a") + 1))
+    val mu2 = col("n_a").cast(dec) * col("n_b")
+    val varU = col("n_a").cast("double") * col("n_b") / 12.0 *
+      ((n + 1).cast("double") -
+        col("_ties").cast("double") / (n.cast("double") * (n - 1)))
+    agg
+      .withColumn("u_stat",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          u2.cast("double") / 2.0))
+      .withColumn("z_stat",
+        when(col("n_a") > 0 && col("n_b") > 0 && n > 1 && varU > 0,
+          round((u2 - mu2).cast("double") / 2.0 / sqrt(varU), 4)))
+      .withColumn("reject_05",
+        when(col("z_stat").isNotNull, abs(col("z_stat")) > 1.96))
+      .select(col("n_a"), col("n_b"), col("u_stat"), col("z_stat"),
+        col("reject_05"))
+  }
 }

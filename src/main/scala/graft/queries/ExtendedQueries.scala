@@ -1815,9 +1815,92 @@ object ExtendedQueries {
       FROM events WHERE user_id % 20 = 0
       ORDER BY user_id, valid_from, event_id"""))
 
+  // Kolmogorov–Smirnov two-sample test (R38, Stats.ksTest): do click
+  // and purchase values follow the same distribution? The D argmax
+  // runs over exact integer cross-products; the prefix sums behind the
+  // ECDFs use the two-phase bucket decomposition (no global sort).
+  private val q76 = Q(
+    "q76_ks",
+    (s, d) =>
+      graft.operators.Stats
+        .ksTest(t(s, d, "events"), "event_type", "click", "purchase",
+          "value"),
+    Some("""WITH f AS (SELECT value AS v, event_type FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+      h AS (SELECT v,
+          CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_a,
+          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_b
+        FROM f GROUP BY 1),
+      c AS (SELECT v, n_a, n_b,
+          CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+          CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b FROM h),
+      tot AS (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) AS ta,
+          CAST(coalesce(sum(n_b), 0) AS BIGINT) AS tb FROM h),
+      dm AS (SELECT max(abs(CAST(c.cum_a AS HUGEINT) * tot.tb
+            - CAST(c.cum_b AS HUGEINT) * tot.ta)) AS dnum
+        FROM c, tot),
+      st AS (SELECT tot.ta AS n_a, tot.tb AS n_b,
+          CASE WHEN tot.ta > 0 AND tot.tb > 0 THEN
+            round(CAST(dm.dnum AS DOUBLE)
+              / (CAST(tot.ta AS DOUBLE) * tot.tb), 6) END AS d_stat
+        FROM tot, dm)
+      SELECT n_a, n_b, d_stat,
+        CASE WHEN d_stat IS NOT NULL THEN
+          round(d_stat * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 4)
+          END AS c_stat,
+        CASE WHEN d_stat IS NOT NULL THEN
+          round(d_stat * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 4)
+            > 1.358 END AS reject_05
+      FROM st"""))
+
+  // Mann–Whitney U / Wilcoxon rank-sum (R39, Stats.mannWhitney): the
+  // rank-based companion of q73's Welch test. Midranks and the tie
+  // term stay exact integers in both engines; only z is IEEE.
+  private val q77 = Q(
+    "q77_mwu",
+    (s, d) =>
+      graft.operators.Stats
+        .mannWhitney(t(s, d, "events"), "event_type", "click",
+          "purchase", "value"),
+    Some("""WITH f AS (SELECT value AS v, event_type FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+      h AS (SELECT v,
+          CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_a,
+          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_b
+        FROM f GROUP BY 1),
+      c AS (SELECT v, n_a, n_b,
+          CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+          CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b FROM h),
+      g AS (SELECT
+          CAST(coalesce(sum(n_a), 0) AS BIGINT) AS ta,
+          CAST(coalesce(sum(n_b), 0) AS BIGINT) AS tb,
+          coalesce(sum(CAST(n_a AS HUGEINT)
+            * (2 * (cum_a + cum_b - n_a - n_b) + (n_a + n_b) + 1)),
+            0) AS r2a,
+          coalesce(sum(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+            * (n_a + n_b) - (n_a + n_b)), 0) AS ties
+        FROM c),
+      u AS (SELECT ta, tb, ties,
+          r2a - CAST(ta AS HUGEINT) * (ta + 1) AS u2,
+          CAST(ta AS HUGEINT) * tb AS mu2,
+          CAST(ta AS DOUBLE) * tb / 12.0 * ((ta + tb + 1)
+            - CAST(ties AS DOUBLE)
+              / (CAST(ta + tb AS DOUBLE) * (ta + tb - 1))) AS varu
+        FROM g)
+      SELECT ta AS n_a, tb AS n_b,
+        CASE WHEN ta > 0 AND tb > 0
+          THEN CAST(u2 AS DOUBLE) / 2.0 END AS u_stat,
+        CASE WHEN ta > 0 AND tb > 0 AND ta + tb > 1 AND varu > 0
+          THEN round(CAST(u2 - mu2 AS DOUBLE) / 2.0 / sqrt(varu), 4)
+          END AS z_stat,
+        CASE WHEN ta > 0 AND tb > 0 AND ta + tb > 1 AND varu > 0
+          THEN abs(round(CAST(u2 - mu2 AS DOUBLE) / 2.0 / sqrt(varu), 4))
+            > 1.96 END AS reject_05
+      FROM u"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75)
+    q71, q72, q73, q74, q75, q76, q77)
 }

@@ -486,7 +486,11 @@ class CsvSourceSpec extends AnyFunSuite {
       "select_budget" ->
         "cum-sum over the nBuckets(=20) quality-bucket aggregate (Packing.selectByBudget)",
       "quality_buckets" ->
-        "cum-count over the distinct-rounded-score histogram aggregate (Packing.bucketByRank)")
+        "cum-count over the distinct-rounded-score histogram aggregate (Packing.bucketByRank)",
+      "q76_ks" ->
+        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)",
+      "q77_mwu" ->
+        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     var found = 0
     def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {

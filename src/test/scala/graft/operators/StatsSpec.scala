@@ -47,6 +47,73 @@ class StatsSpec extends AnyFunSuite {
       .as[Long].head() == 40L) // NULL rows not counted anywhere
   }
 
+  test("ksTest: identical samples score D=0; disjoint samples score D=1") {
+    val same = (1 to 30).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val s = Stats.ksTest(same, "g", "a", "b", "v")
+      .select("d_stat", "reject_05").as[(Option[Double], Option[Boolean])]
+      .head()
+    assert(s == ((Some(0.0), Some(false))))
+    val disjoint = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (31 to 60).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val d = Stats.ksTest(disjoint, "g", "a", "b", "v")
+      .select("d_stat", "c_stat", "reject_05")
+      .as[(Option[Double], Option[Double], Option[Boolean])].head()
+    assert(d._1.contains(1.0) && d._3.contains(true))
+  }
+
+  test("ksTest: empty group yields NULL statistics, not a verdict") {
+    val t = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Stats.ksTest(t, "g", "a", "b", "v")
+      .select("n_b", "d_stat", "reject_05")
+      .as[(Long, Option[Double], Option[Boolean])].head()
+    assert(r == ((0L, None, None)))
+  }
+
+  test("ksTest: exact D against a hand computation with ties") {
+    // a: {1,1,2,3}, b: {2,3,3,4} → ECDF diffs at 1:(.5-0), 2:(.75-.25),
+    // 3:(1-.75), 4:(1-1) → D = 0.5 at v=1 and v=2
+    val t = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.ksTest(t, "g", "a", "b", "v")
+      .select("d_stat").as[Option[Double]].head()
+    assert(r.contains(0.5))
+  }
+
+  test("ksTest: two-phase bucket decomposition equals the 1-bucket path") {
+    val t = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+    def run(b: Int) = Stats.ksTest(t, "event_type", "click", "purchase",
+        "value", nBuckets = b)
+      .select("n_a", "n_b", "d_stat", "c_stat")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(run(1024) == run(1)) // offsets + in-bucket sums == one window
+  }
+
+  test("mannWhitney: exact U and tie-corrected z against hand computation") {
+    // a: {1,2,3}, b: {2,4,5}: pooled midranks 1→1, 2→2.5, 3→4, 4→5,
+    // 5→6; ΣR_a = 1+2.5+4 = 7.5 → U_a = 7.5 − 6 = 1.5
+    val t = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    val r = Stats.mannWhitney(t, "g", "a", "b", "v")
+      .select("u_stat", "z_stat").as[(Option[Double], Option[Double])]
+      .head()
+    assert(r._1.contains(1.5))
+    // z = (U − μ)/σ, μ = 4.5, σ² = (9/12)·(7 − 6/30) = 5.1
+    val z = BigDecimal((1.5 - 4.5) / math.sqrt(0.75 * (7.0 - 6.0 / 30.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._2.contains(z))
+  }
+
+  test("mannWhitney: all-identical values yield NULL z (zero variance)") {
+    val t = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val r = Stats.mannWhitney(t, "g", "a", "b", "v")
+      .select("u_stat", "z_stat").as[(Option[Double], Option[Double])]
+      .head()
+    assert(r._1.contains(2.0)) // U = ΣR_a − 6 = (2.5+2.5) − 3 = 2
+    assert(r._2.isEmpty)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
   test("ndcgAtK: perfect ranking is 1, misranking penalized, no-rel NULL") {
