@@ -243,6 +243,70 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
       .rollingZScore(df, keyCol, tsCol, valCol, tieCol, span, minObs,
         threshold))
 
+  // ----- change-data family at the builder surface (r9): diff derives
+  // the changeset, upsert applies it, historize versions it — the same
+  // delegation discipline as the funnel/graph/time-series methods
+
+  /** I/U/D changeset between this node (prev) and `next` — see
+    * [[graft.operators.Merge.snapshotDiff]]. */
+  def snapshotDiff(next: QueryNode, keys: Seq[String]): QueryNode =
+    new QueryNode(graft.operators.Merge.snapshotDiff(df, next.df, keys))
+
+  /** Keyed upsert of `changes` into this node — see
+    * [[graft.operators.Merge.upsert]]. */
+  def upsert(changes: QueryNode, keys: Seq[String]): QueryNode =
+    new QueryNode(graft.operators.Merge.upsert(df, changes.df, keys))
+
+  /** SCD2 versioning of this node's change log — see
+    * [[graft.operators.Merge.historize]]. */
+  def historize(keys: Seq[String], tsCol: String,
+      tieCols: Seq[String]): QueryNode =
+    new QueryNode(graft.operators.Merge.historize(df, keys, tsCol, tieCols))
+
+  /** Declarative data-quality audit — see
+    * [[graft.operators.Quality.audit]]. */
+  def audit(rules: Seq[graft.operators.Quality.Rule]): QueryNode =
+    new QueryNode(graft.operators.Quality.audit(df, rules))
+
+  /** Entity resolution of this node's dirty records against `clean` —
+    * see [[graft.operators.Linkage.matchEntities]]. */
+  def matchEntities(clean: QueryNode, threshold: Double = 0.5,
+      strategy: String = "auto"): QueryNode =
+    new QueryNode(graft.operators.Linkage
+      .matchEntities(df, clean.df, threshold, strategy))
+
+  // ----- hypothesis-testing family at the builder surface (r9)
+
+  /** Chi-square independence — see [[graft.operators.Stats.chiSquare]]. */
+  def chiSquare(aCol: String, bCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.chiSquare(df, aCol, bCol))
+
+  /** Welch's t-test — see [[graft.operators.Stats.welchTTest]]. */
+  def welchTTest(groupCol: String, gA: String, gB: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.welchTTest(df, groupCol, gA, gB,
+      valCol))
+
+  /** Two-sample Kolmogorov–Smirnov — see [[graft.operators.Stats.ksTest]]. */
+  def ksTest(groupCol: String, gA: String, gB: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.ksTest(df, groupCol, gA, gB, valCol))
+
+  /** Mann–Whitney U — see [[graft.operators.Stats.mannWhitney]]. */
+  def mannWhitney(groupCol: String, gA: String, gB: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.mannWhitney(df, groupCol, gA, gB,
+      valCol))
+
+  /** Spearman rank correlation — see [[graft.operators.Stats.spearman]]. */
+  def spearman(xCol: String, yCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.spearman(df, xCol, yCol))
+
+  /** Benford first-digit conformance — see
+    * [[graft.operators.Stats.benford]]. */
+  def benford(valCol: String, scale: Int = 2): QueryNode =
+    new QueryNode(graft.operators.Stats.benford(df, valCol, scale))
+
   /** hdk.py:32 `rename` is expression-level (`.as`); this node-level
     * variant renames columns in bulk. */
   def rename(mapping: (String, String)*): QueryNode =

@@ -350,4 +350,90 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("u_stat"), col("z_stat"),
         col("reject_05"))
   }
+
+  /** Doubled-midrank map of a single value column: (v, r2) with
+    * r2 = 2·before(v) + t(v) + 1 — an exact INTEGER for every value,
+    * ties included (midrank ·2). Same two-phase bucket prefix-sum as
+    * [[rankedHistogram]]; distinct-value cardinality output. */
+  private def rankMap(vals: DataFrame, nBuckets: Int): DataFrame = {
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("n")).persist()
+    val rng = hist.agg(min(col("v")), max(col("v"))).head()
+    val bkt =
+      if (rng.isNullAt(0) || rng.getDouble(0) == rng.getDouble(1)) lit(1L)
+      else width_bucket(col("v"), lit(rng.getDouble(0)),
+        lit(rng.getDouble(1)), lit(nBuckets))
+    val hb = hist.withColumn("bkt", bkt)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = hb.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .select(col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = hb.join(broadcast(offs), Seq("bkt"))
+      .select(col("v"),
+        // before = off + (in-bucket cum − n); r2 = 2·before + n + 1
+        (lit(2) * (col("off") + sum(col("n")).over(wIn) - col("n"))
+          + col("n") + 1).as("r2"))
+      .localCheckpoint()
+    hist.unpersist()
+    out
+  }
+
+  /** Spearman rank correlation between two numeric columns (SURVEY.md
+    * §2 A13) — the tie-aware, outlier-proof complement of A9's Pearson
+    * `corr`. Rows with a NULL in either column are out of scope. One
+    * row: (n, rho) with rho 6dp, NULL when n < 2 or either column is
+    * constant (zero rank variance).
+    *
+    * Exactness (the cross-engine problem Pearson-on-doubles has):
+    * ranks are DOUBLED midranks — exact integers even under ties — and
+    * every moment (Σr, Σr², Σrxry) accumulates as DECIMAL(38,0), so
+    * both engines agree on every intermediate EXACTLY; rho is one IEEE
+    * expression over those integers (the doubling cancels), rounded
+    * 6dp. No float summation order anywhere.
+    *
+    * Scale: two [[rankMap]] histograms (distinct-value cardinality,
+    * two-phase prefix sums — no global sort), two equi-joins back to
+    * the rows (broadcast-able rank maps), ONE partial-agg'd moment
+    * aggregate. */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .persist()
+    val rx = rankMap(rows.select(col("x").as("v")), nBuckets)
+      .select(col("v").as("x"), col("r2").as("rx"))
+    val ry = rankMap(rows.select(col("y").as("v")), nBuckets)
+      .select(col("v").as("y"), col("r2").as("ry"))
+    val dec = "decimal(38,0)"
+    val m = rows.join(rx, Seq("x")).join(ry, Seq("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("rx").cast(dec)), lit(0).cast(dec)).as("_sx"),
+        coalesce(sum(col("ry").cast(dec)), lit(0).cast(dec)).as("_sy"),
+        coalesce(sum(col("rx").cast(dec) * col("rx")), lit(0).cast(dec))
+          .as("_sxx"),
+        coalesce(sum(col("ry").cast(dec) * col("ry")), lit(0).cast(dec))
+          .as("_syy"),
+        coalesce(sum(col("rx").cast(dec) * col("ry")), lit(0).cast(dec))
+          .as("_sxy"))
+      .localCheckpoint()
+    rows.unpersist()
+    // the 1-row moment frame is materialized; the two rank-map
+    // checkpoints (distinct-value cardinality) are dead weight now
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(rx)
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(ry)
+    val n = col("n").cast(dec)
+    val vx = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vy = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    val cov = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    m.select(col("n"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        round(cov / sqrt(vx * vy), 6)).as("rho"))
+  }
 }

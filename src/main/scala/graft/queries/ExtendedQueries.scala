@@ -1898,9 +1898,48 @@ object ExtendedQueries {
             > 1.96 END AS reject_05
       FROM u"""))
 
+  // Spearman rank correlation (A13, Stats.spearman): quantity vs
+  // extended price over lineitem. Doubled midranks keep every moment
+  // an exact integer in both engines; only the final rho is IEEE.
+  private val q78 = Q(
+    "q78_spearman",
+    (s, d) =>
+      graft.operators.Stats
+        .spearman(t(s, d, "lineitem"), "l_quantity", "l_extendedprice"),
+    Some("""WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      cx AS (SELECT v,
+          2 * (CAST(sum(n) OVER (ORDER BY v) AS BIGINT) - n) + n + 1 AS rx
+        FROM hx),
+      hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      cy AS (SELECT v,
+          2 * (CAST(sum(n) OVER (ORDER BY v) AS BIGINT) - n) + n + 1 AS ry
+        FROM hy),
+      j AS (SELECT cx.rx, cy.ry FROM r
+        JOIN cx ON r.x = cx.v JOIN cy ON r.y = cy.v),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          coalesce(sum(CAST(rx AS HUGEINT)), 0) AS sx,
+          coalesce(sum(CAST(ry AS HUGEINT)), 0) AS sy,
+          coalesce(sum(CAST(rx AS HUGEINT) * rx), 0) AS sxx,
+          coalesce(sum(CAST(ry AS HUGEINT) * ry), 0) AS syy,
+          coalesce(sum(CAST(rx AS HUGEINT) * ry), 0) AS sxy
+        FROM j),
+      v AS (SELECT n,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+          CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS cov
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n,
+        CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+          THEN round(cov / sqrt(vx * vy), 6) END AS rho
+      FROM v"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77)
+    q71, q72, q73, q74, q75, q76, q77, q78)
 }

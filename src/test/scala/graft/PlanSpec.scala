@@ -490,7 +490,9 @@ class CsvSourceSpec extends AnyFunSuite {
       "q76_ks" ->
         "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)",
       "q77_mwu" ->
-        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)")
+        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)",
+      "q78_spearman" ->
+        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankMap ×2)")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     var found = 0
     def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {

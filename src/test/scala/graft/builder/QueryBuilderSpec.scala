@@ -288,4 +288,57 @@ class QueryBuilderSpec extends AnyFunSuite {
       .limit(3).run().collect()
     assert(top.length == 3)
   }
+
+  test("change-data family at the builder surface coincides with the operator path") {
+    val prev = hdk.scan("orders")
+      .proj("o_orderkey", "o_custkey", "o_totalprice")
+    val next = prev.filter(col("o_orderkey") % 11 =!= 3)
+      .projExprs(("o_orderkey", col("o_orderkey")),
+        ("o_custkey", col("o_custkey")),
+        ("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice"))))
+    val bd = prev.snapshotDiff(next, Seq("o_orderkey")).run()
+    val od = graft.operators.Merge
+      .snapshotDiff(prev.run(), next.run(), Seq("o_orderkey"))
+    assert(bd.exceptAll(od).isEmpty && od.exceptAll(bd).isEmpty)
+    // diff∘upsert round-trips through the builder too
+    val up = prev.upsert(prev.snapshotDiff(next, Seq("o_orderkey")),
+      Seq("o_orderkey")).run()
+    assert(up.exceptAll(next.run()).isEmpty &&
+      next.run().exceptAll(up).isEmpty)
+    val bh = hdk.scan("orders").filter(col("o_custkey") % 50 === 0)
+      .historize(Seq("o_custkey"), "o_orderdate", Seq("o_orderkey")).run()
+    val oh = graft.operators.Merge.historize(
+      hdk.scan("orders").filter(col("o_custkey") % 50 === 0).run(),
+      Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
+    assert(bh.exceptAll(oh).isEmpty && oh.exceptAll(bh).isEmpty)
+  }
+
+  test("audit and hypothesis tests at the builder surface coincide with the operator path") {
+    import graft.operators.Quality
+    val rules = Seq(Quality.NotNull("o_custkey"),
+      Quality.InRange("o_totalprice", 0.0, 1e6))
+    val ba = hdk.scan("orders").audit(rules).run()
+    val oa = Quality.audit(hdk.scan("orders").run(), rules)
+    assert(ba.exceptAll(oa).isEmpty && oa.exceptAll(ba).isEmpty)
+    val ev = hdk.scan("events")
+    val bw = ev.welchTTest("event_type", "click", "purchase", "value").run()
+    val ow = graft.operators.Stats
+      .welchTTest(ev.run(), "event_type", "click", "purchase", "value")
+    assert(bw.collect().toSeq == ow.collect().toSeq)
+    val bk = ev.ksTest("event_type", "click", "purchase", "value").run()
+    val ok = graft.operators.Stats
+      .ksTest(ev.run(), "event_type", "click", "purchase", "value")
+    assert(bk.collect().toSeq == ok.collect().toSeq)
+    val bm = ev.mannWhitney("event_type", "click", "purchase", "value").run()
+    val om = graft.operators.Stats
+      .mannWhitney(ev.run(), "event_type", "click", "purchase", "value")
+    assert(bm.collect().toSeq == om.collect().toSeq)
+    val bs = hdk.scan("lineitem").spearman("l_quantity", "l_extendedprice")
+      .run()
+    val os = graft.operators.Stats
+      .spearman(hdk.scan("lineitem").run(), "l_quantity", "l_extendedprice")
+    assert(bs.collect().toSeq == os.collect().toSeq)
+  }
 }

@@ -114,6 +114,26 @@ class StatsSpec extends AnyFunSuite {
     assert(r._2.isEmpty)
   }
 
+  test("spearman: monotone=1, reversed=-1, ties via midranks, constant NULL") {
+    val mono = (1 to 20).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").select("rho")
+      .as[Option[Double]].head().contains(1.0))
+    val rev = (1 to 20).map(i => (i.toDouble, (21 - i).toDouble))
+      .toDF("x", "y")
+    assert(Stats.spearman(rev, "x", "y").select("rho")
+      .as[Option[Double]].head().contains(-1.0))
+    // hand case with ties: x = 1,2,2,3 ; y = 10,20,20,40 → rho = 1
+    // (identical tie structure, same rank vectors)
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    assert(Stats.spearman(tied, "x", "y").select("rho")
+      .as[Option[Double]].head().contains(1.0))
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").select("rho")
+      .as[Option[Double]].head().isEmpty)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
   test("ndcgAtK: perfect ranking is 1, misranking penalized, no-rel NULL") {
