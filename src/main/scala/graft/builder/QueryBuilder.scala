@@ -220,6 +220,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def kCore(k: Int, maxIters: Int = 40): QueryNode =
     new QueryNode(graft.operators.Graph.kCore(df, k, maxIters))
 
+  /** Single-source BFS hop distances from `sources` — see
+    * [[graft.operators.Graph.bfsHops]]. */
+  def bfsHops(sources: QueryNode, undirected: Boolean = true,
+      maxIters: Int = 40): QueryNode =
+    new QueryNode(graft.operators.Graph
+      .bfsHops(df, sources.df, undirected, maxIters))
+
   /** OHLC downsampling of this node's observations — see
     * [[graft.operators.TimeJoins.ohlcBars]]. */
   def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,
@@ -242,6 +249,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.TimeJoins
       .rollingZScore(df, keyCol, tsCol, valCol, tieCol, span, minObs,
         threshold))
+
+  /** Classical additive seasonal decomposition — see
+    * [[graft.operators.TimeJoins.seasonalDecompose]]. */
+  def seasonalDecompose(keyCol: String, tCol: String, valCol: String,
+      period: Int = 24): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .seasonalDecompose(df, keyCol, tCol, valCol, period))
 
   // ----- change-data family at the builder surface (r9): diff derives
   // the changeset, upsert applies it, historize versions it — the same

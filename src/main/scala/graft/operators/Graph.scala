@@ -331,4 +331,74 @@ object Graph extends org.apache.spark.internal.Logging {
             (col("deg") * (col("deg") - lit(1.0))), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Single-source BFS hop distance (SURVEY.md §2 R41) — the reachability
+    * question [[connectedComponents]] answers yes/no to, graded by HOW
+    * FAR: `dist` = minimum hop count from any source node; unreached
+    * nodes are simply absent (no fabricated ∞ sentinel).
+    *
+    * Frontier BFS as join rounds: each round joins ONLY the current
+    * frontier against the edge frame (shuffle ∝ frontier degree sum,
+    * not the whole graph — the reason this beats a dist-relaxation
+    * rewrite that re-joins every labeled node every round), anti-joins
+    * the expansion against the settled set, and unions the survivors
+    * in at dist = round. Rounds = eccentricity of the source set,
+    * each round one edge join + one label-sized anti join.
+    *
+    * Loop discipline (the [[connectedComponents]] rules): the edge
+    * frame localCheckpoints ONCE; frontier and settled frames
+    * localCheckpoint per round behind a statsBarrier (an anti-join of
+    * two checkpointed frames still compounds propagated stats), and
+    * the previous round's blocks are released as soon as the next
+    * materializes. The convergence probe (frontier count) rides the
+    * frame the union needs anyway.
+    *
+    * `sources` is a 1-column frame of node ids — an aggregate or
+    * filter, never a collected literal, so the plan stays distributed.
+    * Exact integers only: nothing to round. */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+      undirected: Boolean = true, maxIters: Int = 40): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"))
+    val adj = (if (undirected)
+        fwd.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      else fwd).localCheckpoint()
+    var settled = sources.select(col(sources.columns.head).as("node_id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = settled
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      val next = org.apache.spark.sql.GraftShim.statsBarrier(
+        adj.join(frontier, adj("src") === frontier("node_id"))
+          .select(adj("dst").as("node_id")).distinct()
+          .join(settled, Seq("node_id"), "left_anti")
+          .withColumn("dist", lit(iter + 1L))
+          .localCheckpoint())
+      // the old frontier's job ends the moment `next` materializes
+      // (eager checkpoint above) — release it, except at round 0 where
+      // frontier IS the settled frame the anti-join still needs
+      if (!(frontier eq settled))
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
+      if (next.count() > 0) {
+        val merged = settled.union(next).localCheckpoint()
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(settled)
+        settled = merged
+        frontier = next
+      } else {
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(next)
+        done = true
+      }
+      iter += 1
+    }
+    if (!done && iter >= maxIters)
+      logWarning(s"bfsHops: frontier still live after $maxIters rounds; " +
+        "distances beyond the cutoff are absent")
+    // idempotent (unpersist is a no-op on released blocks): covers the
+    // maxIters exit where the last frontier was never superseded
+    if (!(frontier eq settled))
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
+    settled
+  }
 }

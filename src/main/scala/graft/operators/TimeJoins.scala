@@ -246,4 +246,98 @@ object TimeJoins {
             col("span_us").cast("double"), 6)))
       .drop("_ws")
   }
+
+  /** Classical additive seasonal decomposition (SURVEY.md §2 R40):
+    * value = trend + seasonal + residual per series key — the
+    * time-series triage every metrics pipeline runs before alerting on
+    * a raw number (is the spike a trend break, or just Tuesday?).
+    *
+    * Textbook construction (Hyndman & Athanasopoulos, FPP §6.3 —
+    * public knowledge; the reference has no decomposition operator):
+    * trend is the centered moving average over one full `period` (odd
+    * period → plain ±h window; even period → the standard 2×m MA with
+    * half-weighted endpoints, i.e. (x₋ₕ/2 + Σ₋ₕ₊₁..ₕ₋₁ x + xₕ/2)/p);
+    * seasonal is the per-phase mean of the detrended values, centered
+    * so one period's seasonal effects sum to ~0; residual is what's
+    * left. Phase is CALENDAR-ANCHORED — `tCol` mod period on an
+    * integer bucket index — so a gap in the series cannot rotate every
+    * later observation into the wrong phase (a row_number phase
+    * would). Trend windows are ROWS-based and emitted only where the
+    * full period is present: edges and gap-adjacent rows get honest
+    * NULLs, never a partial-window fabrication. Input should be a
+    * regular (densified) series — [[resampleFfill]] is the upstream
+    * densifier when it isn't.
+    *
+    * Cross-engine determinism (§6 discipline): values round 6dp and
+    * accumulate as DECIMAL(38,6) inside every window/group sum (exact,
+    * order-free), each mean is ONE IEEE division of exactly-agreed
+    * operands rounded 6dp, and the final subtractions are IEEE ops on
+    * exact 6dp operands — bit-equal in any engine.
+    *
+    * Scale: two window passes over the series key (ROWS-bounded
+    * O(period) frames plus one lag/lead pair), one (key, phase)
+    * partial-agg'd groupBy whose output is keys×period rows, a
+    * period-bounded per-key window on that tiny frame, and one join
+    * back on (key, phase) that AQE broadcasts. Parallelism is the
+    * number of series; a single series never shuffles twice.
+    */
+  def seasonalDecompose(obs: DataFrame, keyCol: String, tCol: String,
+      valCol: String, period: Int = 24): DataFrame = {
+    require(period >= 3, "period must be >= 3")
+    val h = period / 2
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val v6 = round(col(valCol), 6).cast("decimal(18,6)")
+    val trend =
+      if (period % 2 == 1) {
+        val w = wOrd.rowsBetween(-h, h)
+        // count AND span: a ROWS frame slides blindly across a gap, so
+        // both conditions are needed for "period CONSECUTIVE buckets"
+        when(count(col("_v6")).over(w) === period &&
+            max(col(tCol)).over(w) - min(col(tCol)).over(w)
+              === period - 1,
+          round(sum(col("_v6")).over(w).cast("double") / period, 6))
+      } else {
+        // 2×m MA: double every weight so the accumulator stays integral
+        // in DECIMAL — (2·Σ inner + lo + hi) / 2p, one IEEE division.
+        val wIn = wOrd.rowsBetween(-(h - 1), h - 1)
+        val lo = lag(col("_v6"), h).over(wOrd)
+        val hi = lead(col("_v6"), h).over(wOrd)
+        when(count(col("_v6")).over(wIn) === period - 1 &&
+            max(col(tCol)).over(wIn) - min(col(tCol)).over(wIn)
+              === period - 2 &&
+            lag(col(tCol), h).over(wOrd) === col(tCol) - h &&
+            lead(col(tCol), h).over(wOrd) === col(tCol) + h,
+          round((sum(col("_v6")).over(wIn).cast("decimal(38,6)") * 2 +
+            lo + hi).cast("double") / (2.0 * period), 6))
+      }
+    val withTrend = obs
+      .withColumn("_v6", v6)
+      .withColumn("trend", trend)
+      .withColumn("phase", pmod(col(tCol), lit(period)))
+    val seasRaw = withTrend
+      .filter(col("trend").isNotNull)
+      .withColumn("_det",
+        round(col("_v6").cast("double") - col("trend"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(keyCol), col("phase"))
+      .agg(sum(col("_det")).cast("decimal(38,6)").as("_ds"),
+        count(lit(1)).as("_dn"))
+      .withColumn("_seas_raw",
+        round(col("_ds").cast("double") / col("_dn").cast("double"), 6))
+    val wKey = Window.partitionBy(col(keyCol)) // ≤ period rows per key
+    val seasonal = seasRaw
+      .withColumn("_mean",
+        round(sum(col("_seas_raw").cast("decimal(18,6)")).over(wKey)
+            .cast("double") /
+          count(lit(1)).over(wKey).cast("double"), 6))
+      .select(col(keyCol), col("phase"),
+        round(col("_seas_raw") - col("_mean"), 6).as("seasonal"))
+    withTrend
+      .join(seasonal, Seq(keyCol, "phase"), "left")
+      .withColumn("residual",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          round(col("_v6").cast("double") - col("trend")
+            - col("seasonal"), 6)))
+      .drop("_v6")
+  }
 }

@@ -1937,9 +1937,109 @@ object ExtendedQueries {
           THEN round(cov / sqrt(vx * vy), 6) END AS rho
       FROM v"""))
 
+  // Classical additive seasonal decomposition (R40,
+  // TimeJoins.seasonalDecompose): hourly event counts per type split
+  // into trend (2×24 centered MA — the even-period branch) + daily
+  // seasonal + residual. Counts are exact integers and every mean is
+  // one IEEE division of DECIMAL-exact sums, so the whole
+  // decomposition is bit-equal cross-engine.
+  private val q79 = Q(
+    "q79_seasonal",
+    (s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.TimeJoins.seasonalDecompose(series, "event_type",
+          "hr", "value", period = 24)
+        .orderBy(col("event_type"), col("hr"))
+    },
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT k, hr, CAST(round(v, 6) AS DECIMAL(18,6)) AS v6 FROM s),
+      w AS (SELECT k, hr, v6,
+          count(v6) OVER win AS n_in,
+          max(hr) OVER win - min(hr) OVER win AS span_in,
+          CAST(sum(v6) OVER win AS DECIMAL(38,6)) AS s_in,
+          lag(v6, 12) OVER wo AS lo,
+          lead(v6, 12) OVER wo AS hi,
+          lag(hr, 12) OVER wo AS lot,
+          lead(hr, 12) OVER wo AS hit,
+          hr % 24 AS phase
+        FROM b
+        WINDOW win AS (PARTITION BY k ORDER BY hr
+            ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
+          wo AS (PARTITION BY k ORDER BY hr)),
+      tr AS (SELECT k, hr, v6, phase,
+          CASE WHEN n_in = 23 AND span_in = 22
+              AND lot = hr - 12 AND hit = hr + 12
+            THEN round(CAST(s_in * 2 + lo + hi AS DOUBLE) / 48.0, 6)
+            END AS trend
+        FROM w),
+      sr AS (SELECT k, phase,
+          round(CAST(sum(CAST(round(CAST(v6 AS DOUBLE) - trend, 6)
+              AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS seas_raw
+        FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sc AS (SELECT k, phase,
+          round(seas_raw
+            - round(CAST(sum(CAST(seas_raw AS DECIMAL(18,6)))
+                OVER (PARTITION BY k) AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE), 6), 6)
+            AS seasonal
+        FROM sr)
+      SELECT tr.k AS event_type, tr.hr, CAST(tr.v6 AS DOUBLE) AS value,
+        tr.phase, tr.trend, sc.seasonal,
+        CASE WHEN tr.trend IS NOT NULL AND sc.seasonal IS NOT NULL
+          THEN round(CAST(tr.v6 AS DOUBLE) - tr.trend - sc.seasonal, 6)
+          END AS residual
+      FROM tr LEFT JOIN sc ON tr.k = sc.k AND tr.phase = sc.phase
+      ORDER BY event_type, hr"""))
+
+  // Single-source BFS hop distance (R41, Graph.bfsHops) over the q62
+  // customer–supplier graph, source = the minimum node id (a 1-row
+  // aggregate frame, never a collected literal). Distances are exact
+  // integers; the oracle walks the same graph with a bounded
+  // recursive CTE and takes min(dist) per node.
+  private val q80 = Q(
+    "q80_bfs",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && pmod(col("o_custkey"), lit(20)) === pmod(col("l_suppkey"), lit(20)))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val src = edges.agg(min(col("src")).as("node_id"))
+      graft.operators.Graph.bfsHops(edges, src)
+        .orderBy(col("node_id"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND o_custkey % 20 = l_suppkey % 20
+        WHERE o_orderkey % 7 = 0),
+      edges AS (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+      s AS (SELECT min(src) AS node_id FROM e0),
+      r(node_id, dist) AS (
+        SELECT node_id, CAST(0 AS BIGINT) FROM s
+        UNION
+        SELECT e.b, r.dist + 1 FROM r JOIN edges e ON r.node_id = e.a
+          WHERE r.dist < 40)
+      SELECT node_id, min(dist) AS dist FROM r
+      GROUP BY 1 ORDER BY node_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 }

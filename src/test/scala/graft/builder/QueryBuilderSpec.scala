@@ -260,6 +260,11 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bk = edges.kCore(k = 2).run()
     val ok = graft.operators.Graph.kCore(eDf, k = 2)
     assert(bk.exceptAll(ok).isEmpty && ok.exceptAll(bk).isEmpty)
+    val bb = edges.bfsHops(edges.projExprs(("node_id", min(col("src")))))
+      .run()
+    val ob = graft.operators.Graph.bfsHops(eDf,
+      eDf.select(min(col("src")).as("node_id")))
+    assert(bb.exceptAll(ob).isEmpty && ob.exceptAll(bb).isEmpty)
     // and composes onward: top-degree nodes through the mini-language
     val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
       .limit(5).run().collect()
@@ -282,6 +287,19 @@ class QueryBuilderSpec extends AnyFunSuite {
     val oz = graft.operators.TimeJoins
       .rollingZScore(evDf, "user_id", "ts", "value", "event_id")
     assert(bz.exceptAll(oz).isEmpty && oz.exceptAll(bz).isEmpty)
+    val series = ev.projExprs(
+        ("user_id", col("user_id")),
+        ("hr", expr("unix_micros(date_trunc('hour', ts)) div 3600000000")))
+      .agg(Seq("user_id", "hr"), "count")
+      .projExprs(
+        ("user_id", col("user_id")), ("hr", col("hr")),
+        ("value", col("count").cast("double")))
+    val bs = series.seasonalDecompose("user_id", "hr", "value",
+      period = 5).run()
+    val os = graft.operators.TimeJoins
+      .seasonalDecompose(series.run(), "user_id", "hr", "value",
+        period = 5)
+    assert(bs.exceptAll(os).isEmpty && os.exceptAll(bs).isEmpty)
     // and composes onward through the mini-language
     val top = ev.ohlc("user_id", "ts", "value", "event_id")
       .sort(("n_obs", "desc"), ("user_id", "asc"), ("bucket", "asc"))

@@ -146,4 +146,37 @@ class GraphSpec extends AnyFunSuite {
     val core = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("bfsHops: min-hop distances, shortcut wins, unreachable absent") {
+    // 1—2—3—4 path plus shortcut 1—4; island 9—10 is unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L))
+      .toDF("src", "dst")
+    val src = Seq(Tuple1(1L)).toDF("node_id")
+    val got = Graph.bfsHops(edges, src).as[(Long, Long)].collect().toMap
+    // 4 is at hop 1 via the shortcut, NOT 3 via the path
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: directed mode follows edge direction only") {
+    // 1→2→3 and 3→1: from 1, directed reaches 2 then 3; node 0←1? no,
+    // 0→1 points INTO the source so 0 stays unreached
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (0L, 1L))
+      .toDF("src", "dst")
+    val src = Seq(Tuple1(1L)).toDF("node_id")
+    val dir = Graph.bfsHops(edges, src, undirected = false)
+      .as[(Long, Long)].collect().toMap
+    assert(dir == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val undir = Graph.bfsHops(edges, src).as[(Long, Long)].collect().toMap
+    assert(undir == Map(1L -> 0L, 2L -> 1L, 0L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops: multi-source takes the nearest source") {
+    // sources 1 and 5 on a path 1—2—3—4—5: node 3 is 2 from both,
+    // node 4 is 1 from source 5 (not 3 from source 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val src = Seq(Tuple1(1L), Tuple1(5L)).toDF("node_id")
+    val got = Graph.bfsHops(edges, src).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }

@@ -143,4 +143,61 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, None)))
     assert(got(3L) == ((2L, None)))
   }
+
+  test("seasonalDecompose: odd period recovers a planted phase effect") {
+    // v = 10 + s(t mod 3), s = (0, 3, -3) — trend must be flat 10,
+    // seasonal must recover s exactly, residual 0, edges NULL.
+    val obs = (0L to 8L).map(t0 =>
+      (1L, t0, 10.0 + Seq(0.0, 3.0, -3.0)((t0 % 3).toInt)))
+      .toDF("k", "t", "value")
+    val got = TimeJoins.seasonalDecompose(obs, "k", "t", "value", 3)
+      .select("t", "trend", "seasonal", "residual")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L)._1.isEmpty && got(8L)._1.isEmpty) // edges
+    (1L to 7L).foreach { t0 =>
+      assert(got(t0)._1.contains(10.0), s"trend at $t0")
+      assert(got(t0)._3.contains(0.0), s"residual at $t0")
+    }
+    assert(got(3L)._2.contains(0.0))  // phase 0
+    assert(got(4L)._2.contains(3.0))  // phase 1
+    assert(got(5L)._2.contains(-3.0)) // phase 2
+  }
+
+  test("seasonalDecompose: even period 2xm MA is exact on a linear series") {
+    // v = t is pure trend: the half-weighted endpoints make the 2×4 MA
+    // reproduce t exactly; seasonal collapses to 0 everywhere.
+    val obs = (0L to 7L).map(t0 => (1L, t0, t0.toDouble))
+      .toDF("k", "t", "value")
+    val got = TimeJoins.seasonalDecompose(obs, "k", "t", "value", 4)
+      .select("t", "trend", "seasonal", "residual")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (0L to 1L).foreach(t0 => assert(got(t0)._1.isEmpty))
+    (6L to 7L).foreach(t0 => assert(got(t0)._1.isEmpty))
+    (2L to 5L).foreach { t0 =>
+      assert(got(t0)._1.contains(t0.toDouble), s"trend at $t0")
+      assert(got(t0)._2.contains(0.0), s"seasonal at $t0")
+      assert(got(t0)._3.contains(0.0), s"residual at $t0")
+    }
+  }
+
+  test("seasonalDecompose: a gap NULLs the straddling trends, not the phases") {
+    // Same planted pattern with bucket 4 missing: a blind ROWS frame
+    // would fabricate trends at t=3 and t=5; the span guard NULLs them.
+    val obs = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L).map(t0 =>
+      (1L, t0, 10.0 + Seq(0.0, 3.0, -3.0)((t0 % 3).toInt)))
+      .toDF("k", "t", "value")
+    val got = TimeJoins.seasonalDecompose(obs, "k", "t", "value", 3)
+      .select("t", "trend", "seasonal")
+      .as[(Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L)._1.isEmpty && got(5L)._1.isEmpty) // straddle the gap
+    Seq(1L, 2L, 6L).foreach(t0 =>
+      assert(got(t0)._1.contains(10.0), s"trend at $t0"))
+    // phases stay calendar-anchored: seasonal still recovers s exactly
+    assert(got(6L)._2.contains(0.0))
+    assert(got(1L)._2.contains(3.0))
+    assert(got(2L)._2.contains(-3.0))
+  }
 }
