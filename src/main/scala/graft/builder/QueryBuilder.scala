@@ -316,6 +316,10 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def spearman(xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.spearman(df, xCol, yCol))
 
+  /** Kendall tau-b — see [[graft.operators.Stats.kendallTau]]. */
+  def kendallTau(xCol: String, yCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.kendallTau(df, xCol, yCol))
+
   /** Benford first-digit conformance — see
     * [[graft.operators.Stats.benford]]. */
   def benford(valCol: String, scale: Int = 2): QueryNode =

@@ -436,4 +436,82 @@ object Stats {
       when(col("n") >= 2 && vx > 0 && vy > 0,
         round(cov / sqrt(vx * vy), 6)).as("rho"))
   }
+
+  /** Kendall tau-b rank correlation (SURVEY.md §2 A14) — the
+    * concordant-vs-discordant-PAIRS member of the correlation family
+    * ([[spearman]] compares rank values; this one counts inversions,
+    * the statistic behind "how often do the two orderings agree?").
+    * Rows with a NULL in either column are out of scope.
+    *
+    * Exact in O(|X|·|Y|) instead of O(n²): concordant/discordant pair
+    * counts come from 2D CUMULATIVE counts over the full value grid
+    * (the [[chiSquare]] full-grid contract — at least one column should
+    * be bounded-cardinality; discretize an unbounded one first, e.g.
+    * width_bucket). With cum = Σ_{x'≤x,y'≤y}, cx = Σ_{x'≤x} at this y,
+    * cy = Σ_{y'≤y} at this x, inclusion-exclusion gives the strictly
+    * below-left mass LT = cum − cx − cy + n and the below-right mass
+    * GL = (TX − tx) − (cum − cy); then P = Σ n·LT, Q = Σ n·GL count
+    * each pair exactly once. tau_b = 2(P−Q)/√((n0−n1)(n0−n2)) on the
+    * DOUBLED tie terms n0 = n(n−1), n1 = Σ tx(tx−1), n2 = Σ ty(ty−1).
+    * Every moment is DECIMAL(38,0) (order-free, engine-exact); tau is
+    * ONE IEEE expression rounded 6dp. NULL when n < 2 or either column
+    * is constant (zero pair variance).
+    *
+    * Scale: one (x,y) cell aggregate (partial-agg'd — rows collapse
+    * map-side), a |X|×|Y| grid cross join, windows partitioned by the
+    * OTHER axis (frames bounded by axis cardinality, never by n), one
+    * final 1-row moment aggregate. Raw rows shuffle exactly once. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+    val cells = rows.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn")).localCheckpoint()
+    val grid = cells.select(col("x")).distinct()
+      .crossJoin(cells.select(col("y")).distinct())
+      .join(cells, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("cn"))
+    val wX = W.partitionBy(col("y")).orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wY = W.partitionBy(col("x")).orderBy(col("y"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wTx = W.orderBy(col("x")) // distinct-x frame: |X| rows, bounded
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum2d = grid
+      .withColumn("cx", sum(col("cn")).over(wX))
+      .withColumn("cy", sum(col("cn")).over(wY))
+      .withColumn("cum", sum(col("cx")).over(wY))
+    val xTot = cells.groupBy(col("x")).agg(sum(col("cn")).as("tx"))
+      .withColumn("txc", sum(col("tx")).over(wTx))
+    val dec = "decimal(38,0)"
+    val marg = cells.select(col("x"), col("cn"))
+      .groupBy(col("x")).agg(sum(col("cn")).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1)),
+        lit(0).cast(dec)).as("n1m"))
+      .crossJoin(cells.select(col("y"), col("cn"))
+        .groupBy(col("y")).agg(sum(col("cn")).as("t"))
+        .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1)),
+          lit(0).cast(dec)).as("n2m")))
+    val pq = cum2d.filter(col("cn") > 0)
+      .join(broadcast(xTot), Seq("x"))
+      .select(col("cn").cast(dec).as("cn"),
+        (col("cum") - col("cx") - col("cy") + col("cn")).cast(dec)
+          .as("lt"),
+        ((col("txc") - col("tx")) - (col("cum") - col("cy"))).cast(dec)
+          .as("gl"))
+      .agg(coalesce(sum(col("cn") * col("lt")), lit(0).cast(dec)).as("p"),
+        coalesce(sum(col("cn") * col("gl")), lit(0).cast(dec)).as("q"),
+        coalesce(sum(col("cn")), lit(0).cast(dec)).as("n"))
+    val m = pq.crossJoin(marg).localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(cells)
+    val n0m = (col("n") * (col("n") - 1)).cast("decimal(38,0)")
+    val den = (n0m - col("n1m")).cast("double") *
+      (n0m - col("n2m")).cast("double")
+    m.select(col("n").cast("long").as("n"),
+      when(col("n") >= 2 && den > 0,
+        round(lit(2.0) * (col("p") - col("q")).cast("double") /
+          sqrt(den), 6)).as("tau"))
+  }
 }

@@ -2037,9 +2037,74 @@ object ExtendedQueries {
       SELECT node_id, min(dist) AS dist FROM r
       GROUP BY 1 ORDER BY node_id"""))
 
+  // Kendall tau-b (A14, Stats.kendallTau): quantity vs bucketed price
+  // over lineitem — the y axis is width_bucket-discretized to meet the
+  // operator's bounded-grid contract. Every pair count is exact
+  // integer arithmetic over the 2D cumulative grid; only the final
+  // tau is IEEE, rounded 6dp.
+  private val q81 = Q(
+    "q81_kendall",
+    (s, d) => {
+      val price = col("l_extendedprice").cast("double")
+      val li = t(s, d, "lineitem")
+        .select(col("l_quantity").as("x"),
+          // explicit bucket arithmetic (identical IEEE expression in
+          // the oracle — q22 proves width_bucket itself)
+          when(price < 900.0, lit(0L))
+            .when(price >= 105000.0, lit(65L))
+            .otherwise(floor((price - 900.0) * 64.0 / 104100.0)
+              .cast("long") + 1)
+            .as("y"))
+      graft.operators.Stats.kendallTau(li, "x", "y")
+    },
+    Some("""WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+          CAST(CASE WHEN CAST(l_extendedprice AS DOUBLE) < 900.0 THEN 0
+            WHEN CAST(l_extendedprice AS DOUBLE) >= 105000.0 THEN 65
+            ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0)
+              * 64.0 / 104100.0) AS BIGINT) + 1 END AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn
+        FROM r GROUP BY 1, 2),
+      grid AS (SELECT xs.x, ys.y, coalesce(c.cn, 0) AS cn
+        FROM (SELECT DISTINCT x FROM cells) xs
+        CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        LEFT JOIN cells c ON xs.x = c.x AND ys.y = c.y),
+      c1 AS (SELECT x, y, cn,
+          CAST(sum(cn) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS cx,
+          CAST(sum(cn) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS cy
+        FROM grid),
+      c2 AS (SELECT x, y, cn, cx, cy,
+          CAST(sum(cx) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS cum
+        FROM c1),
+      xt AS (SELECT x, CAST(sum(cn) AS BIGINT) AS tx FROM cells GROUP BY 1),
+      xtc AS (SELECT x, tx,
+          CAST(sum(tx) OVER (ORDER BY x) AS BIGINT) AS txc FROM xt),
+      pq AS (SELECT
+          coalesce(sum(CAST(c2.cn AS HUGEINT)
+            * (c2.cum - c2.cx - c2.cy + c2.cn)), 0) AS p,
+          coalesce(sum(CAST(c2.cn AS HUGEINT)
+            * ((xtc.txc - xtc.tx) - (c2.cum - c2.cy))), 0) AS q,
+          CAST(coalesce(sum(c2.cn), 0) AS HUGEINT) AS n
+        FROM c2 JOIN xtc ON c2.x = xtc.x WHERE c2.cn > 0),
+      m AS (SELECT p, q, n,
+          (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            FROM (SELECT sum(cn) AS t FROM cells GROUP BY x)) AS n1m,
+          (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            FROM (SELECT sum(cn) AS t FROM cells GROUP BY y)) AS n2m
+        FROM pq)
+      SELECT CAST(n AS BIGINT) AS n,
+        CASE WHEN n >= 2
+            AND CAST(n * (n - 1) - n1m AS DOUBLE)
+              * CAST(n * (n - 1) - n2m AS DOUBLE) > 0
+          THEN round(2.0 * CAST(p - q AS DOUBLE)
+            / sqrt(CAST(n * (n - 1) - n1m AS DOUBLE)
+              * CAST(n * (n - 1) - n2m AS DOUBLE)), 6) END AS tau
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }

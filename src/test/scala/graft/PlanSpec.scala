@@ -492,7 +492,9 @@ class CsvSourceSpec extends AnyFunSuite {
       "q77_mwu" ->
         "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankedHistogram)",
       "q78_spearman" ->
-        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankMap ×2)")
+        "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankMap ×2)",
+      "q81_kendall" ->
+        "cum-sum over the distinct-x-axis aggregate of the dominance grid (Stats.kendallTau — the A14 bounded-grid contract: |X|=50 quantities here; an unbounded axis must be width_bucket-discretized first, as q81's y axis is)")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     var found = 0
     def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {

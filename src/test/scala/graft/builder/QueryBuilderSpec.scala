@@ -358,5 +358,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val os = graft.operators.Stats
       .spearman(hdk.scan("lineitem").run(), "l_quantity", "l_extendedprice")
     assert(bs.collect().toSeq == os.collect().toSeq)
+    val bt = hdk.scan("lineitem").kendallTau("l_quantity", "l_linenumber")
+      .run()
+    val ot = graft.operators.Stats
+      .kendallTau(hdk.scan("lineitem").run(), "l_quantity", "l_linenumber")
+    assert(bt.collect().toSeq == ot.collect().toSeq)
   }
 }

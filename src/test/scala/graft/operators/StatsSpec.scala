@@ -134,6 +134,38 @@ class StatsSpec extends AnyFunSuite {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("kendall: concordant=1, discordant=-1, hand tie case, constant NULL") {
+    val mono = (1 to 10).map(i => (i.toDouble, (i * 3).toDouble))
+      .toDF("x", "y")
+    assert(Stats.kendallTau(mono, "x", "y").select("tau")
+      .as[Option[Double]].head().contains(1.0))
+    val rev = (1 to 10).map(i => (i.toDouble, (11 - i).toDouble))
+      .toDF("x", "y")
+    assert(Stats.kendallTau(rev, "x", "y").select("tau")
+      .as[Option[Double]].head().contains(-1.0))
+    // hand case: (1,1),(1,2),(2,3) → P=2, Q=0, n0=3·2=6 (doubled),
+    // n1 = 2·1 = 2 (x tie), n2 = 0 → tau = 2·2/√(4·6) = 0.816497
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("x", "y")
+    assert(Stats.kendallTau(tied, "x", "y").select("tau")
+      .as[Option[Double]].head().contains(0.816497))
+    // a tie in BOTH axes: (1,1),(2,2),(2,2),(3,1) →
+    // pairs: (1,1)-(2,2)×2 concordant, (1,1)-(3,1) tied y,
+    // (2,2)-(2,2) tied both, (2,2)-(3,1)×2 discordant →
+    // P=2, Q=2, n1m=2, n2m=2+2=4, n0m=12 → tau = 0
+    val both = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 2.0), (3.0, 1.0))
+      .toDF("x", "y")
+    assert(Stats.kendallTau(both, "x", "y").select("tau")
+      .as[Option[Double]].head().contains(0.0))
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Stats.kendallTau(const, "x", "y").select("tau")
+      .as[Option[Double]].head().isEmpty)
+    // NULL rows are out of scope, single row → NULL
+    val one = Seq((Some(1.0), Some(1.0)), (None, Some(2.0)))
+      .toDF("x", "y")
+    assert(Stats.kendallTau(one, "x", "y").select("tau")
+      .as[Option[Double]].head().isEmpty)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 
   test("ndcgAtK: perfect ranking is 1, misranking penalized, no-rel NULL") {
