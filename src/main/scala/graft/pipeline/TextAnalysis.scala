@@ -954,4 +954,82 @@ object TextAnalysis {
         sum(col("tscore").cast("decimal(18,6)")).cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
+
+  // --------------------------------------- DSIR importance reweighting
+  /** Data Selection via Importance Resampling weights (SURVEY.md §2
+    * P28; Xie et al. 2023, public method) — scores every raw document
+    * by how much it LOOKS LIKE a target slice: log w(x) =
+    * Σ_features [ln p_target(b) − ln p_raw(b)] over hashed n-gram
+    * features, the importance ratio between two bag-of-hashed-ngrams
+    * models. The [[withReferenceXent]] CCNet discriminator asks "is
+    * this fluent reference-like text"; this one asks the DOMAIN
+    * question ("is this medical/legal/wiki-like"), and its weights
+    * feed the mixture/selection family (rank by log_weight into
+    * [[graft.pipeline.Packing.bucketByRank]], or threshold-keep).
+    *
+    * Features are unigrams + word bigrams hashed into `nBuckets`
+    * buckets with the repo's fully-specified (h·31+cp) mod 2^32
+    * polynomial ([[withFingerprint]]'s), so the whole feature pipeline
+    * is engine-replayable; both distributions are add-one smoothed
+    * over the bucket domain. Per-bucket log-ratios round 6dp (the
+    * [[withBigramXent]] ln discipline), per-doc sums accumulate as
+    * DECIMAL(38,6) (exact, order-free), log_weight rounds 4dp.
+    * `targetCol` is a caller-provided boolean column; docs with no
+    * features get n_feats 0 and a NULL weight.
+    *
+    * Scale: one explode to the feature stream (narrow), two
+    * partial-agg'd bucket counts (≤ nBuckets rows each), a broadcast
+    * lp-table join back, one per-doc aggregate. The raw corpus
+    * shuffles once, on the doc id; the model is nBuckets rows — at
+    * 100 TB the target slice is typically tiny and the bucket tables
+    * broadcast regardless of corpus size. */
+  def withImportanceWeights(docs: DataFrame, targetCol: String,
+      nBuckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def charPoly(s: String) =
+      s"""aggregate(transform(split($s, ''), ch -> cast(ascii(ch) as bigint)),
+            0L, (h, cd) -> (h * 31 + cd) % 4294967296)"""
+    val toksSql = s"split(trim(lower($textCol)), '\\\\s+')"
+    val uniSql = s"transform($toksSql, tk -> ${charPoly("tk")} % $nBuckets)"
+    val biSql =
+      s"""transform(
+           slice(zip_with($toksSql, slice($toksSql, 2, size($toksSql)),
+             (a, b) -> concat(a, ' ', b)),
+           1, greatest(size($toksSql) - 1, 0)),
+           bg -> ${charPoly("bg")} % $nBuckets)"""
+    val feats = docs
+      .select(col("doc_id"), col(targetCol).as("in_target"),
+        explode(expr(s"concat($uniSql, $biSql)")).as("b"))
+      .persist()
+    val rc = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = feats.filter(col("in_target")).groupBy("b")
+      .agg(count(lit(1)).as("tc"))
+    val tot = feats.agg(count(lit(1)).as("rn"),
+      count(when(col("in_target"), 1)).as("tn"))
+    val lp = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            (col("tn") + lit(nBuckets.toDouble))) -
+          log((col("rc") + lit(1.0)) /
+            (col("rn") + lit(nBuckets.toDouble))), 6).as("lp"))
+    val scored = feats.join(broadcast(lp), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lp").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("_s"))
+      // round the exact DECIMAL, then cast: rounding a near-boundary
+      // double diverges across engines (Java's shortest-repr BigDecimal
+      // vs the true binary value); rounding the decimal is exact both
+      .withColumn("log_weight", round(col("_s"), 4).cast("double"))
+    val out = docs.select(col("doc_id"), col(targetCol).as("in_target"))
+      .join(scored.select(col("doc_id"), col("n_feats"),
+        col("log_weight")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_weight"))
+      .localCheckpoint()
+    feats.unpersist()
+    out
+  }
 }

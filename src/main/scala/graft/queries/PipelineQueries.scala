@@ -2601,6 +2601,56 @@ object PipelineQueries {
         CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
       FROM a"""))
 
+  // P28: DSIR importance reweighting — hashed unigram+bigram bag
+  // models of a target slice vs the raw corpus; log-ratio weights.
+  // The oracle replays the identical mod-2^32 char polynomial, the
+  // bucket hashing, both smoothed distributions, and the 6dp/4dp
+  // rounding ladder — a hash match proves the whole feature pipeline.
+  private val textDsir = Q(
+    "text_dsir",
+    (s, d) =>
+      TextAnalysis.withImportanceWeights(
+          Tables.load(s, d, "documents")
+            .withColumn("is_tgt", col("source").isin("src0", "src1")),
+          "is_tgt")
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS in_target,
+          string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      uf AS (SELECT doc_id, in_target,
+          unnest(list_transform(ts, tk ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(tk, '.'),
+                  ch -> CAST(unicode(ch) AS BIGINT))),
+              (h, cd) -> (h * 31 + cd) % 4294967296) % 4096)) AS b
+        FROM t),
+      bf AS (SELECT doc_id, in_target,
+          unnest(list_transform(
+            [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))], bg ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(bg, '.'),
+                  ch -> CAST(unicode(ch) AS BIGINT))),
+              (h, cd) -> (h * 31 + cd) % 4294967296) % 4096)) AS b
+        FROM t WHERE len(ts) >= 2),
+      f AS (SELECT * FROM uf UNION ALL SELECT * FROM bf),
+      rc AS (SELECT b, count(*) AS rc FROM f GROUP BY 1),
+      tc AS (SELECT b, count(*) AS tc FROM f WHERE in_target GROUP BY 1),
+      tot AS (SELECT count(*) AS rn,
+          count(*) FILTER (in_target) AS tn FROM f),
+      lp AS (SELECT b,
+          round(ln((coalesce(tc, 0) + 1.0) / (tn + 4096.0))
+            - ln((rc + 1.0) / (rn + 4096.0)), 6) AS lp
+        FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          CAST(round(sum(CAST(lp AS DECIMAL(18,6))), 4) AS DOUBLE)
+            AS log_weight
+        FROM f JOIN lp USING (b) GROUP BY 1)
+      SELECT d.doc_id, d.source IN ('src0', 'src1') AS in_target,
+        coalesce(s.n_feats, CAST(0 AS BIGINT)) AS n_feats, s.log_weight
+      FROM documents d LEFT JOIN sc s USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25, textBm25Stored, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
@@ -2615,7 +2665,8 @@ object PipelineQueries {
     mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,
     packWindows, packBatches,
-    textVocab, textEncode, textTfidf, textXent, textRefXent, qualityBuckets,
+    textVocab, textEncode, textTfidf, textXent, textRefXent, textDsir,
+    qualityBuckets,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
     heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,

@@ -434,4 +434,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(("s1", "s3")) == r(("s2", "s3")),
       "s1 and s2 have the same distribution, so same drift vs s3")
   }
+
+  test("importanceWeights: target-domain text outranks off-domain text") {
+    // target slice talks about medicine; raw corpus mixes in sports.
+    // A held-out medical doc must get a HIGHER log-weight than the
+    // sports doc, and an empty doc scores NULL with 0 features.
+    val docs = Seq(
+      (0L, "the patient received a clinical dose of the trial drug", true),
+      (1L, "clinical trial patients received the dose twice daily", true),
+      (2L, "the clinical trial reported patient outcomes for the drug", false),
+      (3L, "the striker scored twice and the match ended in a draw", false),
+      (4L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.withImportanceWeights(docs, "is_tgt",
+        nBuckets = 512)
+      .select("doc_id", "n_feats", "log_weight")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(got(2L)._2.get > got(3L)._2.get,
+      s"medical ${got(2L)} must outrank sports ${got(3L)}")
+    // weight of target members is the highest of all (they ARE the model)
+    assert(got(0L)._2.get > got(3L)._2.get)
+    // feature count = unigrams + bigrams = 10 + 9 for doc 0
+    assert(got(0L)._1 == 19L)
+    // empty doc: split('', '\\s+') yields one empty token -> 1 unigram
+    // feature, matching the fingerprint family's convention
+    assert(got(4L)._1 == 1L)
+  }
 }
