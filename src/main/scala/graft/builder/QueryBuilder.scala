@@ -227,6 +227,11 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Graph
       .bfsHops(df, sources.df, undirected, maxIters))
 
+  /** Degree assortativity — see
+    * [[graft.operators.Graph.assortativity]]. */
+  def assortativity(): QueryNode =
+    new QueryNode(graft.operators.Graph.assortativity(df))
+
   /** OHLC downsampling of this node's observations — see
     * [[graft.operators.TimeJoins.ohlcBars]]. */
   def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,
@@ -256,6 +261,20 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
       period: Int = 24): QueryNode =
     new QueryNode(graft.operators.TimeJoins
       .seasonalDecompose(df, keyCol, tCol, valCol, period))
+
+  /** CUSUM mean-shift detection — see
+    * [[graft.operators.TimeJoins.cusum]]. */
+  def cusum(keyCol: String, tCol: String, valCol: String,
+      slack: Double = 0.5, threshold: Double = 5.0): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .cusum(df, keyCol, tCol, valCol, slack, threshold))
+
+  /** Autocorrelation at lags 1..maxLag — see
+    * [[graft.operators.TimeJoins.acf]]. */
+  def acf(keyCol: String, tCol: String, valCol: String,
+      maxLag: Int = 5): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .acf(df, keyCol, tCol, valCol, maxLag))
 
   // ----- change-data family at the builder surface (r9): diff derives
   // the changeset, upsert applies it, historize versions it — the same

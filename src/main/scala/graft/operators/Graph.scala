@@ -332,6 +332,58 @@ object Graph extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Degree assortativity coefficient (SURVEY.md §2 R44; Newman 2002,
+    * public) — do high-degree nodes attach to high-degree nodes? The
+    * one-number mixing summary that separates social-style graphs
+    * (r > 0) from infrastructure/biology-style hubs-to-leaves graphs
+    * (r < 0), and the sanity probe to run before trusting
+    * [[pageRank]]/[[kCore]] structure on a derived edge set.
+    *
+    * r = Pearson correlation of (deg(u), deg(v)) over the DIRECTED
+    * expansion of the canonical undirected edge set (each edge counted
+    * in both orientations — the standard estimator, which also makes
+    * the two marginals identical so one set of moments suffices).
+    * Degrees are exact integers: every moment is DECIMAL(38,0)
+    * (order-free, engine-exact); r is ONE IEEE expression rounded 6dp,
+    * NULL for a degree-regular graph (zero variance).
+    *
+    * Scale: canonicalize + degree count (one shuffle), two hash joins
+    * of the edge list against the node-sized degree frame, ONE
+    * partial-agg'd 1-row moment aggregate. No window, no iteration. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("u").as("node_id"))
+      .unionAll(canon.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    val bidir = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+    val dec = "decimal(38,0)"
+    val m = bidir
+      .join(deg.select(col("node_id").as("a"), col("deg").as("da")),
+        Seq("a"))
+      .join(deg.select(col("node_id").as("b"), col("deg").as("db")),
+        Seq("b"))
+      .agg(count(lit(1)).as("n_ends"),
+        coalesce(sum(col("da").cast(dec)), lit(0).cast(dec)).as("_s1"),
+        coalesce(sum(col("da").cast(dec) * col("da")), lit(0).cast(dec))
+          .as("_s2"),
+        coalesce(sum(col("da").cast(dec) * col("db")), lit(0).cast(dec))
+          .as("_s11"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(canon)
+    val n = col("n_ends").cast(dec)
+    val cov = (n * col("_s11") - col("_s1") * col("_s1")).cast("double")
+    val vr = (n * col("_s2") - col("_s1") * col("_s1")).cast("double")
+    m.select(col("n_ends"),
+      when(col("n_ends") >= 2 && vr > 0,
+        round(cov / vr, 6)).as("assortativity"))
+  }
+
   /** Single-source BFS hop distance (SURVEY.md §2 R41) — the reachability
     * question [[connectedComponents]] answers yes/no to, graded by HOW
     * FAR: `dist` = minimum hop count from any source node; unreached

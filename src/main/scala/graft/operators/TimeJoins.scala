@@ -281,6 +281,136 @@ object TimeJoins {
     * back on (key, phase) that AQE broadcasts. Parallelism is the
     * number of series; a single series never shuffles twice.
     */
+  /** One-sided CUSUM mean-shift detection (SURVEY.md §2 R42; Page
+    * 1954, public textbook) — the CHANGE-POINT member of the
+    * monitoring family: [[rollingZScore]] flags single outliers, this
+    * one accumulates small persistent drifts until they cross h.
+    *
+    * The textbook recursion S_i = max(0, S_{i−1} + (x_i − μ − k)) is
+    * NOT a window function — but its closed form is: with
+    * C_i = Σ_{j≤i} (x_j − μ − k), S_i = C_i − min(0, C_1..C_i). Both
+    * prefix sums are key-partitioned cumulative windows, so the whole
+    * detector is two window passes, no recursion, no UDF. The downward
+    * side runs the same identity on −x. μ is the per-key series mean
+    * (two-pass: one aggregate + broadcast join); `slack` k and
+    * threshold `h` are in value units.
+    *
+    * Cross-engine exactness: x rounds 6dp into DECIMAL cumulative sums
+    * (exact, order-free along the mandatory (t) window order), μ is
+    * one IEEE division rounded 6dp, C_i = round(Σx − i·(μ+k), 6) is
+    * IEEE on exactly-agreed operands, and min/max over agreed doubles
+    * are exact — every emitted number is bit-equal in any engine.
+    *
+    * Scale: one aggregate + two window passes, all partitioned by the
+    * series key; frames are cumulative (running state O(1) per row).
+    */
+  def cusum(obs: DataFrame, keyCol: String, tCol: String,
+      valCol: String, slack: Double = 0.5,
+      threshold: Double = 5.0, target: Option[Double] = None): DataFrame = {
+    // (key, t) must be unique — the cumulative windows below have no
+    // tie-break, and a tied t would make the running sums order-defined.
+    // `target` = the classic SPC mode (monitor vs a KNOWN process mean
+    // — the causal form the streaming twin can replay online); None =
+    // retrospective mode, μ estimated per key from the full series.
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val k6 = math.rint(slack * 1e6) / 1e6
+    val withMu = target match {
+      case Some(t0) =>
+        obs.withColumn("_mu", lit(math.rint(t0 * 1e6) / 1e6))
+      case None =>
+        val mu = obs
+          .groupBy(col(keyCol))
+          .agg(sum(round(col(valCol), 6).cast("decimal(18,6)"))
+              .cast("decimal(38,6)").as("_sx"),
+            count(lit(1)).as("_n"))
+          .select(col(keyCol),
+            round(col("_sx").cast("double") / col("_n").cast("double"), 6)
+              .as("_mu"))
+        obs.join(mu, Seq(keyCol))
+    }
+    val withC = withMu
+      .withColumn("_i", count(lit(1)).over(wCum))
+      .withColumn("_cs",
+        sum(round(col(valCol), 6).cast("decimal(18,6)")).over(wCum)
+          .cast("decimal(38,6)"))
+      .withColumn("c_up",
+        round(col("_cs").cast("double")
+          - col("_i") * (col("_mu") + lit(k6)), 6))
+      .withColumn("c_dn",
+        round(-col("_cs").cast("double")
+          + col("_i") * (col("_mu") - lit(k6)), 6))
+    withC
+      .withColumn("cusum_up",
+        round(col("c_up") - least(lit(0.0), min(col("c_up")).over(wCum)),
+          6))
+      .withColumn("cusum_dn",
+        round(col("c_dn") - least(lit(0.0), min(col("c_dn")).over(wCum)),
+          6))
+      .withColumn("flagged",
+        col("cusum_up") > threshold || col("cusum_dn") > threshold)
+      .drop("_mu", "_i", "_cs", "c_up", "c_dn")
+  }
+
+  /** Autocorrelation function at lags 1..`maxLag` per series key
+    * (SURVEY.md §2 R43) — the seasonality/memory diagnostic that tells
+    * you WHICH period [[seasonalDecompose]] should use and whether
+    * [[ewma]]'s smoothing is even warranted. Standard estimator:
+    * r(l) = Σᵢ (xᵢ−x̄)(xᵢ₊ₗ−x̄) / Σᵢ (xᵢ−x̄)² with the full-series mean
+    * and denominator (the Box–Jenkins convention — denominators do NOT
+    * shrink with the lag).
+    *
+    * Cross-engine exactness: deviations d = round(x6 − x̄6, 6) are IEEE
+    * on exactly-agreed operands; every product d·d_lag accumulates as
+    * DECIMAL(38,12) (exact, order-free); acf = ONE IEEE division
+    * rounded 6dp. NULL when the series is constant (zero variance) or
+    * the lag has no pairs.
+    *
+    * Scale: one aggregate for the mean, ONE lag-window pass producing
+    * all maxLag shifted columns in a single WindowExec (then a stack
+    * explode), one (key, lag) partial-agg'd aggregate. The series
+    * shuffles twice (mean join + window), never per-lag. */
+  def acf(obs: DataFrame, keyCol: String, tCol: String,
+      valCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val mu = obs
+      .groupBy(col(keyCol))
+      .agg(sum(round(col(valCol), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("_sx"),
+        count(lit(1)).as("_n"))
+      .select(col(keyCol),
+        round(col("_sx").cast("double") / col("_n").cast("double"), 6)
+          .as("_mu"))
+    val dev = obs.join(mu, Seq(keyCol))
+      .withColumn("_d",
+        round(round(col(valCol), 6) - col("_mu"), 6)
+          .cast("decimal(18,6)"))
+    val lagged = (1 to maxLag).foldLeft(dev) { (df, l) =>
+      df.withColumn(s"_d$l", lag(col("_d"), l).over(wOrd))
+    }
+    val stacked = lagged.select(col(keyCol), col("_d"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"_d$l").as("dl"))): _*)).as("s"))
+      .select(col(keyCol), col("_d"), col("s.lag").as("lag"),
+        col("s.dl").as("_dl"))
+    val den = dev.groupBy(col(keyCol))
+      .agg(sum((col("_d") * col("_d")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)").as("_ss"))
+    stacked
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(col("_dl")).as("n_pairs"),
+        sum((col("_d") * col("_dl")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("_sp"))
+      .join(den, Seq(keyCol))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        when(col("n_pairs") > 0 && col("_ss") > 0,
+          round(col("_sp").cast("double") / col("_ss").cast("double"), 6))
+          .as("acf"))
+  }
+
   def seasonalDecompose(obs: DataFrame, keyCol: String, tCol: String,
       valCol: String, period: Int = 24): DataFrame = {
     require(period >= 3, "period must be >= 3")

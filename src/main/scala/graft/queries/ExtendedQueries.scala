@@ -2102,9 +2102,143 @@ object ExtendedQueries {
               * CAST(n * (n - 1) - n2m AS DOUBLE)), 6) END AS tau
       FROM m"""))
 
+  // CUSUM mean-shift detection (R42, TimeJoins.cusum) on the q79
+  // hourly count series. The oracle replays the prefix-sum/running-min
+  // closed form of the textbook recursion exactly.
+  private val q82 = Q(
+    "q82_cusum",
+    (s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.TimeJoins.cusum(series, "event_type", "hr",
+          "value")
+        .orderBy(col("event_type"), col("hr"))
+    },
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      mu AS (SELECT k,
+          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+        FROM s GROUP BY 1),
+      c AS (SELECT s.k, hr, v, mu,
+          count(*) OVER w AS i,
+          CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) OVER w
+            AS DECIMAL(38,6)) AS cs
+        FROM s JOIN mu USING (k)
+        WINDOW w AS (PARTITION BY s.k ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cc AS (SELECT k, hr, v,
+          round(CAST(cs AS DOUBLE) - i * (mu + 0.5), 6) AS cup,
+          round(-CAST(cs AS DOUBLE) + i * (mu - 0.5), 6) AS cdn
+        FROM c),
+      sc AS (SELECT k, hr, v,
+          round(cup - least(0.0, min(cup) OVER w2), 6) AS cusum_up,
+          round(cdn - least(0.0, min(cdn) OVER w2), 6) AS cusum_dn
+        FROM cc WINDOW w2 AS (PARTITION BY k ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT k AS event_type, hr, v AS value, cusum_up, cusum_dn,
+        cusum_up > 5.0 OR cusum_dn > 5.0 AS flagged
+      FROM sc ORDER BY event_type, hr"""))
+
+  // Autocorrelation at lags 1..25 (R43, TimeJoins.acf) on the same
+  // series — the lag-24 row is the daily-cycle probe seasonal
+  // decomposition relies on. The oracle builds lag pairs by a
+  // row-number self-join instead of 25 window passes.
+  private val q83 = Q(
+    "q83_acf",
+    (s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.TimeJoins.acf(series, "event_type", "hr",
+          "value", maxLag = 25)
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      mu AS (SELECT k,
+          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+        FROM s GROUP BY 1),
+      d AS (SELECT s.k, hr,
+          CAST(round(round(v, 6) - mu, 6) AS DECIMAL(18,6)) AS dd,
+          row_number() OVER (PARTITION BY s.k ORDER BY hr) AS rn
+        FROM s JOIN mu USING (k)),
+      den AS (SELECT k,
+          CAST(sum(dd * dd) AS DECIMAL(38,12)) AS ss
+        FROM d GROUP BY 1),
+      pairs AS (SELECT a.k, l.lag, a.dd AS da, b.dd AS db
+        FROM d a
+        CROSS JOIN (SELECT unnest(range(1, 26)) AS lag) l
+        LEFT JOIN d b ON a.k = b.k AND b.rn = a.rn - l.lag),
+      num AS (SELECT k, CAST(lag AS INT) AS lag,
+          CAST(count(db) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(da * db), 0) AS DECIMAL(38,12)) AS sp
+        FROM pairs GROUP BY 1, 2),
+      j AS (SELECT num.k, lag, n_pairs, sp, ss
+        FROM num JOIN den ON num.k = den.k)
+      SELECT k AS event_type, lag, n_pairs,
+        CASE WHEN n_pairs > 0 AND ss > 0
+          THEN round(CAST(sp AS DOUBLE) / CAST(ss AS DOUBLE), 6)
+          END AS acf
+      FROM j ORDER BY event_type, lag"""))
+
+  // Degree assortativity (R44, Graph.assortativity) over the q62
+  // customer–supplier graph. Integer degree moments as HUGEINT; one
+  // IEEE division.
+  private val q84 = Q(
+    "q84_assort",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && pmod(col("o_custkey"), lit(20)) === pmod(col("l_suppkey"), lit(20)))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.assortativity(edges)
+    },
+    Some("""WITH e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND o_custkey % 20 = l_suppkey % 20
+        WHERE o_orderkey % 7 = 0),
+      canon AS (SELECT DISTINCT least(src, dst) AS u,
+          greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+      deg AS (SELECT x AS node_id, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS x FROM canon
+          UNION ALL SELECT v AS x FROM canon) t GROUP BY 1),
+      bid AS (SELECT u AS a, v AS b FROM canon
+        UNION ALL SELECT v, u FROM canon),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n_ends,
+          coalesce(sum(CAST(x.deg AS HUGEINT)), 0) AS s1,
+          coalesce(sum(CAST(x.deg AS HUGEINT) * x.deg), 0) AS s2,
+          coalesce(sum(CAST(x.deg AS HUGEINT) * y.deg), 0) AS s11
+        FROM bid JOIN deg x ON bid.a = x.node_id
+          JOIN deg y ON bid.b = y.node_id)
+      SELECT CAST(n_ends AS BIGINT) AS n_ends,
+        CASE WHEN n_ends >= 2
+            AND CAST(n_ends * s2 - s1 * s1 AS DOUBLE) > 0
+          THEN round(CAST(n_ends * s11 - s1 * s1 AS DOUBLE)
+            / CAST(n_ends * s2 - s1 * s1 AS DOUBLE), 6) END
+          AS assortativity
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

@@ -265,6 +265,9 @@ class QueryBuilderSpec extends AnyFunSuite {
     val ob = graft.operators.Graph.bfsHops(eDf,
       eDf.select(min(col("src")).as("node_id")))
     assert(bb.exceptAll(ob).isEmpty && ob.exceptAll(bb).isEmpty)
+    val ba = edges.assortativity().run()
+    val oa = graft.operators.Graph.assortativity(eDf)
+    assert(ba.collect().toSeq == oa.collect().toSeq)
     // and composes onward: top-degree nodes through the mini-language
     val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
       .limit(5).run().collect()
@@ -300,6 +303,14 @@ class QueryBuilderSpec extends AnyFunSuite {
       .seasonalDecompose(series.run(), "user_id", "hr", "value",
         period = 5)
     assert(bs.exceptAll(os).isEmpty && os.exceptAll(bs).isEmpty)
+    val bc = series.cusum("user_id", "hr", "value").run()
+    val oc = graft.operators.TimeJoins
+      .cusum(series.run(), "user_id", "hr", "value")
+    assert(bc.exceptAll(oc).isEmpty && oc.exceptAll(bc).isEmpty)
+    val bacf = series.acf("user_id", "hr", "value", maxLag = 3).run()
+    val oacf = graft.operators.TimeJoins
+      .acf(series.run(), "user_id", "hr", "value", maxLag = 3)
+    assert(bacf.exceptAll(oacf).isEmpty && oacf.exceptAll(bacf).isEmpty)
     // and composes onward through the mini-language
     val top = ev.ohlc("user_id", "ts", "value", "event_id")
       .sort(("n_obs", "desc"), ("user_id", "asc"), ("bucket", "asc"))

@@ -147,6 +147,26 @@ class GraphSpec extends AnyFunSuite {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("assortativity: star -1, path -0.5, regular graph NULL") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Graph.assortativity(star).select("assortativity")
+      .as[Option[Double]].head().contains(-1.0))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.assortativity(path).select("assortativity")
+      .as[Option[Double]].head().contains(-0.5))
+    // 4-cycle: every degree 2 — zero variance, honest NULL
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    assert(Graph.assortativity(cyc).select("assortativity")
+      .as[Option[Double]].head().isEmpty)
+    // duplicates/reversals/self-loops canonicalize like the rest of
+    // the graph family
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.assortativity(messy).select("assortativity")
+      .as[Option[Double]].head().contains(-1.0))
+  }
+
   test("bfsHops: min-hop distances, shortcut wins, unreachable absent") {
     // 1—2—3—4 path plus shortcut 1—4; island 9—10 is unreachable
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L))

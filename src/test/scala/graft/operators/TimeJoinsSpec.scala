@@ -144,6 +144,44 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, None)))
   }
 
+  test("cusum: closed form equals the textbook recursion on a step series") {
+    // 10,10,10,10,10 then 13,13,13,13,13 — global mean 11.5, slack 0.5.
+    // Hand recursion (S=max(0,S+(x-12))): up side 0 through t5 then
+    // 1,2,3,4,5; down side (S=max(0,S+(11-x))) 1..5 then decaying 3,1,0.
+    val obs = (1L to 10L).map(t0 =>
+      (1L, t0, if (t0 <= 5) 10.0 else 13.0)).toDF("k", "t", "value")
+    val got = TimeJoins.cusum(obs, "k", "t", "value",
+        slack = 0.5, threshold = 4.0)
+      .select("t", "cusum_up", "cusum_dn", "flagged")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1L to 5L).foreach(t0 => assert(got(t0)._1 == 0.0, s"up at $t0"))
+    (6L to 10L).foreach(t0 =>
+      assert(got(t0)._1 == (t0 - 5).toDouble, s"up at $t0"))
+    (1L to 5L).foreach(t0 =>
+      assert(got(t0)._2 == t0.toDouble, s"dn at $t0"))
+    assert(got(6L)._2 == 3.0 && got(7L)._2 == 1.0 && got(8L)._2 == 0.0)
+    // threshold 4: down side crosses at t5, up side at t10
+    assert(got(5L)._3 && got(10L)._3 && !got(4L)._3 && !got(9L)._3)
+  }
+
+  test("acf: alternating series has negative lag-1, positive lag-2; constant NULL") {
+    val obs = (1L to 8L).map(t0 =>
+      (1L, t0, if (t0 % 2 == 1) 1.0 else -1.0)).toDF("k", "t", "value")
+    val got = TimeJoins.acf(obs, "k", "t", "value", maxLag = 3)
+      .select("lag", "n_pairs", "acf")
+      .as[(Int, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // mean 0, all deviations ±1: r(1) = -7/8, r(2) = 6/8, r(3) = -5/8
+    assert(got(1) == ((7L, Some(-0.875))))
+    assert(got(2) == ((6L, Some(0.75))))
+    assert(got(3) == ((5L, Some(-0.625))))
+    val const = (1L to 6L).map(t0 => (1L, t0, 2.0)).toDF("k", "t", "value")
+    val gc = TimeJoins.acf(const, "k", "t", "value", maxLag = 2)
+      .select("acf").as[Option[Double]].collect()
+    assert(gc.forall(_.isEmpty), "constant series has no variance")
+  }
+
   test("seasonalDecompose: odd period recovers a planted phase effect") {
     // v = 10 + s(t mod 3), s = (0, 3, -3) — trend must be flat 10,
     // seasonal must recover s exactly, residual 0, edges NULL.

@@ -376,6 +376,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
   }
 
+  test("streaming CUSUM: fixed-target drift scores EQUAL the batch SPC mode bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("value").cast("double").as("value"))
+      .dropDuplicates("k", "t")
+    val batch = graft.operators.TimeJoins
+      .cusum(obs, "k", "t", "value", target = Some(10.0))
+      .select(col("k"), col("t"), col("cusum_up"), col("cusum_dn"),
+        col("flagged"))
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val rows = obs.as[(Long, Long, Double)].collect().sortBy(_._2)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamCusum.detect(
+        mem.toDF().toDF("k", "t", "value"), target = 10.0)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_out")
+      .select(col("k"), col("t"), col("cusum_up"), col("cusum_dn"),
+        col("flagged"))
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed.size == batch.size)
+    val diffs = batch.collect {
+      case (key, b) if streamed(key) != b => (key, b, streamed(key))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3)}")
+    // and the drift actually fires somewhere (events average well off
+    // the 10.0 target) — equality of two all-false columns proves little
+    assert(streamed.values.exists(_._3), "expected at least one flag")
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
