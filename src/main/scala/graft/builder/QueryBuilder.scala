@@ -232,6 +232,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def assortativity(): QueryNode =
     new QueryNode(graft.operators.Graph.assortativity(df))
 
+  /** Top principal component of this node's embedding column — see
+    * [[graft.pipeline.Similarity.pcaTopComponent]]. */
+  def pcaTopComponent(iters: Int = 10,
+      vecCol: String = "embedding"): QueryNode =
+    new QueryNode(graft.pipeline.Similarity
+      .pcaTopComponent(df, iters, vecCol))
+
   /** OHLC downsampling of this node's observations — see
     * [[graft.operators.TimeJoins.ohlcBars]]. */
   def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,

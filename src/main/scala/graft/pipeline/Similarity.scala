@@ -747,4 +747,102 @@ object Similarity {
         col("m.cos_sim").as("best_cos"),
         (col("m.cos_sim") >= threshold).as("contaminated"))
   }
+
+  // ------------------------------------------------- PCA (power iter)
+  /** Top principal component of an embedding column via power
+    * iteration over the DISTRIIBUTED centered Gram matrix (SURVEY.md §2
+    * P29) — the embedding-space profiler: the dominant direction, its
+    * eigenvalue, and the explained-variance share (how anisotropic is
+    * this embedding space; the whitening/debiasing pre-step every
+    * embedding pipeline eventually wants).
+    *
+    * Split exactly like [[kmeansCentroids]]: the O(n·d²) part — Gram
+    * accumulation — is distributed (per-vector centered outer products,
+    * partial-agg'd into d² cells; only d² rows shuffle), and the O(d²)
+    * part — `iters` power-iteration steps — runs on the collected
+    * d×d model (the bounded centroid-collect precedent).
+    *
+    * Cross-engine exactness (the oracle replays EVERY step): values
+    * round 6dp into DECIMAL, the mean subtracts as DECIMAL, Gram terms
+    * are DECIMAL×DECIMAL (exact, NO per-term rounding — the r9 DSIR
+    * lesson: rounding doubles near grid boundaries diverges across
+    * engines), matrix-vector products in the iteration are
+    * DECIMAL(28,12)×DECIMAL(10,8) = exact DECIMAL(38,20) sums, norms
+    * and the Rayleigh quotient are IEEE folds in EXPLICIT index order
+    * (replayed with an ordered list_reduce), and the only per-round
+    * rounding is the 8dp normalize of d components — a 1e-8 grid,
+    * where a shortest-repr boundary collision is ~1e-8-probable per
+    * op. Deterministic all-ones/√d init. */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 10,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val spark = embeddings.sparkSession
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x6", round(col("x").cast("double"), 6)
+        .cast("decimal(18,6)"))
+      .persist()
+    val muRows = ex.groupBy(col("i"))
+      .agg(sum(col("x6")).cast("decimal(38,6)").as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mu"))
+      .collect() // d rows — the bounded model collect
+    val d = muRows.length
+    require(d > 0, "pca needs a non-empty corpus")
+    import spark.implicits._
+    val muDf = broadcast(muRows.map(r => (r.getInt(0), r.getDouble(1)))
+      .toSeq.toDF("i", "mu")
+      .withColumn("mu6", col("mu").cast("decimal(18,6)")).drop("mu"))
+    val cent = ex.join(muDf, Seq("i"))
+      .select(col("vec_id"), col("i"), (col("x6") - col("mu6")).as("c"))
+    val gramRows = cent.as("a")
+      .join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.c") * col("b.c")).cast("decimal(38,12)").as("g"))
+      .collect() // d² rows — the model
+    ex.unpersist()
+    val G = Array.ofDim[java.math.BigDecimal](d, d)
+    gramRows.foreach { r =>
+      G(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).setScale(12)
+    }
+    def round8(x: Double): java.math.BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // init: uniform direction, normalized and 8dp-quantized like every
+    // later iterate (1/√d is exact at d a power of 4, approximate else)
+    var v: Array[java.math.BigDecimal] =
+      Array.fill(d)(round8(1.0 / math.sqrt(d.toDouble)))
+    var wD: Array[Double] = null
+    (1 to iters).foreach { _ =>
+      val w = (0 until d).map { i =>
+        (0 until d).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
+          acc.add(G(i)(j).multiply(v(j))) // exact decimal, no rounding
+        }
+      }
+      wD = w.map(_.doubleValue).toArray
+      val n2 = wD.foldLeft(0.0)((a, x) => a + x * x) // ordered IEEE fold
+      val norm = math.sqrt(n2)
+      // zero-variance corpus: Gv = 0 forever — stay on the uniform
+      // init instead of dividing 0/0 (λ = 0, share NULL below)
+      if (norm > 0) v = wD.map(x => round8(x / norm))
+    }
+    // Rayleigh quotient with the final iterate; trace for the share
+    val wf = (0 until d).map { i =>
+      (0 until d).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
+        acc.add(G(i)(j).multiply(v(j)))
+      }.doubleValue
+    }
+    val lam = round6(v.map(_.doubleValue).zip(wf)
+      .foldLeft(0.0)((a, p) => a + p._1 * p._2))
+    val trace = (0 until d).foldLeft(java.math.BigDecimal.ZERO) {
+      (acc, i) => acc.add(G(i)(i))
+    }.doubleValue
+    val explained =
+      if (trace > 0) Some(round6(lam / trace)) else None
+    (0 until d).map(i => (i, v(i).doubleValue, lam, explained))
+      .toDF("i", "loading", "eigenvalue", "explained_ratio")
+  }
 }

@@ -2651,6 +2651,67 @@ object PipelineQueries {
       FROM documents d LEFT JOIN sc s USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  // P29: top principal component by power iteration — the oracle is
+  // GENERATED (the k-core unrolled-oracle precedent): one CTE pair per
+  // iteration replaying the exact DECIMAL matrix-vector products and
+  // the ordered-list_reduce IEEE norms the driver loop performs.
+  private def pcaOracle(iters: Int): String = {
+    val head = """WITH exx AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS i,
+          CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS x6
+        FROM embeddings),
+      mu AS MATERIALIZED (SELECT i,
+          CAST(round(CAST(sum(x6) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+            6) AS DECIMAL(18,6)) AS mu6
+        FROM exx GROUP BY 1),
+      cent AS MATERIALIZED (SELECT vec_id, exx.i, x6 - mu6 AS c
+        FROM exx JOIN mu ON exx.i = mu.i),
+      gram AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+          CAST(CAST(sum(a.c * b.c) AS DECIMAL(38,12))
+            AS DECIMAL(28,12)) AS gd
+        FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+      dd AS (SELECT count(*) AS d FROM mu),
+      v0 AS MATERIALIZED (SELECT i, CAST(round(1.0 / sqrt(CAST(d AS DOUBLE)), 8)
+          AS DECIMAL(10,8)) AS vd FROM mu CROSS JOIN dd)"""
+    val rounds = (1 to iters).map { r =>
+      s"""
+      w$r AS MATERIALIZED (SELECT g.i AS i, sum(g.gd * v${r - 1}.vd) AS w
+        FROM gram g JOIN v${r - 1} ON g.j = v${r - 1}.i GROUP BY 1),
+      n$r AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(CAST(w AS DOUBLE) ORDER BY i),
+            x -> x * x)), (a, b) -> a + b)) AS nrm FROM w$r),
+      v$r AS MATERIALIZED (SELECT i, CAST(round(CAST(w AS DOUBLE) / nrm, 8)
+          AS DECIMAL(10,8)) AS vd FROM w$r CROSS JOIN n$r)"""
+    }.mkString(",")
+    val tail = s""",
+      wf AS (SELECT g.i AS i, CAST(sum(g.gd * v$iters.vd) AS DOUBLE)
+          AS w
+        FROM gram g JOIN v$iters ON g.j = v$iters.i GROUP BY 1),
+      pr AS (SELECT v$iters.i AS i,
+          CAST(v$iters.vd AS DOUBLE) * wf.w AS p
+        FROM v$iters JOIN wf ON v$iters.i = wf.i),
+      lam AS (SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(p ORDER BY i), x -> x)),
+          (a, b) -> a + b), 6) AS ev FROM pr),
+      tr AS (SELECT CAST(sum(gd) FILTER (i = j) AS DOUBLE) AS trace
+        FROM gram)
+      SELECT v$iters.i AS i, CAST(v$iters.vd AS DOUBLE) AS loading,
+        lam.ev AS eigenvalue,
+        CASE WHEN trace > 0 THEN round(lam.ev / trace, 6) END
+          AS explained_ratio
+      FROM v$iters CROSS JOIN lam CROSS JOIN tr ORDER BY i"""
+    head + "," + rounds + tail
+  }
+
+  private val embedPca = Q(
+    "embed_pca",
+    (s, d) =>
+      Similarity.pcaTopComponent(Tables.load(s, d, "embeddings"))
+        .orderBy(col("i")),
+    Some(pcaOracle(10)))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25, textBm25Stored, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
@@ -2672,6 +2733,7 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
+    embedPca,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng,
     multimodalPhash)

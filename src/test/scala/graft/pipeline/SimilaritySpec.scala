@@ -284,4 +284,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH emitted ${(lsh -- exact).size} pairs not in the exact set")
     assert(lsh.nonEmpty, "LSH found nothing at the moderate threshold")
   }
+
+  test("pcaTopComponent: planted dominant direction recovered, unit norm, variance share") {
+    // points on the diagonal of dims (0,1) with ±spread, tiny jitter in
+    // dim 2: the top component must be ≈ ±(1/√2, 1/√2, 0) with nearly
+    // all variance explained
+    val pts = (0 until 40).map { n =>
+      val t = (n - 19.5) / 4.0
+      (n.toLong, Seq(t.toFloat, t.toFloat,
+        (if (n % 2 == 0) 0.001f else -0.001f)))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(pts)
+      .orderBy("i")
+      .select("loading", "eigenvalue", "explained_ratio")
+      .as[(Double, Double, Option[Double])].collect()
+    val loadings = got.map(_._1)
+    val nrm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6, s"unit norm, got $nrm")
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(loadings(0)) - inv) < 1e-3, loadings.toSeq)
+    assert(math.abs(math.abs(loadings(1)) - inv) < 1e-3, loadings.toSeq)
+    assert(math.abs(loadings(2)) < 1e-3, loadings.toSeq)
+    assert(loadings(0) * loadings(1) > 0, "dims 0/1 co-vary positively")
+    assert(got.head._3.exists(_ > 0.999),
+      s"diagonal line explains ~everything, got ${got.head._3}")
+    assert(got.head._2 > 0, "positive eigenvalue")
+    // degenerate: all-identical vectors → zero trace → NULL share
+    val const = (0 until 5).map(n =>
+      (n.toLong, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val gc = Similarity.pcaTopComponent(const)
+      .select("explained_ratio").as[Option[Double]].collect()
+    assert(gc.forall(_.isEmpty), "zero-variance corpus has no share")
+  }
 }
