@@ -346,6 +346,10 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def kendallTau(xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.kendallTau(df, xCol, yCol))
 
+  /** Per-group OLS fit — see [[graft.operators.Stats.linearFit]]. */
+  def linearFit(keyCol: String, xCol: String, yCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.linearFit(df, keyCol, xCol, yCol))
+
   /** Benford first-digit conformance — see
     * [[graft.operators.Stats.benford]]. */
   def benford(valCol: String, scale: Int = 2): QueryNode =

@@ -437,6 +437,56 @@ object Stats {
         round(cov / sqrt(vx * vy), 6)).as("rho"))
   }
 
+  /** Per-group OLS linear fit (SURVEY.md §2 R45) — slope, intercept,
+    * and R² of y on x within each group: the trend estimator behind
+    * "is this metric drifting and how fast", and the regression member
+    * of the correlation family ([[spearman]]/[[kendallTau]] ask IF the
+    * two move together; this one asks by HOW MUCH).
+    *
+    * One partial-agg'd pass: x and y round 6dp into DECIMAL(18,6),
+    * every moment (Σx, Σy, Σxy, Σx², Σy²) accumulates as
+    * DECIMAL(38,12) (exact, order-free); slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) is ONE IEEE division of exactly-agreed operands
+    * rounded 6dp, the intercept reuses the ROUNDED slope (so both
+    * engines compose the same doubles), R² = cov²/(vx·vy) rounded 6dp.
+    * NULL fit when n < 2 or x is constant; R² additionally NULL when
+    * y is constant. Rows with a NULL in either column are out of
+    * scope.
+    *
+    * Scale: ONE shuffle on the group key with map-side combine; the
+    * output is one row per group. No window, no join. */
+  def linearFit(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,12)"
+    val x6 = round(col(xCol).cast("double"), 6).cast("decimal(18,6)")
+    val y6 = round(col(yCol).cast("double"), 6).cast("decimal(18,6)")
+    val m = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol), x6.as("_x"), y6.as("_y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).cast(dec).as("_sx"),
+        sum(col("_y").cast(dec)).cast(dec).as("_sy"),
+        sum((col("_x") * col("_y")).cast(dec)).cast(dec).as("_sxy"),
+        sum((col("_x") * col("_x")).cast(dec)).cast(dec).as("_sxx"),
+        sum((col("_y") * col("_y")).cast(dec)).cast(dec).as("_syy"))
+    val nD = col("n").cast("double")
+    val cov = (col("_sxy").cast("double") * nD
+      - col("_sx").cast("double") * col("_sy").cast("double"))
+    val vx = (col("_sxx").cast("double") * nD
+      - col("_sx").cast("double") * col("_sx").cast("double"))
+    val vy = (col("_syy").cast("double") * nD
+      - col("_sy").cast("double") * col("_sy").cast("double"))
+    m.select(col(keyCol), col("n"),
+      when(col("n") >= 2 && vx > 0, round(cov / vx, 6)).as("slope"),
+      when(col("n") >= 2 && vx > 0,
+        round((col("_sy").cast("double")
+          - round(cov / vx, 6) * col("_sx").cast("double")) / nD, 6))
+        .as("intercept"),
+      when(col("n") >= 2 && vx > 0 && vy > 0,
+        round(cov * cov / (vx * vy), 6)).as("r2"))
+  }
+
   /** Kendall tau-b rank correlation (SURVEY.md §2 A14) — the
     * concordant-vs-discordant-PAIRS member of the correlation family
     * ([[spearman]] compares rank values; this one counts inversions,

@@ -2236,9 +2236,55 @@ object ExtendedQueries {
           AS assortativity
       FROM m"""))
 
+  // Per-group OLS linear fit (R45, Stats.linearFit): extended price
+  // regressed on quantity within each return flag. All moments exact
+  // DECIMAL; slope/intercept/R² are IEEE on agreed operands, 6dp.
+  private val q85 = Q(
+    "q85_ols",
+    (s, d) =>
+      graft.operators.Stats
+        .linearFit(t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag")),
+    Some("""WITH r AS (SELECT l_returnflag AS k,
+          CAST(round(CAST(l_quantity AS DOUBLE), 6) AS DECIMAL(18,6))
+            AS x,
+          CAST(round(CAST(l_extendedprice AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sy,
+          CAST(sum(CAST(CAST(x AS DECIMAL(20,6)) * y AS DECIMAL(38,12)))
+            AS DECIMAL(38,12)) AS sxy,
+          CAST(sum(CAST(CAST(x AS DECIMAL(20,6)) * x AS DECIMAL(38,12)))
+            AS DECIMAL(38,12)) AS sxx,
+          CAST(sum(CAST(CAST(y AS DECIMAL(20,6)) * y AS DECIMAL(38,12)))
+            AS DECIMAL(38,12)) AS syy
+        FROM r GROUP BY 1),
+      v AS (SELECT k, n,
+          CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+          CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+          CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM m)
+      SELECT k AS l_returnflag, n,
+        CASE WHEN n >= 2 AND vx > 0 THEN round(cov / vx, 6) END
+          AS slope,
+        CASE WHEN n >= 2 AND vx > 0
+          THEN round((syd - round(cov / vx, 6) * sxd)
+            / CAST(n AS DOUBLE), 6) END AS intercept,
+        CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+          THEN round(cov * cov / (vx * vy), 6) END AS r2
+      FROM v ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

@@ -134,6 +134,24 @@ class StatsSpec extends AnyFunSuite {
       .as[Option[Double]].head().isEmpty)
   }
 
+  test("linearFit: exact line recovered, noise drops r2, degenerate NULLs") {
+    // group a: y = 2x + 1 exactly; group b: constant x; group c:
+    // constant y (slope 0, r2 NULL)
+    val df = Seq(
+      ("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0), ("a", 4.0, 9.0),
+      ("b", 5.0, 1.0), ("b", 5.0, 2.0),
+      ("c", 1.0, 4.0), ("c", 2.0, 4.0), ("c", 3.0, 4.0)
+    ).toDF("k", "x", "y")
+    val got = Stats.linearFit(df, "k", "x", "y")
+      .select("k", "n", "slope", "intercept", "r2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((4L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("b") == ((2L, None, None, None)), "constant x has no fit")
+    assert(got("c") == ((3L, Some(0.0), Some(4.0), None)),
+      "constant y: flat line fits, but r2 is undefined")
+  }
+
   test("kendall: concordant=1, discordant=-1, hand tie case, constant NULL") {
     val mono = (1 to 10).map(i => (i.toDouble, (i * 3).toDouble))
       .toDF("x", "y")
