@@ -232,6 +232,10 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def assortativity(): QueryNode =
     new QueryNode(graft.operators.Graph.assortativity(df))
 
+  /** HITS hubs/authorities — see [[graft.operators.Graph.hits]]. */
+  def hits(iters: Int = 3): QueryNode =
+    new QueryNode(graft.operators.Graph.hits(df, iters))
+
   /** Top principal component of this node's embedding column — see
     * [[graft.pipeline.Similarity.pcaTopComponent]]. */
   def pcaTopComponent(iters: Int = 10,

@@ -332,6 +332,70 @@ object Graph extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** HITS hubs and authorities (SURVEY.md §2 R46; Kleinberg 1999,
+    * public) — the DIRECTED prestige decomposition [[pageRank]]'s
+    * single score can't express: a node can point AT all the right
+    * places (hub) without being pointed at (authority). Fixed
+    * `iters` mutual-reinforcement rounds: auth(v) = Σ_{u→v} hub(u),
+    * hub(u) = Σ_{u→v} auth(v), each renormalized by its MAX.
+    *
+    * Max-normalization is chosen over the L2 norm deliberately: max
+    * over exact DECIMAL sums is itself exact, so each round is one
+    * IEEE division of exactly-agreed operands rounded 8dp — no sqrt,
+    * no float summation anywhere, and the oracle replays every round
+    * bit-for-bit (the [[pageRank]] decimal-contribution idiom, one
+    * step stronger).
+    *
+    * Scale: per round two shuffles (edges⋈hub grouped by dst, then
+    * edges⋈auth grouped by src), both partial-agg'd; the score frame
+    * is one row per node (broadcast-able until the node set is huge);
+    * eager checkpoint + release per round (the 25× loop-lifecycle
+    * rule). Nodes with no in-edges hold auth 0, no out-edges hub 0 —
+    * structural zeros, not NULLs. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id"))).distinct()
+    var scores = nodes
+      .select(col("node_id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val authSum = e
+        .join(scores.select(col("node_id").as("src"), col("hub")),
+          Seq("src"))
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(col("hub").cast("decimal(28,8)"))
+          .cast("decimal(38,8)").as("_as"))
+      val maxA = authSum.agg(max(col("_as")).as("_ma"))
+      val withAuth = scores.select(col("node_id"), col("hub"))
+        .join(authSum, Seq("node_id"), "left")
+        .crossJoin(broadcast(maxA))
+        .select(col("node_id"), col("hub"),
+          coalesce(round(col("_as").cast("double")
+            / col("_ma").cast("double"), 8), lit(0.0)).as("auth"))
+      val hubSum = e
+        .join(withAuth.select(col("node_id").as("dst"), col("auth")),
+          Seq("dst"))
+        .groupBy(col("src").as("node_id"))
+        .agg(sum(col("auth").cast("decimal(28,8)"))
+          .cast("decimal(38,8)").as("_hs"))
+      val maxH = hubSum.agg(max(col("_hs")).as("_mh"))
+      val next = withAuth.select(col("node_id"), col("auth"))
+        .join(hubSum, Seq("node_id"), "left")
+        .crossJoin(broadcast(maxH))
+        .select(col("node_id"),
+          coalesce(round(col("_hs").cast("double")
+            / col("_mh").cast("double"), 8), lit(0.0)).as("hub"),
+          col("auth"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(scores)
+      scores = next
+    }
+    scores
+  }
+
   /** Degree assortativity coefficient (SURVEY.md §2 R44; Newman 2002,
     * public) — do high-degree nodes attach to high-degree nodes? The
     * one-number mixing summary that separates social-style graphs

@@ -2282,9 +2282,63 @@ object ExtendedQueries {
           THEN round(cov * cov / (vx * vy), 6) END AS r2
       FROM v ORDER BY l_returnflag"""))
 
+  // HITS hubs/authorities (R46, Graph.hits) over the directed
+  // customer→supplier graph. The oracle is GENERATED — one CTE block
+  // per mutual-reinforcement round replaying the exact decimal sums,
+  // exact maxes, and 8dp normalizing divisions.
+  private def hitsOracle(iters: Int): String = {
+    val head = """WITH e AS MATERIALIZED (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND o_custkey % 20 = l_suppkey % 20
+        WHERE o_orderkey % 7 = 0),
+      nodes AS MATERIALIZED (SELECT DISTINCT x AS node_id FROM
+        (SELECT src AS x FROM e UNION ALL SELECT dst FROM e) t),
+      s0 AS MATERIALIZED (SELECT node_id, CAST(1.0 AS DOUBLE) AS hub,
+        CAST(1.0 AS DOUBLE) AS auth FROM nodes)"""
+    val rounds = (1 to iters).map { r =>
+      s"""
+      asum$r AS MATERIALIZED (SELECT e.dst AS node_id,
+          CAST(sum(CAST(p.hub AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS s
+        FROM e JOIN s${r - 1} p ON e.src = p.node_id GROUP BY 1),
+      amax$r AS (SELECT max(s) AS m FROM asum$r),
+      a$r AS MATERIALIZED (SELECT p.node_id, p.hub,
+          coalesce(round(CAST(q.s AS DOUBLE)
+            / CAST(amax$r.m AS DOUBLE), 8), 0.0) AS auth
+        FROM s${r - 1} p LEFT JOIN asum$r q ON p.node_id = q.node_id
+        CROSS JOIN amax$r),
+      hsum$r AS MATERIALIZED (SELECT e.src AS node_id,
+          CAST(sum(CAST(p.auth AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS s
+        FROM e JOIN a$r p ON e.dst = p.node_id GROUP BY 1),
+      hmax$r AS (SELECT max(s) AS m FROM hsum$r),
+      s$r AS MATERIALIZED (SELECT p.node_id,
+          coalesce(round(CAST(q.s AS DOUBLE)
+            / CAST(hmax$r.m AS DOUBLE), 8), 0.0) AS hub, p.auth
+        FROM a$r p LEFT JOIN hsum$r q ON p.node_id = q.node_id
+        CROSS JOIN hmax$r)"""
+    }.mkString(",")
+    head + "," + rounds +
+      s"\n      SELECT node_id, hub, auth FROM s$iters ORDER BY node_id"
+  }
+
+  private val q86 = Q(
+    "q86_hits",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && pmod(col("o_custkey"), lit(20)) === pmod(col("l_suppkey"), lit(20)))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      graft.operators.Graph.hits(edges).orderBy(col("node_id"))
+    },
+    Some(hitsOracle(3)))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

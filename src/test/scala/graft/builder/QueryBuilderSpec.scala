@@ -268,6 +268,9 @@ class QueryBuilderSpec extends AnyFunSuite {
     val ba = edges.assortativity().run()
     val oa = graft.operators.Graph.assortativity(eDf)
     assert(ba.collect().toSeq == oa.collect().toSeq)
+    val bh = edges.hits().run()
+    val oh = graft.operators.Graph.hits(eDf)
+    assert(bh.exceptAll(oh).isEmpty && oh.exceptAll(bh).isEmpty)
     // and composes onward: top-degree nodes through the mini-language
     val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
       .limit(5).run().collect()

@@ -167,6 +167,23 @@ class GraphSpec extends AnyFunSuite {
       .as[Option[Double]].head().contains(-1.0))
   }
 
+  test("hits: hub/authority separation on a bipartite hand graph") {
+    // 1→3, 2→3, 1→4: node 3 is the strong authority (two in-links),
+    // node 1 the strong hub (points at both authorities). Hand-rolled
+    // 3 rounds of max-normalized mutual reinforcement:
+    //   r3: auth(4) = 1/1.625 = 0.61538462, hub(2) = 1/(1+0.61538462)
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 1.0 && got(3L)._2 == 1.0, "maxima normalize to 1")
+    assert(got(3L)._1 == 0.0 && got(4L)._1 == 0.0,
+      "pure authorities have hub 0")
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0,
+      "pure hubs have authority 0")
+    assert(got(4L)._2 == 0.61538462, s"auth(4) = ${got(4L)._2}")
+    assert(got(2L)._1 == 0.61904762, s"hub(2) = ${got(2L)._1}")
+  }
+
   test("bfsHops: min-hop distances, shortcut wins, unreachable absent") {
     // 1—2—3—4 path plus shortcut 1—4; island 9—10 is unreachable
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L))
