@@ -236,6 +236,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def hits(iters: Int = 3): QueryNode =
     new QueryNode(graft.operators.Graph.hits(df, iters))
 
+  /** Edit-distance similarity self-join — see
+    * [[graft.operators.Linkage.editDistancePairs]]. */
+  def editDistancePairs(idCol: String, strCol: String,
+      k: Int = 2): QueryNode =
+    new QueryNode(graft.operators.Linkage
+      .editDistancePairs(df, idCol, strCol, k))
+
   /** Top principal component of this node's embedding column — see
     * [[graft.pipeline.Similarity.pcaTopComponent]]. */
   def pcaTopComponent(iters: Int = 10,

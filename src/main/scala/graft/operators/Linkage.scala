@@ -202,4 +202,91 @@ object Linkage {
     cTok.unpersist()
     out
   }
+
+  /** Edit-distance similarity self-join (SURVEY.md §2 R47; the
+    * PassJoin segment scheme, Li/Deng/Feng EDBT 2011 — public): all
+    * id pairs whose strings are within Levenshtein distance `k`,
+    * WITHOUT the n² cross join. [[matchEntities]] and the
+    * [[graft.pipeline.Dedup]] family block on token sets — this is
+    * the CHARACTER-level metric they can't express (typos, OCR noise,
+    * ID transcription errors).
+    *
+    * Blocking (recall 1 by pigeonhole): each INDEX string of length L
+    * splits into k+1 contiguous segments; k edits can touch at most k
+    * of them, so one segment survives verbatim in any string within
+    * distance k, displaced by at most the net indel count ∈ [−k, k].
+    * Each PROBE string of length M therefore emits, for every source
+    * length L ∈ [M−k, M+k] and segment index i, the substrings of the
+    * (L, i) segment length at positions p_i(L)±k. Candidates join on
+    * the exact (L, i, substring) key; the verify is one codegen'd
+    * `levenshtein` per DISTINCT candidate pair — output-proportional
+    * when segments are selective.
+    *
+    * Honest regime note (the [[matchEntities]] df-saturation
+    * discipline): selectivity is the SEGMENTS' entropy. On strings
+    * sharing a long constant prefix (ID columns like "Customer#…"),
+    * the prefix segment degenerates to a full length-block and the
+    * candidate mass approaches n² — same answer, no speedup. Strings
+    * shorter than k+1 produce empty segments that match by length
+    * alone (the correct brute-force fallback for tiny strings).
+    *
+    * Scale: index O(n·(k+1)) rows, probe O(n·(k+1)(2k+1)²) rows
+    * (distinct-deduped), one equi-join on the segment key, one
+    * distinct pair frame, one narrow verify. No window, no iteration.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      k: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    val k1 = k + 1
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint() // two consumers: index and probe
+    def segStart(iExpr: String, lExpr: String) =
+      s"(($iExpr * $lExpr) div $k1)"
+    val segLen = (i: String, l: String) =>
+      s"(${segStart(s"($i + 1)", l)} - ${segStart(i, l)})"
+    val idx = base.select(col("id").as("s_id"), col("s").as("s_s"),
+      length(col("s")).as("l"),
+      explode(expr(
+        s"""transform(sequence(0, $k), i -> named_struct(
+             'gi', i,
+             'sub', substring(s, ${segStart("i", "length(s)")} + 1,
+               ${segLen("i", "length(s)")})))""")).as("seg"))
+      .select(col("s_id"), col("s_s"), col("l"),
+        col("seg.gi").as("gi"), col("seg.sub").as("sub"))
+    val probe = base.select(col("id").as("t_id"), col("s").as("t_s"),
+      explode(expr(
+        s"""flatten(flatten(
+             transform(sequence(greatest(length(s) - $k, 0), length(s) + $k),
+               L -> transform(sequence(0, $k), i ->
+                 filter(
+                   transform(sequence(${segStart("i", "L")} - $k,
+                       ${segStart("i", "L")} + $k),
+                     p -> named_struct('l', L, 'gi', i, 'p', p,
+                       'sub', substring(s, p + 1, ${segLen("i", "L")}))),
+                   x -> x.p >= 0
+                     and x.p + ${segLen("i", "L")} <= length(s))))))"""))
+        .as("pr"))
+      .select(col("t_id"), col("t_s"), col("pr.l").as("l"),
+        col("pr.gi").as("gi"), col("pr.sub").as("sub"))
+      .distinct() // same substring at several shifts → one probe key
+    val pairs = idx.join(probe, Seq("l", "gi", "sub"))
+      .filter(col("s_id") =!= col("t_id"))
+      .select(
+        least(col("s_id"), col("t_id")).as("a_id"),
+        greatest(col("s_id"), col("t_id")).as("b_id"),
+        when(col("s_id") < col("t_id"), col("s_s")).otherwise(col("t_s"))
+          .as("a_s"),
+        when(col("s_id") < col("t_id"), col("t_s")).otherwise(col("s_s"))
+          .as("b_s"))
+      .distinct()
+    val out = pairs
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("dist") <= k)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(base)
+    out
+  }
 }

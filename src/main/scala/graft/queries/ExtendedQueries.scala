@@ -2336,9 +2336,31 @@ object ExtendedQueries {
     },
     Some(hitsOracle(3)))
 
+  // Edit-distance similarity join (R47, Linkage.editDistancePairs) on
+  // 32-char document prefixes — catches the planted near-dups at the
+  // CHARACTER level. The oracle is the UNBLOCKED cross join (the P4c
+  // discipline): a hash match proves the segment blocking has recall 1.
+  private val q87 = Q(
+    "q87_editdist",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          substring(lower(col("text")), 1, 32).as("s"))
+      graft.operators.Linkage.editDistancePairs(docs, "id", "s", k = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id AS id, substr(lower(text), 1, 32) AS s
+        FROM documents WHERE text IS NOT NULL)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.id < b.id
+        AND abs(length(a.s) - length(b.s)) <= 2
+      WHERE levenshtein(a.s, b.s) <= 2
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

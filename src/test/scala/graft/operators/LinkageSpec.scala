@@ -82,4 +82,43 @@ class LinkageSpec extends AnyFunSuite {
       .as[(Long, Option[Long], Option[Double])].head()
     assert(out._2.contains(3L) && out._3.contains(1.0))
   }
+
+  test("editDistancePairs: substitutions, INDELS (shifted segments), tiny strings") {
+    val rows = Seq(
+      (1L, "warehouse"),
+      (2L, "warehouze"),   // 1 substitution
+      (3L, "warehousse"),  // 1 insertion — later segments SHIFT right
+      (4L, "warhouse"),    // 1 deletion — later segments shift left
+      (5L, "completely different"),
+      (6L, "ab"), (7L, "b"), (8L, "")  // below k+1 segments: fallback
+    ).toDF("id", "s")
+    val got = Linkage.editDistancePairs(rows, "id", "s", k = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1L && got((1L, 3L)) == 1L && got((1L, 4L)) == 1L)
+    assert(got((2L, 3L)) == 2L && got((2L, 4L)) == 2L && got((3L, 4L)) == 2L)
+    assert(got((6L, 7L)) == 1L && got((6L, 8L)) == 2L && got((7L, 8L)) == 1L)
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "the far string matches nothing")
+    assert(got.size == 9, s"exactly the true pair set, got ${got.keySet}")
+  }
+
+  test("editDistancePairs: recall 1 vs the brute-force pair set on real prefixes") {
+    val docs = graft.Tables
+      .load(spark, graft.TestSpark.sf, "documents")
+      .select(col("doc_id").as("id"),
+        substring(lower(col("text")), 1, 24).as("s"))
+    val blocked = Linkage.editDistancePairs(docs, "id", "s", k = 2)
+      .select("a_id", "b_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val d2 = docs.select(col("id").as("b_id"), col("s").as("s2"))
+    val brute = docs.join(d2, col("id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .filter(col("dist") <= 2)
+      .select(col("id"), col("b_id"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == brute,
+      s"blocked ${blocked.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "expected planted near-dup prefixes")
+  }
 }
