@@ -227,6 +227,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Graph
       .bfsHops(df, sources.df, undirected, maxIters))
 
+  /** Weighted shortest paths from `sources` — see
+    * [[graft.operators.Graph.weightedShortestPaths]]. */
+  def weightedShortestPaths(sources: QueryNode,
+      undirected: Boolean = true, maxIters: Int = 60): QueryNode =
+    new QueryNode(graft.operators.Graph
+      .weightedShortestPaths(df, sources.df, undirected, maxIters))
+
   /** Degree assortativity — see
     * [[graft.operators.Graph.assortativity]]. */
   def assortativity(): QueryNode =

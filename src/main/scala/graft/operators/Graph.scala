@@ -396,6 +396,75 @@ object Graph extends org.apache.spark.internal.Logging {
     scores
   }
 
+  /** Weighted single-source shortest paths (SURVEY.md §2 R48) — the
+    * COST-graded companion of [[bfsHops]]: minimum total edge weight
+    * from any source, for non-negative integer weights. Bellman–Ford
+    * with FRONTIER relaxation: each round relaxes only edges leaving
+    * nodes whose distance improved last round (the delta-stepping
+    * shape without the bucket machinery), so a settled region stops
+    * costing anything. Rounds ≤ the edge count of the longest
+    * shortest path; convergence is the improved-count probe and a
+    * maxIters cutoff is LOUD.
+    *
+    * Exact longs end to end — nothing to round. Unreached nodes are
+    * absent, not ∞-sentineled. Loop discipline as [[bfsHops]]:
+    * statsBarrier, eager checkpoints, previous round's blocks
+    * released the moment the next materializes.
+    *
+    * Scale: per round one edges⋈frontier shuffle (∝ frontier degree
+    * sum) + one min-aggregate + one label-sized merge join. `edges`
+    * needs (src, dst, w); `sources` is a 1-column id frame. */
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame,
+      undirected: Boolean = true, maxIters: Int = 60): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"), col("w").cast("long"))
+    val adj = (if (undirected)
+        fwd.union(edges.select(col("dst").as("src"),
+          col("src").as("dst"), col("w").cast("long")))
+      else fwd).localCheckpoint()
+    var dist = sources.select(col(sources.columns.head).as("node_id"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      val improved = org.apache.spark.sql.GraftShim.statsBarrier(
+        adj.join(frontier, adj("src") === frontier("node_id"))
+          .select(adj("dst").as("node_id"),
+            (frontier("dist") + adj("w")).as("nd"))
+          .groupBy("node_id").agg(min(col("nd")).as("nd"))
+          .join(dist, Seq("node_id"), "left")
+          .filter(col("dist").isNull || col("nd") < col("dist"))
+          .select(col("node_id"), col("nd").as("dist"))
+          .localCheckpoint())
+      if (!(frontier eq dist))
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
+      if (improved.count() > 0) {
+        val merged = org.apache.spark.sql.GraftShim.statsBarrier(
+          dist.join(improved.select(col("node_id"),
+              col("dist").as("_nd")), Seq("node_id"), "left")
+            .select(col("node_id"),
+              coalesce(col("_nd"), col("dist")).as("dist"))
+            .union(improved.join(dist, Seq("node_id"), "left_anti"))
+            .localCheckpoint())
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(dist)
+        dist = merged
+        frontier = improved
+      } else {
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(improved)
+        done = true
+      }
+      iter += 1
+    }
+    if (!done && iter >= maxIters)
+      logWarning(s"weightedShortestPaths: still improving after " +
+        s"$maxIters rounds; distances may be upper bounds")
+    if (!(frontier eq dist))
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
+    dist
+  }
+
   /** Degree assortativity coefficient (SURVEY.md §2 R44; Newman 2002,
     * public) — do high-degree nodes attach to high-degree nodes? The
     * one-number mixing summary that separates social-style graphs

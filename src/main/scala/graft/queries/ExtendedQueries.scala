@@ -2358,9 +2358,49 @@ object ExtendedQueries {
       WHERE levenshtein(a.s, b.s) <= 2
       ORDER BY a_id, b_id"""))
 
+  // Weighted SSSP (R48, Graph.weightedShortestPaths) on the q62 graph
+  // with a deterministic per-supplier edge weight. The oracle is a
+  // cost-bounded recursive CTE taking min(total weight) per node —
+  // the bound (150) exceeds every true shortest distance, so pruning
+  // longer walks cannot change any minimum.
+  private val q88 = Q(
+    "q88_sssp_weighted",
+    (s, d) => {
+      val edges = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && pmod(col("o_custkey"), lit(20)) === pmod(col("l_suppkey"), lit(20)))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+        .withColumn("w", expr("((dst - 1) div 2) % 5 + 1"))
+      val src = edges.agg(min(col("src")).as("node_id"))
+      graft.operators.Graph.weightedShortestPaths(edges, src)
+        .orderBy(col("node_id"))
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+          CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          AND o_custkey % 20 = l_suppkey % 20
+        WHERE o_orderkey % 7 = 0),
+      ew AS (SELECT src, dst, ((dst - 1) // 2) % 5 + 1 AS w FROM e0),
+      edges AS (
+        SELECT src AS a, dst AS b, w FROM ew
+        UNION ALL SELECT dst, src, w FROM ew),
+      s AS (SELECT min(src) AS node_id FROM e0),
+      r(node_id, d) AS (
+        SELECT node_id, CAST(0 AS BIGINT) FROM s
+        UNION
+        SELECT e.b, r.d + e.w FROM r JOIN edges e ON r.node_id = e.a
+          WHERE r.d + e.w <= 150)
+      SELECT node_id, min(d) AS dist FROM r
+      GROUP BY 1 ORDER BY node_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -207,6 +207,28 @@ class GraphSpec extends AnyFunSuite {
     assert(undir == Map(1L -> 0L, 2L -> 1L, 0L -> 1L, 3L -> 1L))
   }
 
+  test("weightedShortestPaths: cheap detour beats the direct edge") {
+    // 1—2 costs 10 direct, but 1—3—2 costs 1+2=3; island 9—10 absent
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (9L, 10L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node_id")
+    val got = Graph.weightedShortestPaths(edges, src)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 1L, 2L -> 3L))
+    // directed: 2→1 edge direction blocks the return path
+    val dir = Seq((2L, 1L, 5L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val gd = Graph.weightedShortestPaths(dir, src, undirected = false)
+      .as[(Long, Long)].collect().toMap
+    assert(gd == Map(1L -> 0L, 3L -> 1L))
+    // a longer-hop but cheaper path needs MORE rounds than BFS depth:
+    // 1→5 direct 100 vs 1→2→3→4→5 at 1 each
+    val chain = Seq((1L, 5L, 100L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val gc = Graph.weightedShortestPaths(chain, src)
+      .as[(Long, Long)].collect().toMap
+    assert(gc(5L) == 4L, s"cheap 4-hop path wins: $gc")
+  }
+
   test("bfsHops: multi-source takes the nearest source") {
     // sources 1 and 5 on a path 1—2—3—4—5: node 3 is 2 from both,
     // node 4 is 1 from source 5 (not 3 from source 1)
