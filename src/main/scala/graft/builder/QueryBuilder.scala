@@ -257,6 +257,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.pipeline.Similarity
       .pcaTopComponent(df, iters, vecCol))
 
+  /** Project embeddings onto the top component — see
+    * [[graft.pipeline.Similarity.projectOntoTopComponent]]. */
+  def projectOntoTopComponent(iters: Int = 10,
+      vecCol: String = "embedding"): QueryNode =
+    new QueryNode(graft.pipeline.Similarity
+      .projectOntoTopComponent(df, iters, vecCol))
+
   /** OHLC downsampling of this node's observations — see
     * [[graft.operators.TimeJoins.ohlcBars]]. */
   def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,

@@ -845,4 +845,71 @@ object Similarity {
     (0 until d).map(i => (i, v(i).doubleValue, lam, explained))
       .toDF("i", "loading", "eigenvalue", "explained_ratio")
   }
+
+  /** Project every embedding onto the corpus's top principal component
+    * (SURVEY.md §2 P29b) — the APPLY half of [[pcaTopComponent]], and
+    * the distributed half that actually matters at 100 TB: the model
+    * is d numbers, the transform touches every vector. Emits the
+    * scalar coordinate along the component, the squared residual off
+    * it, and the all-but-the-top debiased share — the
+    * Mu & Viswanath (2018) post-processing every embedding pipeline
+    * eventually reaches for, and the 1-D coordinate is the cheapest
+    * possible semantic sort key for curriculum/sharding.
+    *
+    * Exactness: the component arrives as 8dp loadings (exact DECIMAL
+    * after [[pcaTopComponent]]'s contract), centered values are the
+    * same DECIMAL(19,6) the Gram used, the projection is an exact
+    * DECIMAL dot product (one cast + 6dp round at the end), and the
+    * residual combines ‖c‖² (exact DECIMAL) with the ROUNDED
+    * projection so both engines square the same double; clamped at 0
+    * (the rounded cross-term can push an exact 0 a hair negative).
+    *
+    * Scale: the mean and component are d-number broadcasts; the
+    * corpus is ONE narrow pass — no shuffle at all (the per-vector
+    * fold is a HOF over the zipped arrays). */
+  def projectOntoTopComponent(embeddings: DataFrame, iters: Int = 10,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val comp = pcaTopComponent(embeddings, iters, vecCol)
+      .orderBy(col("i"))
+      .select(col("loading")).collect().map(_.getDouble(0))
+    val d = comp.length
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x6", round(col("x").cast("double"), 6)
+        .cast("decimal(18,6)"))
+    val muRows = ex.groupBy(col("i"))
+      .agg(sum(col("x6")).cast("decimal(38,6)").as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    import spark.implicits._
+    // tight types: the default BigDecimal encoder is (38,18), and a
+    // (38,18)×(38,18) product overflows precision so Spark would
+    // TRUNCATE scale — a real 1e-6 divergence the oracle caught
+    val model = broadcast((0 until d).map(i =>
+        (i, new java.math.BigDecimal(muRows(i)).setScale(6,
+          java.math.RoundingMode.HALF_UP),
+          new java.math.BigDecimal(comp(i)).setScale(8,
+            java.math.RoundingMode.HALF_UP)))
+      .toDF("i", "mu6", "v8")
+      .select(col("i"), col("mu6").cast("decimal(18,6)").as("mu6"),
+        col("v8").cast("decimal(10,8)").as("v8")))
+    ex.join(model, Seq("i"))
+      .withColumn("_c", col("x6") - col("mu6"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum((col("_c") * col("v8")).cast("decimal(38,14)"))
+          .cast("decimal(38,14)").as("_p"),
+        sum((col("_c") * col("_c")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("_n2"))
+      .select(col("vec_id"),
+        round(col("_p").cast("double"), 6).as("coord"),
+        greatest(lit(0.0),
+          round(col("_n2").cast("double")
+            - round(col("_p").cast("double"), 6)
+              * round(col("_p").cast("double"), 6), 6)).as("residual2"))
+  }
 }

@@ -2705,12 +2705,38 @@ object PipelineQueries {
     head + "," + rounds + tail
   }
 
+  // P29b: the APPLY half — same generated core through v10, then the
+  // per-vector exact-decimal projection instead of the model readout.
+  private def pcaProjectOracle(iters: Int): String = {
+    val core = pcaOracle(iters)
+    val cut = core.lastIndexOf("      SELECT v")
+    core.substring(0, cut) + s""",
+      proj AS (SELECT cent.vec_id,
+          CAST(sum(CAST(CAST(cent.c AS DECIMAL(24,6)) * v$iters.vd
+            AS DECIMAL(38,14))) AS DECIMAL(38,14)) AS p,
+          CAST(sum(CAST(CAST(cent.c AS DECIMAL(20,6)) * cent.c
+            AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS n2
+        FROM cent JOIN v$iters ON cent.i = v$iters.i GROUP BY 1)
+      SELECT vec_id, round(CAST(p AS DOUBLE), 6) AS coord,
+        greatest(0.0, round(CAST(n2 AS DOUBLE)
+          - round(CAST(p AS DOUBLE), 6) * round(CAST(p AS DOUBLE), 6),
+          6)) AS residual2
+      FROM proj ORDER BY vec_id"""
+  }
+
   private val embedPca = Q(
     "embed_pca",
     (s, d) =>
       Similarity.pcaTopComponent(Tables.load(s, d, "embeddings"))
         .orderBy(col("i")),
     Some(pcaOracle(10)))
+
+  private val embedProject = Q(
+    "embed_project",
+    (s, d) =>
+      Similarity.projectOntoTopComponent(Tables.load(s, d, "embeddings"))
+        .orderBy(col("vec_id")),
+    Some(pcaProjectOracle(10)))
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25, textBm25Stored, textNdcg,
@@ -2733,7 +2759,7 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
-    embedPca,
+    embedPca, embedProject,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng,
     multimodalPhash)

@@ -316,4 +316,28 @@ class SimilaritySpec extends AnyFunSuite {
       .select("explained_ratio").as[Option[Double]].collect()
     assert(gc.forall(_.isEmpty), "zero-variance corpus has no share")
   }
+
+  test("projectOntoTopComponent: coordinates recover the line, residual the jitter") {
+    val pts = (0 until 40).map { n =>
+      val t = (n - 19.5) / 4.0
+      (n.toLong, Seq(t.toFloat, t.toFloat,
+        (if (n % 2 == 0) 0.001f else -0.001f)))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.projectOntoTopComponent(pts)
+      .orderBy("vec_id")
+      .select("vec_id", "coord", "residual2")
+      .as[(Long, Double, Double)].collect()
+    // the diagonal line: coord(n) = ±(t·√2), monotone in n; residual²
+    // holds only the ±0.001 jitter (≈1e-6)
+    val coords = got.map(_._2)
+    val mono = coords.zip(coords.tail)
+    assert(mono.forall(p => p._2 > p._1) || mono.forall(p => p._2 < p._1),
+      "coordinates are monotone along the planted line")
+    val expect = math.abs((0 - 19.5) / 4.0) * math.sqrt(2.0)
+    assert(math.abs(math.abs(coords.head) - expect) < 1e-2,
+      s"endpoint coordinate ~${expect}, got ${coords.head}")
+    assert(got.forall(_._3 < 1e-4),
+      s"residual is jitter-sized, max ${got.map(_._3).max}")
+    assert(got.forall(_._3 >= 0.0), "clamped at zero")
+  }
 }
