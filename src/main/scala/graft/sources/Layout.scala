@@ -81,4 +81,30 @@ object Layout {
     // partition writes fewer files than requested)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Bucketed + sorted table write (SURVEY.md §2 IO11) — the third
+    * leg of the layout family: hive partitioning (IO6) prunes on a
+    * LOW-cardinality key, Z-order (IO8) makes min/max skipping work
+    * on several keys, and BUCKETING pre-hashes a HIGH-cardinality
+    * JOIN key into a fixed number of buckets at write time, so every
+    * later equi-join or aggregate on that key runs WITH NO EXCHANGE —
+    * the shuffle is paid once at ingest and amortized over every
+    * query. This is the explicit co-location story of the 100 TB
+    * design (facts bucketed on the join key at ingest; see
+    * LayoutSpec's no-Exchange plan proof).
+    *
+    * Spark constraint, stated rather than hidden: bucket metadata
+    * lives in the catalog, so bucketed output is a TABLE
+    * (`saveAsTable`), not a bare directory, and both join sides must
+    * agree on the bucket count (or be a multiple under AQE's
+    * coalescing) for the exchange to be elided. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
 }

@@ -88,4 +88,39 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet
       == rows.toSet)
   }
+
+  test("bucketed tables join and aggregate with NO Exchange; answers unchanged") {
+    import graft.Tables
+    val orders = Tables.load(spark, TestSpark.sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(orders, "b_orders", 8, "o_orderkey",
+      Seq("o_orderkey"))
+    Layout.writeBucketed(li, "b_lineitem", 8, "l_orderkey",
+      Seq("l_orderkey"))
+    try {
+      val bo = spark.table("b_orders")
+      val bl = spark.table("b_lineitem")
+      // force sort-merge so an Exchange would be visible if required
+      val joined = bo.hint("merge")
+        .join(bl, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + plan.take(3000))
+      // co-located layout changes the plan, never the answer
+      val expected = orders
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")))
+      assert(joined.exceptAll(expected).isEmpty
+        && expected.exceptAll(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
