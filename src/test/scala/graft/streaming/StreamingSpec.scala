@@ -414,6 +414,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_._3), "expected at least one flag")
   }
 
+  test("streaming OLS: final and cut-prefix emissions EQUAL batch linearFit bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("value").cast("double").as("x"),
+        pmod(col("event_id"), lit(97)).cast("double").as("y"))
+      .dropDuplicates("k", "t")
+    val rows = obs.as[(Long, Long, Double, Double)].collect()
+      .sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def batchFit(data: Seq[(Long, Long, Double, Double)]) =
+      graft.operators.Stats
+        .linearFit(data.toDF("k", "t", "x", "y"), "k", "x", "y")
+        .select(col("k"), col("n"), col("slope"), col("intercept"),
+          col("r2"))
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Double)]
+    val q = StreamRegression.fit(mem.toDF().toDF("k", "t", "x", "y"))
+      .writeStream.format("memory").queryName("reg_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      val atCut = latestPerKey()
+      val expCut = batchFit(first.toIndexedSeq)
+      assert(atCut == expCut, s"cut-prefix mismatch: ${atCut.take(2)}")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      val fin = latestPerKey()
+      val expAll = batchFit(rows.toIndexedSeq)
+      assert(fin == expAll, s"final mismatch: ${fin.take(2)}")
+      assert(fin.valuesIterator.exists(_._2.isDefined),
+        "at least one key has a real fit")
+    } finally q.stop()
+
+    def latestPerKey() = spark.table("reg_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("n").desc, col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
