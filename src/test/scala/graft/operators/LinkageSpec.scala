@@ -103,6 +103,18 @@ class LinkageSpec extends AnyFunSuite {
     assert(got.size == 9, s"exactly the true pair set, got ${got.keySet}")
   }
 
+  test("editDistancePairs plan: every join is an equi-join — no cartesian, no BNLJ") {
+    // the operator's whole point is avoiding the n² cross join; lock
+    // the physical plan so a future refactor can't quietly reintroduce
+    // one behind the same answers
+    val rows = Seq((1L, "abcdef"), (2L, "abcdxf")).toDF("id", "s")
+    val p = graft.operators.Linkage.editDistancePairs(rows, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "segment blocking must stay an equi-join:\n" + p.take(3000))
+  }
+
   test("editDistancePairs: recall 1 vs the brute-force pair set on real prefixes") {
     val docs = graft.Tables
       .load(spark, graft.TestSpark.sf, "documents")

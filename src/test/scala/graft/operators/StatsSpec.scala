@@ -152,6 +152,19 @@ class StatsSpec extends AnyFunSuite {
       "constant y: flat line fits, but r2 is undefined")
   }
 
+  test("linearFit plan: one Aggregate, zero joins and windows (one shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0)).toDF("k", "x", "y")
+    val plan = Stats.linearFit(df, "k", "x", "y")
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case a: Aggregate => a }.size == 1,
+      s"all five moments must fold into ONE aggregate:\n$plan")
+    assert(plan.collect { case j: Join => j }.isEmpty,
+      s"no join belongs in a single-pass fit:\n$plan")
+    assert(!plan.toString.contains("Window"),
+      s"no window belongs in a single-pass fit:\n$plan")
+  }
+
   test("kendall: concordant=1, discordant=-1, hand tie case, constant NULL") {
     val mono = (1 to 10).map(i => (i.toDouble, (i * 3).toDouble))
       .toDF("x", "y")
