@@ -308,6 +308,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.TimeJoins
       .acf(df, keyCol, tCol, valCol, maxLag))
 
+  /** Lead-lag cross-correlation at lags ±maxLag — see
+    * [[graft.operators.TimeJoins.ccf]]. */
+  def ccf(keyCol: String, tCol: String, xCol: String, yCol: String,
+      maxLag: Int = 5): QueryNode =
+    new QueryNode(graft.operators.TimeJoins
+      .ccf(df, keyCol, tCol, xCol, yCol, maxLag))
+
   // ----- change-data family at the builder surface (r9): diff derives
   // the changeset, upsert applies it, historize versions it — the same
   // delegation discipline as the funnel/graph/time-series methods

@@ -247,6 +247,65 @@ object TimeJoins {
       .drop("_ws")
   }
 
+  /** Cross-correlation function between two series on the same key
+    * (SURVEY.md §2 R49) — the LEAD-LAG question [[acf]] can't ask:
+    * does x at time t predict y at time t+l? r_xy(l) for
+    * l ∈ [−maxLag, maxLag], normalized by the full-series standard
+    * deviations (the Box–Jenkins sample CCF), so a peak at positive l
+    * reads "x leads y by l steps".
+    *
+    * Same exactness contract as [[acf]]: 6dp DECIMAL deviations,
+    * DECIMAL(38,12) product sums, one IEEE division per lag rounded
+    * 6dp, NULL on zero variance or no pairs. All 2·maxLag+1 shifted
+    * columns ride ONE WindowExec; the series shuffles twice total. */
+  def ccf(obs: DataFrame, keyCol: String, tCol: String,
+      xCol: String, yCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(keyCol)).orderBy(col(tCol))
+    def mean(c: String, alias: String) = obs
+      .groupBy(col(keyCol))
+      .agg(sum(round(col(c), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col(keyCol),
+        round(col("_s").cast("double") / col("_n").cast("double"), 6)
+          .as(alias))
+    val dev = obs
+      .join(mean(xCol, "_mx"), Seq(keyCol))
+      .join(mean(yCol, "_my"), Seq(keyCol))
+      .withColumn("_dx",
+        round(round(col(xCol), 6) - col("_mx"), 6).cast("decimal(18,6)"))
+      .withColumn("_dy",
+        round(round(col(yCol), 6) - col("_my"), 6).cast("decimal(18,6)"))
+    val lagged = (-maxLag to maxLag).foldLeft(dev) { (df, l) =>
+      val c = if (l >= 0) lead(col("_dy"), l).over(wOrd)
+        else lag(col("_dy"), -l).over(wOrd)
+      df.withColumn(s"_dy$l", c)
+    }
+    val stacked = lagged.select(col(keyCol), col("_dx"),
+      explode(array((-maxLag to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"_dy$l").as("dl"))): _*)).as("s"))
+      .select(col(keyCol), col("_dx"), col("s.lag").as("lag"),
+        col("s.dl").as("_dl"))
+    val den = dev.groupBy(col(keyCol))
+      .agg(sum((col("_dx") * col("_dx")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("_sxx"),
+        sum((col("_dy") * col("_dy")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("_syy"))
+    stacked
+      .groupBy(col(keyCol), col("lag"))
+      .agg(count(col("_dl")).as("n_pairs"),
+        sum((col("_dx") * col("_dl")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("_sp"))
+      .join(den, Seq(keyCol))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        when(col("n_pairs") > 0 && col("_sxx") > 0 && col("_syy") > 0,
+          round(col("_sp").cast("double") /
+            sqrt(col("_sxx").cast("double") * col("_syy").cast("double")),
+            6)).as("ccf"))
+  }
+
   /** Classical additive seasonal decomposition (SURVEY.md §2 R40):
     * value = trend + seasonal + residual per series key — the
     * time-series triage every metrics pipeline runs before alerting on

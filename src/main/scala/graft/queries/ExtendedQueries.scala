@@ -2398,9 +2398,66 @@ object ExtendedQueries {
       SELECT node_id, min(d) AS dist FROM r
       GROUP BY 1 ORDER BY node_id"""))
 
+  // Lead-lag cross-correlation (R49, TimeJoins.ccf): hourly event
+  // volume vs hourly high-value volume per type, lags ±6. Both series
+  // are exact integer counts; the oracle builds signed-lag pairs with
+  // a row-number self-join.
+  private val q89 = Q(
+    "q89_ccf",
+    (s, d) => {
+      val series = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).cast("double").as("x"),
+          count(when(col("value") > 50.0, 1)).cast("double").as("y"))
+      graft.operators.TimeJoins.ccf(series, "event_type", "hr",
+          "x", "y", maxLag = 6)
+        .orderBy(col("event_type"), col("lag"))
+    },
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS x,
+          CAST(count(*) FILTER (value > 50.0) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT k, round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mx
+        FROM s GROUP BY 1),
+      my AS (SELECT k, round(CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS my
+        FROM s GROUP BY 1),
+      d AS (SELECT s.k, hr,
+          CAST(round(round(x, 6) - mx, 6) AS DECIMAL(18,6)) AS dx,
+          CAST(round(round(y, 6) - my, 6) AS DECIMAL(18,6)) AS dy,
+          row_number() OVER (PARTITION BY s.k ORDER BY hr) AS rn
+        FROM s JOIN mx USING (k) JOIN my USING (k)),
+      den AS (SELECT k,
+          CAST(sum(CAST(dx AS DECIMAL(20,6)) * dx) AS DECIMAL(38,12))
+            AS sxx,
+          CAST(sum(CAST(dy AS DECIMAL(20,6)) * dy) AS DECIMAL(38,12))
+            AS syy
+        FROM d GROUP BY 1),
+      pairs AS (SELECT a.k, l.lag, a.dx AS da, b.dy AS db
+        FROM d a
+        CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) l
+        LEFT JOIN d b ON a.k = b.k AND b.rn = a.rn + l.lag),
+      num AS (SELECT k, CAST(lag AS INT) AS lag,
+          CAST(count(db) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CAST(da AS DECIMAL(20,6)) * db), 0)
+            AS DECIMAL(38,12)) AS sp
+        FROM pairs GROUP BY 1, 2),
+      j AS (SELECT num.k, lag, n_pairs, sp, sxx, syy
+        FROM num JOIN den ON num.k = den.k)
+      SELECT k AS event_type, lag, n_pairs,
+        CASE WHEN n_pairs > 0 AND sxx > 0 AND syy > 0
+          THEN round(CAST(sp AS DOUBLE)
+            / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+          END AS ccf
+      FROM j ORDER BY event_type, lag"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -182,6 +182,23 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(gc.forall(_.isEmpty), "constant series has no variance")
   }
 
+  test("ccf: planted 2-step lead peaks at +2, reversed series at -2") {
+    // y_t = x_{t-2} on an APERIODIC series: x LEADS y by 2, so the
+    // ccf peak must sit uniquely at lag +2
+    val vals = Seq(5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 9.0, 2.0, 7.0, 1.0,
+      6.0, 4.0)
+    val obs = (1 to 12).map { t0 =>
+      (1L, t0.toLong, vals(t0 - 1),
+        if (t0 > 2) vals(t0 - 3) else 0.0)
+    }.toDF("k", "t", "x", "y")
+    val got = TimeJoins.ccf(obs, "k", "t", "x", "y", maxLag = 3)
+      .select("lag", "ccf").as[(Int, Option[Double])].collect().toMap
+    val peak = got.collect { case (l, Some(v)) => l -> v }
+    assert(peak.maxBy(_._2)._1 == 2, s"peak must sit at +2: $got")
+    assert(got(2).exists(_ > 0.8), s"strong positive at +2: ${got(2)}")
+    assert(got(0).exists(v => v < got(2).get), "lag 0 is weaker")
+  }
+
   test("seasonalDecompose: odd period recovers a planted phase effect") {
     // v = 10 + s(t mod 3), s = (0, 3, -3) — trend must be flat 10,
     // seasonal must recover s exactly, residual 0, edges NULL.
