@@ -382,6 +382,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def linearFit(keyCol: String, xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.linearFit(df, keyCol, xCol, yCol))
 
+  /** Quantile winsorization — see
+    * [[graft.operators.Quality.winsorize]]. */
+  def winsorize(keyCol: String, valCol: String, pLow: Double = 0.05,
+      pHigh: Double = 0.95): QueryNode =
+    new QueryNode(graft.operators.Quality
+      .winsorize(df, keyCol, valCol, pLow, pHigh))
+
   /** Benford first-digit conformance — see
     * [[graft.operators.Stats.benford]]. */
   def benford(valCol: String, scale: Int = 2): QueryNode =

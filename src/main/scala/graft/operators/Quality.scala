@@ -128,4 +128,41 @@ object Quality {
       .reduce(_.unionByName(_))
       .withColumn("ok", col("violations") === 0L)
   }
+
+  /** Winsorization at exact per-group quantiles (SURVEY.md §2 R50) —
+    * the REPAIR member of the cleaning family: [[audit]] counts the
+    * out-of-contract rows, [[graft.pipeline.TextAnalysis]]'s outlier
+    * filter drops them, this one CLAMPS them into [q_pLow, q_pHigh]
+    * so a heavy tail stops poisoning downstream means without
+    * discarding the rows (the standard pre-step before [[audit]]able
+    * aggregate contracts, and the classic guard in front of an OLS
+    * fit). NULL values pass through untouched and unflagged.
+    *
+    * Exactness: bounds are exact linear-interpolation percentiles
+    * (the q19 engine-aligned pair: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) rounded 6dp, so the clamp compares every raw
+    * value against the SAME doubles in both engines; clamped outputs
+    * are exactly the rounded bounds, untouched outputs the original
+    * values.
+    *
+    * Scale: one per-group percentile aggregate (group-state ∝
+    * distinct values, the q19 contract) + one broadcast-able bounds
+    * join back; the fact table shuffles once. */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+      pLow: Double = 0.05, pHigh: Double = 0.95): DataFrame = {
+    require(pLow >= 0 && pLow < pHigh && pHigh <= 1,
+      "need 0 <= pLow < pHigh <= 1")
+    val bounds = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valCol, $pLow)"), 6).as("lo"),
+        round(expr(s"percentile($valCol, $pHigh)"), 6).as("hi"))
+    val v = col(valCol).cast("double")
+    df.join(broadcast(bounds), Seq(keyCol), "left")
+      .withColumn("winsorized",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("lo")), col("hi"))))
+      .withColumn("clipped",
+        coalesce(v < col("lo") || v > col("hi"), lit(false)))
+  }
 }

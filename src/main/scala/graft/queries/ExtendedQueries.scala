@@ -2455,9 +2455,38 @@ object ExtendedQueries {
           END AS ccf
       FROM j ORDER BY event_type, lag"""))
 
+  // Winsorization at exact per-flag price quantiles (R50,
+  // Quality.winsorize). The q19 percentile ≡ quantile_cont alignment
+  // makes the bounds — and therefore every clamp — engine-exact.
+  private val q90 = Q(
+    "q90_winsorize",
+    (s, d) =>
+      graft.operators.Quality
+        .winsorize(t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"),
+              col("l_extendedprice").cast("double").as("price")),
+          "l_returnflag", "price")
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""WITH b AS (SELECT l_returnflag AS k,
+          round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05), 6)
+            AS lo,
+          round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 6)
+            AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+      SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+        CAST(l.l_extendedprice AS DOUBLE) AS price, b.lo, b.hi,
+        CASE WHEN l.l_extendedprice IS NULL THEN NULL
+          ELSE least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo),
+            b.hi) END AS winsorized,
+        coalesce(CAST(l.l_extendedprice AS DOUBLE) < b.lo
+          OR CAST(l.l_extendedprice AS DOUBLE) > b.hi, false) AS clipped
+      FROM lineitem l LEFT JOIN b ON l.l_returnflag = b.k
+      ORDER BY l.l_orderkey, l.l_linenumber"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -65,4 +65,18 @@ class QualitySpec extends AnyFunSuite {
       Quality.audit(t, Seq.empty)
     }.getMessage.contains("rule"))
   }
+
+  test("winsorize: tails clamp to the interpolated bounds, middle and NULLs pass") {
+    // values 1..10: lo = 1 + 0.05*9 = 1.45, hi = 9.55 (linear interp)
+    val rows = (1 to 10).map(i => ("g", Some(i.toDouble))) :+
+      (("g", Option.empty[Double]))
+    val got = Quality.winsorize(rows.toDF("k", "v"), "k", "v")
+      .select("v", "winsorized", "clipped")
+      .as[(Option[Double], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(Some(1.0)) == ((Some(1.45), true)), "low tail clamps up")
+    assert(got(Some(10.0)) == ((Some(9.55), true)), "high tail clamps down")
+    assert(got(Some(5.0)) == ((Some(5.0), false)), "middle untouched")
+    assert(got(None) == ((None, false)), "NULL passes through unflagged")
+  }
 }
