@@ -264,6 +264,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.pipeline.Similarity
       .projectOntoTopComponent(df, iters, vecCol))
 
+  /** Top-k principal components by deflation — see
+    * [[graft.pipeline.Similarity.pcaComponents]]. */
+  def pcaComponents(nComponents: Int = 2, iters: Int = 10,
+      vecCol: String = "embedding"): QueryNode =
+    new QueryNode(graft.pipeline.Similarity
+      .pcaComponents(df, nComponents, iters, vecCol))
+
   /** OHLC downsampling of this node's observations — see
     * [[graft.operators.TimeJoins.ohlcBars]]. */
   def ohlc(keyCol: String, tsCol: String, valCol: String, tieCol: String,

@@ -158,7 +158,10 @@ object Quality {
       .agg(round(expr(s"percentile($valCol, $pLow)"), 6).as("lo"),
         round(expr(s"percentile($valCol, $pHigh)"), 6).as("hi"))
     val v = col(valCol).cast("double")
-    df.join(broadcast(bounds), Seq(keyCol), "left")
+    // no broadcast hint: bounds is one row per group, which is tiny
+    // for typical groupings but unbounded in general — let the
+    // size-based rule / AQE decide (the RefIntegrity advisor lesson)
+    df.join(bounds, Seq(keyCol), "left")
       .withColumn("winsorized",
         when(v.isNull, lit(null).cast("double"))
           .otherwise(least(greatest(v, col("lo")), col("hi"))))

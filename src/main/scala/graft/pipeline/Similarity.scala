@@ -773,9 +773,16 @@ object Similarity {
     * rounding is the 8dp normalize of d components — a 1e-8 grid,
     * where a shortest-repr boundary collision is ~1e-8-probable per
     * op. Deterministic all-ones/√d init. */
-  def pcaTopComponent(embeddings: DataFrame, iters: Int = 10,
-      vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, "need at least one iteration")
+  private def pcaRound8(x: Double): java.math.BigDecimal =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).bigDecimal
+  private def pcaRound6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Distributed centered-Gram build + model collect (shared by the
+    * PCA family; arithmetic contract documented on
+    * [[pcaTopComponent]]). */
+  private def centeredGram(embeddings: DataFrame,
+      vecCol: String): (Int, Array[Array[java.math.BigDecimal]]) = {
     val spark = embeddings.sparkSession
     val ex = embeddings.select(col("vec_id"),
       posexplode(col(vecCol)).as(Seq("i", "x")))
@@ -807,43 +814,93 @@ object Similarity {
     gramRows.foreach { r =>
       G(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).setScale(12)
     }
-    def round8(x: Double): java.math.BigDecimal =
-      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).bigDecimal
-    def round6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (d, G)
+  }
+
+  /** `iters` power-iteration rounds on the collected Gram; returns the
+    * 8dp unit iterate and its 6dp Rayleigh quotient. */
+  private def powerIterate(G: Array[Array[java.math.BigDecimal]],
+      d: Int, iters: Int): (Array[java.math.BigDecimal], Double) = {
     // init: uniform direction, normalized and 8dp-quantized like every
     // later iterate (1/√d is exact at d a power of 4, approximate else)
     var v: Array[java.math.BigDecimal] =
-      Array.fill(d)(round8(1.0 / math.sqrt(d.toDouble)))
-    var wD: Array[Double] = null
+      Array.fill(d)(pcaRound8(1.0 / math.sqrt(d.toDouble)))
     (1 to iters).foreach { _ =>
       val w = (0 until d).map { i =>
         (0 until d).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
           acc.add(G(i)(j).multiply(v(j))) // exact decimal, no rounding
         }
       }
-      wD = w.map(_.doubleValue).toArray
+      val wD = w.map(_.doubleValue).toArray
       val n2 = wD.foldLeft(0.0)((a, x) => a + x * x) // ordered IEEE fold
       val norm = math.sqrt(n2)
       // zero-variance corpus: Gv = 0 forever — stay on the uniform
-      // init instead of dividing 0/0 (λ = 0, share NULL below)
-      if (norm > 0) v = wD.map(x => round8(x / norm))
+      // init instead of dividing 0/0 (λ = 0, share NULL downstream)
+      if (norm > 0) v = wD.map(x => pcaRound8(x / norm))
     }
-    // Rayleigh quotient with the final iterate; trace for the share
+    // Rayleigh quotient with the final iterate
     val wf = (0 until d).map { i =>
       (0 until d).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
         acc.add(G(i)(j).multiply(v(j)))
       }.doubleValue
     }
-    val lam = round6(v.map(_.doubleValue).zip(wf)
+    val lam = pcaRound6(v.map(_.doubleValue).zip(wf)
       .foldLeft(0.0)((a, p) => a + p._1 * p._2))
+    (v, lam)
+  }
+
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 10,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (d, g) = centeredGram(embeddings, vecCol)
+    val (v, lam) = powerIterate(g, d, iters)
     val trace = (0 until d).foldLeft(java.math.BigDecimal.ZERO) {
-      (acc, i) => acc.add(G(i)(i))
+      (acc, i) => acc.add(g(i)(i))
     }.doubleValue
     val explained =
-      if (trace > 0) Some(round6(lam / trace)) else None
+      if (trace > 0) Some(pcaRound6(lam / trace)) else None
     (0 until d).map(i => (i, v(i).doubleValue, lam, explained))
       .toDF("i", "loading", "eigenvalue", "explained_ratio")
+  }
+
+  /** Top `nComponents` principal components by DEFLATION (SURVEY.md §2
+    * P29c): extract a component with [[pcaTopComponent]]'s exact
+    * power iteration, subtract its rank-1 contribution
+    * G ← G − λ·vvᵀ, and iterate on the remainder. The deflated Gram
+    * re-quantizes to the same DECIMAL(28,12) grid each time — an
+    * EXACT decimal operation both engines replay identically (λ is
+    * the 6dp quotient, v the 8dp iterate, so λ·vᵢ·vⱼ is an exact
+    * scale-22 decimal before the 12dp re-round). Explained shares all
+    * divide by the ORIGINAL trace. One distributed Gram build serves
+    * every component — deflation is model-side arithmetic. */
+  def pcaComponents(embeddings: DataFrame, nComponents: Int = 2,
+      iters: Int = 10, vecCol: String = "embedding"): DataFrame = {
+    require(nComponents >= 1 && nComponents <= 8,
+      "nComponents must be in [1, 8]")
+    require(iters >= 1, "need at least one iteration")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (d, g0) = centeredGram(embeddings, vecCol)
+    val trace = (0 until d).foldLeft(java.math.BigDecimal.ZERO) {
+      (acc, i) => acc.add(g0(i)(i))
+    }.doubleValue
+    var g = g0
+    val out = (1 to nComponents).flatMap { c =>
+      val (v, lam) = powerIterate(g, d, iters)
+      val explained =
+        if (trace > 0) Some(pcaRound6(lam / trace)) else None
+      val lam6 = java.math.BigDecimal.valueOf(lam)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      g = Array.tabulate(d, d) { (i, j) =>
+        g(i)(j).subtract(lam6.multiply(v(i)).multiply(v(j)))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      }
+      (0 until d).map(i => (c, i, v(i).doubleValue, lam, explained))
+    }
+    out.toDF("component", "i", "loading", "eigenvalue",
+      "explained_ratio")
   }
 
   /** Project every embedding onto the corpus's top principal component

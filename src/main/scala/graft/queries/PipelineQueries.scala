@@ -2731,6 +2731,76 @@ object PipelineQueries {
         .orderBy(col("i")),
     Some(pcaOracle(10)))
 
+  // P29c: top-2 components by deflation — the same generated core,
+  // once per component, with an exact-decimal rank-1 subtraction
+  // (λ·v_i·v_j at scale 22, re-rounded HALF_UP to the 12dp Gram grid)
+  // between them.
+  private def pcaMultiOracle(nComp: Int, iters: Int): String = {
+    val core = pcaOracle(iters)
+    // keep only the shared model CTEs (exx..dd, v0): every component
+    // generates its own suffixed rounds over gram / the deflated
+    // gram_c, so the single-component rounds must NOT ride along
+    val cut = core.indexOf("w1 AS MATERIALIZED")
+    val base = core.substring(0, core.lastIndexOf(",", cut))
+    def rounds(c: Int): String = {
+      val g = if (c == 1) "gram" else s"gram_$c"
+      val v0 = s"""
+      v${c}_0 AS (SELECT i, CAST(round(1.0 / sqrt(CAST(d AS DOUBLE)), 8)
+          AS DECIMAL(10,8)) AS vd FROM mu CROSS JOIN dd)"""
+      val rs = (1 to iters).map { r =>
+        s"""
+      w${c}_$r AS MATERIALIZED (SELECT g.i AS i,
+          sum(g.gd * v${c}_${r - 1}.vd) AS w
+        FROM $g g JOIN v${c}_${r - 1} ON g.j = v${c}_${r - 1}.i
+        GROUP BY 1),
+      n${c}_$r AS (SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(CAST(w AS DOUBLE) ORDER BY i),
+            x -> x * x)), (a, b) -> a + b)) AS nrm FROM w${c}_$r),
+      v${c}_$r AS MATERIALIZED (SELECT i,
+          CAST(round(CAST(w AS DOUBLE) / nrm, 8) AS DECIMAL(10,8)) AS vd
+        FROM w${c}_$r CROSS JOIN n${c}_$r)"""
+      }.mkString(",")
+      val lam = s""",
+      wf_$c AS (SELECT g.i AS i, CAST(sum(g.gd * v${c}_$iters.vd)
+          AS DOUBLE) AS w
+        FROM $g g JOIN v${c}_$iters ON g.j = v${c}_$iters.i GROUP BY 1),
+      pr_$c AS (SELECT v${c}_$iters.i AS i,
+          CAST(v${c}_$iters.vd AS DOUBLE) * wf_$c.w AS p
+        FROM v${c}_$iters JOIN wf_$c ON v${c}_$iters.i = wf_$c.i),
+      lam_$c AS (SELECT round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(p ORDER BY i), x -> x)),
+          (a, b) -> a + b), 6) AS ev FROM pr_$c)"""
+      val defl = if (c < nComp) s""",
+      gram_${c + 1} AS MATERIALIZED (SELECT g.i, g.j,
+          CAST(round(g.gd - CAST(l.ev AS DECIMAL(18,6)) * va.vd * vb.vd,
+            12) AS DECIMAL(28,12)) AS gd
+        FROM $g g JOIN v${c}_$iters va ON g.i = va.i
+          JOIN v${c}_$iters vb ON g.j = vb.i
+        CROSS JOIN lam_$c l)""" else ""
+      v0 + "," + rs + lam + defl
+    }
+    val legs = (1 to nComp).map { c =>
+      s"""SELECT $c AS component, v${c}_$iters.i AS i,
+        CAST(v${c}_$iters.vd AS DOUBLE) AS loading,
+        lam_$c.ev AS eigenvalue,
+        CASE WHEN trace > 0 THEN round(lam_$c.ev / trace, 6) END
+          AS explained_ratio
+      FROM v${c}_$iters CROSS JOIN lam_$c CROSS JOIN tr0"""
+    }.mkString("\n      UNION ALL\n      ")
+    base + "," + (1 to nComp).map(rounds).mkString(",") + s""",
+      tr0 AS (SELECT CAST(sum(gd) FILTER (i = j) AS DOUBLE) AS trace
+        FROM gram)
+      """ + legs + "\n      ORDER BY component, i"
+  }
+
+  private val embedPca2 = Q(
+    "embed_pca2",
+    (s, d) =>
+      Similarity.pcaComponents(Tables.load(s, d, "embeddings"),
+          nComponents = 2)
+        .orderBy(col("component"), col("i")),
+    Some(pcaMultiOracle(2, 10)))
+
   private val embedProject = Q(
     "embed_project",
     (s, d) =>
@@ -2759,7 +2829,7 @@ object PipelineQueries {
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
-    embedPca, embedProject,
+    embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng,
     multimodalPhash)

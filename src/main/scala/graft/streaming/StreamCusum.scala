@@ -75,6 +75,10 @@ object StreamCusum {
     obs
       .select(col("k").cast("long"), col("t").cast("long"),
         col("value").cast("double"))
+      // NULL key/t/value rows are out of scope (the batch operator's
+      // (key, t)-unique contract) — dropped here rather than NPE-ing
+      // inside the primitive-tuple encoder (the StreamCdc lesson)
+      .na.drop()
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -72,6 +72,9 @@ object StreamRegression {
     obs
       .select(col("k").cast("long"), col("t").cast("long"),
         col("x").cast("double"), col("y").cast("double"))
+      // NULL rows are out of scope in the batch operator too
+      // (linearFit filters them) — dropped, not NPE'd
+      .na.drop()
       .as[(Long, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
