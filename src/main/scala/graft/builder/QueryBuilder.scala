@@ -389,6 +389,11 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def linearFit(keyCol: String, xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.linearFit(df, keyCol, xCol, yCol))
 
+  /** One-pass correlation matrix — see
+    * [[graft.operators.Stats.corrMatrix]]. */
+  def corrMatrix(cols: String*): QueryNode =
+    new QueryNode(graft.operators.Stats.corrMatrix(df, cols))
+
   /** Quantile winsorization — see
     * [[graft.operators.Quality.winsorize]]. */
   def winsorize(keyCol: String, valCol: String, pLow: Double = 0.05,

@@ -487,6 +487,53 @@ object Stats {
         round(cov * cov / (vx * vy), 6)).as("r2"))
   }
 
+  /** Full pairwise Pearson correlation matrix in ONE pass (SURVEY.md
+    * §2 R51) — the profiling surface behind every feature-selection
+    * triage: A9's `corr` answers one pair per aggregate, this one
+    * computes all k(k−1)/2 pairs from a single partial-agg'd scan
+    * (k sums + k squares + the pair products in one Aggregate — the
+    * Quality.audit fold idiom at matrix width).
+    *
+    * Listwise deletion: rows with a NULL in ANY requested column are
+    * out of scope, so every pair shares the same n and the matrix is
+    * positive-semidefinite-consistent. Exactness: values round 6dp
+    * into DECIMAL, every moment accumulates DECIMAL(38,12)
+    * (order-free), each correlation is ONE IEEE expression over
+    * agreed operands rounded 6dp; NULL for a constant column.
+    *
+    * Scale: one scan, one 1-row aggregate, k²-bounded output. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val dec = "decimal(38,12)"
+    val c6 = cols.map(c =>
+      c -> round(col(c).cast("double"), 6).cast("decimal(18,6)")).toMap
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(c6(c).cast(dec)).cast(dec).as(s"_s_$c")) ++
+      cols.map(c => sum((c6(c) * c6(c)).cast(dec)).cast(dec)
+        .as(s"_ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((c6(a) * c6(b)).cast(dec)).cast(dec).as(s"_sp_${a}_$b") }
+    val m = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast("double")
+    def v(c: String) = col(s"_ss_$c").cast("double") * nD -
+      col(s"_s_$c").cast("double") * col(s"_s_$c").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val cov = col(s"_sp_${a}_$b").cast("double") * nD -
+        col(s"_s_$a").cast("double") * col(s"_s_$b").cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(col("n") >= 2 && v(a) > 0 && v(b) > 0,
+          round(cov / sqrt(v(a) * v(b)), 6)).as("corr"))
+    }
+    m.select(col("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
+  }
+
   /** Kendall tau-b rank correlation (SURVEY.md §2 A14) — the
     * concordant-vs-discordant-PAIRS member of the correlation family
     * ([[spearman]] compares rank values; this one counts inversions,

@@ -2484,9 +2484,64 @@ object ExtendedQueries {
       FROM lineitem l LEFT JOIN b ON l.l_returnflag = b.k
       ORDER BY l.l_orderkey, l.l_linenumber"""))
 
+  // One-pass correlation matrix (R51, Stats.corrMatrix) over four
+  // lineitem measures. All six pair correlations from one aggregate;
+  // the oracle recomputes each from the same decimal moments.
+  private val q91 = Q(
+    "q91_corrmatrix",
+    (s, d) =>
+      graft.operators.Stats
+        .corrMatrix(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_x"), col("col_y")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val sums = cols.map(c =>
+        s"""CAST(sum(CAST(CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS s_$c,
+          CAST(sum(CAST(CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(20,6)) * CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS ss_$c""").mkString(",\n          ")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val prods = pairs.map { case (a, b) =>
+        s"""CAST(sum(CAST(CAST(round(CAST($a AS DOUBLE), 6)
+            AS DECIMAL(20,6)) * CAST(round(CAST($b AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS sp_${a}_$b""" }.mkString(",\n          ")
+      val legs = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+          CASE WHEN n >= 2
+              AND CAST(ss_$a AS DOUBLE) * n
+                - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+              AND CAST(ss_$b AS DOUBLE) * n
+                - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+            THEN round((CAST(sp_${a}_$b AS DOUBLE) * n
+                - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+              / sqrt((CAST(ss_$a AS DOUBLE) * n
+                  - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                * (CAST(ss_$b AS DOUBLE) * n
+                  - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+            END AS corr
+        FROM m"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          $sums,
+          $prods
+        FROM lineitem
+        WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")})
+        SELECT col_x, col_y, CAST(n AS BIGINT) AS n, corr FROM (
+        $legs)
+        ORDER BY col_x, col_y"""
+    })
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

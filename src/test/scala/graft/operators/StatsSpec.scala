@@ -152,6 +152,39 @@ class StatsSpec extends AnyFunSuite {
       "constant y: flat line fits, but r2 is undefined")
   }
 
+  test("corrMatrix: perfect/anti/constant pairs in one pass, listwise deletion") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 7.0),
+      (2.0, 4.0, -2.0, 7.0),
+      (3.0, 6.0, -3.0, 7.0),
+      (4.0, 8.0, -4.0, 7.0)
+    ).toDF("a", "b", "c", "k")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .select("col_x", "col_y", "n", "corr")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == ((4L, Some(1.0))))
+    assert(got(("a", "c")) == ((4L, Some(-1.0))))
+    assert(got(("b", "c")) == ((4L, Some(-1.0))))
+    assert(got(("a", "k"))._2.isEmpty, "constant column has no corr")
+    // a NULL anywhere drops the whole row (shared n across all pairs)
+    val withNull = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)),
+      (Some(2.0), Some(4.0), None),
+      (Some(3.0), Some(6.0), Some(3.0))
+    ).toDF("a", "b", "c")
+    val n2 = Stats.corrMatrix(withNull, Seq("a", "b", "c"))
+      .select("n").as[Long].collect()
+    assert(n2.forall(_ == 2L), s"listwise deletion: $n2")
+    // plan: everything folds into ONE aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case ag: Aggregate => ag }.size == 1,
+      s"one-pass matrix must be one Aggregate:\n$plan")
+  }
+
   test("linearFit plan: one Aggregate, zero joins and windows (one shuffle)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0)).toDF("k", "x", "y")
