@@ -394,6 +394,11 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def corrMatrix(cols: String*): QueryNode =
     new QueryNode(graft.operators.Stats.corrMatrix(df, cols))
 
+  /** Mutual information between two categorical columns — see
+    * [[graft.operators.Stats.mutualInformation]]. */
+  def mutualInformation(aCol: String, bCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.mutualInformation(df, aCol, bCol))
+
   /** Quantile winsorization — see
     * [[graft.operators.Quality.winsorize]]. */
   def winsorize(keyCol: String, valCol: String, pLow: Double = 0.05,

@@ -73,6 +73,64 @@ object Stats {
         col("term"), col("chi2"), col("dof"))
   }
 
+  /** Mutual information between two categorical columns (SURVEY.md §2
+    * R52) — the information-theoretic sibling of [[chiSquare]]: χ²
+    * asks "is there dependence", MI answers "how many nats of one
+    * column the other reveals" — the feature-relevance ranking signal
+    * ([[corrMatrix]] for categories). Also emits the normalized
+    * variant MI/√(H(A)·H(B)) ∈ [0, 1].
+    *
+    * Only OBSERVED cells contribute (0·ln 0 = 0, so zero cells drop
+    * out exactly — the opposite of χ²'s zero-cell rule, and why this
+    * aggregate needs no grid). NULL categories are out of scope, as
+    * in [[chiSquare]]. Exactness: every p is a ratio of exact counts;
+    * each ln term rounds 12dp (the single-transcendental §6 rule) and
+    * weights by the exact integer count before the DECIMAL(38,12)
+    * sum; the final divisions round 6dp. Degenerate single-category
+    * columns give MI 0 and a NULL normalized score (zero entropy).
+    *
+    * Scale: one (a, b) cell aggregate (partial-agg'd), two
+    * marginal aggregates over cells, broadcast-able joins back, one
+    * 1-row result. */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("nab"))
+      .localCheckpoint()
+    val aTot = cells.groupBy(col(aCol)).agg(sum(col("nab")).as("na"))
+    val bTot = cells.groupBy(col(bCol)).agg(sum(col("nab")).as("nb"))
+    val tot = cells.agg(sum(col("nab")).as("n"))
+    val dec = "decimal(38,12)"
+    // Σ n_ab · ln(n_ab·N / (n_a·n_b)) — exact integer ratio per term
+    val mi = cells
+      .join(aTot, Seq(aCol)).join(bTot, Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .select((col("nab").cast(dec) *
+        round(log(col("nab").cast("double") * col("n") /
+          (col("na").cast("double") * col("nb"))), 12)
+          .cast(dec)).cast(dec).as("term"))
+      .agg(coalesce(sum(col("term")), lit(0).cast(dec)).as("_mi"))
+    def entropy(tcol: DataFrame, cnt: String) = tcol
+      .crossJoin(broadcast(tot))
+      .select((col(cnt).cast(dec) *
+        round(log(col(cnt).cast("double") / col("n")), 12).cast(dec))
+        .cast(dec).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0).cast(dec)).as("_h"))
+    val m = mi.crossJoin(entropy(aTot, "na").withColumnRenamed("_h", "_ha"))
+      .crossJoin(entropy(bTot, "nb").withColumnRenamed("_h", "_hb"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val miD = col("_mi").cast("double") / nD
+    val ha = -col("_ha").cast("double") / nD
+    val hb = -col("_hb").cast("double") / nD
+    m.select(col("n"),
+      round(miD, 6).as("mi_nats"),
+      when(ha > 0 && hb > 0, round(miD / sqrt(ha * hb), 6))
+        .as("normalized_mi"))
+  }
+
   /** Benford first-significant-digit conformance (SURVEY.md §2 R37) —
     * the fraud/data-entry screen: naturally-occurring magnitudes put
     * digit d first with probability log10(1+1/d); fabricated or

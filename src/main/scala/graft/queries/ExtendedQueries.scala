@@ -2539,9 +2539,51 @@ object ExtendedQueries {
         ORDER BY col_x, col_y"""
     })
 
+  // Mutual information (R52, Stats.mutualInformation) between order
+  // status and priority — the how-many-nats companion of q72's
+  // chi-square on a similar categorical pair.
+  private val q92 = Q(
+    "q92_mutual_info",
+    (s, d) =>
+      graft.operators.Stats
+        .mutualInformation(t(s, d, "orders"), "o_orderstatus",
+          "o_orderpriority"),
+    Some("""WITH cells AS (SELECT o_orderstatus AS a,
+          o_orderpriority AS b, CAST(count(*) AS BIGINT) AS nab
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+      at AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+        FROM cells GROUP BY 1),
+      bt AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cells),
+      mi AS (SELECT CAST(coalesce(sum(CAST(nab AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(nab AS DOUBLE) * n
+                / (CAST(na AS DOUBLE) * nb)), 12) AS DECIMAL(38,12))),
+          0) AS DECIMAL(38,12)) AS m
+        FROM cells JOIN at USING (a) JOIN bt USING (b) CROSS JOIN tot),
+      ha AS (SELECT CAST(coalesce(sum(CAST(na AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(na AS DOUBLE) / n), 12)
+              AS DECIMAL(38,12))), 0) AS DECIMAL(38,12)) AS h
+        FROM at CROSS JOIN tot),
+      hb AS (SELECT CAST(coalesce(sum(CAST(nb AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(nb AS DOUBLE) / n), 12)
+              AS DECIMAL(38,12))), 0) AS DECIMAL(38,12)) AS h
+        FROM bt CROSS JOIN tot)
+      SELECT n,
+        round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi_nats,
+        CASE WHEN -CAST(ha.h AS DOUBLE) / CAST(n AS DOUBLE) > 0
+            AND -CAST(hb.h AS DOUBLE) / CAST(n AS DOUBLE) > 0
+          THEN round((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((-CAST(ha.h AS DOUBLE) / CAST(n AS DOUBLE))
+              * (-CAST(hb.h AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+          END AS normalized_mi
+      FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

@@ -185,6 +185,29 @@ class StatsSpec extends AnyFunSuite {
       s"one-pass matrix must be one Aggregate:\n$plan")
   }
 
+  test("mutualInformation: identity=ln2, independence=0, degenerate NULL") {
+    // perfectly dependent 2-symbol pair: MI = H = ln 2, normalized 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val gd = Stats.mutualInformation(dep, "a", "b")
+      .select("mi_nats", "normalized_mi")
+      .as[(Double, Option[Double])].head()
+    assert(gd._1 == 0.693147 && gd._2.contains(1.0), gd.toString)
+    // balanced independent grid: every cell ratio is exactly 1 → MI 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val gi = Stats.mutualInformation(ind, "a", "b")
+      .select("mi_nats", "normalized_mi")
+      .as[(Double, Option[Double])].head()
+    assert(gi._1 == 0.0 && gi._2.contains(0.0), gi.toString)
+    // a constant column carries zero entropy → MI 0, normalized NULL
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val gc = Stats.mutualInformation(const, "a", "b")
+      .select("mi_nats", "normalized_mi")
+      .as[(Double, Option[Double])].head()
+    assert(gc._1 == 0.0 && gc._2.isEmpty, gc.toString)
+  }
+
   test("linearFit plan: one Aggregate, zero joins and windows (one shuffle)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = Seq(("a", 1.0, 2.0), ("a", 2.0, 4.0)).toDF("k", "x", "y")
