@@ -6,7 +6,11 @@ same parquet tables, and compares against the Spark result parquet:
 columns sorted by name, rows sorted, values compared exactly (with a
 small report of first mismatches). Usage:
 
-  python3 tools/verify_local.py <sfDir> <verifyOutDir>
+  python3 tools/verify_local.py <sfDir> <verifyOutDir> [--only-present]
+
+--only-present skips oracle entries whose spark dump is absent — the
+dev-loop mode for single-query Verify runs (a full run should NOT use
+it: a missing dump there is a real failure).
 """
 import json
 import math
@@ -63,7 +67,7 @@ def dtype_mismatches(got_schema, want_schema):
             for c in set(gt) | set(wt) if gt.get(c) != wt.get(c)}
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_present=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -75,6 +79,8 @@ def main(sf_dir, out_dir):
         try:
             got = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
+            if only_present:
+                continue
             print(f"FAIL {name}: spark result missing ({e})")
             n_fail += 1
             failures.append(name)
@@ -124,4 +130,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  only_present="--only-present" in sys.argv[3:]))
