@@ -378,4 +378,53 @@ class QueryBuilderSpec extends AnyFunSuite {
       .kendallTau(hdk.scan("lineitem").run(), "l_quantity", "l_linenumber")
     assert(bt.collect().toSeq == ot.collect().toSeq)
   }
+
+  test("r9-continuation builder methods all coincide with their operators") {
+    def same(b: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame): Unit =
+      assert(b.exceptAll(o).isEmpty && o.exceptAll(b).isEmpty)
+    val li = hdk.scan("lineitem").filter(col("l_orderkey") % 31 === 0)
+    val liDf = li.run()
+    same(li.linearFit("l_returnflag", "l_quantity", "l_extendedprice").run(),
+      graft.operators.Stats.linearFit(liDf, "l_returnflag",
+        "l_quantity", "l_extendedprice"))
+    same(li.corrMatrix("l_quantity", "l_extendedprice", "l_discount").run(),
+      graft.operators.Stats.corrMatrix(liDf,
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
+    same(li.mutualInformation("l_returnflag", "l_linestatus").run(),
+      graft.operators.Stats.mutualInformation(liDf, "l_returnflag",
+        "l_linestatus"))
+    same(li.winsorize("l_returnflag", "l_extendedprice").run(),
+      graft.operators.Quality.winsorize(liDf, "l_returnflag",
+        "l_extendedprice"))
+    val series = hdk.scan("events").filter(col("user_id") % 11 === 0)
+      .projExprs(("k", col("user_id")),
+        ("t", expr("unix_micros(ts)")),
+        ("x", col("value").cast("double")),
+        ("y", expr("cast(pmod(event_id, 97) as double)")))
+    val sDf = series.run().dropDuplicates("k", "t")
+    val sNode = series.run().dropDuplicates("k", "t")
+    same(new graft.builder.QueryNode(sNode)
+        .ccf("k", "t", "x", "y", maxLag = 2).run(),
+      graft.operators.TimeJoins.ccf(sDf, "k", "t", "x", "y", maxLag = 2))
+    val docs = hdk.scan("documents")
+      .projExprs(("id", col("doc_id")),
+        ("s", expr("substring(lower(text), 1, 16)")))
+    same(docs.editDistancePairs("id", "s", k = 1).run(),
+      graft.operators.Linkage.editDistancePairs(docs.run(), "id", "s",
+        k = 1))
+    val edges = hdk.scan("orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .projExprs(("src", col("o_custkey")),
+        ("dst", expr("o_custkey % 50 + 100000")),
+        ("w", expr("o_orderkey % 5 + 1")))
+    val eDf = edges.run()
+    same(edges.weightedShortestPaths(
+        edges.projExprs(("node_id", min(col("src"))))).run(),
+      graft.operators.Graph.weightedShortestPaths(eDf,
+        eDf.select(min(col("src")).as("node_id"))))
+    val emb = hdk.scan("embeddings").filter(col("vec_id") < 300)
+    same(emb.pcaTopComponent().run(),
+      graft.pipeline.Similarity.pcaTopComponent(emb.run()))
+  }
 }
