@@ -1,11 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.{ArrayEqCount, CountMinAgg, DotProduct,
   KllQuantileAgg, MisraGriesAgg, TopKAgg}
+import graft.operators.{Funnel, Graph, TimeJoins}
 
 /** SparkSessionExtensions hook registering graft's custom expressions
   * in the SQL function registry, so `spark.sql` users get `topk`,
@@ -22,6 +24,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"$fn: k must be an integer literal, got $other")
   }
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case l @ Literal(_, _) if l.value != null => l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal argument, got $other")
+  }
+
+  private def dblLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a numeric literal argument, got $other")
+  }
+
+  /** Resolve a registered table/view by name into the operator input. */
+  private def tbl(name: String) = SparkSession.active.table(name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("topk"),
@@ -55,5 +75,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllQuantileAgg].getName, "kll"),
       (args: Seq[Expression]) =>
         KllQuantileAgg(args.head, intLit(args(1), "kll"))))
+
+    // Whole-operator analytics at the SQL surface (SURVEY §2 Q2; the
+    // reference is SQL-first — pyhdk hdk.py:2456 routes everything
+    // through HDK.sql). Each table function is a THIN delegate: it
+    // resolves the named view and returns the very LogicalPlan the
+    // DataFrame operator builds, so `FROM graft_funnel(...)` and
+    // `Funnel.funnel(...)` are one plan by construction (asserted in
+    // SqlSurfaceSpec), not two implementations to keep in sync.
+    ext.injectTableFunction((FunctionIdentifier("graft_funnel"),
+      new ExpressionInfo(Funnel.getClass.getName, "graft_funnel"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_funnel(events_view, 'step1,step2,...', window)")
+        val steps = strLit(args(1), "graft_funnel")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        funnelPlan(strLit(args(0), "graft_funnel"), steps,
+          strLit(args(2), "graft_funnel"))
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_pagerank"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_pagerank"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_pagerank(edges_view, iters, damping)")
+        pageRankPlan(strLit(args(0), "graft_pagerank"),
+          intLit(args(1), "graft_pagerank"),
+          dblLit(args(2), "graft_pagerank"))
+      }))
+    // Device-heterogeneity extension point made executable (SURVEY §1;
+    // reference Config.device_type hdk.py:2101): a columnar rule behind
+    // spark.graft.columnar.enabled — see graft.plans.Columnar.
+    ext.injectColumnar(session => new graft.plans.GraftColumnarRule(session))
+    ext.injectTableFunction((FunctionIdentifier("graft_ohlc"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_ohlc"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_ohlc(obs_view, keyCol, tsCol, valCol, tieCol, unit)")
+        val a = args.map(strLit(_, "graft_ohlc"))
+        ohlcPlan(a(0), a(1), a(2), a(3), a(4), a(5))
+      }))
   }
+
+  private def funnelPlan(view: String, steps: Seq[String],
+      window: String): LogicalPlan =
+    Funnel.funnel(tbl(view), steps, window).queryExecution.analyzed
+
+  private def pageRankPlan(view: String, iters: Int,
+      damping: Double): LogicalPlan =
+    Graph.pageRank(tbl(view), iters, damping).queryExecution.analyzed
+
+  private def ohlcPlan(view: String, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, unit: String): LogicalPlan =
+    TimeJoins.ohlcBars(tbl(view), keyCol, tsCol, valCol, tieCol, unit)
+      .queryExecution.analyzed
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftColumnarProjectExec
+
+/** The device-heterogeneity extension point, executed (SURVEY §1;
+  * reference Config.device_type hdk.py:2101): under
+  * spark.graft.columnar.enabled the injected ColumnarRule swaps
+  * supported projections for GraftColumnarProjectExec, and the results
+  * are bit-identical to the row path. Queries and operators are
+  * untouched — which is the whole deferral argument.
+  */
+class ColumnarSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def withFlag[T](on: Boolean)(body: => T): T = {
+    spark.conf.set(graft.plans.Columnar.EnabledKey, on.toString)
+    try body finally spark.conf.unset(graft.plans.Columnar.EnabledKey)
+  }
+
+  private def lineitemProj = Tables
+    .load(spark, TestSpark.sf, "lineitem")
+    .select((col("l_orderkey") * lit(3L) + col("l_partkey")).as("a"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"),
+      col("l_suppkey").as("s"))
+
+  test("flag on: supported projection runs on the columnar node") {
+    withFlag(on = true) {
+      val df = lineitemProj
+      val found = df.queryExecution.executedPlan.collectFirst {
+        case g: GraftColumnarProjectExec => g
+      }
+      assert(found.isDefined,
+        s"no GraftColumnarProjectExec in:\n${df.queryExecution.executedPlan}")
+      // the planner placed a ColumnarToRow above it for the collect
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"))
+    }
+  }
+
+  test("flag off (default): the row path is untouched") {
+    val df = lineitemProj
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case g: GraftColumnarProjectExec => g
+    }.isEmpty)
+  }
+
+  test("columnar and row paths agree bit-for-bit") {
+    val rowPath = lineitemProj.collect().toSeq
+    val colPath = withFlag(on = true) { lineitemProj.collect().toSeq }
+    assert(colPath == rowPath)
+  }
+
+  test("nulls propagate through vectorized arithmetic") {
+    import spark.implicits._
+    val dir = GraftSession.scratchDir("columnar_nulls")
+    Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null),
+      (null, 20L), (4L, 40L))
+      .toDF("x", "y").write.mode("overwrite").parquet(dir)
+    // QueryExecution caches per-DataFrame — build a fresh frame under
+    // each flag state so the rule actually sees both plans
+    def q = spark.read.parquet(dir)
+      .select((col("x") * lit(2L) + col("y")).as("z"))
+    val rowPath = q.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val (colPath, sawNode) = withFlag(on = true) {
+      val df = q
+      (df.collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet,
+        df.queryExecution.executedPlan.collectFirst {
+          case g: GraftColumnarProjectExec => g }.isDefined)
+    }
+    assert(sawNode, "columnar node not planned over the parquet scan")
+    assert(colPath == rowPath)
+    assert(colPath.contains(None) && colPath.contains(Some(12L)))
+  }
+
+  test("unsupported expressions refuse the columnar path") {
+    withFlag(on = true) {
+      val df = Tables.load(spark, TestSpark.sf, "lineitem")
+        .select(upper(col("l_returnflag")).as("f"),
+          (col("l_orderkey") + lit(1L)).as("k"))
+      assert(df.queryExecution.executedPlan.collectFirst {
+        case g: GraftColumnarProjectExec => g
+      }.isEmpty, "a projection with a string function must stay row-based")
+      df.collect() // and it still runs
+    }
+  }
+
+  test("ANSI long overflow still fails the query on the columnar path") {
+    import spark.implicits._
+    val dir = GraftSession.scratchDir("columnar_ovf")
+    Seq(Long.MaxValue, 1L).toDF("x").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select((col("x") + lit(1L)).as("y"))
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    intercept[Exception] { q.collect() }
+    withFlag(on = true) {
+      val e = intercept[Exception] { q.collect() }
+      assert(e != null)
+    }
+  }
+}
