@@ -242,6 +242,57 @@ object Dedup extends org.apache.spark.internal.Logging {
           .as("bag_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Line/segment-level corpus dedup (SURVEY.md §2 P1d) — the
+    * CCNet/C4 boilerplate-removal pass: split every document on
+    * `delim`, count each segment's frequency ACROSS the corpus, and
+    * strip segments appearing in >= minDup documents' worth of
+    * occurrences from every document (headers, footers, cookie
+    * banners, nav text — content that repeats verbatim across pages).
+    * Returns (idCol, clean_text, n_kept, n_dropped) with the
+    * surviving segments re-joined by `delim` in original order.
+    * Empty segments participate like any other — a corpus where blank
+    * lines repeat >= minDup times loses them, which is the intended
+    * boilerplate semantics (CCNet dedups the paragraph hash stream the
+    * same way; reference corpus ops: omniscidb has none — this is the
+    * beyond-reference LLM-pipeline family).
+    *
+    * Cross-engine identity: segments join on md5 (exact, byte-stable
+    * hex in both engines), so the oracle replays the operator
+    * verbatim. At 100 TB swap the 128-bit hex for xxhash64 to halve
+    * the shuffle width — the plan shape is identical.
+    *
+    * Scale: one explode, one partial-agg'd groupBy on the digest
+    * (hot boilerplate lines collapse map-side), one digest-keyed left
+    * join against the (small, >= minDup only) dup-key set — AQE
+    * broadcasts it when it fits — and one per-document
+    * sort_array(collect_list) bounded by document length. The raw
+    * corpus shuffles once; no window, no global sort. */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", delim: String = "\n",
+      minDup: Int = 5): DataFrame = {
+    require(minDup >= 2, "minDup < 2 would drop every segment")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), quoted, -1)).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line").cast("binary")))
+    val dupKeys = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDup)
+      .select(col("h").as("dup_h"))
+    lines
+      .join(dupKeys, col("h") === col("dup_h"), "left")
+      .withColumn("keep", col("dup_h").isNull)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("line"), col("keep")))).as("ls"))
+      .select(col(idCol),
+        array_join(expr("transform(filter(ls, x -> x.keep), x -> x.line)"),
+          delim).as("clean_text"),
+        expr("size(filter(ls, x -> x.keep))").cast("long").as("n_kept"),
+        expr("size(filter(ls, x -> NOT x.keep))").cast("long")
+          .as("n_dropped"))
+  }
+
   /** INCREMENTAL exact dedup (SURVEY.md §2 P1c): dedup a new batch
     * against an already-deduped index WITHOUT re-touching the index —
     * the daily-crawl shape ("today's docs vs everything ingested so

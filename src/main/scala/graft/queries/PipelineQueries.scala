@@ -2430,6 +2430,48 @@ object PipelineQueries {
       FROM b JOIN f USING (text_hash) LEFT JOIN idx i USING (text_hash)
       ORDER BY b.doc_id"""))
 
+  // P1d: line/segment-level corpus dedup (Dedup.dedupLines) — the
+  // CCNet/C4 boilerplate-removal pass. The synthetic corpus has no
+  // newlines, so the query derives a paragraph structure both engines
+  // replay identically (8-word aligned chunks re-joined by \n), then
+  // strips chunks occurring >= 3 times across the corpus. Segments
+  // join on md5 in BOTH engines, so the decision set and the
+  // reassembled clean_text are byte-exact.
+  private val dedupLinesQ = Q(
+    "dedup_lines",
+    (s, d) => {
+      val para = Tables.load(s, d, "documents")
+        .select(col("doc_id"), expr(
+          """array_join(
+               transform(sequence(0,
+                   cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1, 1),
+                 i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')),
+               '\n')""").as("text"))
+      Dedup.dedupLines(para, "doc_id", "text", "\n", minDup = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id,
+          array_to_string(list_transform(
+            range(1, CAST(ceil(len(ws) / 8.0) AS BIGINT) + 1),
+            i -> array_to_string(ws[(i-1)*8+1 : i*8], ' ')),
+            chr(10)) AS text
+        FROM w),
+      l AS (SELECT doc_id,
+          unnest(string_split(text, chr(10))) AS line,
+          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        FROM p),
+      k AS (SELECT md5(line) AS h FROM l GROUP BY 1 HAVING count(*) >= 3),
+      f AS (SELECT l.doc_id, l.pos, l.line, (k.h IS NOT NULL) AS dup
+        FROM l LEFT JOIN k ON md5(l.line) = k.h)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10)
+          ORDER BY pos), '') AS clean_text,
+        CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+        CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+      FROM f GROUP BY 1 ORDER BY doc_id"""))
+
   // P16d: weighted sampling without replacement (Efraimidis–Spirakis
   // exponential sort, weight = n_chars) — the oracle replays the
   // equal-ratio log-bucket histogram gate so candidate-bucket rows
@@ -2809,7 +2851,7 @@ object PipelineQueries {
     Some(pcaProjectOracle(10)))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBag, dedupIncr, mixWeighted, textBm25, textBm25Stored, textNdcg,
+    dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
     dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,

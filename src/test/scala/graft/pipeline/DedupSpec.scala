@@ -342,4 +342,46 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(verified.exists(v => v._2 == 10L || v._1 == 10L))
   }
+
+  test("dedupLines strips corpus-repeated segments, keeps order") {
+    val boiler = "accept our cookies"
+    val lined = Seq(
+      (0L, s"$boiler\nunique alpha\nmid section\n$boiler"),
+      (1L, s"$boiler\nunique beta"),
+      (2L, s"unique gamma\n$boiler"),
+      (3L, "all original\nnothing shared"),
+      (4L, boiler) // boilerplate-only doc → empty clean_text
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(lined, minDup = 3).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // boiler appears 5 times across the corpus (>= 3) → dropped
+    // everywhere; every other line is unique → kept, original order
+    assert(out == Seq(
+      (0L, "unique alpha\nmid section", 2L, 2L),
+      (1L, "unique beta", 1L, 1L),
+      (2L, "unique gamma", 1L, 1L),
+      (3L, "all original\nnothing shared", 2L, 0L),
+      (4L, "", 0L, 1L)))
+    // idempotent: the cleaned corpus has no segment at minDup anymore
+    val again = Dedup.dedupLines(
+        lined.select(col("doc_id"),
+          org.apache.spark.sql.functions.lit("x").as("unused"))
+          .join(Dedup.dedupLines(lined, minDup = 3), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text").as("text")),
+        minDup = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(again.forall(_._4 == 0L), "second pass must drop nothing")
+  }
+
+  test("dedupLines honors a custom delimiter") {
+    val segd = Seq(
+      (0L, "dup seg. uniq one. dup seg"),
+      (1L, "dup seg. uniq two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(segd, delim = ". ", minDup = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // "dup seg" occurs 3 times (the trailing copy in doc 0 has no
+    // following delimiter, so it splits out identically)
+    assert(out(0)._2 == "uniq one" && out(1)._2 == "uniq two")
+  }
 }
