@@ -385,6 +385,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def kendallTau(xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.kendallTau(df, xCol, yCol))
 
+  /** Mann-Kendall trend test per key — see
+    * [[graft.operators.Stats.mannKendall]]. */
+  def mannKendall(keyCol: String, tsCol: String, valCol: String,
+      tieCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.mannKendall(df, keyCol, tsCol,
+      valCol, tieCol))
+
   /** Per-group OLS fit — see [[graft.operators.Stats.linearFit]]. */
   def linearFit(keyCol: String, xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.linearFit(df, keyCol, xCol, yCol))

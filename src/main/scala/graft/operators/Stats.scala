@@ -669,4 +669,68 @@ object Stats {
         round(lit(2.0) * (col("p") - col("q")).cast("double") /
           sqrt(den), 6)).as("tau"))
   }
+
+  /** Mann-Kendall monotonic-trend test per key (SURVEY.md §2 R53) —
+    * the non-parametric "is this series drifting" answer a metrics
+    * warehouse runs per entity: S = Σ_{i<j} sgn(vⱼ − vᵢ) over the
+    * (tsCol, tieCol)-ordered series, tie-corrected variance
+    * Var(S)·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+    * continuity-corrected z = (S∓1)/√Var(S). Returns
+    * (keyCol, n, s, z, trend) with trend ∈ increasing/decreasing/
+    * no_trend at the 5% two-sided level (|z| > 1.96), NULL z for
+    * degenerate series (n < 2 or zero variance).
+    *
+    * Everything up to z is exact integer/decimal arithmetic (S counts
+    * sign comparisons, the variance terms are integer polynomials in
+    * exact counts), so both engines agree bit-for-bit; z is ONE IEEE
+    * expression on agreed operands, rounded 6dp (§6 discipline) —
+    * trend classifies the ROUNDED z so the label can never straddle an
+    * engine boundary.
+    *
+    * Scale: the pair counting is a per-key self-join — O(nₖ²) pairs
+    * per key, the [[graft.operators.Linkage.editDistancePairs]]
+    * bounded-group contract: keys are HIGH-cardinality entities with
+    * bounded history (cap or window the series first if a key can grow
+    * unbounded). Everything else is two partial-agg'd groupBys; no
+    * window, no global sort. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("t"),
+        col(tieCol).as("i"), col(valCol).as("v"))
+    val l = obs.select(col("k"), col("t").as("ta"), col("i").as("ia"),
+      col("v").as("va"))
+    val r = obs.select(col("k"), col("t").as("tb"), col("i").as("ib"),
+      col("v").as("vb"))
+    val s = l.join(r, Seq("k"))
+      .filter(col("ta") < col("tb") ||
+        (col("ta") === col("tb") && col("ia") < col("ib")))
+      .groupBy(col("k"))
+      .agg(sum(when(col("vb") > col("va"), 1L)
+        .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s"))
+    val ties = obs.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum((col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .cast(dec)).cast(dec).as("tie_term"))
+    val nk = obs.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val varNum = ((col("n").cast(dec) * (col("n") - 1).cast(dec) *
+      (col("n") * 2 + 5).cast(dec)).cast(dec) - col("tie_term"))
+      .cast(dec)
+    val z = when(col("n") >= 2 && varNum > 0,
+      round(
+        when(col("s") > 0, (col("s") - 1).cast("double"))
+          .when(col("s") < 0, (col("s") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(varNum.cast("double") / 18.0), 6))
+    nk.join(s, Seq("k"), "left").join(ties, Seq("k"))
+      .select(col("k").as(keyCol), col("n"),
+        coalesce(col("s"), lit(0L)).as("s"), z.as("z"),
+        when(z.isNull, lit(null).cast("string"))
+          .when(z > 1.96, "increasing")
+          .when(z < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
 }

@@ -2581,6 +2581,51 @@ object ExtendedQueries {
           END AS normalized_mi
       FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot"""))
 
+  // R53: Mann-Kendall monotonic trend per user over the event value
+  // series (Stats.mannKendall). S and the tie-corrected variance
+  // numerator are exact integers in both engines; z is one IEEE
+  // expression rounded 6dp, and the trend label classifies the
+  // ROUNDED z. The oracle replays the identical per-key pair join.
+  private val q96 = Q(
+    "q96_mann_kendall",
+    (s, d) =>
+      graft.operators.Stats
+        .mannKendall(t(s, d, "events").filter(col("user_id") % 9 === 0),
+          "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id")),
+    Some("""WITH obs AS (
+        SELECT user_id AS k, ts AS t, event_id AS i, value AS v
+        FROM events
+        WHERE user_id % 9 = 0 AND value IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT a.k,
+          sum(CASE WHEN b.v > a.v THEN 1
+            WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+        FROM obs a JOIN obs b ON a.k = b.k
+          AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+        GROUP BY 1),
+      tg AS (SELECT k, v, count(*) AS t FROM obs GROUP BY 1, 2),
+      ties AS (SELECT k,
+          CAST(sum(CAST(t*(t-1)*(2*t+5) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS tie_term
+        FROM tg GROUP BY 1),
+      nk AS (SELECT k, count(*) AS n FROM obs GROUP BY 1),
+      j AS (SELECT nk.k, nk.n, coalesce(p.s, 0) AS s,
+          CAST(CAST(nk.n AS DECIMAL(38,0)) * (nk.n - 1) * (2*nk.n + 5)
+            AS DECIMAL(38,0)) - ties.tie_term AS var_num
+        FROM nk LEFT JOIN p USING (k) JOIN ties USING (k)),
+      zz AS (SELECT k, n, s,
+          CASE WHEN n >= 2 AND var_num > 0 THEN
+            round((CASE WHEN s > 0 THEN s - 1
+                WHEN s < 0 THEN s + 1 ELSE 0 END)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z
+        FROM j)
+      SELECT k AS user_id, n, CAST(s AS BIGINT) AS s, z,
+        CASE WHEN z IS NULL THEN NULL
+          WHEN z > 1.96 THEN 'increasing'
+          WHEN z < -1.96 THEN 'decreasing'
+          ELSE 'no_trend' END AS trend
+      FROM zz ORDER BY user_id"""))
+
   // Q2/SQL-first parity (r9 verdict #8): the analytics families reach
   // `spark.sql` through injected TABLE functions (GraftExtensions
   // injectTableFunction) that return the operator's own LogicalPlan —
@@ -2696,5 +2741,5 @@ object ExtendedQueries {
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95)
+    q93, q94, q95, q96)
 }

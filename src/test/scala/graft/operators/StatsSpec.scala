@@ -330,4 +330,44 @@ class StatsSpec extends AnyFunSuite {
       .select("t_stat").as[Option[Double]].head()
     assert(z.isEmpty)
   }
+
+  test("mannKendall: hand-computed S, tie correction, trend labels") {
+    def series(k: String, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, i.toLong, v) }
+    val df = (
+      series("up", Seq(1, 2, 3, 4, 5, 6, 7, 8)) ++     // S=28, z>1.96
+      series("down", Seq(5, 4, 3, 2, 1)) ++            // S=-10, z=-2.2045
+      series("tied", Seq(1, 2, 2, 3)) ++               // S=5, ties t=2
+      series("flat", Seq(3, 3, 3)) ++                  // var_num = 0
+      series("one", Seq(42))                           // n < 2
+    ).toDF("k", "t", "i", "v")
+    val got = Stats.mannKendall(df, "k", "t", "v", "i")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          Option(r.getString(4))))).toMap
+    // up: S = C(8,2) = 28, var = 8*7*21/18 = 65.333, z = 27/8.0829
+    assert(got("up")._2 == 28L && got("up")._4.contains("increasing"))
+    assert(got("up")._3.contains(3.340384))
+    // down: S=-10, var = 5*4*15/18 = 16.667, z = -9/4.0825 = -2.204541
+    assert(got("down") == ((5L, -10L, Some(-2.204541), Some("decreasing"))))
+    // tied: S=5, var_num = 4*3*13 - 2*1*9 = 138, z = 4/sqrt(138/18)
+    val zTied = 4.0 / math.sqrt(138.0 / 18.0)
+    assert(got("tied") == ((4L, 5L,
+      Some(BigDecimal(zTied).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble), Some("no_trend"))))
+    // degenerate: all-equal values and single observations → NULL z
+    assert(got("flat") == ((3L, 0L, None, None)))
+    assert(got("one") == ((1L, 0L, None, None)))
+  }
+
+  test("mannKendall at the builder surface coincides with the operator") {
+    val spark2 = spark
+    val ev = new graft.builder.GraftBuilder(spark2, graft.TestSpark.sf)
+      .scan("events").filter(col("user_id") % 9 === 0)
+    val b = ev.mannKendall("user_id", "ts", "value", "event_id").run()
+    val o = Stats.mannKendall(ev.run(), "user_id", "ts", "value",
+      "event_id")
+    assert(b.exceptAll(o).isEmpty && o.exceptAll(b).isEmpty)
+  }
 }
