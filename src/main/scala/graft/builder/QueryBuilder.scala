@@ -392,6 +392,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.mannKendall(df, keyCol, tsCol,
       valCol, tieCol))
 
+  /** Theil–Sen robust slope per key — see
+    * [[graft.operators.Stats.theilSen]]. */
+  def theilSen(keyCol: String, tsCol: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.theilSen(df, keyCol, tsCol,
+      valCol))
+
   /** Per-group OLS fit — see [[graft.operators.Stats.linearFit]]. */
   def linearFit(keyCol: String, xCol: String, yCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.linearFit(df, keyCol, xCol, yCol))

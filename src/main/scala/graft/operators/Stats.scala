@@ -693,6 +693,54 @@ object Stats {
     * bounded history (cap or window the series first if a key can grow
     * unbounded). Everything else is two partial-agg'd groupBys; no
     * window, no global sort. */
+  /** Theil–Sen robust slope per key (SURVEY.md §2 R54) — the magnitude
+    * companion of [[mannKendall]] (MK answers IS the series drifting;
+    * Sen's estimator answers HOW FAST, immune to outliers that wreck
+    * an OLS fit): the median over all i<j pairs of the pairwise slope
+    * (vⱼ−vᵢ)/(tⱼ−tᵢ), reported in value-units per DAY. Pairs at the
+    * same timestamp are excluded (undefined slope, the standard
+    * convention). Returns (keyCol, n, n_pairs, sen_slope); NULL slope
+    * when no valid pair exists.
+    *
+    * Cross-engine determinism: each pairwise slope is ONE IEEE
+    * expression on exact operands (6dp-decimal values, exact µs
+    * deltas), both engines sort the identical doubles and pick the
+    * same middle element(s) — the even case averages the two middles
+    * (one more IEEE op), the result rounds 6dp, and a `+ 0.0` guard
+    * canonicalizes a −0.0 median so the engines cannot differ on the
+    * sign of zero.
+    *
+    * Scale: the same per-key O(nₖ²) bounded-group contract as
+    * [[mannKendall]]; the slope list per key is pair-sized, collected
+    * and sorted per key (bounded), no window, no global sort. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val obs = df
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(valCol).as("v"))
+    val l = obs.select(col("k"), col("us").as("ua"), col("v").as("va"))
+    val r = obs.select(col("k"), col("us").as("ub"), col("v").as("vb"))
+    val pairs = l.join(r, Seq("k"))
+      .filter(col("ua") < col("ub"))
+      .select(col("k"),
+        ((col("vb") - col("va")) * lit(86400000000.0) /
+          (col("ub") - col("ua")).cast("double")).as("slope"))
+    val g = pairs.groupBy(col("k"))
+      .agg(sort_array(collect_list(col("slope"))).as("ss"),
+        count(lit(1)).as("n_pairs"))
+    val m = col("n_pairs")
+    val mid = when(m % 2 === 0,
+      (element_at(col("ss"), (m / 2).cast("int")) +
+        element_at(col("ss"), (m / 2 + 1).cast("int"))) / 2.0)
+      .otherwise(element_at(col("ss"), ((m + 1) / 2).cast("int")))
+    val nk = obs.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    nk.join(g, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (round(mid, 6) + 0.0).as("sen_slope"))
+  }
+
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
     val dec = "decimal(38,0)"

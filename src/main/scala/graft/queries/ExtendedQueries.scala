@@ -2626,6 +2626,39 @@ object ExtendedQueries {
           ELSE 'no_trend' END AS trend
       FROM zz ORDER BY user_id"""))
 
+  // R54: Theil–Sen robust slope per user (Stats.theilSen) — the
+  // magnitude companion of q96. Each pairwise slope is one IEEE
+  // expression on exact operands; both engines sort the identical
+  // doubles and take the same middle element(s), round 6dp, with a
+  // +0.0 guard normalizing −0.0.
+  private val q97 = Q(
+    "q97_theil_sen",
+    (s, d) =>
+      graft.operators.Stats
+        .theilSen(t(s, d, "events").filter(col("user_id") % 9 === 0),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id")),
+    Some("""WITH obs AS (
+        SELECT user_id AS k, epoch_us(ts) AS us, value AS v
+        FROM events
+        WHERE user_id % 9 = 0 AND value IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT a.k,
+          (b.v - a.v) * 86400000000.0 / CAST(b.us - a.us AS DOUBLE)
+            AS slope
+        FROM obs a JOIN obs b ON a.k = b.k AND a.us < b.us),
+      g AS (SELECT k, list(slope ORDER BY slope) AS ss,
+          count(*) AS n_pairs
+        FROM p GROUP BY 1),
+      nk AS (SELECT k, count(*) AS n FROM obs GROUP BY 1)
+      SELECT nk.k AS user_id, nk.n,
+        coalesce(g.n_pairs, 0) AS n_pairs,
+        round(CASE WHEN g.n_pairs % 2 = 0
+            THEN (ss[CAST(g.n_pairs//2 AS INT)]
+              + ss[CAST(g.n_pairs//2 AS INT) + 1]) / 2.0
+            ELSE ss[CAST((g.n_pairs+1)//2 AS INT)] END, 6) + 0.0
+          AS sen_slope
+      FROM nk LEFT JOIN g USING (k) ORDER BY user_id"""))
+
   // Q2/SQL-first parity (r9 verdict #8): the analytics families reach
   // `spark.sql` through injected TABLE functions (GraftExtensions
   // injectTableFunction) that return the operator's own LogicalPlan —
@@ -2741,5 +2774,5 @@ object ExtendedQueries {
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-    q93, q94, q95, q96)
+    q93, q94, q95, q96, q97)
 }

@@ -361,6 +361,28 @@ class StatsSpec extends AnyFunSuite {
     assert(got("one") == ((1L, 0L, None, None)))
   }
 
+  test("theilSen: hand-computed medians, outlier immunity, ts-tie pairs") {
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val day = 86400000000L
+    val rows = Seq(
+      ("a", 0L, 0.0), ("a", day, 10.0), ("a", 2 * day, 14.0),
+      ("a", 3 * day, 120.0),                 // outlier point
+      ("b", 0L, 0.0), ("b", day, 1.0), ("b", 2 * day, 4.0),
+      ("c", 5L, 1.0), ("c", 5L, 9.0)         // same-ts pair: excluded
+    ).toDF("k", "us", "v")
+      .select(col("k"), sexpr("timestamp_micros(us)").as("ts"), col("v"))
+    val got = Stats.theilSen(rows, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // a: slopes/day sorted [4,7,10,40,55,106] → (10+40)/2 = 25
+    assert(got("a") == ((4L, 6L, Some(25.0))))
+    // b: slopes [1,2,3] → 2 (an OLS fit of a would be outlier-dragged)
+    assert(got("b") == ((3L, 3L, Some(2.0))))
+    // c: the only pair shares a timestamp → no valid slope
+    assert(got("c") == ((2L, 0L, None)))
+  }
+
   test("mannKendall at the builder surface coincides with the operator") {
     val spark2 = spark
     val ev = new graft.builder.GraftBuilder(spark2, graft.TestSpark.sf)
@@ -369,5 +391,8 @@ class StatsSpec extends AnyFunSuite {
     val o = Stats.mannKendall(ev.run(), "user_id", "ts", "value",
       "event_id")
     assert(b.exceptAll(o).isEmpty && o.exceptAll(b).isEmpty)
+    val bs = ev.theilSen("user_id", "ts", "value").run()
+    val os = Stats.theilSen(ev.run(), "user_id", "ts", "value")
+    assert(bs.exceptAll(os).isEmpty && os.exceptAll(bs).isEmpty)
   }
 }
