@@ -115,9 +115,12 @@ object Linkage {
           // the MEASURED regime decision: median df over the shared df
           // table — one aggregate at token-type cardinality (see the
           // object scaladoc for why the MEDIAN is the right saturation
-          // statistic and how the default threshold was calibrated)
-          val med = dfTab.agg(expr("median(df)")).head().getDouble(0)
-          med > medianDfThreshold
+          // statistic and how the default threshold was calibrated).
+          // A NULL median (both inputs empty / all-NULL text) defaults
+          // to the exact prefix leg — the recall-1 choice, and the one
+          // that costs nothing on an empty token table.
+          val medRow = dfTab.agg(expr("median(df)")).head()
+          !medRow.isNullAt(0) && medRow.getDouble(0) > medianDfThreshold
       }
 
       if (!useBands) {
@@ -238,9 +241,14 @@ object Linkage {
       k: Int = 2): DataFrame = {
     require(k >= 1 && k <= 8, "k must be in [1, 8]")
     val k1 = k + 1
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("s"))
-      .filter(col("s").isNotNull)
+    // ids keep their ORIGINAL type end to end: an id cast (the r9 form
+    // cast idCol to long) silently NULLs non-numeric ids — common in
+    // entity resolution ("Customer#000001") — and the s_id =!= t_id
+    // filter then drops every candidate, returning an empty result
+    // instead of failing. least/greatest only need an orderable type,
+    // which every Spark atomic type is.
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && col("id").isNotNull)
       .localCheckpoint() // two consumers: index and probe
     def segStart(iExpr: String, lExpr: String) =
       s"(($iExpr * $lExpr) div $k1)"

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 
 /** Statistical hypothesis tests as plan-level operators (SURVEY.md §2
   * R35/R36) — the "is this difference real" layer every experiment
@@ -11,7 +12,7 @@ import org.apache.spark.sql.functions._
   * single IEEE operation on exactly-agreed (or grain-rounded) inputs,
   * sums of rounded terms accumulated as DECIMAL — order-free.
   */
-object Stats {
+object Stats extends org.apache.spark.internal.Logging {
 
   /** Pearson chi-square test of independence between two categorical
     * columns. Returns the full contingency diagnostic — one row per
@@ -108,14 +109,14 @@ object Stats {
       .join(aTot, Seq(aCol)).join(bTot, Seq(bCol))
       .crossJoin(broadcast(tot))
       .select((col("nab").cast(dec) *
-        round(log(col("nab").cast("double") * col("n") /
+        round(F.log(col("nab").cast("double") * col("n") /
           (col("na").cast("double") * col("nb"))), 12)
           .cast(dec)).cast(dec).as("term"))
       .agg(coalesce(sum(col("term")), lit(0).cast(dec)).as("_mi"))
     def entropy(tcol: DataFrame, cnt: String) = tcol
       .crossJoin(broadcast(tot))
       .select((col(cnt).cast(dec) *
-        round(log(col(cnt).cast("double") / col("n")), 12).cast(dec))
+        round(F.log(col(cnt).cast("double") / col("n")), 12).cast(dec))
         .cast(dec).as("t"))
       .agg(coalesce(sum(col("t")), lit(0).cast(dec)).as("_h"))
     val m = mi.crossJoin(entropy(aTot, "na").withColumnRenamed("_h", "_ha"))
@@ -171,7 +172,7 @@ object Stats {
       .crossJoin(broadcast(
         counts.agg(sum(col("observed")).as("n_total"))))
       .withColumn("exp_p",
-        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+        round(F.log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
       .withColumn("expected", round(col("exp_p") * col("n_total"), 6))
       .withColumn("obs_p",
         round(col("observed").cast("double") / col("n_total"), 6))
@@ -564,29 +565,34 @@ object Stats {
     require(cols.size >= 2, "need at least two columns")
     require(cols.distinct.size == cols.size, "columns must be distinct")
     val dec = "decimal(38,12)"
-    val c6 = cols.map(c =>
-      c -> round(col(c).cast("double"), 6).cast("decimal(18,6)")).toMap
+    // internal aliases key on the column INDEX, not the name: distinct
+    // legal inputs like Seq("a", "b_c", "a_b", "c") would otherwise
+    // collide on a name-concatenated alias (_sp_a_b_c twice) and throw
+    // an ambiguous-reference AnalysisException despite passing the
+    // distinct-columns require
+    val c6 = cols.indices.map(i =>
+      i -> round(col(cols(i)).cast("double"), 6).cast("decimal(18,6)")).toMap
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
+    } yield (i, j)
     val aggs =
-      cols.map(c => sum(c6(c).cast(dec)).cast(dec).as(s"_s_$c")) ++
-      cols.map(c => sum((c6(c) * c6(c)).cast(dec)).cast(dec)
-        .as(s"_ss_$c")) ++
-      pairs.map { case (a, b) =>
-        sum((c6(a) * c6(b)).cast(dec)).cast(dec).as(s"_sp_${a}_$b") }
+      cols.indices.map(i => sum(c6(i).cast(dec)).cast(dec).as(s"_s_$i")) ++
+      cols.indices.map(i => sum((c6(i) * c6(i)).cast(dec)).cast(dec)
+        .as(s"_ss_$i")) ++
+      pairs.map { case (i, j) =>
+        sum((c6(i) * c6(j)).cast(dec)).cast(dec).as(s"_sp_${i}_$j") }
     val m = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .agg(count(lit(1)).as("n"), aggs: _*)
     val nD = col("n").cast("double")
-    def v(c: String) = col(s"_ss_$c").cast("double") * nD -
-      col(s"_s_$c").cast("double") * col(s"_s_$c").cast("double")
-    val rows = pairs.map { case (a, b) =>
-      val cov = col(s"_sp_${a}_$b").cast("double") * nD -
-        col(s"_s_$a").cast("double") * col(s"_s_$b").cast("double")
-      struct(lit(a).as("col_x"), lit(b).as("col_y"),
-        when(col("n") >= 2 && v(a) > 0 && v(b) > 0,
-          round(cov / sqrt(v(a) * v(b)), 6)).as("corr"))
+    def v(i: Int) = col(s"_ss_$i").cast("double") * nD -
+      col(s"_s_$i").cast("double") * col(s"_s_$i").cast("double")
+    val rows = pairs.map { case (i, j) =>
+      val cov = col(s"_sp_${i}_$j").cast("double") * nD -
+        col(s"_s_$i").cast("double") * col(s"_s_$j").cast("double")
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        when(col("n") >= 2 && v(i) > 0 && v(j) > 0,
+          round(cov / sqrt(v(i) * v(j)), 6)).as("corr"))
     }
     m.select(col("n"), explode(array(rows: _*)).as("p"))
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
@@ -670,29 +676,6 @@ object Stats {
           sqrt(den), 6)).as("tau"))
   }
 
-  /** Mann-Kendall monotonic-trend test per key (SURVEY.md §2 R53) —
-    * the non-parametric "is this series drifting" answer a metrics
-    * warehouse runs per entity: S = Σ_{i<j} sgn(vⱼ − vᵢ) over the
-    * (tsCol, tieCol)-ordered series, tie-corrected variance
-    * Var(S)·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
-    * continuity-corrected z = (S∓1)/√Var(S). Returns
-    * (keyCol, n, s, z, trend) with trend ∈ increasing/decreasing/
-    * no_trend at the 5% two-sided level (|z| > 1.96), NULL z for
-    * degenerate series (n < 2 or zero variance).
-    *
-    * Everything up to z is exact integer/decimal arithmetic (S counts
-    * sign comparisons, the variance terms are integer polynomials in
-    * exact counts), so both engines agree bit-for-bit; z is ONE IEEE
-    * expression on agreed operands, rounded 6dp (§6 discipline) —
-    * trend classifies the ROUNDED z so the label can never straddle an
-    * engine boundary.
-    *
-    * Scale: the pair counting is a per-key self-join — O(nₖ²) pairs
-    * per key, the [[graft.operators.Linkage.editDistancePairs]]
-    * bounded-group contract: keys are HIGH-cardinality entities with
-    * bounded history (cap or window the series first if a key can grow
-    * unbounded). Everything else is two partial-agg'd groupBys; no
-    * window, no global sort. */
   /** Theil–Sen robust slope per key (SURVEY.md §2 R54) — the magnitude
     * companion of [[mannKendall]] (MK answers IS the series drifting;
     * Sen's estimator answers HOW FAST, immune to outliers that wreck
@@ -710,15 +693,35 @@ object Stats {
     * canonicalizes a −0.0 median so the engines cannot differ on the
     * sign of zero.
     *
-    * Scale: the same per-key O(nₖ²) bounded-group contract as
-    * [[mannKendall]]; the slope list per key is pair-sized, collected
-    * and sorted per key (bounded), no window, no global sort. */
+    * Scale: the median-of-all-pairwise-slopes is inherently PAIRWISE —
+    * unlike [[mannKendall]] (rewritten over the grid, r10) there is no
+    * cell-space shortcut, so this operator keeps the per-key O(nₖ²)
+    * bounded-group contract and now MEASURES it (the
+    * [[graft.pipeline.Dedup.allPairsJaccard]] probe-and-warn
+    * discipline): one max-group-size aggregate up front, and a LOUD
+    * warning past `warnGroupSize` observations in any key — beyond it
+    * the per-key slope list (nₖ²/2 doubles collected and sorted in one
+    * task) stops fitting executor memory long before the join finishes.
+    * Cap or window a key's history first (e.g. last-90-days per
+    * entity); the operator stays exact because the caller asked for
+    * the exact median. */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String): DataFrame = {
+      valCol: String, warnGroupSize: Int = 2000): DataFrame = {
     val obs = df
       .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
         col(valCol).as("v"))
+    // regime probe: ONE partial-agg'd aggregate (key-cardinality) —
+    // NULL-safe on an empty frame (the allPairsJaccard guard)
+    val maxRow = obs.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxN > warnGroupSize)
+      logWarning(s"theilSen: largest key holds $maxN observations — " +
+        s"the exact median enumerates ~${maxN * maxN / 2} pairwise " +
+        "slopes for that key in one task (O(n_k^2) by construction). " +
+        "Cap or window each key's history before calling (the " +
+        "bounded-group contract), or raise warnGroupSize to silence.")
     val l = obs.select(col("k"), col("us").as("ua"), col("v").as("va"))
     val r = obs.select(col("k"), col("us").as("ub"), col("v").as("vb"))
     val pairs = l.join(r, Seq("k"))
@@ -741,23 +744,105 @@ object Stats {
         (round(mid, 6) + 0.0).as("sen_slope"))
   }
 
+  /** Mann-Kendall monotonic-trend test per key (SURVEY.md §2 R53) —
+    * the non-parametric "is this series drifting" answer a metrics
+    * warehouse runs per entity: S = Σ_{i<j} sgn(vⱼ − vᵢ) over the
+    * (tsCol, tieCol)-ordered series, tie-corrected variance
+    * Var(S)·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+    * continuity-corrected z = (S∓1)/√Var(S). Returns
+    * (keyCol, n, s, z, trend) with trend ∈ increasing/decreasing/
+    * no_trend at the 5% two-sided level (|z| > 1.96), NULL z for
+    * degenerate series (n < 2 or zero variance).
+    *
+    * S is computed WITHOUT enumerating pairs (r10 rewrite; the r9 form
+    * self-joined each key's series — O(nₖ²) join rows, 10¹² for one
+    * 1M-observation key): S is exactly the Kendall concordance count
+    * P − Q between the (tsCol, tieCol) order and the value, so the
+    * [[kendallTau]] cumulative-grid identity applies per key. Cells =
+    * one row per observed (key, ts, tie, v); the per-key grid (distinct
+    * time points × distinct values, nₖ·|Vₖ| rows) carries 2D cumulative
+    * counts via windows whose frames are bounded by ONE axis each, and
+    * inclusion-exclusion yields the strictly-earlier-and-smaller (LT)
+    * and strictly-earlier-and-larger (GL) masses; S = Σ cn·(LT − GL).
+    * The quadratic survives only when a key's values are ALL distinct
+    * (|Vₖ| = nₖ) — discretize the value (its measurement grain) for
+    * such series; repeated values, the common telemetry shape, make
+    * the grid nₖ·|Vₖ| ≪ nₖ².
+    *
+    * Pairs tied on BOTH (tsCol, tieCol) are simultaneous observations:
+    * their mutual pairs contribute 0 to S (the standard tied-time
+    * convention; the grid excludes them exactly as the r9 pair filter
+    * did) while still counting in n and the value-tie variance term —
+    * make tieCol a per-row-unique column (an event id) when strict
+    * total order matters.
+    *
+    * Everything up to z is exact integer/decimal arithmetic, so both
+    * engines agree bit-for-bit; z is ONE IEEE expression on agreed
+    * operands, rounded 6dp (§6 discipline) — trend classifies the
+    * ROUNDED z so the label can never straddle an engine boundary.
+    *
+    * Scale: one cell aggregate (partial-agg'd — raw rows shuffle
+    * once), a per-key grid join, windows partitioned by
+    * (key, other-axis) — never an unpartitioned window — and
+    * key-cardinality final joins. NO key self-join at row cardinality
+    * (StatsSpec plan-asserts every join is pure-equi). */
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, tieCol: String): DataFrame = {
+    val (frame, cells) = mannKendallFrame(df, keyCol, tsCol, valCol, tieCol)
+    // materialize the key-cardinality result, then release the cell
+    // checkpoint (the kendallTau lifecycle — blocks must not outlive
+    // the call)
+    val out = frame.localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(cells)
+    out
+  }
+
+  /** The lazily-planned frame behind [[mannKendall]] plus its cell
+    * checkpoint — package-visible so StatsSpec can assert the plan
+    * shape (every join pure-equi: no ordered-pair enumeration join)
+    * before the public operator's eager materialization hides it. */
+  private[graft] def mannKendallFrame(df: DataFrame, keyCol: String,
+      tsCol: String, valCol: String,
+      tieCol: String): (DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val obs = df
       .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), col(tsCol).as("t"),
         col(tieCol).as("i"), col(valCol).as("v"))
-    val l = obs.select(col("k"), col("t").as("ta"), col("i").as("ia"),
-      col("v").as("va"))
-    val r = obs.select(col("k"), col("t").as("tb"), col("i").as("ib"),
-      col("v").as("vb"))
-    val s = l.join(r, Seq("k"))
-      .filter(col("ta") < col("tb") ||
-        (col("ta") === col("tb") && col("ia") < col("ib")))
+    // one row per observed (k, time-point, value) — the kendallTau cell
+    // table with x = the composite (t, i) time axis
+    val cells = obs.groupBy(col("k"), col("t"), col("i"), col("v"))
+      .agg(count(lit(1)).as("cn")).localCheckpoint()
+    // per-key grid: distinct time points × distinct values; tx/txc ride
+    // on the time-point side (per-x totals + cumulative-over-x)
+    val wTx = W.partitionBy(col("k")).orderBy(col("t"), col("i"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val xs = cells.groupBy(col("k"), col("t"), col("i"))
+      .agg(sum(col("cn")).as("tx"))
+      .withColumn("txc", sum(col("tx")).over(wTx))
+    val vs = cells.select(col("k"), col("v")).distinct()
+    val grid = xs.join(vs, Seq("k"))
+      .join(cells, Seq("k", "t", "i", "v"), "left")
+      .na.fill(0L, Seq("cn"))
+    val wX = W.partitionBy(col("k"), col("v")).orderBy(col("t"), col("i"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wY = W.partitionBy(col("k"), col("t"), col("i")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum2d = grid
+      .withColumn("cx", sum(col("cn")).over(wX))
+      .withColumn("cy", sum(col("cn")).over(wY))
+      .withColumn("cum", sum(col("cx")).over(wY))
+    // LT = strictly-earlier, strictly-smaller mass; GL = strictly-
+    // earlier, strictly-larger — each ordered pair owned once by its
+    // later element, time-tied and value-tied pairs excluded exactly
+    val s = cum2d.filter(col("cn") > 0)
+      .select(col("k"), (col("cn").cast(dec) *
+        ((col("cum") - col("cx") - col("cy") + col("cn")) -
+          ((col("txc") - col("tx")) - (col("cum") - col("cy"))))
+          .cast(dec)).cast(dec).as("sc"))
       .groupBy(col("k"))
-      .agg(sum(when(col("vb") > col("va"), 1L)
-        .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s"))
+      .agg(sum(col("sc")).cast(dec).cast("long").as("s"))
     val ties = obs.groupBy(col("k"), col("v"))
       .agg(count(lit(1)).as("t"))
       .groupBy(col("k"))
@@ -773,12 +858,13 @@ object Stats {
           .when(col("s") < 0, (col("s") + 1).cast("double"))
           .otherwise(lit(0.0)) /
           sqrt(varNum.cast("double") / 18.0), 6))
-    nk.join(s, Seq("k"), "left").join(ties, Seq("k"))
+    val frame = nk.join(s, Seq("k"), "left").join(ties, Seq("k"))
       .select(col("k").as(keyCol), col("n"),
         coalesce(col("s"), lit(0L)).as("s"), z.as("z"),
         when(z.isNull, lit(null).cast("string"))
           .when(z > 1.96, "increasing")
           .when(z < -1.96, "decreasing")
           .otherwise("no_trend").as("trend"))
+    (frame, cells)
   }
 }

@@ -810,8 +810,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     // crosses the calibrated boundary, warn LOUDLY — the caller chose
     // exactness, so the operator stays exact, but silence here would
     // hide a known cliff.
-    val medDf = tok.groupBy("h").agg(count(lit(1)).as("df"))
-      .agg(expr("median(df)")).head().getDouble(0)
+    // NULL-safe: an empty (or all-NULL-text) corpus has a NULL median —
+    // the operator must still return its (empty) frame, not NPE in the
+    // advisory (isNullAt guard; same discipline as matchEntities' probe)
+    val medRow = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(expr("median(df)")).head()
+    val medDf = if (medRow.isNullAt(0)) 0.0 else medRow.getDouble(0)
     if (medDf > 32)
       logWarning(f"allPairsJaccard: median shingle df $medDf%.0f is in " +
         "the saturated-vocabulary regime — exact prefix-filter candidate " +

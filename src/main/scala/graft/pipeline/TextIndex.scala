@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   *    advances the 1-row stats — daily adds cost one batch tokenize +
   *    one vocab-sized aggregate, never a corpus re-scan.
   *
-  * A NULL-text document produces no token rows and therefore does not
-  * index (it could never be returned anyway); its absence from n_docs
-  * shifts idf by the same amount in build and add paths.
+  * A NULL-text document produces no token rows and therefore can never
+  * be returned, but it still COUNTS toward n_docs (both build and add
+  * paths count the full input frame — matching the fresh
+  * [[TextAnalysis.bm25TopK]] path, whose N is the corpus row count):
+  * idf treats an unreadable document as a document the term did not
+  * appear in. Batches passed to [[addBm25Batch]] must contain only NEW
+  * doc_ids — re-appending an indexed id would double-count its
+  * postings, doclen and n_docs share, so the add path enforces it with
+  * an anti-join against the stored doclens and fails loudly.
   */
 object TextIndex {
 
@@ -82,6 +88,21 @@ object TextIndex {
   def addBm25Batch(batch: DataFrame, root: String, nBuckets: Int = 64,
       textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
+    // new-ids-only contract, ENFORCED: a re-appended doc_id would
+    // silently double-count its postings, doclen and n_docs share.
+    // One semi-join of the stored doclens against the (small) batch id
+    // set — broadcast-able, batch-proportional. (A stored doc with NO
+    // tokens is absent from doclens and can't be detected here; it
+    // also has no postings to double-count — only its n_docs share
+    // rides on the caller honoring the contract.)
+    val dupIds = spark.read.parquet(doclens(root))
+      .join(broadcast(batch.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dupIds == 0L,
+      "addBm25Batch: batch contains doc_ids already present in the " +
+        "stored index — batches must contain only new doc_ids " +
+        "(re-appending would double-count postings, doclens and n_docs)")
     val toks = tokTable(batch, textCol).persist()
     toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(nBuckets)))

@@ -133,4 +133,19 @@ class LinkageSpec extends AnyFunSuite {
       s"blocked ${blocked.size} vs brute ${brute.size}")
     assert(brute.nonEmpty, "expected planted near-dup prefixes")
   }
+
+  test("editDistancePairs: non-numeric string ids survive the pipeline") {
+    // the r9 form cast idCol to long — "Customer#000001"-style ids
+    // became NULL and the operator silently returned an EMPTY result;
+    // ids now keep their original type end to end
+    val rows = Seq(
+      ("Customer#000001", "mitchell street 42"),
+      ("Customer#000002", "mitchel street 42"), // one deletion
+      ("Customer#000003", "completely different text")
+    ).toDF("cust", "addr")
+    val got = Linkage.editDistancePairs(rows, "cust", "addr", k = 2)
+      .select("a_id", "b_id", "dist")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("Customer#000001", "Customer#000002", 1L)))
+  }
 }

@@ -395,4 +395,79 @@ class StatsSpec extends AnyFunSuite {
     val os = Stats.theilSen(ev.run(), "user_id", "ts", "value")
     assert(bs.exceptAll(os).isEmpty && os.exceptAll(bs).isEmpty)
   }
+
+  test("mannKendall plan: no pair-enumeration join (every join pure-equi)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, LessThan, Or}
+    val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+      .filter(col("user_id") % 9 === 0)
+    val (frame, cells) =
+      Stats.mannKendallFrame(ev, "user_id", "ts", "value", "event_id")
+    val joins = frame.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the r9 form enumerated ordered pairs through a key self-join whose
+    // condition carried (ta < tb OR (ta = tb AND ia < ib)) — the r10
+    // grid plan must have NO non-equi join anywhere
+    joins.foreach { j =>
+      j.condition.foreach { c =>
+        val nonEqui = c.collect {
+          case e: LessThan => e: Any
+          case e: GreaterThan => e: Any
+          case e: Or => e: Any
+        }
+        assert(nonEqui.isEmpty, s"non-equi join condition survived: $c")
+      }
+    }
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(cells)
+  }
+
+  /** Capture WARN+ log lines emitted by `loggerName` while `body` runs. */
+  private def captureWarnings(loggerName: String)(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val app = new AbstractAppender("graft-capture-" + System.nanoTime(),
+        null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.WARN))
+          buf.synchronized { buf += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    val logger = LogManager.getLogger(loggerName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = logger.getLevel
+    logger.addAppender(app)
+    logger.setLevel(Level.WARN)
+    try body
+    finally {
+      logger.removeAppender(app); logger.setLevel(prevLevel); app.stop()
+    }
+    buf.toSeq
+  }
+
+  test("theilSen: bounded-group probe warns past warnGroupSize") {
+    val big = (0 until 64).map(i => ("hot", i.toLong * 86400000000L,
+      i.toDouble)) :+ (("cold", 0L, 1.0))
+    val df = big.toDF("k", "us", "v")
+      .select(col("k"), org.apache.spark.sql.functions
+        .expr("timestamp_micros(us)").as("ts"), col("v"))
+    // 64-observation hot key vs warnGroupSize 32 → the probe must warn
+    val warned = captureWarnings("graft.operators.Stats") {
+      Stats.theilSen(df, "k", "ts", "v", warnGroupSize = 32).collect()
+    }
+    assert(warned.exists(_.contains("observations")),
+      s"expected the bounded-group warning, got: $warned")
+    // under the boundary: silent (the probe must not cry wolf)
+    val quiet = captureWarnings("graft.operators.Stats") {
+      Stats.theilSen(df, "k", "ts", "v", warnGroupSize = 100).collect()
+    }
+    assert(!quiet.exists(_.contains("observations")))
+    // and the result is identical either way (the probe never reroutes)
+    val a = Stats.theilSen(df, "k", "ts", "v", warnGroupSize = 32)
+    val b = Stats.theilSen(df, "k", "ts", "v")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
