@@ -178,15 +178,11 @@ object PipelineQueries {
   // true pair would change the kept set, so a hash match proves the
   // filtered candidate path lost nothing on the way to the DECISION —
   // the contract users actually consume.
-  private val dedupAllpairsKeep = Q(
-    "dedup_allpairs_keep",
-    (s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      Dedup.keepAfterNearDedup(docs,
-          Dedup.allPairsJaccard(docs, threshold = 0.8))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH RECURSIVE tok AS (
+  // the UNCAPPED exact τ=0.8 pair relation closed with the recursive
+  // CTE — shared by dedup_allpairs_keep AND dedup_auto_keep (the
+  // driver SFs stay in the exact regime, so the auto route's contract
+  // is the same kept set)
+  private val allpairsKeepOracleSql = """WITH RECURSIVE tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         FROM documents),
       shl AS (
@@ -214,7 +210,34 @@ object PipelineQueries {
         UNION
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
       SELECT src AS doc_id FROM reach
-      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""))
+      GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""
+
+  private val dedupAllpairsKeep = Q(
+    "dedup_allpairs_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.keepAfterNearDedup(docs,
+          Dedup.allPairsJaccard(docs, threshold = 0.8))
+        .orderBy(col("doc_id"))
+    },
+    Some(allpairsKeepOracleSql))
+
+  // P4e: the AUTO-ROUTED near-dup keep decision (r10) — ONE median-df
+  // probe selects the exact prefix leg (Zipf/real-text regime, recall
+  // 1) or the minhash band leg (saturated vocabulary, the measured
+  // 25×-exponent-0.35 plan) behind the same exact verify and CC keep.
+  // The driver corpus is squarely in the exact regime (median df 2 at
+  // sf0.01), so the oracle is the SAME uncapped exact pair relation —
+  // a hash match proves the auto route made the exact choice AND lost
+  // nothing; DedupSpec proves the band route fires on a planted
+  // saturated vocabulary with the identical kept set.
+  private val dedupAutoKeep = Q(
+    "dedup_auto_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.nearDedupAuto(docs, threshold = 0.8).orderBy(col("doc_id"))
+    },
+    Some(allpairsKeepOracleSql))
 
   // P2b: the MinHash DECISION under the full oracle gate — band-bucket
   // candidates (no estimate threshold), exact-Jaccard verification on
@@ -2853,7 +2876,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
-    dedupAllpairsKeep, dedupKeep, dedupMinhashIncr,
+    dedupAllpairsKeep, dedupAutoKeep, dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,

@@ -384,4 +384,52 @@ class DedupSpec extends AnyFunSuite {
     // following delimiter, so it splits out identically)
     assert(out(0)._2 == "uniq one" && out(1)._2 == "uniq two")
   }
+
+  // a deliberately SATURATED vocabulary: every doc is a 20-token window
+  // of one 40-token cycle, so only 40 trigram types exist and the
+  // median shingle df is ~45 (≫ the 32 boundary) — the regime where the
+  // exact prefix filter stops filtering. Window offsets step by 4
+  // (gcd(4,40)=4 ⇒ 10 distinct offsets, docs i and i+10 identical), so
+  // the TRUE τ=0.8 pair relation is exactly the identical-text groups:
+  // the closest DISTINCT windows differ by 4 tokens and overlap at
+  // jaccard 14/22 ≈ 0.64, safely below τ.
+  private def saturatedDocs = (0 until 100).map { i =>
+    val off = (i * 4) % 40
+    (i.toLong, (0 until 20).map(j => s"t${(off + j) % 40}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("nearDedupAuto: band route fires on a saturated vocabulary, " +
+      "kept set equals the exact leg") {
+    val sat = saturatedDocs
+    // 1. the probe detects the regime
+    val med = Dedup.medianShingleDf(Dedup.shingleTable(sat))
+    assert(med > 32, s"planted corpus must be saturated, median df $med")
+    // 2. auto (which routes to bands here) keeps exactly what the
+    //    forced-exact leg keeps — the routing changed the PLAN, not
+    //    the contract
+    val auto = Dedup.nearDedupAuto(sat, threshold = 0.8)
+      .as[Long].collect().sorted.toSeq
+    val exact = Dedup.nearDedupAuto(sat, threshold = 0.8,
+      strategy = "exact").as[Long].collect().sorted.toSeq
+    val bandsF = Dedup.nearDedupAuto(sat, threshold = 0.8,
+      strategy = "bands").as[Long].collect().sorted.toSeq
+    assert(auto == exact, "auto keep set must equal the exact keep set")
+    assert(auto == bandsF, "auto must BE the band leg in this regime")
+    // 3. the kept set is the planted truth: one survivor per
+    //    identical-window group (10 distinct offsets ⇒ the 10 lowest
+    //    doc_ids survive)
+    assert(auto == (0L until 10L).toSeq)
+  }
+
+  test("nearDedupAuto stays on the exact leg for a Zipf-ish corpus") {
+    // the standard spec corpus: distinct tokens per doc → median df 1
+    val d = docs
+    assert(Dedup.medianShingleDf(Dedup.shingleTable(d)) <= 32)
+    val auto = Dedup.nearDedupAuto(d, threshold = 0.8)
+      .as[Long].collect().sorted.toSeq
+    val exact = Dedup.keepAfterNearDedup(d,
+        Dedup.allPairsJaccard(d, threshold = 0.8))
+      .as[Long].collect().sorted.toSeq
+    assert(auto == exact)
+  }
 }
