@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.{ArrayEqCount, CountMinAgg, DotProduct,
   KllQuantileAgg, MisraGriesAgg, TopKAgg}
-import graft.operators.{Funnel, Graph, TimeJoins}
+import graft.operators.{Funnel, Graph, Quality, Stats, TimeJoins}
 
 /** SparkSessionExtensions hook registering graft's custom expressions
   * in the SQL function registry, so `spark.sql` users get `topk`,
@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case l @ Literal(_, _) if l.value != null => l.value.toString
     case other => throw new IllegalArgumentException(
       s"$fn: expected a string literal argument, got $other")
+  }
+
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a boolean literal argument, got $other")
   }
 
   private def dblLit(e: Expression, fn: String): Double = e match {
@@ -113,6 +119,114 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_ohlc(obs_view, keyCol, tsCol, valCol, tieCol, unit)")
         val a = args.map(strLit(_, "graft_ohlc"))
         ohlcPlan(a(0), a(1), a(2), a(3), a(4), a(5))
+      }))
+
+    // r10 widening (r9 verdict #1 gap: "SQL-first parity is 3/40"):
+    // the GRAPH family, the HYPOTHESIS-TEST family, and winsorize all
+    // reach spark.sql through the same thin-delegate pattern — each
+    // function resolves its view(s) and returns the operator's OWN
+    // plan (iterative operators return their materialized result
+    // frame, exactly as the DataFrame path does).
+    ext.injectTableFunction((FunctionIdentifier("graft_components"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_components"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "graft_components(edges_view, max_iters)")
+        Graph.connectedComponents(tbl(strLit(args(0), "graft_components")),
+            intLit(args(1), "graft_components"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_kcore"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_kcore"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_kcore(edges_view, k, max_iters)")
+        Graph.kCore(tbl(strLit(args(0), "graft_kcore")),
+            intLit(args(1), "graft_kcore"), intLit(args(2), "graft_kcore"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_bfs"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_bfs"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_bfs(edges_view, sources_view, undirected, max_iters)")
+        Graph.bfsHops(tbl(strLit(args(0), "graft_bfs")),
+            tbl(strLit(args(1), "graft_bfs")),
+            boolLit(args(2), "graft_bfs"), intLit(args(3), "graft_bfs"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_sssp"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_sssp"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_sssp(edges_view, sources_view, undirected, max_iters)")
+        Graph.weightedShortestPaths(tbl(strLit(args(0), "graft_sssp")),
+            tbl(strLit(args(1), "graft_sssp")),
+            boolLit(args(2), "graft_sssp"), intLit(args(3), "graft_sssp"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_hits"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_hits"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_hits(edges_view, iters)")
+        Graph.hits(tbl(strLit(args(0), "graft_hits")),
+            intLit(args(1), "graft_hits"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_chi2"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_chi2"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_chi2(view, a_col, b_col)")
+        val a = args.map(strLit(_, "graft_chi2"))
+        Stats.chiSquare(tbl(a(0)), a(1), a(2)).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_welch"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_welch"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_welch(view, group_col, group_a, group_b, val_col)")
+        val a = args.map(strLit(_, "graft_welch"))
+        Stats.welchTTest(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_ks"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_ks"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_ks(view, group_col, group_a, group_b, val_col)")
+        val a = args.map(strLit(_, "graft_ks"))
+        Stats.ksTest(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_mwu"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_mwu"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_mwu(view, group_col, group_a, group_b, val_col)")
+        val a = args.map(strLit(_, "graft_mwu"))
+        Stats.mannWhitney(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_ols"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_ols"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_ols(view, key_col, x_col, y_col)")
+        val a = args.map(strLit(_, "graft_ols"))
+        Stats.linearFit(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_winsorize"),
+      new ExpressionInfo(Quality.getClass.getName, "graft_winsorize"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_winsorize(view, key_col, val_col, p_low, p_high)")
+        Quality.winsorize(tbl(strLit(args(0), "graft_winsorize")),
+            strLit(args(1), "graft_winsorize"),
+            strLit(args(2), "graft_winsorize"),
+            dblLit(args(3), "graft_winsorize"),
+            dblLit(args(4), "graft_winsorize"))
+          .queryExecution.analyzed
       }))
   }
 

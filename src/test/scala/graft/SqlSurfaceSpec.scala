@@ -83,4 +83,104 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("iters") || e2.getCause != null)
   }
+
+  // ---- r10 widened surface: the graph family, the hypothesis-test
+  // family, and winsorize. LAZY operators (welch/ols/winsorize) get the
+  // strongest contract — sameResult plan equality; operators that
+  // materialize internally (every iterative graph op, and the tests
+  // built on checkpointed histograms) root at distinct LogicalRDDs, so
+  // their contract is value equality on a pinned input (the
+  // graft_pagerank precedent).
+
+  test("graft_welch / graft_ols / graft_winsorize optimize to the operator's plan") {
+    val sqlW = spark
+      .sql("SELECT * FROM graft_welch('events', 'event_type', 'view', 'click', 'value')")
+      .queryExecution.optimizedPlan
+    val opW = graft.operators.Stats
+      .welchTTest(spark.table("events"), "event_type", "view", "click",
+        "value")
+      .queryExecution.optimizedPlan
+    assert(sqlW.sameResult(opW))
+    val sqlO = spark
+      .sql("SELECT * FROM graft_ols('lineitem', 'l_linestatus', 'l_quantity', 'l_extendedprice')")
+      .queryExecution.optimizedPlan
+    val opO = graft.operators.Stats
+      .linearFit(spark.table("lineitem"), "l_linestatus", "l_quantity",
+        "l_extendedprice")
+      .queryExecution.optimizedPlan
+    assert(sqlO.sameResult(opO))
+    val sqlZ = spark
+      .sql("SELECT * FROM graft_winsorize('lineitem', 'l_returnflag', 'l_tax', 0.1, 0.9)")
+      .queryExecution.optimizedPlan
+    val opZ = graft.operators.Quality
+      .winsorize(spark.table("lineitem"), "l_returnflag", "l_tax",
+        0.1, 0.9)
+      .queryExecution.optimizedPlan
+    assert(sqlZ.sameResult(opZ))
+  }
+
+  test("graph family SQL paths reproduce the operators' results") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_g AS
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+        CAST(o_custkey % 50 + 100000 AS BIGINT) AS dst
+      FROM orders WHERE o_orderkey % 7 = 0""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_gw AS
+      SELECT src, dst, dst % 5 + 1 AS w FROM sqs_g""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_src AS
+      SELECT min(src) AS node_id FROM sqs_g""")
+    val g = spark.table("sqs_g")
+    def same(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql).collect().toSeq
+      val viaOp = op.collect().toSeq
+      assert(viaSql == viaOp, s"SQL/operator divergence for: $sql")
+    }
+    same("SELECT * FROM graft_components('sqs_g', 40) ORDER BY node_id",
+      graft.operators.Graph.connectedComponents(g, 40)
+        .orderBy(col("node_id")))
+    same("SELECT * FROM graft_kcore('sqs_g', 2, 40) ORDER BY node_id",
+      graft.operators.Graph.kCore(g, 2, 40).orderBy(col("node_id")))
+    same("SELECT * FROM graft_bfs('sqs_g', 'sqs_src', true, 40) ORDER BY node_id",
+      graft.operators.Graph.bfsHops(g, spark.table("sqs_src"), true, 40)
+        .orderBy(col("node_id")))
+    same("SELECT * FROM graft_sssp('sqs_gw', 'sqs_src', true, 60) ORDER BY node_id",
+      graft.operators.Graph.weightedShortestPaths(spark.table("sqs_gw"),
+        spark.table("sqs_src"), true, 60).orderBy(col("node_id")))
+    same("SELECT * FROM graft_hits('sqs_g', 2) ORDER BY node_id",
+      graft.operators.Graph.hits(g, 2).orderBy(col("node_id")))
+  }
+
+  test("hypothesis-test family SQL paths reproduce the operators' results") {
+    def same(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql).collect().toSeq
+      val viaOp = op.collect().toSeq
+      assert(viaSql == viaOp, s"SQL/operator divergence for: $sql")
+    }
+    val ev = spark.table("events")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_chi AS
+      SELECT event_type, CAST(user_id % 4 AS BIGINT) AS band FROM events""")
+    same("SELECT * FROM graft_chi2('sqs_chi', 'event_type', 'band') " +
+        "ORDER BY event_type, band",
+      graft.operators.Stats.chiSquare(spark.table("sqs_chi"),
+        "event_type", "band")
+        .orderBy(col("event_type"), col("band")))
+    same("SELECT * FROM graft_ks('events', 'event_type', 'click', 'view', 'value')",
+      graft.operators.Stats.ksTest(ev, "event_type", "click", "view",
+        "value"))
+    same("SELECT * FROM graft_mwu('events', 'event_type', 'click', 'view', 'value')",
+      graft.operators.Stats.mannWhitney(ev, "event_type", "click",
+        "view", "value"))
+  }
+
+  test("widened table functions reject malformed arguments") {
+    val cases = Seq(
+      "SELECT * FROM graft_components('events')",         // arity
+      "SELECT * FROM graft_kcore('events', 'two', 40)",   // non-int k
+      "SELECT * FROM graft_bfs('events', 'events', 'yes', 40)", // non-bool
+      "SELECT * FROM graft_welch('events', 'event_type', 'a', 'b')", // arity
+      "SELECT * FROM graft_winsorize('lineitem', 'l_returnflag', 'l_tax', 'lo', 0.9)") // non-num
+    cases.foreach { q =>
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      assert(e != null, s"expected rejection for: $q")
+    }
+  }
 }
