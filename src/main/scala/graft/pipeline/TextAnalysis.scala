@@ -895,7 +895,20 @@ object TextAnalysis {
     val tok = docs.select(col(groupCol).as("grp"),
       explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val tc = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    jsDivergenceFromCounts(
+      tok.groupBy("grp", "token").agg(count(lit(1)).as("c")))
+  }
+
+  /** The JS-divergence core of [[distributionDrift]], over an already-
+    * aggregated (grp, token, c) count table — factored out (r10) so
+    * the STREAMING consumer ([[graft.streaming.StreamDrift]]) computes
+    * drift from its online per-source histograms through the IDENTICAL
+    * arithmetic: streamed counts equal batch counts exactly (they are
+    * plain sums), so streamed js_div equals batch js_div bit-for-bit
+    * by construction. Same determinism and V×S²-scale contract as the
+    * public operator. */
+  private[graft] def jsDivergenceFromCounts(tc0: DataFrame): DataFrame = {
+    val tc = tc0.select(col("grp"), col("token"), col("c"))
     val totals = tc.groupBy("grp").agg(sum(col("c")).as("n"))
     val vocab = tc.select("token").distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))

@@ -897,6 +897,46 @@ object PipelineQueries {
         round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_div
       FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ST18's oracled batch twin (r10): the SAME jsDivergenceFromCounts
+  // core the streaming monitor consumes, grouped by LANG (params
+  // distinct from text_drift's source grouping) — holds the shared
+  // stream/batch semantics under the full DuckDB oracle while
+  // StreamingSpec proves streamed ≡ batch bitwise across a microbatch
+  // cut.
+  private val textDriftLang = Q(
+    "text_drift_lang",
+    (s, d) =>
+      TextAnalysis.distributionDrift(Tables.load(s, d, "documents"),
+          groupCol = "lang")
+        .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH tok AS (
+        SELECT lang AS grp,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT grp, token FROM tok WHERE token <> ''),
+      tc AS (SELECT grp, token, count(*) AS c FROM tnz GROUP BY 1, 2),
+      tot AS (SELECT grp, sum(c) AS n FROM tc GROUP BY 1),
+      voc AS (SELECT DISTINCT token FROM tc),
+      vs AS (SELECT count(*) AS v FROM voc),
+      al AS (SELECT token, grp, n, coalesce(c, 0) AS c
+        FROM voc CROSS JOIN tot LEFT JOIN tc USING (grp, token)),
+      pr AS (SELECT a.grp AS source_a, b.grp AS source_b,
+          a.n AS na, b.n AS nb,
+          CAST(a.c + 1 AS DOUBLE) / (a.n + v) AS pa,
+          CAST(b.c + 1 AS DOUBLE) / (b.n + v) AS pb
+        FROM al a JOIN al b ON a.token = b.token AND a.grp < b.grp
+        CROSS JOIN vs),
+      t2 AS (SELECT source_a, source_b, na, nb,
+          CAST(round(pa * round(ln(pa / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS ta,
+          CAST(round(pb * round(ln(pb / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS tb
+        FROM pr)
+      SELECT source_a, source_b, CAST(max(na) AS BIGINT) AS n_a,
+        CAST(max(nb) AS BIGINT) AS n_b,
+        round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_div
+      FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // P18i: hybrid retrieval — BM25 lexical leg + exact-cosine dense leg
   // fused by Reciprocal Rank Fusion (1/(60+rank), the calibration-free
   // standard). Both legs are engine-deterministic rankings, the fusion
@@ -2890,7 +2930,8 @@ object PipelineQueries {
     textVocab, textEncode, textTfidf, textXent, textRefXent, textDsir,
     qualityBuckets,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
-    heavyHitters, cmsCounts, kllQuantiles, textDrift, textRrf,
+    heavyHitters, cmsCounts, kllQuantiles, textDrift, textDriftLang,
+    textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,

@@ -492,6 +492,54 @@ class StreamingSpec extends AnyFunSuite {
       "shard-sum must equal the batch sketch exactly (CMS merge is addition)")
   }
 
+  test("streaming drift: js_div EQUALS batch distributionDrift on the prefix AND the whole") {
+    val rows = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("source"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(String, String)].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamDrift
+      .tokenHistograms(mem.toDF()
+        .select(col("_1").as("source"), col("_2").as("text")))
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def streamedDrift() = StreamDrift
+      .driftFromHistograms(spark.table("drift_out"))
+      .orderBy(col("source_a"), col("source_b")).collect().toSeq
+    def batchDrift(docs: Seq[(String, String)]) = graft.pipeline
+      .TextAnalysis.distributionDrift(docs.toDF("source", "text"))
+      .orderBy(col("source_a"), col("source_b")).collect().toSeq
+    try {
+      // microbatch 1: the streamed histograms must reproduce the batch
+      // operator on the ingested PREFIX, bit-for-bit (same counts in,
+      // same jsDivergenceFromCounts core)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      assert(streamedDrift() == batchDrift(first.toSeq),
+        "prefix drift must equal the batch operator bitwise")
+      // microbatch 2: state carried the histograms across the cut
+      mem.addData(second.toSeq); q.processAllAvailable()
+      assert(streamedDrift() == batchDrift(rows.toSeq),
+        "full drift must equal the batch operator bitwise")
+    } finally q.stop()
+  }
+
+  test("streaming drift: the maxVocab failsafe is loud, not lossy") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamDrift
+      .tokenHistograms(mem.toDF()
+        .select(col("_1").as("source"), col("_2").as("text")),
+        maxVocab = 4)
+      .writeStream.format("memory").queryName("drift_guard_out")
+      .outputMode("update").start()
+    mem.addData(Seq(("crawl", "a b c d e f g h")))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage != null)
+    q.stop()
+  }
+
   test("streaming KLL: mass conserved and rank bound holds across microbatches") {
     // real event values, split into two microbatches: shard compactor
     // stacks (including the parity counter) must survive the batch cut
