@@ -2,14 +2,15 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, BindReferences, BinaryArithmetic, BoundReference,
-  EvalMode, Expression, Literal, NamedExpression, Add, Multiply, Subtract,
-  SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, BindReferences, BinaryArithmetic, BinaryComparison,
+  BoundReference, EqualTo, EvalMode, Expression, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal,
+  NamedExpression, Not, Or, Add, Multiply, Subtract, SortOrder}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{ColumnarRule, ProjectExec, SparkPlan,
-  UnaryExecNode}
+import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec,
+  SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector,
   WritableColumnVector}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
@@ -27,15 +28,20 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * the optimizer, and every graft operator stay unchanged, which is
   * exactly the argument SURVEY §1 makes for deferring device targeting
   * to this hook. This file makes the argument executable: a real
-  * columnar projection operator (batch-at-a-time arithmetic over
-  * ColumnVectors, null-propagating, ANSI-checked) behind a config
-  * flag, proven result-identical to the row path in ColumnarSpec.
+  * columnar PROJECTION (batch-at-a-time arithmetic over ColumnVectors,
+  * null-propagating, ANSI-checked) and, since r10, a real columnar
+  * FILTER (vectorized three-valued predicate + batch shrinking — the
+  * other scan-adjacent hot-path half a SIMD/GPU plugin substitutes,
+  * and the one that exercises SELECTIVE batches through the
+  * transitions), both behind a config flag and proven result-identical
+  * to the row path in ColumnarSpec.
   *
   * Scope is deliberately a DEMONSTRATOR: +/−/× over int/long/double
-  * columns and literals. A production accelerator plugin (or a real
-  * GPU backend) would widen the expression coverage, not change the
-  * wiring — the rule, transitions, and plan surgery here are the full
-  * shape.
+  * columns and literals; predicates = comparisons over those plus
+  * AND/OR/NOT (Kleene three-valued, matching SQL) and IS [NOT] NULL.
+  * A production accelerator plugin (or a real GPU backend) would widen
+  * the expression coverage, not change the wiring — the rule,
+  * transitions, and plan surgery here are the full shape.
   */
 object Columnar {
   /** Session flag gating the rule; off by default so the row path (and
@@ -61,45 +67,36 @@ object Columnar {
         ba.children.forall(c => c.dataType == ba.dataType && supported(c))
     case _ => false
   }
+
+  /** Predicate whitelist for the columnar filter: comparisons between
+    * same-typed supported value expressions, Kleene AND/OR/NOT, and
+    * null tests. EqualNullSafe, IN, and everything else refuse —
+    * same honest-refusal contract as [[supported]]. */
+  private[plans] def supportedPredicate(e: Expression): Boolean = e match {
+    case And(l, r) => supportedPredicate(l) && supportedPredicate(r)
+    case Or(l, r) => supportedPredicate(l) && supportedPredicate(r)
+    case Not(c) => supportedPredicate(c)
+    case IsNull(c) => supported(c)
+    case IsNotNull(c) => supported(c)
+    case c @ (_: EqualTo | _: LessThan | _: LessThanOrEqual |
+        _: GreaterThan | _: GreaterThanOrEqual) =>
+      val bc = c.asInstanceOf[BinaryComparison]
+      bc.left.dataType == bc.right.dataType &&
+        supported(bc.left) && supported(bc.right)
+    case _ => false
+  }
 }
 
-/** Vectorized projection: evaluates each output column batch-at-a-time
-  * into fresh OnHeapColumnVectors (inputs are copied, never aliased,
-  * so the parquet reader's batch reuse cannot corrupt downstream
-  * state). ANSI long arithmetic uses Math.*Exact — overflow still
-  * fails the query, with a coarser error message than Spark's
-  * (documented demonstrator trade-off).
-  */
-case class GraftColumnarProjectExec(projectList: Seq[NamedExpression],
-    child: SparkPlan) extends UnaryExecNode {
+/** The shared batch-at-a-time expression interpreter: evaluates a bound
+  * value expression into a fresh OnHeapColumnVector (inputs are copied,
+  * never aliased, so the parquet reader's batch reuse cannot corrupt
+  * downstream state). ANSI long arithmetic uses Math.*Exact — overflow
+  * still fails the query, with a coarser error message than Spark's
+  * (documented demonstrator trade-off). Used by both the projection
+  * and the filter's comparison operands. */
+private[plans] object ColumnarEval {
 
-  override def output: Seq[Attribute] = projectList.map(_.toAttribute)
-  override def outputPartitioning: Partitioning = child.outputPartitioning
-  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
-  override def supportsColumnar: Boolean = true
-
-  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
-    copy(child = newChild)
-
-  override protected def doExecute(): RDD[org.apache.spark.sql.catalyst.InternalRow] =
-    throw new IllegalStateException(
-      "GraftColumnarProjectExec is columnar-only; the planner inserts " +
-        "a ColumnarToRow transition above it")
-
-  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
-    val bound = projectList
-      .map(BindReferences.bindReference(_, child.output))
-    child.executeColumnar().map { batch =>
-      val n = batch.numRows()
-      val cols = bound.map {
-        case a: Alias => eval(a.child, batch, n)
-        case e => eval(e, batch, n)
-      }
-      new ColumnarBatch(cols.toArray[ColumnVector], n)
-    }
-  }
-
-  private def eval(e: Expression, batch: ColumnarBatch,
+  def eval(e: Expression, batch: ColumnarBatch,
       n: Int): WritableColumnVector = e match {
     case b: BoundReference =>
       val out = new OnHeapColumnVector(n, b.dataType)
@@ -174,13 +171,214 @@ case class GraftColumnarProjectExec(projectList: Seq[NamedExpression],
       throw new IllegalStateException(
         s"unsupported expression reached the columnar path: $other")
   }
+
+  /** Three-valued predicate result: `value(i)` is meaningful only where
+    * `known(i)`; an unknown (SQL NULL) predicate row never passes a
+    * filter. */
+  final case class Pred(value: Array[Boolean], known: Array[Boolean])
+
+  def evalPredicate(e: Expression, batch: ColumnarBatch, n: Int): Pred =
+    e match {
+      case And(le, re) =>
+        val l = evalPredicate(le, batch, n)
+        val r = evalPredicate(re, batch, n)
+        val v = new Array[Boolean](n); val k = new Array[Boolean](n)
+        var i = 0
+        while (i < n) {
+          val lf = l.known(i) && !l.value(i)
+          val rf = r.known(i) && !r.value(i)
+          if (lf || rf) { v(i) = false; k(i) = true }           // false wins
+          else if (l.known(i) && r.known(i)) { v(i) = true; k(i) = true }
+          else k(i) = false                                     // unknown
+          i += 1
+        }
+        Pred(v, k)
+      case Or(le, re) =>
+        val l = evalPredicate(le, batch, n)
+        val r = evalPredicate(re, batch, n)
+        val v = new Array[Boolean](n); val k = new Array[Boolean](n)
+        var i = 0
+        while (i < n) {
+          val lt = l.known(i) && l.value(i)
+          val rt = r.known(i) && r.value(i)
+          if (lt || rt) { v(i) = true; k(i) = true }            // true wins
+          else if (l.known(i) && r.known(i)) { v(i) = false; k(i) = true }
+          else k(i) = false
+          i += 1
+        }
+        Pred(v, k)
+      case Not(ce) =>
+        val c = evalPredicate(ce, batch, n)
+        val v = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { v(i) = !c.value(i); i += 1 }
+        Pred(v, c.known)
+      case IsNull(ce) =>
+        val c = eval(ce, batch, n)
+        val v = new Array[Boolean](n); val k = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { v(i) = c.isNullAt(i); k(i) = true; i += 1 }
+        c.close()
+        Pred(v, k)
+      case IsNotNull(ce) =>
+        val c = eval(ce, batch, n)
+        val v = new Array[Boolean](n); val k = new Array[Boolean](n)
+        var i = 0
+        while (i < n) { v(i) = !c.isNullAt(i); k(i) = true; i += 1 }
+        c.close()
+        Pred(v, k)
+      case bc: BinaryComparison =>
+        val l = eval(bc.left, batch, n)
+        val r = eval(bc.right, batch, n)
+        val v = new Array[Boolean](n); val k = new Array[Boolean](n)
+        val dt = bc.left.dataType
+        def cmpL(a: Long, b: Long): Boolean = bc match {
+          case _: EqualTo => a == b
+          case _: LessThan => a < b
+          case _: LessThanOrEqual => a <= b
+          case _: GreaterThan => a > b
+          case _ => a >= b
+        }
+        def cmpD(a: Double, b: Double): Boolean = bc match {
+          case _: EqualTo => a == b
+          case _: LessThan => a < b
+          case _: LessThanOrEqual => a <= b
+          case _: GreaterThan => a > b
+          case _ => a >= b
+        }
+        var i = 0
+        while (i < n) {
+          if (l.isNullAt(i) || r.isNullAt(i)) k(i) = false
+          else {
+            k(i) = true
+            v(i) = dt match {
+              case LongType => cmpL(l.getLong(i), r.getLong(i))
+              case IntegerType => cmpL(l.getInt(i).toLong, r.getInt(i).toLong)
+              case DoubleType => cmpD(l.getDouble(i), r.getDouble(i))
+              case other =>
+                throw new IllegalStateException(s"unsupported $other")
+            }
+          }
+          i += 1
+        }
+        l.close(); r.close()
+        Pred(v, k)
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported predicate reached the columnar path: $other")
+    }
+
+  /** Copy the selected rows of `src` (its type must be a supported
+    * type) into a fresh vector of length `m`. */
+  def gather(src: ColumnVector, dt: DataType, sel: Array[Int],
+      m: Int): WritableColumnVector = {
+    val out = new OnHeapColumnVector(m, dt)
+    var j = 0
+    dt match {
+      case LongType =>
+        while (j < m) {
+          val i = sel(j)
+          if (src.isNullAt(i)) out.putNull(j)
+          else out.putLong(j, src.getLong(i)); j += 1 }
+      case IntegerType =>
+        while (j < m) {
+          val i = sel(j)
+          if (src.isNullAt(i)) out.putNull(j)
+          else out.putInt(j, src.getInt(i)); j += 1 }
+      case DoubleType =>
+        while (j < m) {
+          val i = sel(j)
+          if (src.isNullAt(i)) out.putNull(j)
+          else out.putDouble(j, src.getDouble(i)); j += 1 }
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    out
+  }
+}
+
+/** Vectorized projection: evaluates each output column batch-at-a-time
+  * via [[ColumnarEval]].
+  */
+case class GraftColumnarProjectExec(projectList: Seq[NamedExpression],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = projectList.map(_.toAttribute)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def supportsColumnar: Boolean = true
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new IllegalStateException(
+      "GraftColumnarProjectExec is columnar-only; the planner inserts " +
+        "a ColumnarToRow transition above it")
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val bound = projectList
+      .map(BindReferences.bindReference(_, child.output))
+    child.executeColumnar().map { batch =>
+      val n = batch.numRows()
+      val cols = bound.map {
+        case a: Alias => ColumnarEval.eval(a.child, batch, n)
+        case e => ColumnarEval.eval(e, batch, n)
+      }
+      new ColumnarBatch(cols.toArray[ColumnVector], n)
+    }
+  }
+}
+
+/** Vectorized filter: evaluates the predicate batch-at-a-time under
+  * SQL's three-valued logic (an unknown predicate row never passes),
+  * then SHRINKS the batch — selected rows are gathered into fresh
+  * vectors, so a selective filter hands downstream operators compact
+  * batches instead of masked ones. This is the transition-wiring case
+  * the projection can't exercise: output batches whose row count
+  * differs from their input's.
+  */
+case class GraftColumnarFilterExec(condition: Expression,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def supportsColumnar: Boolean = true
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new IllegalStateException(
+      "GraftColumnarFilterExec is columnar-only; the planner inserts " +
+        "a ColumnarToRow transition above it")
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val bound = BindReferences.bindReference(condition, child.output)
+    val types = child.output.map(_.dataType)
+    child.executeColumnar().map { batch =>
+      val n = batch.numRows()
+      val p = ColumnarEval.evalPredicate(bound, batch, n)
+      val sel = new Array[Int](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (p.known(i) && p.value(i)) { sel(m) = i; m += 1 }
+        i += 1
+      }
+      val cols = types.zipWithIndex.map { case (dt, c) =>
+        ColumnarEval.gather(batch.column(c), dt, sel, m)
+      }
+      new ColumnarBatch(cols.toArray[ColumnVector], m)
+    }
+  }
 }
 
 /** The injected rule: under the flag, swap every fully-supported
-  * ProjectExec for the vectorized node. Runs in preColumnarTransitions,
-  * so the planner then places RowToColumnar/ColumnarToRow conversions
-  * wherever the neighbors need them — no operator rewrites anywhere
-  * else in the engine.
+  * ProjectExec/FilterExec for its vectorized node. Runs in
+  * preColumnarTransitions, so the planner then places
+  * RowToColumnar/ColumnarToRow conversions wherever the neighbors need
+  * them — no operator rewrites anywhere else in the engine.
   */
 class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
   override def preColumnarTransitions: Rule[SparkPlan] =
@@ -192,6 +390,13 @@ class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
               if p.projectList.nonEmpty &&
                 p.projectList.forall(Columnar.supported) =>
             GraftColumnarProjectExec(p.projectList, p.child)
+          // the filter additionally needs every OUTPUT column gatherable
+          // (batch shrinking copies all of them, not just the predicate's)
+          case f: FilterExec
+              if Columnar.supportedPredicate(f.condition) &&
+                f.child.output.forall(a =>
+                  Columnar.supportedType(a.dataType)) =>
+            GraftColumnarFilterExec(f.condition, f.child)
         }
     }
 }

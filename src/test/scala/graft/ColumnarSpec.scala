@@ -101,4 +101,79 @@ class ColumnarSpec extends AnyFunSuite {
       assert(e != null)
     }
   }
+
+  // ------------------------- r10: the vectorized FILTER (the selective
+  // half of the scan-adjacent hot path — batches SHRINK through it)
+
+  private def lineitemFiltered = Tables
+    .load(spark, TestSpark.sf, "lineitem")
+    .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+      col("l_discount"))
+    .filter(col("l_quantity") * lit(2.0) > lit(60.0)
+      && col("l_discount") <= lit(0.05))
+
+  test("flag on: supported filter runs on the columnar node and shrinks batches") {
+    withFlag(on = true) {
+      val df = lineitemFiltered
+      val found = df.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GraftColumnarFilterExec => g
+      }
+      assert(found.isDefined,
+        s"no GraftColumnarFilterExec in:\n${df.queryExecution.executedPlan}")
+      // selectivity is real: the node's output is a strict subset
+      val n = df.count()
+      val total = Tables.load(spark, TestSpark.sf, "lineitem").count()
+      assert(n > 0 && n < total)
+    }
+  }
+
+  test("columnar filter and row filter agree bit-for-bit") {
+    val rowPath = lineitemFiltered.collect().toSeq
+    val colPath = withFlag(on = true) { lineitemFiltered.collect().toSeq }
+    assert(colPath.nonEmpty && colPath.toSet == rowPath.toSet
+      && colPath.size == rowPath.size)
+  }
+
+  test("filter three-valued logic: NULL predicates drop rows, OR(null,true) keeps") {
+    import spark.implicits._
+    val dir = GraftSession.scratchDir("columnar_filter_nulls")
+    Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null),
+      (null, 20L), (4L, 40L), (5L, null))
+      .toDF("x", "y").write.mode("overwrite").parquet(dir)
+    // x > 3 OR y < 15: row (2,null) → OR(false, null) = null → dropped;
+    // (5,null) → OR(true, null) = true → kept; (null,20) → OR(null,
+    // false) = null → dropped; (1,10) kept; (4,40) → OR(true,false) kept
+    def q = spark.read.parquet(dir)
+      .filter(col("x") > lit(3L) || col("y") < lit(15L))
+    val rowPath = q.collect().map(_.getLong(0)).toSet
+    val (colPath, sawNode) = withFlag(on = true) {
+      val df = q
+      (df.collect().map(_.getLong(0)).toSet,
+        df.queryExecution.executedPlan.collectFirst {
+          case g: graft.plans.GraftColumnarFilterExec => g }.isDefined)
+    }
+    // the scan pushes IsNotNull only for non-null-tolerant predicates;
+    // whatever residual FilterExec remains must have been swapped
+    assert(sawNode, "columnar filter node not planned")
+    assert(colPath == rowPath && colPath == Set(1L, 4L, 5L))
+  }
+
+  test("unsupported predicates refuse the columnar filter path") {
+    withFlag(on = true) {
+      val df = Tables.load(spark, TestSpark.sf, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .filter(col("l_returnflag") === lit("R")) // string compare
+      assert(df.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GraftColumnarFilterExec => g
+      }.isEmpty, "a string-comparison filter must stay row-based")
+      df.collect() // and it still runs
+    }
+  }
+
+  test("flag off (default): no columnar filter is planned") {
+    val df = lineitemFiltered
+    assert(df.queryExecution.executedPlan.collectFirst {
+      case g: graft.plans.GraftColumnarFilterExec => g
+    }.isEmpty)
+  }
 }
