@@ -62,7 +62,7 @@ import graft.pipeline.Dedup
   * rows), a blocking equi-join, an output-proportional exact verify,
   * one argmax partial-agg keyed by the high-cardinality dirty id.
   */
-object Linkage {
+object Linkage extends org.apache.spark.internal.Logging {
 
   /** `dirty` needs (dirty_id, text); `clean` needs (clean_id, text).
     * Returns one row per dirty record: (dirty_id, match_id, sim) with
@@ -229,7 +229,19 @@ object Linkage {
     * discipline): selectivity is the SEGMENTS' entropy. On strings
     * sharing a long constant prefix (ID columns like "Customer#…"),
     * the prefix segment degenerates to a full length-block and the
-    * candidate mass approaches n² — same answer, no speedup. Strings
+    * candidate mass approaches n² — same answer, no speedup. Since
+    * r10 this regime is MEASURED, not just documented: the probe is
+    * the df-WEIGHTED mean bucket size Σdf²/Σdf over the index's
+    * (length, segment-idx, substring) keys — exactly the expected
+    * collision count an index row meets, so it tracks the candidate
+    * mass directly where a plain median would be drowned by the many
+    * unique suffix keys. One aggregate over the n·(k+1)-row index
+    * table the operator builds anyway; diverse strings score ~1, a
+    * shared constant prefix pushes the statistic toward the
+    * per-length group size, and past `warnSegmentDf` the operator
+    * WARNS loudly (the allPairsJaccard discipline — the caller asked
+    * for exact recall, so the plan stays exact, but the quadratic
+    * candidate mass is no longer silent). Strings
     * shorter than k+1 produce empty segments that match by length
     * alone (the correct brute-force fallback for tiny strings).
     *
@@ -238,7 +250,7 @@ object Linkage {
     * distinct pair frame, one narrow verify. No window, no iteration.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      k: Int = 2): DataFrame = {
+      k: Int = 2, warnSegmentDf: Int = 16): DataFrame = {
     require(k >= 1 && k <= 8, "k must be in [1, 8]")
     val k1 = k + 1
     // ids keep their ORIGINAL type end to end: an id cast (the r9 form
@@ -263,6 +275,21 @@ object Linkage {
                ${segLen("i", "length(s)")})))""")).as("seg"))
       .select(col("s_id"), col("s_s"), col("l"),
         col("seg.gi").as("gi"), col("seg.sub").as("sub"))
+    // segment-entropy probe: Σdf²/Σdf = the expected collision count
+    // per index row (NULL-safe on an empty input, the family guard)
+    val medRow = idx.groupBy(col("l"), col("gi"), col("sub"))
+      .agg(count(lit(1)).as("df"))
+      .agg((sum(col("df") * col("df")).cast("double") / sum(col("df")))
+        .as("wdf")).head()
+    val medDf = if (medRow.isNullAt(0)) 0.0 else medRow.getDouble(0)
+    if (medDf > warnSegmentDf)
+      logWarning(f"editDistancePairs: df-weighted segment bucket size " +
+        f"$medDf%.0f " +
+        "is in the shared-prefix/low-entropy regime — segment blocking " +
+        "degenerates toward a length-block and the candidate mass " +
+        "approaches n^2 (same exact answer, no speedup). Strip the " +
+        "shared prefix (or block on a higher-entropy slice) before " +
+        "calling, or raise warnSegmentDf to silence.")
     val probe = base.select(col("id").as("t_id"), col("s").as("t_s"),
       explode(expr(
         s"""flatten(flatten(

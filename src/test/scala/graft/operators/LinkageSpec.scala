@@ -134,6 +134,55 @@ class LinkageSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "expected planted near-dup prefixes")
   }
 
+  test("editDistancePairs: shared-prefix probe warns, diverse corpus is quiet") {
+    // 64 strings sharing a 30-char constant prefix: with k=2 every
+    // index segment of the prefix region is identical across the
+    // same-length group, so the median segment-key df ≈ group size —
+    // the measured degeneracy the scaladoc used to only describe
+    val pfx = "customer record id number 30ch"
+    val planted = (0 until 64)
+      .map(i => (i.toLong, pfx + f"$i%02d")).toDF("id", "s")
+    val warned = captureWarnings("graft.operators.Linkage") {
+      Linkage.editDistancePairs(planted, "id", "s", k = 2).collect()
+    }
+    assert(warned.exists(_.contains("low-entropy")),
+      s"expected the segment-entropy warning, got: $warned")
+    // diverse strings (the q87 shape): median df ~1 → silent
+    val diverse = (0 until 64)
+      .map(i => (i.toLong, s"doc $i body ${i * 7919} tail ${i * 104729}"))
+      .toDF("id", "s")
+    val quiet = captureWarnings("graft.operators.Linkage") {
+      Linkage.editDistancePairs(diverse, "id", "s", k = 2).collect()
+    }
+    assert(!quiet.exists(_.contains("low-entropy")))
+  }
+
+  /** Capture WARN+ log lines emitted by `loggerName` while `body` runs. */
+  private def captureWarnings(loggerName: String)(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val app = new AbstractAppender("graft-capture-" + System.nanoTime(),
+        null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.WARN))
+          buf.synchronized { buf += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    val logger = LogManager.getLogger(loggerName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = logger.getLevel
+    logger.addAppender(app)
+    logger.setLevel(Level.WARN)
+    try body
+    finally {
+      logger.removeAppender(app); logger.setLevel(prevLevel); app.stop()
+    }
+    buf.toSeq
+  }
+
   test("editDistancePairs: non-numeric string ids survive the pipeline") {
     // the r9 form cast idCol to long — "Customer#000001"-style ids
     // became NULL and the operator silently returned an EMPTY result;
