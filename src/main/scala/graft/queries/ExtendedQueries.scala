@@ -2808,7 +2808,7 @@ object ExtendedQueries {
       SELECT src AS node_id, min(dst) AS component FROM reach
       GROUP BY src ORDER BY node_id"""))
 
-  // graft_kcore at k=25 (q68 runs k=22) on the part co-occurrence
+  // graft_kcore at k=12 (q68 runs k=22; 12 keeps the core non-empty down to sf0.001 for the smoke gate) on the part co-occurrence
   // graph; the generated oracle unrolls the peel past its fixpoint.
   private val q99 = Q(
     "q99_sql_kcore",
@@ -2822,10 +2822,10 @@ object ExtendedQueries {
           (SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
            FROM lineitem WHERE l_orderkey % 3 = 0) y
         ON x.ok = y.ok AND x.pk < y.pk""")
-      s.sql("""SELECT node_id, core_deg FROM graft_kcore('kc_edges', 25, 40)
+      s.sql("""SELECT node_id, core_deg FROM graft_kcore('kc_edges', 12, 40)
         ORDER BY node_id""")
     },
-    Some(kcoreOracle(k = 25, rounds = 16)))
+    Some(kcoreOracle(k = 12, rounds = 16)))
 
   // graft_bfs from a min-node source frame over the orderkey % 5 graph
   // (q80 walks the % 7 graph).
