@@ -216,6 +216,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.linearFit(tbl(a(0)), a(1), a(2), a(3))
           .queryExecution.analyzed
       }))
+    // …and the PIPELINE family reaches SQL too (r10): the flagship
+    // dedup keep decision and the corpus drift monitor — the two
+    // table-shaped pipeline results a SQL-first warehouse consumes
+    // directly (`SELECT ... FROM graft_dedup_keep('docs', 0.8)`).
+    ext.injectTableFunction((FunctionIdentifier("graft_dedup_keep"),
+      new ExpressionInfo(graft.pipeline.Dedup.getClass.getName,
+        "graft_dedup_keep"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "graft_dedup_keep(docs_view, threshold)")
+        graft.pipeline.Dedup.nearDedupAuto(
+            tbl(strLit(args(0), "graft_dedup_keep")),
+            dblLit(args(1), "graft_dedup_keep"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_drift"),
+      new ExpressionInfo(graft.pipeline.TextAnalysis.getClass.getName,
+        "graft_drift"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_drift(docs_view, text_col, group_col)")
+        val a = args.map(strLit(_, "graft_drift"))
+        graft.pipeline.TextAnalysis.distributionDrift(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_winsorize"),
       new ExpressionInfo(Quality.getClass.getName, "graft_winsorize"),
       (args: Seq[Expression]) => {

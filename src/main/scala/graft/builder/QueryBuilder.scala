@@ -354,6 +354,14 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Linkage
       .matchEntities(df, clean.df, threshold, strategy))
 
+  /** Auto-routed near-dup keep decision over this node's
+    * (doc_id, text) — see [[graft.pipeline.Dedup.nearDedupAuto]]
+    * (r10: probe-selected exact-prefix vs minhash-band legs). */
+  def nearDedupAuto(threshold: Double = 0.8,
+      strategy: String = "auto"): QueryNode =
+    new QueryNode(graft.pipeline.Dedup
+      .nearDedupAuto(df, threshold, strategy))
+
   // ----- hypothesis-testing family at the builder surface (r9)
 
   /** Chi-square independence — see [[graft.operators.Stats.chiSquare]]. */

@@ -178,11 +178,11 @@ object PipelineQueries {
   // true pair would change the kept set, so a hash match proves the
   // filtered candidate path lost nothing on the way to the DECISION —
   // the contract users actually consume.
-  // the UNCAPPED exact τ=0.8 pair relation closed with the recursive
-  // CTE — shared by dedup_allpairs_keep AND dedup_auto_keep (the
-  // driver SFs stay in the exact regime, so the auto route's contract
-  // is the same kept set)
-  private val allpairsKeepOracleSql = """WITH RECURSIVE tok AS (
+  // the UNCAPPED exact pair relation at `tau` closed with the
+  // recursive CTE — shared by dedup_allpairs_keep, dedup_auto_keep AND
+  // the SQL-surface q109 (the driver SFs stay in the exact regime, so
+  // the auto route's contract is the same kept set)
+  private def mkAllpairsKeepOracle(tau: String) = raw"""WITH RECURSIVE tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
         FROM documents),
       shl AS (
@@ -201,7 +201,7 @@ object PipelineQueries {
         SELECT a_id, b_id FROM inter
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
-        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.8),
+        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $tau),
       edges AS (
         SELECT a_id AS a, b_id AS b FROM pairs
         UNION ALL SELECT b_id, a_id FROM pairs),
@@ -211,6 +211,8 @@ object PipelineQueries {
         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
       SELECT src AS doc_id FROM reach
       GROUP BY src HAVING min(dst) = src ORDER BY doc_id"""
+
+  private val allpairsKeepOracleSql = mkAllpairsKeepOracle("0.8")
 
   private val dedupAllpairsKeep = Q(
     "dedup_allpairs_keep",
@@ -238,6 +240,61 @@ object PipelineQueries {
       Dedup.nearDedupAuto(docs, threshold = 0.8).orderBy(col("doc_id"))
     },
     Some(allpairsKeepOracleSql))
+
+  // r10: the PIPELINE family at the SQL surface — `FROM
+  // graft_dedup_keep('documents', 0.7)` is the whole near-dup keep
+  // pipeline (probe-routed candidates + exact verify + CC keep) as a
+  // table expression, with τ=0.7 distinct from dedup_auto_keep's 0.8
+  // so the key earns its own oracle (same recursive-CTE closure at
+  // the new threshold).
+  private val dedupKeepSql = Q(
+    "q109_sql_dedup_keep",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT doc_id FROM graft_dedup_keep('documents', 0.7)
+        ORDER BY doc_id""")
+    },
+    Some(mkAllpairsKeepOracle("0.7")))
+
+  // r10: drift in SQL over a DERIVED grouping (a doc_id band) —
+  // params distinct from both text_drift (source) and text_drift_lang.
+  private val driftSql = Q(
+    "q110_sql_drift",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMP VIEW drift_in AS
+        SELECT CAST(doc_id % 4 AS STRING) AS band, text FROM documents""")
+      s.sql("""SELECT source_a, source_b, n_a, n_b, js_div
+        FROM graft_drift('drift_in', 'text', 'band')
+        ORDER BY source_a, source_b""")
+    },
+    Some("""WITH tok AS (
+        SELECT CAST(doc_id % 4 AS VARCHAR) AS grp,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT grp, token FROM tok WHERE token <> ''),
+      tc AS (SELECT grp, token, count(*) AS c FROM tnz GROUP BY 1, 2),
+      tot AS (SELECT grp, sum(c) AS n FROM tc GROUP BY 1),
+      voc AS (SELECT DISTINCT token FROM tc),
+      vs AS (SELECT count(*) AS v FROM voc),
+      al AS (SELECT token, grp, n, coalesce(c, 0) AS c
+        FROM voc CROSS JOIN tot LEFT JOIN tc USING (grp, token)),
+      pr AS (SELECT a.grp AS source_a, b.grp AS source_b,
+          a.n AS na, b.n AS nb,
+          CAST(a.c + 1 AS DOUBLE) / (a.n + v) AS pa,
+          CAST(b.c + 1 AS DOUBLE) / (b.n + v) AS pb
+        FROM al a JOIN al b ON a.token = b.token AND a.grp < b.grp
+        CROSS JOIN vs),
+      t2 AS (SELECT source_a, source_b, na, nb,
+          CAST(round(pa * round(ln(pa / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS ta,
+          CAST(round(pb * round(ln(pb / ((pa + pb) / 2)), 6), 12)
+            AS DECIMAL(28,12)) AS tb
+        FROM pr)
+      SELECT source_a, source_b, CAST(max(na) AS BIGINT) AS n_a,
+        CAST(max(nb) AS BIGINT) AS n_b,
+        round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_div
+      FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // P2b: the MinHash DECISION under the full oracle gate — band-bucket
   // candidates (no estimate threshold), exact-Jaccard verification on
@@ -2916,7 +2973,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
-    dedupAllpairsKeep, dedupAutoKeep, dedupKeep, dedupMinhashIncr,
+    dedupAllpairsKeep, dedupAutoKeep, dedupKeepSql, driftSql,
+    dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,
     annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,

@@ -171,6 +171,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "view", "value"))
   }
 
+  test("pipeline family: graft_drift plan-equal, graft_dedup_keep value-equal") {
+    // distributionDrift is a lazy plan → the strongest (sameResult)
+    // contract applies; nearDedupAuto materializes internally (probe +
+    // checkpointed legs) → pinned-input value equality
+    val sqlD = spark
+      .sql("SELECT * FROM graft_drift('documents', 'text', 'lang')")
+      .queryExecution.optimizedPlan
+    val opD = graft.pipeline.TextAnalysis
+      .distributionDrift(spark.table("documents"), "text", "lang")
+      .queryExecution.optimizedPlan
+    assert(sqlD.sameResult(opD))
+    val viaSql = spark
+      .sql("SELECT * FROM graft_dedup_keep('documents', 0.8) ORDER BY doc_id")
+      .collect().toSeq
+    val viaOp = graft.pipeline.Dedup
+      .nearDedupAuto(spark.table("documents"), 0.8)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(viaSql == viaOp)
+  }
+
   test("widened table functions reject malformed arguments") {
     val cases = Seq(
       "SELECT * FROM graft_components('events')",         // arity

@@ -427,4 +427,13 @@ class QueryBuilderSpec extends AnyFunSuite {
     same(emb.pcaTopComponent().run(),
       graft.pipeline.Similarity.pcaTopComponent(emb.run()))
   }
+
+  test("nearDedupAuto at the builder surface coincides with the pipeline") {
+    def same(b: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame): Unit =
+      assert(b.exceptAll(o).isEmpty && o.exceptAll(b).isEmpty)
+    val docs = hdk.scan("documents").filter(col("doc_id") % 3 === 0)
+    same(docs.nearDedupAuto(threshold = 0.8).run(),
+      graft.pipeline.Dedup.nearDedupAuto(docs.run(), threshold = 0.8))
+  }
 }
