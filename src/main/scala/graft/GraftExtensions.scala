@@ -189,6 +189,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.welchTTest(tbl(a(0)), a(1), a(2), a(3), a(4))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_kw"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_kw"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_kw(view, group_col, val_col)")
+        val a = args.map(strLit(_, "graft_kw"))
+        Stats.kruskalWallis(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_anova"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_anova"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_anova(view, group_col, val_col)")
+        val a = args.map(strLit(_, "graft_anova"))
+        Stats.anovaF(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_ks"),
       new ExpressionInfo(Stats.getClass.getName, "graft_ks"),
       (args: Seq[Expression]) => {

@@ -374,6 +374,16 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.welchTTest(df, groupCol, gA, gB,
       valCol))
 
+  /** Kruskal–Wallis H across all group levels — see
+    * [[graft.operators.Stats.kruskalWallis]] (r10). */
+  def kruskalWallis(groupCol: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.kruskalWallis(df, groupCol, valCol))
+
+  /** One-way ANOVA F across all group levels — see
+    * [[graft.operators.Stats.anovaF]] (r10). */
+  def anovaF(groupCol: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.anovaF(df, groupCol, valCol))
+
   /** Two-sample Kolmogorov–Smirnov — see [[graft.operators.Stats.ksTest]]. */
   def ksTest(groupCol: String, gA: String, gB: String,
       valCol: String): QueryNode =

@@ -867,4 +867,181 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise("no_trend").as("trend"))
     (frame, cells)
   }
+
+  /** Kruskal–Wallis H test of `valCol` across ALL levels of `groupCol`
+    * (SURVEY.md §2 R55) — the k-group extension of [[mannWhitney]]:
+    * "do ANY of these segments' value distributions differ", asked on
+    * ranks so outliers and non-normality can't poison the verdict.
+    * One row: (n_groups, n_total, h_stat, dof) with H tie-corrected
+    * and rounded 6dp, dof = k−1. NULL H when k < 2 or all values are
+    * identical (zero tie-corrected denominator). Rows with a NULL
+    * group or value are out of scope ([[chiSquare]]'s rule).
+    *
+    * Exactness: per-group doubled rank sums 2·ΣR_g =
+    * Σ_v n_g(v)·(2·before(v)+t(v)+1) are exact integers over the
+    * value histogram (the [[mannWhitney]] identity, one histogram for
+    * ALL groups); each group's R_g²/n_g term is UNROUNDED IEEE on
+    * those exactly-agreed integers — rank-sum-scale doubles must NOT
+    * round (the §6 large-magnitude round hazard) — summed as an
+    * ORDERED fold over the group-sorted k-element term list (the
+    * [[graft.pipeline.Similarity.pcaTopComponent]] explicit-order
+    * discipline, replayable by any engine); the tie term Σ(t³−t) is
+    * exact DECIMAL(38,0); H composes the agreed values in one IEEE
+    * ladder rounded 6dp at test-statistic magnitude.
+    *
+    * Scale: one (group, value) histogram shuffle (partial-agg'd),
+    * value-cardinality "strictly before" counts via the
+    * [[rankedHistogram]] two-phase bucket prefix sum (no global sort,
+    * no unbounded global window), then everything at group
+    * cardinality. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val v = col(valCol).cast("double")
+    val gh = df
+      .filter(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol).as("g"), v.as("v"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val vt = gh.groupBy(col("v")).agg(sum(col("n")).as("t")).persist()
+    val rng = vt.agg(min(col("v")), max(col("v"))).head()
+    val bkt =
+      if (rng.isNullAt(0) || rng.getDouble(0) == rng.getDouble(1)) lit(1L)
+      else width_bucket(col("v"), lit(rng.getDouble(0)),
+        lit(rng.getDouble(1)), lit(nBuckets))
+    val hb = vt.withColumn("bkt", bkt)
+    val wOff = W.orderBy(col("bkt")).rowsBetween(W.unboundedPreceding, -1)
+    val offs = hb.groupBy("bkt").agg(sum(col("t")).as("bt"))
+      .select(col("bkt"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+    val wIn = W.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val before = hb.join(broadcast(offs), Seq("bkt"))
+      .select(col("v"), col("t"),
+        (col("off") + sum(col("t")).over(wIn) - col("t")).as("before"))
+      .localCheckpoint()
+    vt.unpersist()
+    // doubled per-group rank sums — exact integers under any ties
+    val perG = gh.join(before, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n_g"),
+        sum(col("n").cast(dec) *
+          (col("before").cast(dec) * 2 + col("t") + 1)).cast(dec).as("r2"))
+    // Σ_g R_g²/n_g with R_g = r2_g/2: each term is UNROUNDED IEEE on
+    // exactly-agreed integers (rounding a rank-sum-scale double is the
+    // cross-engine hazard — §6), summed as an ORDERED fold over the
+    // group-sorted term list (the P29 explicit-order discipline); k is
+    // category-bounded (the chiSquare grid rule), so the list holds k
+    // structs, never rows
+    val moments = perG
+      .select(col("n_g"), struct(col("g").as("g"),
+        (col("r2").cast("double") * col("r2").cast("double")
+          / (col("n_g").cast("double") * 4.0)).as("t")).as("gt"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("n_g")), lit(0L)).as("n_total"),
+        aggregate(sort_array(collect_list(col("gt"))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("srr"))
+    val ties = before.agg(
+      coalesce(sum((col("t").cast(dec) * col("t") * col("t") - col("t"))
+        .cast(dec)), lit(0).cast(dec)).as("tie3"))
+    val n = col("n_total").cast("double")
+    val hraw = lit(12.0) * col("srr") / (n * (n + lit(1.0))) -
+      lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) - col("tie3").cast("double") / (n * n * n - n)
+    moments.crossJoin(broadcast(ties))
+      .select(col("n_groups"), col("n_total"),
+        when(col("n_groups") >= 2 && col("n_total") > col("n_groups") &&
+          corr > 0, round(hraw / corr, 6)).as("h_stat"),
+        when(col("n_groups") >= 1, (col("n_groups") - 1).cast("long"))
+          .as("dof"))
+  }
+
+  /** One-way ANOVA F test of `valCol` across ALL levels of `groupCol`
+    * (SURVEY.md §2 R56) — the k-group extension of [[welchTTest]]'s
+    * mean comparison (classical equal-variance form): partitions total
+    * variance into between-group and within-group sums of squares and
+    * asks whether the group means explain more than noise. One row:
+    * (n_groups, n_total, ss_between, ss_within, f_stat, dof_between,
+    * dof_within, eta_sq) — eta² = SSB/(SSB+SSW) is the effect size an
+    * experiment readout quotes next to the verdict. NULL F when k < 2,
+    * N ≤ k, or zero within-group variance. NULL groups/values out of
+    * scope.
+    *
+    * Exactness: values round 6dp then ride as SCALE-0 integers v·1e6
+    * (single-rounding double conversion — see the in-body note);
+    * per-group n/Σv/Σv² accumulate as exact DECIMAL(38,0) (one
+    * partial-agg'd shuffle — the
+    * [[linearFit]] moment discipline); each group's mean is ONE IEEE
+    * division of agreed operands rounded 6dp (data magnitude — safe);
+    * SSB terms n_g·(m_g−m)² and SSW terms Σv²−(Σv)²/n_g are UNROUNDED
+    * single IEEE expressions (sums-of-squares sit at aggregate
+    * magnitude, where rounding is the §6 cross-engine hazard) summed
+    * as an ORDERED fold over the group-sorted k-element list;
+    * ss_between/ss_within emit those exact IEEE doubles; F rounds 4dp
+    * and eta² 6dp at statistic magnitude.
+    *
+    * Scale: ONE partial-agg'd group shuffle; everything after runs at
+    * group cardinality (k rows), one row out. */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    // values ride as SCALE-0 integers v·1e6 (exact decimals): a
+    // scale-0 DECIMAL(38,0)→double conversion is a SINGLE rounding on
+    // every engine, where a scale-12 decimal converts in two steps
+    // (integer→double, ÷10¹²) on some engines — a real 1-ulp
+    // divergence this operator's oracle caught at aggregate magnitude
+    val v6i = (round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+      * 1000000).cast("decimal(38,0)")
+    val perG = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(v6i).cast("decimal(38,0)").as("s_g"),
+        sum((v6i * v6i).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("q_g"))
+    val tot = perG.agg(
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(col("n_g")), lit(0L)).as("n_total"),
+      coalesce(sum(col("s_g")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("s_tot"))
+    val gm = round(col("s_tot").cast("double")
+      / (col("n_total").cast("double") * 1.0e6), 6)
+    val mg = round(col("s_g").cast("double")
+      / (col("n_g").cast("double") * 1.0e6), 6)
+    // per-group SSB/SSW terms: UNROUNDED IEEE on agreed operands (the
+    // group means round 6dp at DATA magnitude, which is safe; the
+    // sums-of-squares are aggregate-magnitude, where rounding is the
+    // cross-engine hazard — §6), summed as an ORDERED fold over the
+    // group-sorted list; SSW clamps the float residue a constant
+    // group can leave
+    val terms = perG.crossJoin(broadcast(tot))
+      .select(col("n_groups"), col("n_total"),
+        struct(col("g").as("g"),
+          (col("n_g").cast("double") * (mg - gm) * (mg - gm)).as("sb"),
+          greatest(col("q_g").cast("double") / 1.0e12 -
+            (col("s_g").cast("double") / 1.0e6)
+              * (col("s_g").cast("double") / 1.0e6)
+              / col("n_g"), lit(0.0)).as("sw")).as("gt"))
+    val agg = terms.groupBy(col("n_groups"), col("n_total"))
+      .agg(sort_array(collect_list(col("gt"))).as("_l"))
+      .select(col("n_groups"), col("n_total"),
+        aggregate(col("_l"), lit(0.0),
+          (acc, x) => acc + x.getField("sb")).as("_ssb"),
+        aggregate(col("_l"), lit(0.0),
+          (acc, x) => acc + x.getField("sw")).as("_ssw"))
+    val k = col("n_groups").cast("double")
+    val n = col("n_total").cast("double")
+    val fOk = col("n_groups") >= 2 && col("n_total") > col("n_groups") &&
+      col("_ssw") > 0
+    agg.select(col("n_groups"), col("n_total"),
+      col("_ssb").as("ss_between"),
+      col("_ssw").as("ss_within"),
+      when(fOk, round((col("_ssb") / (k - lit(1.0))) /
+        (col("_ssw") / (n - k)), 4)).as("f_stat"),
+      (col("n_groups") - 1).cast("long").as("dof_between"),
+      (col("n_total") - col("n_groups")).cast("long").as("dof_within"),
+      when(col("n_groups") >= 2 && (col("_ssb") + col("_ssw")) > 0,
+        round(col("_ssb") / (col("_ssb") + col("_ssw")), 6)).as("eta_sq"))
+  }
 }

@@ -3153,11 +3153,126 @@ object ExtendedQueries {
       FROM lineitem l LEFT JOIN b ON l.l_linestatus = b.k
       ORDER BY l.l_orderkey, l.l_linenumber"""))
 
+  // Kruskal–Wallis H (R55, Stats.kruskalWallis): quantity distribution
+  // across the three return flags. Doubled per-group rank sums are
+  // exact integers over the value histogram; the oracle replays them
+  // in HUGEINT plus the identical IEEE/round ladder.
+  private def kwOracle(tbl: String, g: String, v: String) =
+    s"""WITH r AS (SELECT $g AS g, CAST($v AS DOUBLE) AS v
+          FROM $tbl WHERE $g IS NOT NULL AND $v IS NOT NULL),
+      gh AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS n
+        FROM r GROUP BY 1, 2),
+      vt AS (SELECT v, sum(n) AS t FROM gh GROUP BY 1),
+      bf AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM vt),
+      pg AS (SELECT g, sum(n) AS n_g, sum(n * (2 * bef + t + 1)) AS r2
+        FROM gh JOIN bf USING (v) GROUP BY 1),
+      mo AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(coalesce(sum(n_g), 0) AS BIGINT) AS n_total,
+          coalesce(list_reduce(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+              / (CAST(n_g AS DOUBLE) * 4.0) ORDER BY g),
+            (a, b) -> a + b), 0.0) AS srr
+        FROM pg),
+      ti AS (SELECT coalesce(sum(t * t * t - t), 0) AS tie3 FROM vt)
+      SELECT n_groups, n_total,
+        CASE WHEN n_groups >= 2 AND (1.0 - CAST(tie3 AS DOUBLE)
+            / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)) > 0
+          THEN round((12.0 * srr
+              / (CAST(n_total AS DOUBLE) * (n_total + 1.0))
+              - 3.0 * (n_total + 1.0))
+            / (1.0 - CAST(tie3 AS DOUBLE)
+              / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)),
+            6) END AS h_stat,
+        CASE WHEN n_groups >= 1 THEN CAST(n_groups - 1 AS BIGINT) END
+          AS dof
+      FROM mo CROSS JOIN ti"""
+
+  private val q111 = Q(
+    "q111_kw",
+    (s, d) =>
+      graft.operators.Stats
+        .kruskalWallis(t(s, d, "lineitem"), "l_returnflag", "l_quantity"),
+    Some(kwOracle("lineitem", "l_returnflag", "l_quantity")))
+
+  // One-way ANOVA F (R56, Stats.anovaF): order totals across the five
+  // priorities. Exact decimal moments per group; SSB/SSW terms one
+  // IEEE expression each, 12dp, DECIMAL-summed.
+  private def anovaOracle(tbl: String, g: String, v: String) =
+    s"""WITH r AS (SELECT $g AS g,
+          CAST(CAST(round(CAST($v AS DOUBLE), 6) AS DECIMAL(18,6))
+            * 1000000 AS HUGEINT) AS v6i
+        FROM $tbl WHERE $g IS NOT NULL AND $v IS NOT NULL),
+      pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+          sum(v6i) AS s_g, sum(v6i * v6i) AS q_g
+        FROM r GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(coalesce(sum(n_g), 0) AS BIGINT) AS n_total,
+          coalesce(sum(s_g), 0) AS s_tot
+        FROM pg),
+      tm AS (SELECT n_groups, n_total, g,
+          CAST(n_g AS DOUBLE)
+              * (round(CAST(s_g AS DOUBLE)
+                  / (CAST(n_g AS DOUBLE) * 1e6), 6)
+                - round(CAST(s_tot AS DOUBLE)
+                  / (CAST(n_total AS DOUBLE) * 1e6), 6))
+              * (round(CAST(s_g AS DOUBLE)
+                  / (CAST(n_g AS DOUBLE) * 1e6), 6)
+                - round(CAST(s_tot AS DOUBLE)
+                  / (CAST(n_total AS DOUBLE) * 1e6), 6)) AS sb,
+          greatest(CAST(q_g AS DOUBLE) / 1e12
+              - (CAST(s_g AS DOUBLE) / 1e6) * (CAST(s_g AS DOUBLE) / 1e6)
+                / n_g, 0.0) AS sw
+        FROM pg CROSS JOIN tot),
+      ag AS (SELECT n_groups, n_total,
+          coalesce(list_reduce(list(sb ORDER BY g), (a, b) -> a + b),
+            0.0) AS ssb,
+          coalesce(list_reduce(list(sw ORDER BY g), (a, b) -> a + b),
+            0.0) AS ssw
+        FROM tm GROUP BY 1, 2)
+      SELECT n_groups, n_total,
+        ssb AS ss_between, ssw AS ss_within,
+        CASE WHEN n_groups >= 2 AND n_total > n_groups AND ssw > 0
+          THEN round((ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+            / (ssw / (CAST(n_total AS DOUBLE)
+              - CAST(n_groups AS DOUBLE))), 4) END AS f_stat,
+        CAST(n_groups - 1 AS BIGINT) AS dof_between,
+        CAST(n_total - n_groups AS BIGINT) AS dof_within,
+        CASE WHEN n_groups >= 2 AND (ssb + ssw) > 0
+          THEN round(ssb / (ssb + ssw), 6) END AS eta_sq
+      FROM ag"""
+
+  private val q112 = Q(
+    "q112_anova",
+    (s, d) =>
+      graft.operators.Stats
+        .anovaF(t(s, d, "orders"), "o_orderpriority", "o_totalprice"),
+    Some(anovaOracle("orders", "o_orderpriority", "o_totalprice")))
+
+  // The SQL surface of both k-group tests (Q3 discipline: params
+  // distinct from the DataFrame twins so each key earns its own
+  // oracle).
+  private val q113 = Q(
+    "q113_sql_kw",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("SELECT * FROM graft_kw('orders', 'o_orderstatus', 'o_totalprice')")
+    },
+    Some(kwOracle("orders", "o_orderstatus", "o_totalprice")))
+
+  private val q114 = Q(
+    "q114_sql_anova",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("SELECT * FROM graft_anova('lineitem', 'l_linestatus', 'l_discount')")
+    },
+    Some(anovaOracle("lineitem", "l_linestatus", "l_discount")))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108)
+    q105, q106, q107, q108, q111, q112, q113, q114)
 }

@@ -169,6 +169,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     same("SELECT * FROM graft_mwu('events', 'event_type', 'click', 'view', 'value')",
       graft.operators.Stats.mannWhitney(ev, "event_type", "click",
         "view", "value"))
+    // the k-group members (r10): anovaF is a lazy plan → sameResult;
+    // kruskalWallis materializes internally (range probe +
+    // checkpoints) → pinned-input value equality
+    val sqlA = spark
+      .sql("SELECT * FROM graft_anova('events', 'event_type', 'value')")
+      .queryExecution.optimizedPlan
+    val opA = graft.operators.Stats.anovaF(ev, "event_type", "value")
+      .queryExecution.optimizedPlan
+    assert(sqlA.sameResult(opA))
+    same("SELECT * FROM graft_kw('events', 'event_type', 'value')",
+      graft.operators.Stats.kruskalWallis(ev, "event_type", "value"))
   }
 
   test("pipeline family: graft_drift plan-equal, graft_dedup_keep value-equal") {
@@ -197,7 +208,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_kcore('events', 'two', 40)",   // non-int k
       "SELECT * FROM graft_bfs('events', 'events', 'yes', 40)", // non-bool
       "SELECT * FROM graft_welch('events', 'event_type', 'a', 'b')", // arity
-      "SELECT * FROM graft_winsorize('lineitem', 'l_returnflag', 'l_tax', 'lo', 0.9)") // non-num
+      "SELECT * FROM graft_winsorize('lineitem', 'l_returnflag', 'l_tax', 'lo', 0.9)", // non-num
+      "SELECT * FROM graft_kw('events', 'event_type')",     // arity
+      "SELECT * FROM graft_anova('events', 'event_type', 'value', 4)") // arity
     cases.foreach { q =>
       val e = intercept[Exception] { spark.sql(q).collect() }
       assert(e != null, s"expected rejection for: $q")

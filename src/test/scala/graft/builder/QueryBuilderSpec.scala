@@ -377,6 +377,13 @@ class QueryBuilderSpec extends AnyFunSuite {
     val ot = graft.operators.Stats
       .kendallTau(hdk.scan("lineitem").run(), "l_quantity", "l_linenumber")
     assert(bt.collect().toSeq == ot.collect().toSeq)
+    val bkw = ev.kruskalWallis("event_type", "value").run()
+    val okw = graft.operators.Stats
+      .kruskalWallis(ev.run(), "event_type", "value")
+    assert(bkw.collect().toSeq == okw.collect().toSeq)
+    val bav = ev.anovaF("event_type", "value").run()
+    val oav = graft.operators.Stats.anovaF(ev.run(), "event_type", "value")
+    assert(bav.collect().toSeq == oav.collect().toSeq)
   }
 
   test("r9-continuation builder methods all coincide with their operators") {

@@ -470,4 +470,83 @@ class StatsSpec extends AnyFunSuite {
     val b = Stats.theilSen(df, "k", "ts", "v")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("kruskalWallis: textbook no-tie three-group case") {
+    // a={1,2,3} b={4,5,6} c={7,8,9}: ranks 1..9, R=6/15/24 →
+    // H = 12/90·(12+75+192) − 30 = 7.2, no tie correction
+    val t = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(t, "g", "v")
+      .select("n_groups", "n_total", "h_stat", "dof")
+      .as[(Long, Long, Double, Long)].head()
+    assert(r == ((3L, 9L, 7.2, 2L)))
+  }
+
+  test("kruskalWallis: hand-computed tie-corrected case") {
+    // a=[1,1,2] b=[2,3,3]: midranks 1.5/3.5/5.5 → R_a=6.5, R_b=14.5,
+    // H_raw=3.047619, ties 3·(2³−2)=18 → corr=1−18/210 →
+    // H = 3.047619/0.914286 = 3.333333
+    val t = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(t, "g", "v")
+      .select("h_stat").as[Double].head()
+    assert(r == 3.333333)
+  }
+
+  test("kruskalWallis: degenerate inputs are honest NULLs") {
+    // all values identical → zero tie-corrected denominator
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(const, "g", "v")
+      .filter(col("h_stat").isNull).count() == 1)
+    // a single group → k−1 = 0 dof, no test
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(one, "g", "v")
+      .select("h_stat", "dof").as[(Option[Double], Long)].head()
+    assert(r == ((None, 0L)))
+    // NULL group/value rows are out of scope — H unchanged
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .map { case (g, v) => (Option(g), Option(v)) }
+    val noisy = base ++ Seq((None, Option(9.0)), (Option("a"), None))
+    val clean = Stats.kruskalWallis(base.toDF("g", "v"), "g", "v")
+      .select("h_stat").as[Double].head()
+    val dirty = Stats.kruskalWallis(noisy.toDF("g", "v"), "g", "v")
+      .select("h_stat").as[Double].head()
+    assert(clean == dirty)
+  }
+
+  test("kruskalWallis: bucketed prefix sums equal the 1-bucket path") {
+    val t = (1 to 200).map(i => (s"g${i % 4}", (i * 37 % 23).toDouble))
+      .toDF("g", "v")
+    val a = Stats.kruskalWallis(t, "g", "v").collect().toSeq
+    val b = Stats.kruskalWallis(t, "g", "v", nBuckets = 1).collect().toSeq
+    assert(a == b)
+  }
+
+  test("anovaF: textbook three-group case") {
+    // means 2/3/4, grand 3 → SSB=6; each group SSW=2 → SSW=6;
+    // F = (6/2)/(6/6) = 3, eta² = 0.5
+    val t = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 3.0), ("c", 4.0), ("c", 5.0)).toDF("g", "v")
+    val r = Stats.anovaF(t, "g", "v")
+      .select("n_groups", "n_total", "ss_between", "ss_within", "f_stat",
+        "dof_between", "dof_within", "eta_sq")
+      .as[(Long, Long, Double, Double, Double, Long, Long, Double)].head()
+    assert(r == ((3L, 9L, 6.0, 6.0, 3.0, 2L, 6L, 0.5)))
+  }
+
+  test("anovaF: degenerate inputs are honest NULLs") {
+    // zero within-group variance → F NULL but eta² = 1 (all variance
+    // is between groups)
+    val flat = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rf = Stats.anovaF(flat, "g", "v")
+      .select("f_stat", "eta_sq").as[(Option[Double], Double)].head()
+    assert(rf == ((None, 1.0)))
+    // a single group → no between-group question to ask
+    val one = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    assert(Stats.anovaF(one, "g", "v")
+      .filter(col("f_stat").isNull).count() == 1)
+  }
 }
