@@ -189,6 +189,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.welchTTest(tbl(a(0)), a(1), a(2), a(3), a(4))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_linkpred"),
+      new ExpressionInfo(Graph.getClass.getName, "graft_linkpred"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_linkpred(edges_view, top_n, max_center_degree)")
+        Graph.linkPredict(tbl(strLit(args(0), "graft_linkpred")),
+            intLit(args(1), "graft_linkpred"),
+            intLit(args(2), "graft_linkpred"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_kw"),
       new ExpressionInfo(Stats.getClass.getName, "graft_kw"),
       (args: Seq[Expression]) => {

@@ -220,6 +220,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def kCore(k: Int, maxIters: Int = 40): QueryNode =
     new QueryNode(graft.operators.Graph.kCore(df, k, maxIters))
 
+  /** Link-prediction candidate scoring over this node's (src, dst)
+    * edge relation — see [[graft.operators.Graph.linkPredict]] (r10). */
+  def linkPredict(topN: Int = 100, maxCenterDegree: Int = 10000): QueryNode =
+    new QueryNode(graft.operators.Graph.linkPredict(df, topN,
+      maxCenterDegree))
+
   /** Single-source BFS hop distances from `sources` — see
     * [[graft.operators.Graph.bfsHops]]. */
   def bfsHops(sources: QueryNode, undirected: Boolean = true,

@@ -3268,11 +3268,61 @@ object ExtendedQueries {
     },
     Some(anovaOracle("lineitem", "l_linestatus", "l_discount")))
 
+  // Link prediction (R57, Graph.linkPredict) over the q63 part
+  // co-occurrence graph: top-50 non-adjacent pairs by Adamic-Adar.
+  // The oracle replays wedge generation, the hub cap, the
+  // round-the-ln-first AA ladder, and the exact-decimal ranking cut.
+  private val q115 = Q(
+    "q115_linkpred",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+        .select(col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.linkPredict(edges, topN = 50)
+        .orderBy(col("node_u"), col("node_v"))
+    },
+    Some("""WITH li AS (
+        SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem WHERE l_orderkey % 3 = 0),
+      e0 AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      deg AS (SELECT x AS node_id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) t
+        GROUP BY 1),
+      adjc AS (SELECT a.w, a.x, deg.deg AS dw FROM (
+          SELECT u AS w, v AS x FROM e0
+          UNION ALL SELECT v AS w, u AS x FROM e0) a
+        JOIN deg ON deg.node_id = a.w WHERE deg.deg <= 10000),
+      wg AS (SELECT a1.w, a1.dw, a1.x AS a, a2.x AS b
+        FROM adjc a1 JOIN adjc a2 ON a1.w = a2.w AND a1.x < a2.x),
+      na AS (SELECT * FROM wg WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.u = wg.a AND e0.v = wg.b)),
+      sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+          CAST(sum(CAST(round(1.0 / round(ln(CAST(dw AS DOUBLE)), 12), 12)
+            AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS aa
+        FROM na GROUP BY 1, 2),
+      fin AS (SELECT sc.a AS node_u, sc.b AS node_v, common_neighbors,
+          round(CAST(common_neighbors AS DOUBLE)
+            / (da.deg + db.deg - common_neighbors), 6) AS jaccard,
+          round(CAST(aa AS DOUBLE), 6) AS adamic_adar,
+          CAST(da.deg * db.deg AS BIGINT) AS pref_attach, aa
+        FROM sc JOIN deg da ON da.node_id = sc.a
+          JOIN deg db ON db.node_id = sc.b),
+      cut AS (SELECT * FROM fin
+        ORDER BY aa DESC, node_u, node_v LIMIT 50)
+      SELECT node_u, node_v, common_neighbors, jaccard, adamic_adar,
+        pref_attach
+      FROM cut ORDER BY node_u, node_v"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q111, q112, q113, q114)
+    q105, q106, q107, q108, q111, q112, q113, q114, q115)
 }

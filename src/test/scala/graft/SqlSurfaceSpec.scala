@@ -147,6 +147,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         spark.table("sqs_src"), true, 60).orderBy(col("node_id")))
     same("SELECT * FROM graft_hits('sqs_g', 2) ORDER BY node_id",
       graft.operators.Graph.hits(g, 2).orderBy(col("node_id")))
+    same("SELECT * FROM graft_linkpred('sqs_g', 20, 10000) " +
+        "ORDER BY node_u, node_v",
+      graft.operators.Graph.linkPredict(g, 20, 10000)
+        .orderBy(col("node_u"), col("node_v")))
   }
 
   test("hypothesis-test family SQL paths reproduce the operators' results") {

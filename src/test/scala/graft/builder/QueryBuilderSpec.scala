@@ -271,6 +271,9 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bh = edges.hits().run()
     val oh = graft.operators.Graph.hits(eDf)
     assert(bh.exceptAll(oh).isEmpty && oh.exceptAll(bh).isEmpty)
+    val bl = edges.linkPredict(topN = 20).run()
+    val ol = graft.operators.Graph.linkPredict(eDf, topN = 20)
+    assert(bl.exceptAll(ol).isEmpty && ol.exceptAll(bl).isEmpty)
     // and composes onward: top-degree nodes through the mini-language
     val top = edges.triangles().sort(("deg", "desc"), ("node_id", "asc"))
       .limit(5).run().collect()

@@ -238,4 +238,79 @@ class GraphSpec extends AnyFunSuite {
     val got = Graph.bfsHops(edges, src).as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
+
+  test("linkPredict: path endpoints score through the shared middle") {
+    // a—b—c: the one candidate is (a, c) via center b (deg 2):
+    // cn=1, jaccard=1/(1+1−1)=1, aa=1/ln 2, pa=1·1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.size == 1)
+    val (u, v, cn, jac, aa, pa) = got.head
+    assert((u, v, cn, jac, pa) == ((1L, 3L, 1L, 1.0, 1L)))
+    assert(aa == 1.442695) // round(1/round(ln 2, 12), 12) → 6dp
+  }
+
+  test("linkPredict: 4-cycle diagonals each collect both centers") {
+    // square 1-2-3-4-1: candidates are the two diagonals, each with
+    // cn=2 (both opposite corners), jaccard 2/(2+2−2)=1, aa=2/ln 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) == ((2L, 1.0, 2.88539)))
+    // a complete triangle has NO non-adjacent pairs → empty result
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPredict(tri).count() == 0)
+  }
+
+  test("linkPredict: hub cap excludes the center loudly; topN cuts deterministically") {
+    // star: center 9 with 4 leaves — all 6 leaf pairs are candidates
+    // through the deg-4 center; capping below 4 removes them all and
+    // warns
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.linkPredict(star).count() == 6)
+    var capped = -1L
+    val warned = captureWarnings("graft.operators.Graph") {
+      capped = Graph.linkPredict(star, maxCenterDegree = 3).count()
+    }
+    assert(capped == 0)
+    assert(warned.exists(_.contains("maxCenterDegree")),
+      s"expected the hub-cap warning, got: $warned")
+    // topN=2 on the star keeps the 2 smallest pairs (equal aa → pair
+    // tiebreak)
+    val top = Graph.linkPredict(star, topN = 2)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSeq
+    assert(top == Seq((1L, 2L), (1L, 3L)))
+  }
+
+  /** Capture WARN+ log lines emitted by `loggerName` while `body` runs. */
+  private def captureWarnings(loggerName: String)(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val app = new AbstractAppender("graft-capture-" + System.nanoTime(),
+        null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.WARN))
+          buf.synchronized { buf += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    val logger = LogManager.getLogger(loggerName)
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = logger.getLevel
+    logger.addAppender(app)
+    logger.setLevel(Level.WARN)
+    try body
+    finally {
+      logger.removeAppender(app); logger.setLevel(prevLevel); app.stop()
+    }
+    buf.toSeq
+  }
 }
