@@ -267,6 +267,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.pipeline.TextAnalysis.distributionDrift(tbl(a(0)), a(1), a(2))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_psi"),
+      new ExpressionInfo(graft.pipeline.TextAnalysis.getClass.getName,
+        "graft_psi"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_psi(docs_view, text_col, group_col, baseline)")
+        val a = args.map(strLit(_, "graft_psi"))
+        graft.pipeline.TextAnalysis
+          .distributionPsi(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_winsorize"),
       new ExpressionInfo(Quality.getClass.getName, "graft_winsorize"),
       (args: Seq[Expression]) => {

@@ -939,6 +939,72 @@ object TextAnalysis {
         col("js_div"))
   }
 
+  /** Population Stability Index of each corpus group AGAINST a named
+    * baseline group (SURVEY.md §2 P23b) — the BASELINE-anchored member
+    * of the drift family: [[distributionDrift]]'s JS asks "do these
+    * two sources differ", PSI asks the monitoring question "how far
+    * has each slice moved from the reference distribution", with the
+    * industry-standard verdict bands (<0.1 stable, <0.25 moderate,
+    * ≥0.25 shifted) decided on the ROUNDED statistic. PSI =
+    * Σ (p_a−p_e)·ln(p_a/p_e) over the shared vocabulary, add-one
+    * smoothed exactly like JS (so zero-count tokens contribute their
+    * honest smoothed evidence instead of ±∞). Returns one row per
+    * non-baseline group: (source, n_base, n_source, psi, verdict).
+    *
+    * Determinism and scale: the [[distributionDrift]] contract
+    * verbatim — one (grp, token) count shuffle, vocab-scale alignment,
+    * 6dp ln / 12dp term / DECIMAL(28,12) order-free sum / 6dp psi;
+    * the baseline column joins every token row once, so the term
+    * table is O(V·S), cheaper than JS's pairwise O(V·S²). */
+  def distributionPsi(docs: DataFrame, textCol: String = "text",
+      groupCol: String = "source",
+      baseline: String = "baseline"): DataFrame = {
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    psiFromCounts(
+      tok.groupBy("grp", "token").agg(count(lit(1)).as("c")), baseline)
+  }
+
+  /** The PSI core over an already-aggregated (grp, token, c) table —
+    * factored like [[jsDivergenceFromCounts]] so an online consumer
+    * can reuse the identical arithmetic. */
+  private[graft] def psiFromCounts(tc0: DataFrame,
+      baseline: String): DataFrame = {
+    val tc = tc0.select(col("grp"), col("token"), col("c"))
+    val totals = tc.groupBy("grp").agg(sum(col("c")).as("n"))
+    // a silently-absent baseline would return an empty frame that
+    // reads as "no drift" — fail loudly instead (group-scale probe)
+    require(!totals.filter(col("grp") === baseline).isEmpty,
+      s"distributionPsi: baseline group '$baseline' has no tokens in " +
+        "the corpus")
+    val vocab = tc.select("token").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val aligned = vocab
+      .crossJoin(broadcast(totals))
+      .join(tc, Seq("grp", "token"), "left")
+      .na.fill(0L, Seq("c"))
+    val e = aligned.filter(col("grp") === baseline)
+      .select(col("token"), col("c").as("ce"), col("n").as("ne"))
+    aligned.filter(col("grp") =!= baseline)
+      .select(col("grp").as("source"), col("token"),
+        col("c").as("ca"), col("n").as("na"))
+      .join(e, Seq("token"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("pe", (col("ce") + 1).cast("double") / (col("ne") + col("v")))
+      .withColumn("t", round((col("pa") - col("pe"))
+        * round(log(col("pa") / col("pe")), 6), 12)
+        .cast("decimal(28,12)"))
+      .groupBy("source")
+      .agg(max(col("ne")).as("n_base"), max(col("na")).as("n_source"),
+        round(sum(col("t")).cast("double"), 6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate")
+          .otherwise("shifted"))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {

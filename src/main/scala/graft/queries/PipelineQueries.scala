@@ -994,6 +994,46 @@ object PipelineQueries {
         round(CAST(sum(ta) + sum(tb) AS DOUBLE) / 2, 6) AS js_div
       FROM t2 GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // P23b (r10): Population Stability Index of every source against the
+  // src0 baseline — the baseline-anchored monitoring dial with the
+  // industry verdict bands, same smoothing/rounding ladder as JS.
+  private val textPsi = Q(
+    "text_psi",
+    (s, d) =>
+      TextAnalysis.distributionPsi(Tables.load(s, d, "documents"),
+          baseline = "src0")
+        .orderBy(col("source")),
+    Some("""WITH tok AS (
+        SELECT source AS grp,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT grp, token FROM tok WHERE token <> ''),
+      tc AS (SELECT grp, token, count(*) AS c FROM tnz GROUP BY 1, 2),
+      tot AS (SELECT grp, sum(c) AS n FROM tc GROUP BY 1),
+      voc AS (SELECT DISTINCT token FROM tc),
+      vs AS (SELECT count(*) AS v FROM voc),
+      al AS (SELECT token, grp, n, coalesce(c, 0) AS c
+        FROM voc CROSS JOIN tot LEFT JOIN tc USING (grp, token)),
+      pr AS (SELECT a.grp AS source, a.n AS na, e.n AS ne,
+          CAST(a.c + 1 AS DOUBLE) / (a.n + v) AS pa,
+          CAST(e.c + 1 AS DOUBLE) / (e.n + v) AS pe
+        FROM al a JOIN al e ON a.token = e.token
+          AND e.grp = 'src0' AND a.grp <> 'src0'
+        CROSS JOIN vs),
+      t2 AS (SELECT source, na, ne,
+          CAST(round((pa - pe) * round(ln(pa / pe), 6), 12)
+            AS DECIMAL(28,12)) AS t
+        FROM pr),
+      ag AS (SELECT source, CAST(max(ne) AS BIGINT) AS n_base,
+          CAST(max(na) AS BIGINT) AS n_source,
+          round(CAST(sum(t) AS DOUBLE), 6) AS psi
+        FROM t2 GROUP BY 1)
+      SELECT source, n_base, n_source, psi,
+        CASE WHEN psi < 0.1 THEN 'stable'
+          WHEN psi < 0.25 THEN 'moderate'
+          ELSE 'shifted' END AS verdict
+      FROM ag ORDER BY source"""))
+
   // P18i: hybrid retrieval — BM25 lexical leg + exact-cosine dense leg
   // fused by Reciprocal Rank Fusion (1/(60+rank), the calibration-free
   // standard). Both legs are engine-deterministic rankings, the fusion
@@ -2988,7 +3028,7 @@ object PipelineQueries {
     textVocab, textEncode, textTfidf, textXent, textRefXent, textDsir,
     qualityBuckets,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
-    heavyHitters, cmsCounts, kllQuantiles, textDrift, textDriftLang,
+    heavyHitters, cmsCounts, kllQuantiles, textDrift, textDriftLang, textPsi,
     textRrf,
     textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,

@@ -204,6 +204,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .nearDedupAuto(spark.table("documents"), 0.8)
       .orderBy(col("doc_id")).collect().toSeq
     assert(viaSql == viaOp)
+    // PSI probes its baseline internally → pinned-input value equality
+    val psiSql = spark
+      .sql("SELECT * FROM graft_psi('documents', 'text', 'lang', 'en') " +
+        "ORDER BY source")
+      .collect().toSeq
+    val psiOp = graft.pipeline.TextAnalysis
+      .distributionPsi(spark.table("documents"), "text", "lang", "en")
+      .orderBy(col("source")).collect().toSeq
+    assert(psiSql == psiOp)
   }
 
   test("widened table functions reject malformed arguments") {

@@ -435,6 +435,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       "s1 and s2 have the same distribution, so same drift vs s3")
   }
 
+  test("distributionPsi: baseline-anchored drift with verdict bands") {
+    val df = Seq(
+      (0L, "a b c d", "base"), (1L, "a b c d", "same"),
+      (2L, "x x x x", "far")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.distributionPsi(df, baseline = "base")
+      .select("source", "psi", "verdict")
+      .as[(String, Double, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r.keySet == Set("same", "far"), "baseline itself not scored")
+    assert(r("same") == ((0.0, "stable")),
+      "identical smoothed distributions → PSI 0")
+    assert(r("far")._1 > 0.25 && r("far")._2 == "shifted",
+      s"disjoint vocabulary must land in the shifted band: ${r("far")}")
+    // PSI is asymmetric in principle but always >= 0
+    assert(r.values.forall(_._1 >= 0.0))
+    // a missing baseline fails loudly instead of reading as "no drift"
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.distributionPsi(df, baseline = "nope").collect()
+    }
+    assert(e.getMessage.contains("baseline"))
+  }
+
   test("importanceWeights: target-domain text outranks off-domain text") {
     // target slice talks about medicine; raw corpus mixes in sports.
     // A held-out medical doc must get a HIGHER log-weight than the
