@@ -234,6 +234,46 @@ object Stats extends org.apache.spark.internal.Logging {
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6)))
   }
 
+  /** Binary-relevance retrieval metrics @k over per-query ranked
+    * results (SURVEY.md §2 P27b) — the companions every eval harness
+    * reports next to [[ndcgAtK]]'s graded metric: precision@k ("how
+    * clean is the page"), recall@k ("how much of the relevant set
+    * surfaced"), and reciprocal rank@k ("how far down is the first
+    * hit" — the per-query term of MRR; average the column for MRR
+    * itself). One row per query: (query, n_docs, n_rel, rel_at_k,
+    * precision_k, recall_k, rr_k). A doc is relevant iff `relCol` > 0.
+    * Honest NULLs: recall and rr are NULL for a query with NO relevant
+    * docs (0 would read as a failed retrieval of a retrievable set);
+    * rr is 0.0 when relevant docs exist but none ranked ≤ k.
+    *
+    * Determinism: ranking tie-breaks on the doc id; every metric is
+    * ONE IEEE division of exact integers rounded 6dp. Scale: the
+    * [[ndcgAtK]] contract — one shuffle on the high-cardinality query
+    * key, partial-agg'd aggregate, candidate-proportional input. */
+  def retrievalEval(ranked: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val rel = col(relCol).cast("double") > 0
+    ranked
+      .withColumn("_rs", row_number().over(wS))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(rel, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(rel && col("_rs") <= k, 1L).otherwise(0L)).as("rel_at_k"),
+        min(when(rel, col("_rs"))).as("_fr"))
+      .select(col(queryCol), col("n_docs"), col("n_rel"), col("rel_at_k"),
+        round(col("rel_at_k").cast("double") / k, 6).as("precision_k"),
+        when(col("n_rel") > 0,
+          round(col("rel_at_k").cast("double") / col("n_rel"), 6))
+          .as("recall_k"),
+        when(col("n_rel") === 0, lit(null).cast("double"))
+          .when(col("_fr") <= k, round(lit(1.0) / col("_fr"), 6))
+          .otherwise(lit(0.0)).as("rr_k"))
+  }
+
   /** Welch's two-sample t-test (unequal variances) of `valCol` between
     * the `gA` and `gB` levels of `groupCol`. One row: group sizes,
     * 6dp means and sample variances, the 4dp t statistic and 4dp

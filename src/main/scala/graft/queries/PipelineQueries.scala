@@ -2803,6 +2803,62 @@ object PipelineQueries {
         CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
       FROM a"""))
 
+  // P27b (r10): binary-relevance retrieval metrics @k — precision,
+  // recall, reciprocal rank over the same BM25 candidate frame the
+  // NDCG gate reads, relevance = matched >= 2 of the 3 query terms.
+  private val textMrr = Q(
+    "text_mrr",
+    (s, d) => {
+      val ranked = TextAnalysis
+        .bm25TopK(Tables.load(s, d, "documents"),
+          Seq("spark", "hash", "window"), k = 50)
+        .withColumn("query_id", lit("q1"))
+        .withColumn("reli", when(col("n_terms") >= 2, 1L).otherwise(0L))
+      graft.operators.Stats
+        .retrievalEval(ranked, "query_id", "doc_id", "bm25", "reli",
+          k = 10)
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+      top AS (SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50),
+      r AS (SELECT *,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs,
+          CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END AS reli
+        FROM top),
+      a AS (SELECT count(*) AS nd,
+          sum(reli) AS nr,
+          sum(CASE WHEN reli = 1 AND rs <= 10 THEN 1 ELSE 0 END) AS rk,
+          min(CASE WHEN reli = 1 THEN rs END) AS fr
+        FROM r)
+      SELECT 'q1' AS query_id, CAST(nd AS BIGINT) AS n_docs,
+        CAST(nr AS BIGINT) AS n_rel, CAST(rk AS BIGINT) AS rel_at_k,
+        round(CAST(rk AS DOUBLE) / 10, 6) AS precision_k,
+        CASE WHEN nr > 0 THEN round(CAST(rk AS DOUBLE) / nr, 6) END
+          AS recall_k,
+        CASE WHEN nr = 0 THEN NULL
+          WHEN fr <= 10 THEN round(1.0 / fr, 6)
+          ELSE 0.0 END AS rr_k
+      FROM a"""))
+
   // P28: DSIR importance reweighting — hashed unigram+bigram bag
   // models of a target slice vs the raw corpus; log-ratio weights.
   // The oracle replays the identical mod-2^32 char polynomial, the
@@ -3011,7 +3067,7 @@ object PipelineQueries {
     Some(pcaProjectOracle(10)))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg,
+    dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg, textMrr,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
     dedupAllpairsKeep, dedupAutoKeep, dedupKeepSql, driftSql,
     dedupKeep, dedupMinhashIncr,

@@ -283,6 +283,27 @@ class StatsSpec extends AnyFunSuite {
     assert(got("q3") == ((0.0, 0.0, None)))
   }
 
+  test("retrievalEval: precision/recall/rr hand cases with honest NULLs") {
+    val t = Seq(
+      // q1 score order: d1(50) d2(40) d3(30) d4(20) d5(10); relevant
+      // at ranks 2 and 5 → at k=3: p=1/3, r=1/2, rr=1/2
+      ("q1", 1L, 50.0, 0L), ("q1", 2L, 40.0, 1L), ("q1", 3L, 30.0, 0L),
+      ("q1", 4L, 20.0, 0L), ("q1", 5L, 10.0, 1L),
+      // q2: first relevant at rank 4 > k → rr 0.0, recall 0
+      ("q2", 6L, 9.0, 0L), ("q2", 7L, 8.0, 0L), ("q2", 8L, 7.0, 0L),
+      ("q2", 9L, 6.0, 2L),
+      // q3: nothing relevant → recall/rr NULL, precision 0
+      ("q3", 10L, 1.0, 0L)
+    ).toDF("q", "doc", "score", "rel")
+    val got = Stats.retrievalEval(t, "q", "doc", "score", "rel", k = 3)
+      .select("q", "n_rel", "rel_at_k", "precision_k", "recall_k", "rr_k")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("q1") == ((2L, 1L, 0.333333, Some(0.5), Some(0.5))))
+    assert(got("q2") == ((1L, 0L, 0.0, Some(0.0), Some(0.0))))
+    assert(got("q3") == ((0L, 0L, 0.0, None, None)))
+  }
+
   test("benford: integer digit extraction, all nine digits, scope") {
     // values whose first digits are 1,1,2,9 after 2dp scaling; zero
     // and negative-magnitude handling: 0 excluded, -3.5 counts as 3
