@@ -98,4 +98,25 @@ object StreamDrift {
         col("tc.counts").as("c"))
     TextAnalysis.jsDivergenceFromCounts(tc)
   }
+
+  /** PSI of every streamed source against the `baseline` source's
+    * histogram (the P23b consumer) — same freshest-row selection and
+    * count reconstruction as [[driftFromHistograms]], fed through
+    * [[TextAnalysis.psiFromCounts]]: one implementation, so streamed
+    * psi equals [[TextAnalysis.distributionPsi]] on the ingested
+    * prefix bit-for-bit. Fails loudly if the baseline has not streamed
+    * yet (the batch operator's missing-baseline contract). */
+  def psiFromHistograms(hists: DataFrame, baseline: String): DataFrame = {
+    val latest = hists
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_seen").desc)))
+      .filter(col("_rn") === 1)
+    val tc = latest
+      .select(col("source").as("grp"),
+        explode(arrays_zip(col("tokens"), col("counts"))).as("tc"))
+      .select(col("grp"), col("tc.tokens").as("token"),
+        col("tc.counts").as("c"))
+    TextAnalysis.psiFromCounts(tc, baseline)
+  }
 }

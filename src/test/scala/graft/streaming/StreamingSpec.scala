@@ -525,6 +525,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift: PSI consumer equals batch distributionPsi on the prefix") {
+    val rows = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("lang"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(String, String)].collect()
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamDrift
+      .tokenHistograms(mem.toDF()
+        .select(col("_1").as("source"), col("_2").as("text")))
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("update").start()
+    def streamedPsi() = StreamDrift
+      .psiFromHistograms(spark.table("psi_out"), baseline = "en")
+      .orderBy(col("source")).collect().toSeq
+    def batchPsi(docs: Seq[(String, String)]) = graft.pipeline
+      .TextAnalysis.distributionPsi(docs.toDF("source", "text"),
+        baseline = "en")
+      .orderBy(col("source")).collect().toSeq
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq); q.processAllAvailable()
+      assert(streamedPsi() == batchPsi(first.toSeq),
+        "prefix PSI must equal the batch operator bitwise")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      assert(streamedPsi() == batchPsi(rows.toSeq),
+        "full PSI must equal the batch operator bitwise")
+    } finally q.stop()
+  }
+
   test("streaming drift: the maxVocab failsafe is loud, not lossy") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, String)]
