@@ -199,6 +199,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(2), "graft_linkpred"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_levene"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_levene"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_levene(view, group_col, val_col)")
+        val a = args.map(strLit(_, "graft_levene"))
+        Stats.brownForsythe(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_kw"),
       new ExpressionInfo(Stats.getClass.getName, "graft_kw"),
       (args: Seq[Expression]) => {

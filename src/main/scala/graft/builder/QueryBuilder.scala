@@ -390,6 +390,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def anovaF(groupCol: String, valCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.anovaF(df, groupCol, valCol))
 
+  /** Brown–Forsythe variance-homogeneity test — see
+    * [[graft.operators.Stats.brownForsythe]] (r10). */
+  def brownForsythe(groupCol: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.brownForsythe(df, groupCol,
+      valCol))
+
   /** Two-sample Kolmogorov–Smirnov — see [[graft.operators.Stats.ksTest]]. */
   def ksTest(groupCol: String, gA: String, gB: String,
       valCol: String): QueryNode =

@@ -274,6 +274,39 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("rr_k"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test of `valCol` across ALL
+    * levels of `groupCol` (SURVEY.md §2 R58; Levene's test with median
+    * centers — the robust standard) — the GATEKEEPER run before
+    * trusting [[anovaF]]'s equal-variance assumption or choosing
+    * [[welchTTest]] over the pooled t: it asks whether the groups'
+    * SPREADS differ, by running one-way ANOVA on each observation's
+    * absolute deviation from its group MEDIAN (medians, not means, so
+    * heavy tails don't fake a variance difference). Output is
+    * [[anovaF]]'s frame over the deviations — a significant F says
+    * "spreads differ"; a pure location shift scores ss_between = 0.
+    *
+    * Exactness: group medians use the engine-aligned exact
+    * `percentile` ≡ quantile_cont pair rounded 6dp (the
+    * [[graft.operators.Quality.winsorize]] idiom); deviations are one
+    * agreed IEEE subtraction of 6dp-grain doubles; everything after is
+    * [[anovaF]]'s exact-moment contract.
+    *
+    * Scale: one per-group exact-percentile aggregate (the honest sort
+    * cost of exact medians — [[Quality.winsorize]]'s note applies) +
+    * a group-keyed join + the [[anovaF]] single shuffle. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).as("_bf_g"), col(valCol).cast("double").as("_bf_v"))
+    val med = base.groupBy(col("_bf_g"))
+      .agg(round(expr("percentile(_bf_v, 0.5)"), 6).as("_bf_med"))
+    val dev = base.join(med, Seq("_bf_g"))
+      .select(col("_bf_g").as("g"),
+        abs(round(col("_bf_v"), 6) - col("_bf_med")).as("adev"))
+    anovaF(dev, "g", "adev")
+  }
+
   /** Welch's two-sample t-test (unequal variances) of `valCol` between
     * the `gA` and `gB` levels of `groupCol`. One row: group sizes,
     * 6dp means and sample variances, the 4dp t statistic and 4dp

@@ -3268,6 +3268,25 @@ object ExtendedQueries {
     },
     Some(anovaOracle("lineitem", "l_linestatus", "l_discount")))
 
+  // Brown–Forsythe variance homogeneity (R58, Stats.brownForsythe):
+  // do the event types' value SPREADS differ? Oracle composes the
+  // winsorize quantile_cont median replay with the ANOVA ladder.
+  private val q116 = Q(
+    "q116_brown_forsythe",
+    (s, d) =>
+      graft.operators.Stats
+        .brownForsythe(t(s, d, "events"), "event_type", "value"),
+    Some(anovaOracle(
+      """(SELECT r.g AS grp, abs(round(r.v, 6) - m.med) AS adev
+      FROM (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL) r
+      JOIN (SELECT event_type AS g,
+          round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1) m ON r.g = m.g) bfd""", "grp", "adev")))
+
   // Link prediction (R57, Graph.linkPredict) over the q63 part
   // co-occurrence graph: top-50 non-adjacent pairs by Adamic-Adar.
   // The oracle replays wedge generation, the hub cap, the
@@ -3324,5 +3343,5 @@ object ExtendedQueries {
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q111, q112, q113, q114, q115)
+    q105, q106, q107, q108, q111, q112, q113, q114, q115, q116)
 }

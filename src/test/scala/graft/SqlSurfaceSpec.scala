@@ -184,6 +184,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlA.sameResult(opA))
     same("SELECT * FROM graft_kw('events', 'event_type', 'value')",
       graft.operators.Stats.kruskalWallis(ev, "event_type", "value"))
+    val sqlL = spark
+      .sql("SELECT * FROM graft_levene('events', 'event_type', 'value')")
+      .queryExecution.optimizedPlan
+    val opL = graft.operators.Stats
+      .brownForsythe(ev, "event_type", "value")
+      .queryExecution.optimizedPlan
+    assert(sqlL.sameResult(opL))
   }
 
   test("pipeline family: graft_drift plan-equal, graft_dedup_keep value-equal") {

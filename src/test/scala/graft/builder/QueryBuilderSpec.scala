@@ -387,6 +387,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bav = ev.anovaF("event_type", "value").run()
     val oav = graft.operators.Stats.anovaF(ev.run(), "event_type", "value")
     assert(bav.collect().toSeq == oav.collect().toSeq)
+    val bbf = ev.brownForsythe("event_type", "value").run()
+    val obf = graft.operators.Stats
+      .brownForsythe(ev.run(), "event_type", "value")
+    assert(bbf.collect().toSeq == obf.collect().toSeq)
   }
 
   test("r9-continuation builder methods all coincide with their operators") {

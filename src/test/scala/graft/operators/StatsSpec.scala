@@ -557,6 +557,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r == ((3L, 9L, 6.0, 6.0, 3.0, 2L, 6L, 0.5)))
   }
 
+  test("brownForsythe: location shift scores zero, spread difference fires") {
+    // same spread, shifted location: identical |v − median| patterns →
+    // ss_between exactly 0 (the reason BF uses deviations, not values)
+    val shifted = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 5.0), ("b", 101.0), ("b", 102.0), ("b", 103.0), ("b", 104.0),
+      ("b", 105.0)).toDF("g", "v")
+    val rs = Stats.brownForsythe(shifted, "g", "v")
+      .select("ss_between", "f_stat").as[(Double, Double)].head()
+    assert(rs == ((0.0, 0.0)))
+    // wide group vs tight group: a real spread difference
+    val spread = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val rw = Stats.brownForsythe(spread, "g", "v")
+      .select("ss_between", "f_stat", "eta_sq")
+      .as[(Double, Option[Double], Option[Double])].head()
+    assert(rw._1 > 0 && rw._2.exists(_ > 0) && rw._3.exists(_ > 0.3),
+      s"spread difference must register: $rw")
+  }
+
   test("anovaF: degenerate inputs are honest NULLs") {
     // zero within-group variance → F NULL but eta² = 1 (all variance
     // is between groups)
