@@ -222,9 +222,10 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
 
   /** Link-prediction candidate scoring over this node's (src, dst)
     * edge relation — see [[graft.operators.Graph.linkPredict]] (r10). */
-  def linkPredict(topN: Int = 100, maxCenterDegree: Int = 10000): QueryNode =
+  def linkPredict(topN: Int = 100, maxCenterDegree: Int = 10000,
+      minCommonNeighbors: Int = 1): QueryNode =
     new QueryNode(graft.operators.Graph.linkPredict(df, topN,
-      maxCenterDegree))
+      maxCenterDegree, minCommonNeighbors))
 
   /** Single-source BFS hop distances from `sources` — see
     * [[graft.operators.Graph.bfsHops]]. */
@@ -395,6 +396,21 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def brownForsythe(groupCol: String, valCol: String): QueryNode =
     new QueryNode(graft.operators.Stats.brownForsythe(df, groupCol,
       valCol))
+
+  /** Binary-relevance retrieval metrics at k — see
+    * [[graft.operators.Stats.retrievalEval]] (r10). */
+  def retrievalEval(queryCol: String, docCol: String, scoreCol: String,
+      relCol: String, k: Int): QueryNode =
+    new QueryNode(graft.operators.Stats.retrievalEval(df, queryCol,
+      docCol, scoreCol, relCol, k))
+
+  /** Token-distribution PSI vs a baseline group — see
+    * [[graft.pipeline.TextAnalysis.distributionPsi]] (r10). */
+  def distributionPsi(textCol: String = "text",
+      groupCol: String = "source",
+      baseline: String = "baseline"): QueryNode =
+    new QueryNode(graft.pipeline.TextAnalysis.distributionPsi(df,
+      textCol, groupCol, baseline))
 
   /** Two-sample Kolmogorov–Smirnov — see [[graft.operators.Stats.ksTest]]. */
   def ksTest(groupCol: String, gA: String, gB: String,

@@ -340,7 +340,11 @@ object Graph extends org.apache.spark.internal.Logging {
     * graph completion, "people you may know"). Scores every
     * NON-adjacent pair sharing at least one neighbor with the three
     * classic neighborhood heuristics and returns the top `topN` by
-    * Adamic–Adar: (node_u, node_v, common_neighbors, jaccard,
+    * Adamic–Adar; `minCommonNeighbors` (default 1 = keep all) drops
+    * the single-shared-neighbor noise floor BEFORE the anti-join and
+    * ranking — on a co-occurrence graph that floor is routinely ~90%
+    * of the candidate mass, so the threshold is the practical lever
+    * between "every conceivable pair" and "the pairs worth ranking": (node_u, node_v, common_neighbors, jaccard,
     * adamic_adar, pref_attach).
     *
     * Candidates are wedge collisions: adjacency self-joined on the
@@ -365,9 +369,11 @@ object Graph extends org.apache.spark.internal.Logging {
     * cardinality keys; the final ranking is TakeOrderedAndProject,
     * never a global sort. */
   def linkPredict(edges: DataFrame, topN: Int = 100,
-      maxCenterDegree: Int = 10000): DataFrame = {
+      maxCenterDegree: Int = 10000,
+      minCommonNeighbors: Int = 1): DataFrame = {
     require(topN > 0, "topN must be positive")
     require(maxCenterDegree >= 2, "maxCenterDegree must be >= 2")
+    require(minCommonNeighbors >= 1, "minCommonNeighbors must be >= 1")
     val canon = edges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
@@ -395,19 +401,30 @@ object Graph extends org.apache.spark.internal.Logging {
     val wedges = adjC.select(col("w"), col("dw"), col("x").as("a"))
       .join(adjC.select(col("w"), col("x").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
-    val nonAdj = wedges.join(
-      canon.select(col("u").as("a"), col("v").as("b")),
-      Seq("a", "b"), "left_anti")
     // AA term: round the transcendental FIRST, then one agreed IEEE
     // reciprocal, 12dp, into the order-free DECIMAL sum
     val inv = round(lit(1.0) / round(
       org.apache.spark.sql.functions.log(col("dw").cast("double")), 12), 12)
-    val scored = nonAdj
+    // aggregate BEFORE the adjacency anti-join: the pair aggregate
+    // shrinks the wedge mass ~3× (cn wedges per pair collapse to one
+    // row), and the dropped adjacent pairs are at most m rows of the
+    // aggregated frame — so the anti-join moves the small frame, not
+    // the wedge stream
+    val scored = wedges
       .select(col("a"), col("b"), inv.cast("decimal(38,12)").as("t"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("t")).cast("decimal(38,12)").as("_aa"))
+      .filter(col("common_neighbors") >= minCommonNeighbors)
+      .join(canon.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+    // cut to topN FIRST (TakeOrderedAndProject over the pair frame —
+    // the ranking needs only the aggregate's own columns), THEN join
+    // degrees for the display metrics: the deg joins touch topN rows,
+    // never the candidate-pair millions
     scored
+      .orderBy(col("_aa").desc, col("a"), col("b"))
+      .limit(topN)
       .join(deg.select(col("node_id").as("a"), col("deg").as("da")),
         Seq("a"))
       .join(deg.select(col("node_id").as("b"), col("deg").as("db")),
@@ -421,7 +438,6 @@ object Graph extends org.apache.spark.internal.Logging {
         (col("da") * col("db")).cast("long").as("pref_attach"),
         col("_aa").as("_ord"))
       .orderBy(col("_ord").desc, col("node_u"), col("node_v"))
-      .limit(topN)
       .drop("_ord")
   }
 

@@ -3295,18 +3295,19 @@ object ExtendedQueries {
     "q115_linkpred",
     (s, d) => {
       val li = t(s, d, "lineitem")
-        .filter(pmod(col("l_orderkey"), lit(3)) === 0)
+        .filter(pmod(col("l_orderkey"), lit(9)) === 0)
         .select(col("l_orderkey").as("ok"),
           col("l_partkey").cast("long").as("pk"))
       val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok"))
         .filter(col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      graft.operators.Graph.linkPredict(edges, topN = 50)
+      graft.operators.Graph.linkPredict(edges, topN = 50,
+          minCommonNeighbors = 2)
         .orderBy(col("node_u"), col("node_v"))
     },
     Some("""WITH li AS (
         SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
-        FROM lineitem WHERE l_orderkey % 3 = 0),
+        FROM lineitem WHERE l_orderkey % 9 = 0),
       e0 AS (SELECT DISTINCT x.pk AS u, y.pk AS v
         FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
       deg AS (SELECT x AS node_id, CAST(count(*) AS BIGINT) AS deg FROM (
@@ -3323,7 +3324,7 @@ object ExtendedQueries {
       sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
           CAST(sum(CAST(round(1.0 / round(ln(CAST(dw AS DOUBLE)), 12), 12)
             AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS aa
-        FROM na GROUP BY 1, 2),
+        FROM na GROUP BY 1, 2 HAVING count(*) >= 2),
       fin AS (SELECT sc.a AS node_u, sc.b AS node_v, common_neighbors,
           round(CAST(common_neighbors AS DOUBLE)
             / (da.deg + db.deg - common_neighbors), 6) AS jaccard,

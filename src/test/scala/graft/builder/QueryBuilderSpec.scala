@@ -391,6 +391,16 @@ class QueryBuilderSpec extends AnyFunSuite {
     val obf = graft.operators.Stats
       .brownForsythe(ev.run(), "event_type", "value")
     assert(bbf.collect().toSeq == obf.collect().toSeq)
+    val bre = ev.retrievalEval("event_type", "user_id", "value",
+      "value", 5).run()
+    val ore = graft.operators.Stats.retrievalEval(ev.run(), "event_type",
+      "user_id", "value", "value", 5)
+    assert(bre.collect().toSeq == ore.collect().toSeq)
+    val docs = hdk.scan("documents")
+    val bps = docs.distributionPsi("text", "source", "src0").run()
+    val ops = graft.pipeline.TextAnalysis.distributionPsi(docs.run(),
+      "text", "source", "src0")
+    assert(bps.collect().toSeq == ops.collect().toSeq)
   }
 
   test("r9-continuation builder methods all coincide with their operators") {

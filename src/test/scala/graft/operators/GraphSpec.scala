@@ -288,6 +288,21 @@ class GraphSpec extends AnyFunSuite {
     assert(top == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("linkPredict: minCommonNeighbors drops the 1-shared-neighbor floor") {
+    // path 1—2—3 gives (1,3) cn=1; square 5-6-7-8-5 gives two
+    // diagonals with cn=2. Threshold 2 keeps only the diagonals.
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("src", "dst")
+    val all = Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(all == Set((1L, 3L), (5L, 7L), (6L, 8L)))
+    val filtered = Graph.linkPredict(edges, minCommonNeighbors = 2)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(filtered == Set((5L, 7L), (6L, 8L)))
+  }
+
   /** Capture WARN+ log lines emitted by `loggerName` while `body` runs. */
   private def captureWarnings(loggerName: String)(body: => Unit): Seq[String] = {
     import org.apache.logging.log4j.{Level, LogManager}
