@@ -397,6 +397,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.brownForsythe(df, groupCol,
       valCol))
 
+  /** Per-key ROC-AUC + Gini of binary-classifier scores — see
+    * [[graft.operators.Stats.rocAuc]] (r10). */
+  def rocAuc(keyCol: String, labelCol: String, scoreCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.rocAuc(df, keyCol, labelCol,
+      scoreCol))
+
   /** Binary-relevance retrieval metrics at k — see
     * [[graft.operators.Stats.retrievalEval]] (r10). */
   def retrievalEval(queryCol: String, docCol: String, scoreCol: String,

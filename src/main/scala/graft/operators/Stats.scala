@@ -274,6 +274,74 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("rr_k"))
   }
 
+  /** Per-key ROC-AUC (+ Gini) of a binary classifier's scores — the
+    * quality gate every learned data-pipeline filter (quality model,
+    * toxicity model, langid confidence) needs per segment before its
+    * threshold is trusted: (key, n_pos, n_neg, auc, gini). A row is
+    * positive when `labelCol` > 0; `auc` is the exact
+    * tie-aware probability P(score_pos > score_neg) + ½P(=) computed
+    * by rank-sum — never a sampled estimate. Keys where either class
+    * is empty report NULL auc (undefined, not 0.5 — reference
+    * semantics: hdk surfaces NULL for undefined aggregates, e.g.
+    * omniscidb RelAlgTranslator null-propagating agg lowering).
+    *
+    * Exactness: the doubled concordance count 2·Σ_v n_pos(v)·(below(v)
+    * + ½·n_neg(v)) is an INTEGER accumulated in DECIMAL(38,0) —
+    * order-free, tie terms exact; auc/gini are ONE agreed IEEE
+    * division of that integer by 2·n_pos·n_neg, rounded 6dp (§6
+    * ladder).
+    *
+    * Scale: the score histogram collapses rows to (key, distinct
+    * score) in ONE partial-agg'd shuffle; cumulative-below is the
+    * two-phase bucketed scheme ([[mannWhitney]]'s rankedHistogram,
+    * keyed): per-key bucket offsets via a ≤`nBuckets`-row window per
+    * key, then in-bucket cumulative windows partitioned by
+    * (key, bucket) — no global sort, no unbounded per-key frame. */
+  def rocAuc(df: DataFrame, keyCol: String, labelCol: String,
+      scoreCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val v = col(scoreCol).cast("double")
+    val pos = col(labelCol).cast("double") > 0
+    val hist = df
+      .filter(v.isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(keyCol).as("k"), v.as("v"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("np"),
+        sum(when(!pos, 1L).otherwise(0L)).as("nn"))
+    val rng = hist.groupBy(col("k"))
+      .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"))
+    val hb = hist.join(rng, Seq("k"))
+      .withColumn("bkt", when(col("_lo") === col("_hi"), lit(1L))
+        .otherwise(width_bucket(col("v"), col("_lo"), col("_hi"),
+          lit(nBuckets))))
+      .drop("_lo", "_hi")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = hb.groupBy(col("k"), col("bkt"))
+      .agg(sum(col("nn")).as("bn"))
+      .select(col("k"), col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off_n"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = "decimal(38,0)"
+    val below = (col("off_n") + sum(col("nn")).over(wIn) - col("nn"))
+      .cast(dec)
+    val agg = hb.join(offs, Seq("k", "bkt"))
+      .select(col("k"), col("np"), col("nn"), below.as("below"))
+      .groupBy(col("k"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np").cast(dec) * (col("below") * 2 + col("nn")))
+          .as("_num2"))
+    val defined = col("n_pos") > 0 && col("n_neg") > 0
+    val num = col("_num2").cast("double")
+    agg.select(col("k").as(keyCol), col("n_pos"), col("n_neg"),
+      when(defined, round(num /
+        (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"),
+      when(defined, round(num /
+        (lit(1.0) * col("n_pos") * col("n_neg")) - 1.0, 6)).as("gini"))
+  }
+
   /** Brown–Forsythe variance-homogeneity test of `valCol` across ALL
     * levels of `groupCol` (SURVEY.md §2 R58; Levene's test with median
     * centers — the robust standard) — the GATEKEEPER run before

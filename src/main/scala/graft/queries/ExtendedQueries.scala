@@ -3338,11 +3338,51 @@ object ExtendedQueries {
         pref_attach
       FROM cut ORDER BY node_u, node_v"""))
 
+  // Per-key ROC-AUC (Stats.rocAuc) of a synthetic "classifier": score
+  // = value, positive label = user_id % 3 == 0, keyed by event_type.
+  // The oracle replays the tie-aware doubled concordance count as a
+  // HUGEINT and the one agreed IEEE division.
+  private val q117 = Q(
+    "q117_auc",
+    (s, d) =>
+      graft.operators.Stats.rocAuc(
+        t(s, d, "events")
+          .withColumn("label",
+            when(pmod(col("user_id"), lit(3)) === 0, 1).otherwise(0)),
+        "event_type", "label", "value")
+        .orderBy("event_type"),
+    Some("""WITH e AS (SELECT event_type AS k,
+          CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS lab,
+          CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL),
+      h AS (SELECT k, v,
+          sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS np,
+          sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS nn
+        FROM e GROUP BY 1, 2),
+      c AS (SELECT k, np, nn,
+          sum(nn) OVER (PARTITION BY k ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn
+            AS below
+        FROM h),
+      a AS (SELECT k, CAST(sum(np) AS BIGINT) AS n_pos,
+          CAST(sum(nn) AS BIGINT) AS n_neg,
+          sum(CAST(np AS HUGEINT) * (2 * CAST(below AS HUGEINT) + nn))
+            AS num2
+        FROM c GROUP BY 1)
+      SELECT k AS event_type, n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+        END AS auc,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(num2 AS DOUBLE) / (1.0 * n_pos * n_neg) - 1.0, 6)
+        END AS gini
+      FROM a ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q111, q112, q113, q114, q115, q116)
+    q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117)
 }

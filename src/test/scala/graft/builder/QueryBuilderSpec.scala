@@ -391,6 +391,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val obf = graft.operators.Stats
       .brownForsythe(ev.run(), "event_type", "value")
     assert(bbf.collect().toSeq == obf.collect().toSeq)
+    val bau = ev.rocAuc("event_type", "user_id", "value").run()
+    val oau = graft.operators.Stats.rocAuc(ev.run(), "event_type",
+      "user_id", "value")
+    assert(bau.collect().toSeq == oau.collect().toSeq)
     val bre = ev.retrievalEval("event_type", "user_id", "value",
       "value", 5).run()
     val ore = graft.operators.Stats.retrievalEval(ev.run(), "event_type",

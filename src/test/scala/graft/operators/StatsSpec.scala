@@ -589,4 +589,35 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.anovaF(one, "g", "v")
       .filter(col("f_stat").isNull).count() == 1)
   }
+
+  test("rocAuc: perfect, reversed, and tie-aware hand case") {
+    // key p: pos {3,4} all above neg {1,2} → AUC 1, gini 1
+    // key r: pos {1,2} all below neg {3,4} → AUC 0, gini -1
+    // key t: pos {1,2,3}, neg {1,2} → concordance 4 of 6 → 2/3
+    val df = Seq(
+      ("p", 1, 3.0), ("p", 1, 4.0), ("p", 0, 1.0), ("p", 0, 2.0),
+      ("r", 1, 1.0), ("r", 1, 2.0), ("r", 0, 3.0), ("r", 0, 4.0),
+      ("t", 1, 1.0), ("t", 1, 2.0), ("t", 1, 3.0),
+      ("t", 0, 1.0), ("t", 0, 2.0)).toDF("k", "lab", "s")
+    val got = Stats.rocAuc(df, "k", "lab", "s")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("p") == ((2L, 2L, Some(1.0), Some(1.0))))
+    assert(got("r") == ((2L, 2L, Some(0.0), Some(-1.0))))
+    assert(got("t") == ((3L, 2L, Some(0.666667), Some(0.333333))))
+  }
+
+  test("rocAuc: one-class keys are honest NULLs; bucketing is invisible") {
+    val onecls = Seq(("a", 1, 1.0), ("a", 1, 2.0)).toDF("k", "lab", "s")
+    val r = Stats.rocAuc(onecls, "k", "lab", "s")
+      .select("auc", "gini").as[(Option[Double], Option[Double])].head()
+    assert(r == ((None, None)))
+    // 1-bucket path ≡ default bucketing on a spread of distinct scores
+    val big = (1 to 200).map(i => ("g", i % 3, i * 0.5 + (i % 7)))
+      .toDF("k", "lab", "s")
+    val a = Stats.rocAuc(big, "k", "lab", "s").collect().toSeq
+    val b = Stats.rocAuc(big, "k", "lab", "s", nBuckets = 1)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
