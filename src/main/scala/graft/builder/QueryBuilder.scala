@@ -397,6 +397,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.brownForsythe(df, groupCol,
       valCol))
 
+  /** Wilcoxon signed-rank over paired columns — see
+    * [[graft.operators.Stats.wilcoxonSignedRank]] (r10). */
+  def wilcoxonSignedRank(xCol: String, yCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
+      yCol))
+
   /** Per-key ROC-AUC + Gini of binary-classifier scores — see
     * [[graft.operators.Stats.rocAuc]] (r10). */
   def rocAuc(keyCol: String, labelCol: String, scoreCol: String): QueryNode =

@@ -555,6 +555,84 @@ object Stats extends org.apache.spark.internal.Logging {
     * r2 = 2·before(v) + t(v) + 1 — an exact INTEGER for every value,
     * ties included (midrank ·2). Same two-phase bucket prefix-sum as
     * [[rankedHistogram]]; distinct-value cardinality output. */
+  /** Wilcoxon signed-rank test over PAIRED observations — the "did
+    * the treatment move each subject" twin of [[mannWhitney]]'s
+    * independent-samples U (the before/after experiment readout, e.g.
+    * per-document quality score before vs after a cleaning pass).
+    * One row: (n_pairs, n_zero, w_plus, z_stat, reject_05). The
+    * difference is ONE agreed IEEE subtraction `xCol − yCol` (cast
+    * double); zero differences drop per the classic Wilcoxon
+    * procedure and are reported as `n_zero`, |d| gets midranks, and
+    * W+ sums the ranks of positive differences. z uses the
+    * normal approximation with the exact tie correction
+    * Σ(t³−t)/48.
+    *
+    * Exactness: 2·W+ and the tie sum are INTEGERS accumulated in
+    * DECIMAL(38,0) (doubled-midrank trick, order-free); z is built
+    * from those integers in one agreed IEEE expression and rounded
+    * 4dp, w_plus is the exact halved integer.
+    *
+    * Scale: one partial-agg'd shuffle to the distinct-|d| histogram,
+    * then the same two-phase bucketed cumulative as [[mannWhitney]]
+    * (≤`nBuckets` offset rows broadcast, in-bucket windows) — no
+    * global sort of the data. */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val d = col(xCol).cast("double") - col(yCol).cast("double")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(d.as("d"))
+    val nZero = base.filter(col("d") === 0.0)
+      .agg(count(lit(1))).head().getLong(0)
+    val hist = base.filter(col("d") =!= 0.0)
+      .groupBy(abs(col("d")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("np"))
+      .persist()
+    val rng = hist.agg(min(col("v")), max(col("v"))).head()
+    val bkt =
+      if (rng.isNullAt(0) || rng.getDouble(0) == rng.getDouble(1)) lit(1L)
+      else width_bucket(col("v"), lit(rng.getDouble(0)),
+        lit(rng.getDouble(1)), lit(nBuckets))
+    val hb = hist.withColumn("bkt", bkt)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = hb.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .select(col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dec = "decimal(38,0)"
+    val r2 = (lit(2) * (col("off") + sum(col("n")).over(wIn) - col("n"))
+      + col("n") + 1).cast(dec)
+    val nC = col("n").cast(dec)
+    val agg = hb.join(broadcast(offs), Seq("bkt"))
+      .select(col("n"), col("np"), r2.as("r2"), (nC * nC * nC - nC).as("t3"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("np").cast(dec) * col("r2")),
+          lit(0L).cast(dec)).as("_w2"),
+        coalesce(sum(col("t3")), lit(0L).cast(dec)).as("_ties"))
+    hist.unpersist()
+    val n = col("n_pairs").cast(dec)
+    val varW = col("n_pairs").cast("double") * (col("n_pairs") + 1) *
+      (lit(2) * col("n_pairs") + 1) / 24.0 -
+      col("_ties").cast("double") / 48.0
+    agg
+      .withColumn("n_zero", lit(nZero))
+      .withColumn("w_plus",
+        when(col("n_pairs") > 0, col("_w2").cast("double") / 2.0))
+      .withColumn("z_stat",
+        when(col("n_pairs") > 0 && varW > 0,
+          round((col("_w2") * 2 - n * (n + 1)).cast("double") /
+            (lit(4.0) * sqrt(varW)), 4)))
+      .withColumn("reject_05",
+        when(col("z_stat").isNotNull, abs(col("z_stat")) > 1.96))
+      .select(col("n_pairs"), col("n_zero"), col("w_plus"),
+        col("z_stat"), col("reject_05"))
+  }
+
   private def rankMap(vals: DataFrame, nBuckets: Int): DataFrame = {
     val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("n")).persist()
     val rng = hist.agg(min(col("v")), max(col("v"))).head()
@@ -1185,4 +1263,5 @@ object Stats extends org.apache.spark.internal.Logging {
       when(col("n_groups") >= 2 && (col("_ssb") + col("_ssw")) > 0,
         round(col("_ssb") / (col("_ssb") + col("_ssw")), 6)).as("eta_sq"))
   }
+
 }

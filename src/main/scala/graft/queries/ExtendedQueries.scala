@@ -3378,11 +3378,59 @@ object ExtendedQueries {
         END AS gini
       FROM a ORDER BY event_type"""))
 
+  // Wilcoxon signed-rank (Stats.wilcoxonSignedRank) on the paired
+  // difference l_quantity − 250·l_discount — sign-mixed, heavily tied
+  // (integer quantities × 2dp discounts), so the midrank + tie-term
+  // machinery is fully exercised. The oracle replays the doubled
+  // midranks over distinct |d| as HUGEINTs.
+  private val q118 = Q(
+    "q118_wilcoxon",
+    (s, d) =>
+      graft.operators.Stats.wilcoxonSignedRank(
+        t(s, d, "lineitem")
+          .withColumn("y", lit(250.0) * col("l_discount").cast("double")),
+        "l_quantity", "y"),
+    Some("""WITH p AS (SELECT CAST(l_quantity AS DOUBLE) -
+          250.0 * CAST(l_discount AS DOUBLE) AS d FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+      h AS (SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS n,
+          sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np
+        FROM p WHERE d <> 0.0 GROUP BY 1),
+      c AS (SELECT v, n, np,
+          sum(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+            AS below
+        FROM h),
+      a AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+          coalesce(sum(CAST(np AS HUGEINT) * (2 * below + n + 1)), 0)
+            AS w2,
+          coalesce(sum(CAST(n AS HUGEINT) * n * n - n), 0) AS ties
+        FROM c),
+      z AS (SELECT n_pairs,
+          (SELECT CAST(count(*) AS BIGINT) FROM p WHERE d = 0.0)
+            AS n_zero,
+          CASE WHEN n_pairs > 0 THEN CAST(w2 AS DOUBLE) / 2.0 END
+            AS w_plus,
+          CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1)
+            / 24.0 - CAST(ties AS DOUBLE) / 48.0 AS varw,
+          w2 FROM a)
+      SELECT n_pairs, n_zero, w_plus,
+        CASE WHEN n_pairs > 0 AND varw > 0 THEN
+          round(CAST(2 * w2 - CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+            AS DOUBLE) / (4.0 * sqrt(varw)), 4)
+        END AS z_stat,
+        CASE WHEN n_pairs > 0 AND varw > 0 THEN
+          abs(round(CAST(2 * w2 - CAST(n_pairs AS HUGEINT) *
+            (n_pairs + 1) AS DOUBLE) / (4.0 * sqrt(varw)), 4)) > 1.96
+        END AS reject_05
+      FROM z"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
     q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117)
+    q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
+    q118)
 }

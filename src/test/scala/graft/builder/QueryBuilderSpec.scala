@@ -391,6 +391,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val obf = graft.operators.Stats
       .brownForsythe(ev.run(), "event_type", "value")
     assert(bbf.collect().toSeq == obf.collect().toSeq)
+    val bwx = ev.wilcoxonSignedRank("value", "user_id").run()
+    val owx = graft.operators.Stats.wilcoxonSignedRank(ev.run(),
+      "value", "user_id")
+    assert(bwx.collect().toSeq == owx.collect().toSeq)
     val bau = ev.rocAuc("event_type", "user_id", "value").run()
     val oau = graft.operators.Stats.rocAuc(ev.run(), "event_type",
       "user_id", "value")

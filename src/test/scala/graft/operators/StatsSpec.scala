@@ -590,6 +590,28 @@ class StatsSpec extends AnyFunSuite {
       .filter(col("f_stat").isNull).count() == 1)
   }
 
+  test("wilcoxonSignedRank: hand-computed tie case and empty input") {
+    // d = {+1, -2, +3, +3, 0}: zero drops (n_zero=1), |d| ranks are
+    // 1,2,3.5,3.5 → W+ = 1 + 3.5 + 3.5 = 8, ties Σ(t³−t)=6,
+    // z = (8−5)/√(4·5·9/24 − 6/48) = 1.1047
+    val df = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (4.0, 1.0),
+      (7.0, 7.0)).toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(df, "x", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Boolean])]
+      .head()
+    assert(r == ((4L, 1L, Some(8.0), Some(1.1047), Some(false))))
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val e = Stats.wilcoxonSignedRank(empty, "x", "y")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Boolean])]
+      .head()
+    assert(e == ((0L, 0L, None, None, None)))
+    // bucketing invisible: 1-bucket ≡ default on a spread of values
+    val big = (1 to 150).map(i => (i * 1.0, (i % 13) * 2.0)).toDF("x", "y")
+    assert(Stats.wilcoxonSignedRank(big, "x", "y").collect().toSeq ==
+      Stats.wilcoxonSignedRank(big, "x", "y", nBuckets = 1)
+        .collect().toSeq)
+  }
+
   test("rocAuc: perfect, reversed, and tie-aware hand case") {
     // key p: pos {3,4} all above neg {1,2} → AUC 1, gini 1
     // key r: pos {1,2} all below neg {3,4} → AUC 0, gini -1
