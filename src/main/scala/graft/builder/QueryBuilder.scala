@@ -403,6 +403,16 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
       yCol))
 
+  /** McNemar paired-binary marginal-homogeneity test — see
+    * [[graft.operators.Stats.mcnemar]] (r10). */
+  def mcnemar(xCol: String, yCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.mcnemar(df, xCol, yCol))
+
+  /** Cohen's kappa inter-annotator agreement — see
+    * [[graft.operators.Stats.cohensKappa]] (r10). */
+  def cohensKappa(aCol: String, bCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.cohensKappa(df, aCol, bCol))
+
   /** Per-key ROC-AUC + Gini of binary-classifier scores — see
     * [[graft.operators.Stats.rocAuc]] (r10). */
   def rocAuc(keyCol: String, labelCol: String, scoreCol: String): QueryNode =

@@ -1264,4 +1264,97 @@ object Stats extends org.apache.spark.internal.Logging {
         round(col("_ssb") / (col("_ssb") + col("_ssw")), 6)).as("eta_sq"))
   }
 
+  /** McNemar test of marginal homogeneity over PAIRED binary outcomes
+    * (SURVEY.md §2 R61) — the categorical twin of
+    * [[wilcoxonSignedRank]]: two classifiers (or a before/after rule
+    * pair) judge the SAME items, and the test asks whether they
+    * disagree symmetrically. Only the discordant cells matter:
+    * b = #(x pass, y fail), c = #(x fail, y pass); the
+    * continuity-corrected statistic is χ² = (|b−c|−1)²/(b+c), 1 dof,
+    * rejected at 3.841459. An outcome is "pass" when the column > 0;
+    * rows with either side NULL are out of scope. One row:
+    * (n_pairs, n_xy, n_yx, chi2, reject_05) — chi2 honestly NULL when
+    * b+c = 0 (no disagreement ⇒ nothing to test, not "χ²=0 keep").
+    *
+    * Exactness: b and c are exact longs from one aggregate; χ² is ONE
+    * agreed IEEE expression on those integers rounded 6dp; the verdict
+    * compares the ROUNDED statistic (the [[graft.pipeline.TextAnalysis]]
+    * PSI band discipline).
+    *
+    * Scale: a single partial-agg'd full pass, one row out — no
+    * shuffle wider than the final 1-row combine. */
+  def mcnemar(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xp = col(xCol).cast("double") > 0
+    val yp = col(yCol).cast("double") > 0
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(xp && !yp, 1L).otherwise(0L)), lit(0L))
+          .as("n_xy"),
+        coalesce(sum(when(!xp && yp, 1L).otherwise(0L)), lit(0L))
+          .as("n_yx"))
+    val b = col("n_xy").cast("double")
+    val c = col("n_yx").cast("double")
+    val chi2 = round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6)
+    agg.select(col("n_pairs"), col("n_xy"), col("n_yx"),
+      when(col("n_xy") + col("n_yx") > 0, chi2).as("chi2"),
+      when(col("n_xy") + col("n_yx") > 0, chi2 > 3.841459)
+        .as("reject_05"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement (SURVEY.md §2 R62) — the
+    * labeling-QA readout of a training-data pipeline: two raters (or a
+    * model vs a human pass) assign categorical labels to the same
+    * items, and kappa measures agreement BEYOND the chance level their
+    * marginal label distributions already guarantee. One row:
+    * (n_pairs, n_agree, po, pe, kappa) with po = observed agreement,
+    * pe = Σ_c margA(c)·margB(c)/n², kappa = (po−pe)/(1−pe) read on the
+    * Landis–Koch bands. Rows with either label NULL are out of scope
+    * (an unlabeled item is not a disagreement). kappa is honestly NULL
+    * when pe = 1 (both raters constant on the same label — agreement
+    * beyond chance is undefined, not 0 or 1).
+    *
+    * Exactness: kappa's ratio clears its denominators —
+    * (n·Σdiag − Σ_c ra_c·rb_c) / (n² − Σ_c ra_c·rb_c) — so BOTH sides
+    * are exact DECIMAL(38,0) integers and kappa is ONE IEEE division
+    * rounded 6dp; po/pe display-round 6dp from the same integers.
+    *
+    * Scale: one (a,b) contingency shuffle; margins and the pe sum run
+    * at label-grid cardinality (the [[chiSquare]] grid rule) — the
+    * cells table is |A|·|B| rows, never the corpus. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cont = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val ra = cont.groupBy(col("a")).agg(sum(col("n")).as("ra"))
+    val rb = cont.groupBy(col("b")).agg(sum(col("n")).as("rb"))
+    // chance-agreement mass Σ_c ra_c·rb_c over the SHARED label set —
+    // labels one rater never uses contribute 0 (inner join)
+    val pe2 = ra.join(rb, col("a") === col("b"))
+      .agg(coalesce(sum((col("ra").cast(dec) * col("rb")).cast(dec)),
+        lit(0).cast(dec)).as("_pe2"))
+    val tot = cont.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_pairs"),
+      coalesce(sum(when(col("a") === col("b"), col("n"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val out = tot.crossJoin(broadcast(pe2))
+    val n = col("n_pairs").cast(dec)
+    // exact integer numerator/denominator — kappa is ONE division
+    val num = (n * col("n_agree") - col("_pe2")).cast(dec)
+    val den = (n * n - col("_pe2")).cast(dec)
+    val res = out.select(col("n_pairs"), col("n_agree"),
+      when(col("n_pairs") > 0,
+        round(col("n_agree").cast("double") / col("n_pairs"), 6)).as("po"),
+      when(col("n_pairs") > 0, round(col("_pe2").cast("double") /
+        (col("n_pairs").cast("double") * col("n_pairs")), 6)).as("pe"),
+      when(col("n_pairs") > 0 && den =!= lit(0).cast(dec),
+        round(num.cast("double") / den.cast("double"), 6)).as("kappa"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(cont)
+    res
+  }
 }

@@ -3425,6 +3425,92 @@ object ExtendedQueries {
         END AS reject_05
       FROM z"""))
 
+  // McNemar paired-binary test (R61, Stats.mcnemar): two rule-based
+  // "classifiers" judging the same lineitem rows — x = deep-discount
+  // rule, y = high-tax rule. Counts are exact longs; the
+  // continuity-corrected chi2 is one IEEE expression both engines
+  // replay on those integers.
+  private val q119 = Q(
+    "q119_mcnemar",
+    (s, d) =>
+      graft.operators.Stats.mcnemar(
+        t(s, d, "lineitem")
+          .withColumn("x",
+            (col("l_discount").cast("double") > 0.05).cast("int"))
+          .withColumn("y",
+            (col("l_tax").cast("double") > 0.04).cast("int")),
+        "x", "y"),
+    Some("""WITH p AS (SELECT
+          CASE WHEN CAST(l_discount AS DOUBLE) > 0.05 THEN 1 ELSE 0 END
+            AS x,
+          CASE WHEN CAST(l_tax AS DOUBLE) > 0.04 THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CASE WHEN x > 0 AND y <= 0 THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_xy,
+          CAST(coalesce(sum(CASE WHEN x <= 0 AND y > 0 THEN 1 ELSE 0 END),
+            0) AS BIGINT) AS n_yx
+        FROM p)
+      SELECT n_pairs, n_xy, n_yx,
+        CASE WHEN n_xy + n_yx > 0 THEN
+          round((abs(CAST(n_xy AS DOUBLE) - n_yx) - 1.0)
+            * (abs(CAST(n_xy AS DOUBLE) - n_yx) - 1.0)
+            / (CAST(n_xy AS DOUBLE) + n_yx), 6) END AS chi2,
+        CASE WHEN n_xy + n_yx > 0 THEN
+          round((abs(CAST(n_xy AS DOUBLE) - n_yx) - 1.0)
+            * (abs(CAST(n_xy AS DOUBLE) - n_yx) - 1.0)
+            / (CAST(n_xy AS DOUBLE) + n_yx), 6) > 3.841459 END
+          AS reject_05
+      FROM a"""))
+
+  // Cohen's kappa inter-annotator agreement (R62, Stats.cohensKappa):
+  // two bucketed "raters" of the same lineitem rows — quantity band vs
+  // price band, correlated so kappa lands strictly between 0 and 1.
+  // The kappa ratio clears its denominators to exact HUGEINT integers.
+  private val q120 = Q(
+    "q120_kappa",
+    (s, d) =>
+      graft.operators.Stats.cohensKappa(
+        t(s, d, "lineitem")
+          .withColumn("ra",
+            when(col("l_quantity") <= 17, "low")
+              .when(col("l_quantity") <= 34, "mid").otherwise("high"))
+          .withColumn("rb",
+            when(col("l_extendedprice") <= 25000, "low")
+              .when(col("l_extendedprice") <= 50000, "mid")
+              .otherwise("high")),
+        "ra", "rb"),
+    Some("""WITH p AS (SELECT
+          CASE WHEN l_quantity <= 17 THEN 'low'
+            WHEN l_quantity <= 34 THEN 'mid' ELSE 'high' END AS a,
+          CASE WHEN l_extendedprice <= 25000 THEN 'low'
+            WHEN l_extendedprice <= 50000 THEN 'mid' ELSE 'high' END AS b
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      c AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM p
+        GROUP BY 1, 2),
+      ma AS (SELECT a, sum(n) AS ra FROM c GROUP BY 1),
+      mb AS (SELECT b, sum(n) AS rb FROM c GROUP BY 1),
+      pe AS (SELECT coalesce(sum(ra * rb), 0) AS pe2
+        FROM ma JOIN mb ON ma.a = mb.b),
+      t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0)
+            AS BIGINT) AS n_agree
+        FROM c)
+      SELECT n_pairs, n_agree,
+        CASE WHEN n_pairs > 0 THEN
+          round(CAST(n_agree AS DOUBLE) / n_pairs, 6) END AS po,
+        CASE WHEN n_pairs > 0 THEN
+          round(CAST(pe2 AS DOUBLE)
+            / (CAST(n_pairs AS DOUBLE) * n_pairs), 6) END AS pe,
+        CASE WHEN n_pairs > 0
+            AND CAST(n_pairs AS HUGEINT) * n_pairs - pe2 <> 0 THEN
+          round(CAST(CAST(n_pairs AS HUGEINT) * n_agree - pe2 AS DOUBLE)
+            / CAST(CAST(n_pairs AS HUGEINT) * n_pairs - pe2 AS DOUBLE),
+            6) END AS kappa
+      FROM t CROSS JOIN pe"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3432,5 +3518,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118)
+    q118, q119, q120)
 }

@@ -391,6 +391,13 @@ class QueryBuilderSpec extends AnyFunSuite {
     val obf = graft.operators.Stats
       .brownForsythe(ev.run(), "event_type", "value")
     assert(bbf.collect().toSeq == obf.collect().toSeq)
+    val bmn = ev.mcnemar("value", "user_id").run()
+    val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
+    assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bck = ev.cohensKappa("event_type", "props").run()
+    val ock = graft.operators.Stats.cohensKappa(ev.run(), "event_type",
+      "props")
+    assert(bck.collect().toSeq == ock.collect().toSeq)
     val bwx = ev.wilcoxonSignedRank("value", "user_id").run()
     val owx = graft.operators.Stats.wilcoxonSignedRank(ev.run(),
       "value", "user_id")

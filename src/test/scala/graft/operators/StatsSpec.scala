@@ -612,6 +612,62 @@ class StatsSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("mcnemar: hand-computed discordance, no-disagreement NULL, NULL scope") {
+    // 10 both-pass, 6 x-only (b), 2 y-only (c), 4 both-fail:
+    // chi2 = (|6-2|-1)²/8 = 9/8 = 1.125, not rejected
+    val rows = Seq.fill(10)((1, 1)) ++ Seq.fill(6)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(4)((0, 0))
+    val r = Stats.mcnemar(rows.toDF("x", "y"),
+      "x", "y").as[(Long, Long, Long, Option[Double], Option[Boolean])]
+      .head()
+    assert(r == ((22L, 6L, 2L, Some(1.125), Some(false))))
+    // heavy asymmetry rejects: b=20, c=1 → (19-1)²/21 = 15.428571
+    val asym = Seq.fill(20)((1, 0)) ++ Seq.fill(1)((0, 1))
+    val a = Stats.mcnemar(asym.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].head()
+    assert(a == ((21L, 20L, 1L, Some(15.428571), Some(true))))
+    // perfect agreement: b+c=0 → chi2 honestly NULL
+    val agree = Seq.fill(5)((1, 1)) ++ Seq.fill(5)((0, 0))
+    val g = Stats.mcnemar(agree.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Option[Double], Option[Boolean])].head()
+    assert(g == ((10L, 0L, 0L, None, None)))
+    // a NULL on either side drops the pair entirely
+    val withNull = Seq((Some(1), Some(1)), (None, Some(1)),
+      (Some(0), None)).toDF("x", "y")
+    assert(Stats.mcnemar(withNull, "x", "y")
+      .select("n_pairs").as[Long].head() == 1L)
+  }
+
+  test("cohensKappa: textbook 2x2, chance-level, constant raters") {
+    // classic Cohen example: 20 (y,y), 5 (y,n), 10 (n,y), 15 (n,n)
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(r == ((50L, 35L, Some(0.7), Some(0.5), Some(0.4))))
+    // independence at the marginal rates → kappa exactly 0
+    val chance = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "y" else "n", if (i % 4 < 2) "y" else "n"))
+    val c = Stats.cohensKappa(chance.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(c == ((40L, 20L, Some(0.5), Some(0.5), Some(0.0))))
+    // both raters constant on the same label: pe = 1 → kappa NULL
+    val const = Seq.fill(8)(("y", "y"))
+    val k = Stats.cohensKappa(const.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(k == ((8L, 8L, Some(1.0), Some(1.0), None)))
+    // disjoint label sets: pe = 0, po = 0 → kappa 0/…= 0
+    val disj = Seq.fill(4)(("y", "x"))
+    val d = Stats.cohensKappa(disj.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(d == ((4L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+  }
+
   test("rocAuc: perfect, reversed, and tie-aware hand case") {
     // key p: pos {3,4} all above neg {1,2} → AUC 1, gini 1
     // key r: pos {1,2} all below neg {3,4} → AUC 0, gini -1
