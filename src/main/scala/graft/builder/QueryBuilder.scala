@@ -403,6 +403,27 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
       yCol))
 
+  /** Average precision per query over a ranked candidate frame — see
+    * [[graft.operators.Stats.averagePrecision]] (r10). */
+  def averagePrecision(queryCol: String, docCol: String,
+      scoreCol: String, relCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.averagePrecision(df, queryCol,
+      docCol, scoreCol, relCol))
+
+  /** Per-key classifier calibration summary (Brier + ECE) — see
+    * [[graft.operators.Stats.calibration]] (r10). */
+  def calibration(keyCol: String, labelCol: String, scoreCol: String,
+      nBins: Int = 10): QueryNode =
+    new QueryNode(graft.operators.Stats.calibration(df, keyCol,
+      labelCol, scoreCol, nBins))
+
+  /** Reliability bins behind [[calibration]] — see
+    * [[graft.operators.Stats.reliabilityBins]] (r10). */
+  def reliabilityBins(keyCol: String, labelCol: String,
+      scoreCol: String, nBins: Int = 10): QueryNode =
+    new QueryNode(graft.operators.Stats.reliabilityBins(df, keyCol,
+      labelCol, scoreCol, nBins))
+
   /** McNemar paired-binary marginal-homogeneity test — see
     * [[graft.operators.Stats.mcnemar]] (r10). */
   def mcnemar(xCol: String, yCol: String): QueryNode =

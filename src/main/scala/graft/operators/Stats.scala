@@ -274,6 +274,127 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("rr_k"))
   }
 
+  /** Average precision per query (SURVEY.md §2 P27c) — the
+    * area-under-the-PR-curve companion of [[retrievalEval]]'s point
+    * metrics and the per-query term of MAP: AP = (1/n_rel)·Σ over
+    * relevant positions i of precision@i, under the deterministic
+    * (score DESC, doc ASC) order every retrieval metric here shares.
+    * One row per query: (query, n_docs, n_rel, ap); ap is honestly
+    * NULL when the query has no relevant docs (undefined, not 0). A
+    * doc is relevant iff `relCol` > 0.
+    *
+    * Exactness: each precision@i is an integer ratio rounded 12dp
+    * (term magnitude ≤ 1) into a DECIMAL(38,12) order-free sum — the
+    * [[ndcgAtK]] term discipline; ap is ONE IEEE division of that
+    * decimal by n_rel rounded 6dp.
+    *
+    * Scale: ONE window shuffle on the high-cardinality query key over
+    * the k-proportional candidate frame (both running columns share a
+    * single WindowExec), then a partial-agg'd per-query aggregate —
+    * input is candidates, never the corpus. */
+  def averagePrecision(ranked: DataFrame, queryCol: String,
+      docCol: String, scoreCol: String, relCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wS = W.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val rel = col(relCol).cast("double") > 0
+    val ri = when(rel, 1L).otherwise(0L)
+    ranked
+      .withColumn("_rs", count(lit(1)).over(wS))
+      .withColumn("_cr", sum(ri).over(wS))
+      .withColumn("_term", when(rel,
+        round(col("_cr").cast("double") / col("_rs"), 12)
+          .cast("decimal(38,12)")))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ri).as("n_rel"),
+        coalesce(sum(col("_term")), lit(0).cast("decimal(38,12)"))
+          .as("_s"))
+      .select(col(queryCol), col("n_docs"), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(col("_s").cast("double") / col("n_rel"), 6)).as("ap"))
+  }
+
+  /** Reliability (calibration) bins of a probabilistic classifier per
+    * key (SURVEY.md §2 P30) — the companion diagnostic to [[rocAuc]]:
+    * AUC says the scores RANK well, this one says whether score 0.8
+    * actually means 80% positive. Scores bin into `nBins` equal-width
+    * cells of [0,1] (out-of-range scores clamp into the edge bins —
+    * documented, not dropped: a miscalibrated model emitting 1.03 is
+    * exactly what this monitor must surface); per (key, bin):
+    * (n, n_pos, mean_score, frac_pos, gap).
+    *
+    * Exactness: scores round 6dp and accumulate as DECIMAL(38,6)
+    * (order-free); mean_score/frac_pos are ONE IEEE division each
+    * rounded 6dp; gap = \|mean−frac\| is one expression on those
+    * agreed rounded operands, 6dp.
+    *
+    * Scale: ONE partial-agg'd (key, bin) shuffle — the output is
+    * keys×nBins rows, never the corpus. */
+  def reliabilityBins(df: DataFrame, keyCol: String, labelCol: String,
+      scoreCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val s = col(scoreCol).cast("double")
+    val s6 = round(s, 6).cast("decimal(18,6)")
+    val pos = col(labelCol).cast("double") > 0
+    val bin = least(greatest(
+      width_bucket(s, lit(0.0), lit(1.0), lit(nBins)), lit(1L)),
+      lit(nBins.toLong))
+    val perBin = df
+      .filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(keyCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(s6).cast("decimal(38,6)").as("_ss"))
+    val mean = round(col("_ss").cast("double") / col("n"), 6)
+    val frac = round(col("n_pos").cast("double") / col("n"), 6)
+    perBin.select(col(keyCol), col("bin"), col("n"), col("n_pos"),
+      mean.as("mean_score"), frac.as("frac_pos"),
+      round(abs(mean - frac), 6).as("gap"))
+  }
+
+  /** Per-key calibration summary (SURVEY.md §2 P30): Brier score +
+    * expected calibration error over [[reliabilityBins]]'s cells —
+    * the one-row-per-segment readout a pipeline gates on ("the quality
+    * model is 0.04 ECE on src3, trust its 0.9 threshold").
+    *
+    * Exactness: brier's (s−y)² terms are EXACT DECIMAL(38,12) squares
+    * of the 6dp score grain (y ∈ {0,1}), order-free summed, ONE
+    * division rounded 6dp; ece clears its inner division — Σ_b
+    * n_b·|mean_b − frac_b| with the bin means/fracs re-cast to exact
+    * DECIMAL(18,6) after their agreed 6dp round, so the numerator is
+    * an exact DECIMAL(38,6) and ece is ONE division rounded 6dp.
+    *
+    * Scale: the [[reliabilityBins]] shuffle plus one raw partial-agg'd
+    * key pass — two corpus passes, keys×nBins intermediate rows. */
+  def calibration(df: DataFrame, keyCol: String, labelCol: String,
+      scoreCol: String, nBins: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val s6 = round(s, 6).cast("decimal(18,6)")
+    val pos = col(labelCol).cast("double") > 0
+    val y = when(pos, lit(1).cast("decimal(18,6)"))
+      .otherwise(lit(0).cast("decimal(18,6)"))
+    val sqErr = ((s6 - y) * (s6 - y)).cast("decimal(38,12)")
+    val perKey = df
+      .filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(sqErr).cast("decimal(38,12)").as("_se"))
+    val bins = reliabilityBins(df, keyCol, labelCol, scoreCol, nBins)
+      .select(col(keyCol), col("n").as("_bn"),
+        (col("mean_score").cast("decimal(18,6)") -
+          col("frac_pos").cast("decimal(18,6)")).as("_d"))
+      .groupBy(col(keyCol))
+      .agg(sum((col("_bn").cast("decimal(18,0)") * abs(col("_d")))
+        .cast("decimal(38,6)")).cast("decimal(38,6)").as("_en"))
+    perKey.join(bins, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n_pos"),
+        round(col("_se").cast("double") / col("n"), 6).as("brier"),
+        round(col("_en").cast("double") / col("n"), 6).as("ece"))
+  }
+
   /** Per-key ROC-AUC (+ Gini) of a binary classifier's scores — the
     * quality gate every learned data-pipeline filter (quality model,
     * toxicity model, langid confidence) needs per segment before its

@@ -3511,6 +3511,84 @@ object ExtendedQueries {
             6) END AS kappa
       FROM t CROSS JOIN pe"""))
 
+  // Per-key classifier calibration (P30, Stats.calibration): treat
+  // 10·l_discount as a [0,1] "score" predicting the high-tax label —
+  // deliberately miscalibrated, so brier/ece are non-trivial. Brier's
+  // squared errors are exact DECIMAL(38,12); ece clears its inner
+  // division to an exact DECIMAL(38,6) numerator.
+  private def calibBase = """SELECT l_returnflag AS k,
+          CAST(l_discount AS DOUBLE) * 10.0 AS s,
+          CASE WHEN CAST(l_tax AS DOUBLE) > 0.04 THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+          AND l_returnflag IS NOT NULL"""
+
+  // DuckDB has no width_bucket — replay Spark's formula (the q22
+  // oracle idiom): floor(n·(v−min)/(max−min))+1, <min → 0, ≥max → n+1
+  private def calibBins = s"""b AS (SELECT k,
+          least(greatest(CASE WHEN s < 0.0 THEN 0
+            WHEN s >= 1.0 THEN 11
+            ELSE CAST(floor(10.0 * s / 1.0) AS BIGINT) + 1 END,
+            1), 10) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          CAST(sum(CAST(round(s, 6) AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS ss
+        FROM p GROUP BY 1, 2),
+      bb AS (SELECT k, bin, n, n_pos,
+          round(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+          round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos
+        FROM b)"""
+
+  private val q121 = Q(
+    "q121_calibration",
+    (s, d) =>
+      graft.operators.Stats.calibration(
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag").isNotNull)
+          .withColumn("s", col("l_discount").cast("double") * 10.0)
+          .withColumn("y",
+            (col("l_tax").cast("double") > 0.04).cast("int")),
+        "l_returnflag", "y", "s", nBins = 10)
+        .withColumnRenamed("l_returnflag", "k")
+        .orderBy(col("k")),
+    Some(s"""WITH p AS ($calibBase),
+      $calibBins,
+      e AS (SELECT k,
+          CAST(sum(CAST(n AS DECIMAL(18,0)) *
+            abs(CAST(mean_score AS DECIMAL(18,6))
+              - CAST(frac_pos AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS en
+        FROM bb GROUP BY 1),
+      g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(y) AS BIGINT) AS n_pos,
+          CAST(sum(CAST(
+            (CAST(round(s, 6) AS DECIMAL(18,6)) - y)
+            * (CAST(round(s, 6) AS DECIMAL(18,6)) - y)
+            AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS se
+        FROM p GROUP BY 1)
+      SELECT g.k, n, n_pos,
+        round(CAST(se AS DOUBLE) / n, 6) AS brier,
+        round(CAST(en AS DOUBLE) / n, 6) AS ece
+      FROM g JOIN e ON g.k = e.k ORDER BY g.k"""))
+
+  private val q122 = Q(
+    "q122_calib_bins",
+    (s, d) =>
+      graft.operators.Stats.reliabilityBins(
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag").isNotNull)
+          .withColumn("s", col("l_discount").cast("double") * 10.0)
+          .withColumn("y",
+            (col("l_tax").cast("double") > 0.04).cast("int")),
+        "l_returnflag", "y", "s", nBins = 10)
+        .withColumnRenamed("l_returnflag", "k")
+        .orderBy(col("k"), col("bin")),
+    Some(s"""WITH p AS ($calibBase),
+      $calibBins
+      SELECT k, bin, n, n_pos, mean_score, frac_pos,
+        round(abs(mean_score - frac_pos), 6) AS gap
+      FROM bb ORDER BY k, bin"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3518,5 +3596,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120)
+    q118, q119, q120, q121, q122)
 }

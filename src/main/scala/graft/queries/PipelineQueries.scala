@@ -2859,6 +2859,61 @@ object PipelineQueries {
           ELSE 0.0 END AS rr_k
       FROM a"""))
 
+  // P27c (r10): average precision per query — the PR-curve companion
+  // of text_mrr, over a BM25 candidate frame with DIFFERENT query
+  // terms (merge/sort/filter) so the two keys aren't param twins.
+  // Precision terms round 12dp into a DECIMAL(38,12) order-free sum.
+  private val textMap = Q(
+    "text_map",
+    (s, d) => {
+      val ranked = TextAnalysis
+        .bm25TopK(Tables.load(s, d, "documents"),
+          Seq("merge", "sort", "filter"), k = 50)
+        .withColumn("query_id", lit("q1"))
+        .withColumn("reli", when(col("n_terms") >= 2, 1L).otherwise(0L))
+      graft.operators.Stats
+        .averagePrecision(ranked, "query_id", "doc_id", "bm25", "reli")
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('merge', 'sort', 'filter') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+      top AS (SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50),
+      r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rs,
+          CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END AS reli
+        FROM top),
+      c AS (SELECT rs, reli,
+          sum(reli) OVER (ORDER BY rs
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        FROM r),
+      a AS (SELECT count(*) AS nd, sum(reli) AS nr,
+          coalesce(sum(CASE WHEN reli = 1 THEN
+            CAST(round(CAST(cr AS DOUBLE) / rs, 12) AS DECIMAL(38,12))
+            END), 0) AS s
+        FROM c)
+      SELECT 'q1' AS query_id, CAST(nd AS BIGINT) AS n_docs,
+        CAST(nr AS BIGINT) AS n_rel,
+        CASE WHEN nr > 0 THEN round(CAST(s AS DOUBLE) / nr, 6) END AS ap
+      FROM a"""))
+
   // P28: DSIR importance reweighting — hashed unigram+bigram bag
   // models of a target slice vs the raw corpus; log-ratio weights.
   // The oracle replays the identical mod-2^32 char polynomial, the
@@ -3067,7 +3122,7 @@ object PipelineQueries {
     Some(pcaProjectOracle(10)))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg, textMrr,
+    dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg, textMrr, textMap,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
     dedupAllpairsKeep, dedupAutoKeep, dedupKeepSql, driftSql,
     dedupKeep, dedupMinhashIncr,

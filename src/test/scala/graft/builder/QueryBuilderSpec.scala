@@ -394,6 +394,19 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bap = ev.averagePrecision("event_type", "event_id", "value",
+      "user_id").run()
+    val oap = graft.operators.Stats.averagePrecision(ev.run(),
+      "event_type", "event_id", "value", "user_id")
+    assert(bap.collect().toSeq == oap.collect().toSeq)
+    val bcal = ev.calibration("event_type", "user_id", "value").run()
+    val ocal = graft.operators.Stats.calibration(ev.run(), "event_type",
+      "user_id", "value")
+    assert(bcal.collect().toSeq == ocal.collect().toSeq)
+    val brb = ev.reliabilityBins("event_type", "user_id", "value").run()
+    val orb = graft.operators.Stats.reliabilityBins(ev.run(),
+      "event_type", "user_id", "value")
+    assert(brb.collect().toSeq == orb.collect().toSeq)
     val bck = ev.cohensKappa("event_type", "props").run()
     val ock = graft.operators.Stats.cohensKappa(ev.run(), "event_type",
       "props")

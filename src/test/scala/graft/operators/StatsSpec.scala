@@ -668,6 +668,58 @@ class StatsSpec extends AnyFunSuite {
     assert(d == ((4L, 0L, Some(0.0), Some(0.0), Some(0.0))))
   }
 
+  test("averagePrecision: hand case, perfect ranking, no-rel NULL, tie order") {
+    // q1 ranked by score desc: rel at positions 1,3,5 →
+    // AP = (1 + 2/3 + 3/5)/3 = 0.755556 at the 12dp-term/6dp ladder
+    val q1 = Seq(("q1", 1L, 5.0, 1), ("q1", 2L, 4.0, 0),
+      ("q1", 3L, 3.0, 1), ("q1", 4L, 2.0, 0), ("q1", 5L, 1.0, 1))
+    // q2: both relevant docs on top → AP = 1; q3: nothing relevant
+    val rows = (q1 ++ Seq(("q2", 1L, 9.0, 1), ("q2", 2L, 8.0, 1),
+      ("q2", 3L, 7.0, 0), ("q3", 1L, 5.0, 0)))
+      .toDF("q", "doc", "score", "rel")
+    val got = Stats.averagePrecision(rows, "q", "doc", "score", "rel")
+      .select("q", "n_docs", "n_rel", "ap")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("q1") == ((5L, 3L, Some(0.755556))))
+    assert(got("q2") == ((3L, 2L, Some(1.0))))
+    assert(got("q3") == ((1L, 0L, None)))
+    // score ties break on doc ASC: doc 1 rel, doc 2 not, same score →
+    // rel sits at position 1 → AP = 1; flipping ids puts it at 2 → 0.5
+    val tie = Seq(("t", 1L, 5.0, 1), ("t", 2L, 5.0, 0))
+      .toDF("q", "doc", "score", "rel")
+    assert(Stats.averagePrecision(tie, "q", "doc", "score", "rel")
+      .select("ap").as[Option[Double]].head().contains(1.0))
+    val tie2 = Seq(("t", 2L, 5.0, 1), ("t", 1L, 5.0, 0))
+      .toDF("q", "doc", "score", "rel")
+    assert(Stats.averagePrecision(tie2, "q", "doc", "score", "rel")
+      .select("ap").as[Option[Double]].head().contains(0.5))
+  }
+
+  test("reliabilityBins + calibration: hand case with edge clamping") {
+    // nBins=2 over [0,1]: bin1 = {0.2(n),0.4(p)} mean .3 frac .5 gap .2
+    // bin2 = {0.6(p),0.8(p),1.0(n)} mean .8 frac .666667 gap .133333
+    val rows = Seq(("k", 0.2, 0), ("k", 0.4, 1), ("k", 0.8, 1),
+      ("k", 0.6, 1), ("k", 1.0, 0)).toDF("k", "s", "y")
+    val bins = Stats.reliabilityBins(rows, "k", "y", "s", nBins = 2)
+      .select("bin", "n", "n_pos", "mean_score", "frac_pos", "gap")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(bins(1L) == ((2L, 1L, 0.3, 0.5, 0.2)))
+    assert(bins(2L) == ((3L, 2L, 0.8, 0.666667, 0.133333)))
+    // brier = (0.04+0.36+0.04+0.16+1.0)/5 = 0.32
+    // ece = (2·0.2 + 3·0.133333)/5 = 0.16
+    val cal = Stats.calibration(rows, "k", "y", "s", nBins = 2)
+      .select("n", "n_pos", "brier", "ece")
+      .as[(Long, Long, Double, Double)].head()
+    assert(cal == ((5L, 3L, 0.32, 0.16)))
+    // out-of-range scores clamp into edge bins, never drop
+    val oor = Seq(("k", -0.1, 0), ("k", 1.03, 1)).toDF("k", "s", "y")
+    val ob = Stats.reliabilityBins(oor, "k", "y", "s", nBins = 2)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(ob == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("rocAuc: perfect, reversed, and tie-aware hand case") {
     // key p: pos {3,4} all above neg {1,2} → AUC 1, gini 1
     // key r: pos {1,2} all below neg {3,4} → AUC 0, gini -1
