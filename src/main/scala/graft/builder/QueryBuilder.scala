@@ -403,6 +403,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
       yCol))
 
+  /** Benjamini–Hochberg FDR step-up over a hypotheses frame — see
+    * [[graft.operators.Stats.bhFdr]] (r10). */
+  def bhFdr(idCol: String, pCol: String,
+      alpha: Double = 0.05): QueryNode =
+    new QueryNode(graft.operators.Stats.bhFdr(df, idCol, pCol, alpha))
+
   /** Average precision per query over a ranked candidate frame — see
     * [[graft.operators.Stats.averagePrecision]] (r10). */
   def averagePrecision(queryCol: String, docCol: String,

@@ -274,6 +274,69 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("rr_k"))
   }
 
+  /** Two-sided normal p-value from an (already-rounded) z statistic —
+    * the bridge between this file's z-emitting tests ([[mannKendall]],
+    * [[mannWhitney]], [[wilcoxonSignedRank]]) and [[bhFdr]]'s
+    * multiple-testing correction, which needs p's, not z's. Uses the
+    * classic Abramowitz–Stegun 26.2.17 rational approximation
+    * (|error| < 7.5e-8 — beyond the 6dp emission grain), public
+    * formula. The ONE transcendental (exp) rounds 12dp FIRST (the
+    * [[graft.operators.Graph.linkPredict]] ln discipline — libm's
+    * last ulp is not cross-engine agreed), then a fixed-form Horner
+    * polynomial on agreed operands; result rounds 6dp. */
+  def twoSidedNormalP(z: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = round(exp(lit(-0.5) * az * az), 12) /
+      lit(2.5066282746310002) // √(2π) to double precision
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    when(z.isNotNull, round(lit(2.0) * pdf * poly, 6))
+  }
+
+  /** Benjamini–Hochberg FDR correction (SURVEY.md §2 R63) — the step
+    * a user runs AFTER fanning any of this file's tests across many
+    * slices ("which of these 500 segments' trends survive multiple
+    * testing"): controls the expected fraction of false discoveries
+    * at `alpha` instead of Bonferroni's family-wise over-kill. One
+    * row per hypothesis: (id, p_value, rank, adj_p, reject) with
+    * adj_p = min_{j≥i}(m·p_j/j) capped at 1 (the standard step-up
+    * monotonization) and reject = adj_p ≤ alpha. NULL p's are
+    * excluded and don't consume rank slots (an untested hypothesis is
+    * not evidence).
+    *
+    * Exactness: ranks are exact integers under the deterministic
+    * (p, id) order; each raw term m·p/i is UNROUNDED fixed-form IEEE
+    * (the running min must compare exact doubles — rounding first
+    * could flip a near-tie differently per engine); only the final
+    * capped adj_p rounds 6dp, and the verdict compares the ROUNDED
+    * value.
+    *
+    * Scale: the frame is ONE HYPOTHESIS PER ROW — bounded by the
+    * experiment design (hundreds to thousands), never by the corpus
+    * the tests ran over; the two global windows (rank, reverse
+    * running-min) run over those m rows only, the same bounded-frame
+    * contract as the bucket-offset windows. */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(idCol), col(pCol).cast("double").as("p_value"))
+    val m = base.agg(count(lit(1)).as("_m"))
+    val wRank = W.orderBy(col("p_value"), col(idCol))
+    val wMin = W.orderBy(col("p_value").desc, col(idCol).desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val raw = (col("_m").cast("double") * col("p_value")) / col("rank")
+    val adj = round(least(min(raw).over(wMin), lit(1.0)), 6)
+    base.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("adj_p", adj)
+      .select(col(idCol), col("p_value"), col("rank"), col("adj_p"),
+        (col("adj_p") <= alpha).as("reject"))
+  }
+
   /** Average precision per query (SURVEY.md §2 P27c) — the
     * area-under-the-PR-curve companion of [[retrievalEval]]'s point
     * metrics and the per-query term of MAP: AP = (1/n_rel)·Σ over

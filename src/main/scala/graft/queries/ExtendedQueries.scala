@@ -3589,6 +3589,73 @@ object ExtendedQueries {
         round(abs(mean_score - frac_pos), 6) AS gap
       FROM bb ORDER BY k, bin"""))
 
+  // Benjamini–Hochberg FDR (R63, Stats.bhFdr) composed with the
+  // family it exists to correct: per-user Mann-Kendall z's (a wider
+  // user slice than q96 so the keys aren't param twins) turn into
+  // two-sided normal p's via the round-exp-first A&S ladder, then the
+  // step-up adjustment runs across hypotheses. The oracle replays the
+  // MK pair join, the p ladder, and both BH windows.
+  private val q123 = Q(
+    "q123_bh_fdr",
+    (s, d) => {
+      val mk = graft.operators.Stats.mannKendall(
+        t(s, d, "events").filter(col("user_id") % 7 === 0),
+        "user_id", "ts", "value", "event_id")
+      val withP = mk.select(col("user_id"),
+        graft.operators.Stats.twoSidedNormalP(col("z")).as("p"))
+      graft.operators.Stats.bhFdr(withP, "user_id", "p", alpha = 0.05)
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH obs AS (
+        SELECT user_id AS k, ts AS t, event_id AS i, value AS v
+        FROM events
+        WHERE user_id % 7 = 0 AND value IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT a.k,
+          sum(CASE WHEN b.v > a.v THEN 1
+            WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+        FROM obs a JOIN obs b ON a.k = b.k
+          AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+        GROUP BY 1),
+      tg AS (SELECT k, v, count(*) AS t FROM obs GROUP BY 1, 2),
+      ties AS (SELECT k,
+          CAST(sum(CAST(t*(t-1)*(2*t+5) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS tie_term
+        FROM tg GROUP BY 1),
+      nk AS (SELECT k, count(*) AS n FROM obs GROUP BY 1),
+      j AS (SELECT nk.k, nk.n, coalesce(p.s, 0) AS s,
+          CAST(CAST(nk.n AS DECIMAL(38,0)) * (nk.n - 1) * (2*nk.n + 5)
+            AS DECIMAL(38,0)) - ties.tie_term AS var_num
+        FROM nk LEFT JOIN p USING (k) JOIN ties USING (k)),
+      zz AS (SELECT k,
+          CASE WHEN n >= 2 AND var_num > 0 THEN
+            round((CASE WHEN s > 0 THEN s - 1
+                WHEN s < 0 THEN s + 1 ELSE 0 END)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z
+        FROM j),
+      tt AS (SELECT k, abs(z) AS az,
+          1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+        FROM zz WHERE z IS NOT NULL),
+      pp AS (SELECT k,
+          round((2.0 * (round(exp(-0.5 * az * az), 12)
+              / 2.5066282746310002))
+            * (t * (0.319381530 + t * (-0.356563782
+              + t * (1.781477937 + t * (-1.821255978
+                + t * 1.330274429))))), 6) AS p
+        FROM tt),
+      mm AS (SELECT count(*) AS m FROM pp),
+      rk AS (SELECT k, p,
+          CAST(row_number() OVER (ORDER BY p, k) AS BIGINT) AS rank
+        FROM pp),
+      ad AS (SELECT k, p, rank,
+          round(least(min((CAST(m AS DOUBLE) * p) / rank)
+            OVER (ORDER BY p DESC, k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            1.0), 6) AS adj_p
+        FROM rk CROSS JOIN mm)
+      SELECT k AS user_id, p AS p_value, rank, adj_p,
+        adj_p <= 0.05 AS reject
+      FROM ad ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3596,5 +3663,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122)
+    q118, q119, q120, q121, q122, q123)
 }

@@ -394,6 +394,11 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bfd = ev.proj("event_id", "value")
+      .bhFdr("event_id", "value", alpha = 0.5).run()
+    val ofd = graft.operators.Stats.bhFdr(
+      ev.proj("event_id", "value").run(), "event_id", "value", 0.5)
+    assert(bfd.collect().toSeq == ofd.collect().toSeq)
     val bap = ev.averagePrecision("event_type", "event_id", "value",
       "user_id").run()
     val oap = graft.operators.Stats.averagePrecision(ev.run(),

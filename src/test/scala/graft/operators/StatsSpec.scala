@@ -720,6 +720,48 @@ class StatsSpec extends AnyFunSuite {
     assert(ob == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("twoSidedNormalP: A&S ladder against hand-replayed values") {
+    // values replay the exact ladder: exp rounded 12dp FIRST, fixed
+    // Horner form, 6dp result — z=1.96 lands on the textbook 0.05
+    val zs = Seq(("a", Some(0.0)), ("b", Some(1.0)), ("c", Some(1.96)),
+      ("d", Some(-1.96)), ("e", Some(2.5)), ("f", Some(3.0)),
+      ("g", None)).toDF("id", "z")
+    val got = zs.select(col("id"),
+      Stats.twoSidedNormalP(col("z")).as("p"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("a").contains(1.0) && got("b").contains(0.317311))
+    assert(got("c").contains(0.049996) && got("d").contains(0.049996))
+    assert(got("e").contains(0.012419) && got("f").contains(0.0027))
+    assert(got("g").isEmpty)
+  }
+
+  test("bhFdr: step-up adjustment, monotonization, cap, NULL exclusion") {
+    // m=5, raws 5p/i = .05,.05,.05,.05,.2 → first four adjust to .05
+    val ps = Seq(("h1", 0.01), ("h2", 0.02), ("h3", 0.03),
+      ("h4", 0.04), ("h5", 0.2)).toDF("id", "p")
+    val got = Stats.bhFdr(ps, "id", "p")
+      .select("id", "rank", "adj_p", "reject")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("h1") == ((1L, 0.05, true)))
+    assert(got("h4") == ((4L, 0.05, true)))
+    assert(got("h5") == ((5L, 0.2, false)))
+    // monotonization: rank-1's raw 1.0 inherits rank-2's smaller 0.9;
+    // the NULL hypothesis neither ranks nor inflates m
+    val ps2 = Seq(("x", Some(0.9)), ("y", None), ("z", Some(0.5)))
+      .toDF("id", "p")
+    val g2 = Stats.bhFdr(ps2, "id", "p")
+      .select("id", "rank", "adj_p")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(g2 == Map("z" -> ((1L, 0.9)), "x" -> ((2L, 0.9))))
+    // the top raw m·p_m/m = p_m bounds every running min ≤ 1 (the cap
+    // is belt-and-braces): raws 2.7/1.425/0.99 all monotonize to 0.99
+    val big = Seq(("a", 0.9), ("b", 0.95), ("c", 0.99)).toDF("id", "p")
+    assert(Stats.bhFdr(big, "id", "p").select("adj_p")
+      .as[Double].collect().forall(_ == 0.99))
+  }
+
   test("rocAuc: perfect, reversed, and tie-aware hand case") {
     // key p: pos {3,4} all above neg {1,2} → AUC 1, gini 1
     // key r: pos {1,2} all below neg {3,4} → AUC 0, gini -1
