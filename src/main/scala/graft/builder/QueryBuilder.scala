@@ -403,6 +403,19 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
       yCol))
 
+  /** Friedman complete-block rank test — see
+    * [[graft.operators.Stats.friedman]] (r10). */
+  def friedman(blockCol: String, treatmentCol: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.friedman(df, blockCol,
+      treatmentCol, valCol))
+
+  /** Lorenz/Gini concentration index per key — see
+    * [[graft.operators.Stats.giniConcentration]] (r10). */
+  def giniConcentration(keyCol: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.giniConcentration(df, keyCol,
+      valCol))
+
   /** Benjamini–Hochberg FDR step-up over a hypotheses frame — see
     * [[graft.operators.Stats.bhFdr]] (r10). */
   def bhFdr(idCol: String, pCol: String,

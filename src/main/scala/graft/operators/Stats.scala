@@ -274,6 +274,169 @@ object Stats extends org.apache.spark.internal.Logging {
           .otherwise(lit(0.0)).as("rr_k"))
   }
 
+  /** Friedman rank test over a complete block design (SURVEY.md §2
+    * R65) — the REPEATED-MEASURES member of the k-group family:
+    * [[kruskalWallis]] compares k INDEPENDENT groups, this one asks
+    * "across blocks that each saw all k treatments, do the treatments
+    * rank differently" (the k-variant A/B readout where every user
+    * tried every variant). Blocks missing a treatment, or holding
+    * duplicate observations of one, are DROPPED and counted in
+    * `n_dropped` — an incomplete block has no within-block ranking.
+    * One row: (n_blocks, n_dropped, k_treatments, chi2, dof) with the
+    * tie-corrected statistic χ² = [12/(nk(k+1))·ΣR_j² − 3n(k+1)] /
+    * [1 − Σ(t³−t)/(n(k³−k))] (the standard midrank correction, the
+    * scipy-documented public form); honest NULL under k<2, no valid
+    * blocks, or all-tied blocks (correction 0).
+    *
+    * Exactness: within-block doubled midranks 2r = 2·before+t+1 are
+    * exact integers (the [[mannWhitney]] trick at block scope);
+    * per-treatment doubled rank sums accumulate DECIMAL(38,0)
+    * order-free; each R_j² term is UNROUNDED IEEE on those integers
+    * summed by the ORDERED treatment fold (the [[kruskalWallis]]
+    * discipline); the tie sum is exact DECIMAL(38,0); χ² is one IEEE
+    * ladder rounded 6dp.
+    *
+    * Scale: one (block, treatment) shuffle for validity + one
+    * (block, value) histogram shuffle; within-block windows are
+    * k-BOUNDED frames (a valid block holds exactly k rows), never
+    * corpus-bounded; treatments fold at k rows. */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).as("b"), col(treatmentCol).as("g"),
+        col(valCol).cast("double").as("v"))
+      .localCheckpoint()
+    val kTot = obs.agg(countDistinct(col("g")).as("_k"))
+    val perB = obs.groupBy(col("b"))
+      .agg(count(lit(1)).as("_nb"), countDistinct(col("g")).as("_db"))
+      .crossJoin(broadcast(kTot))
+    val validB = perB.filter(col("_nb") === col("_k") &&
+      col("_db") === col("_k")).select(col("b"))
+    val dropped = perB.filter(!(col("_nb") === col("_k") &&
+      col("_db") === col("_k")))
+      .agg(count(lit(1)).as("n_dropped"))
+    val v = obs.join(validB, Seq("b"), "left_semi")
+    // within-block midranks over the ≤k distinct values
+    val gh = v.groupBy(col("b"), col("v")).agg(count(lit(1)).as("t"))
+    val wIn = W.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ranked = gh.withColumn("bef",
+      coalesce(sum(col("t")).over(wIn), lit(0L)))
+      .withColumn("r2",
+        (col("bef").cast(dec) * 2 + col("t") + 1).cast(dec))
+    val rows = v.join(ranked.select(col("b"), col("v"), col("r2")),
+      Seq("b", "v"))
+    val perG = rows.groupBy(col("g"))
+      .agg(sum(col("r2")).cast(dec).as("_r2s"))
+    // ΣR_j² = Σ (r2s/2)² — unrounded IEEE on exact integers, summed by
+    // the ordered treatment fold (k structs, never rows)
+    val srr = perG
+      .select(struct(col("g").as("g"),
+        (col("_r2s").cast("double") * col("_r2s").cast("double")
+          / 4.0).as("t")).as("gt"))
+      .agg(aggregate(sort_array(collect_list(col("gt"))), lit(0.0),
+        (acc, x) => acc + x.getField("t")).as("_srr"))
+    val nB = validB.agg(count(lit(1)).as("n_blocks"))
+    val ties = gh.agg(coalesce(sum(
+      (col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec)),
+      lit(0).cast(dec)).as("_tie3"))
+    val out = nB.crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(kTot)).crossJoin(broadcast(srr))
+      .crossJoin(broadcast(ties))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("_k").cast("double")
+    val uncorr = lit(12.0) * col("_srr") / (nD * kD * (kD + 1.0)) -
+      lit(3.0) * nD * (kD + 1.0)
+    val corr = lit(1.0) - col("_tie3").cast("double") /
+      (nD * (kD * kD * kD - kD))
+    val res = out.select(col("n_blocks"), col("n_dropped"),
+      col("_k").as("k_treatments"),
+      when(col("_k") >= 2 && col("n_blocks") > 0 && corr > 0,
+        round(uncorr / corr, 6)).as("chi2"),
+      when(col("_k") >= 1, (col("_k") - 1).cast("long")).as("dof"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(obs)
+    res
+  }
+
+  /** Lorenz/Gini concentration index of `valCol` per key (SURVEY.md §2
+    * R64) — the inequality readout of a corpus: "how concentrated is
+    * token volume across documents / sources / shards" (0 = perfectly
+    * even, →1 = one row holds everything). NOT [[rocAuc]]'s
+    * rank-comparison gini (2·AUC−1) — this is the Lorenz-curve area
+    * over a non-negative measure. One row per key:
+    * (key, n, total, gini) with G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n
+    * over ascending-sorted values. Keys with any negative value emit
+    * NULL gini (the Lorenz construction is undefined there — honest,
+    * not clamped); zero-total keys NULL too.
+    *
+    * Exactness: values round 6dp and ride as SCALE-0 integers v·1e6
+    * (the [[anovaF]] single-rounding trick); a run of t equal values
+    * starting after `before` smaller ones contributes the EXACT
+    * integer x·(t·before + t(t+1)/2) to Σi·x — tie-order-free by
+    * construction; both sums are DECIMAL(38,0), G is one IEEE ladder
+    * rounded 6dp.
+    *
+    * Scale: rows collapse to (key, distinct value) in ONE partial-agg'd
+    * shuffle; cumulative-below is the keyed two-phase bucket scheme
+    * ([[rocAuc]]'s) — no global sort, no unbounded per-key frame. */
+  def giniConcentration(df: DataFrame, keyCol: String, valCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val v = col(valCol).cast("double")
+    val v6i = (round(v, 6).cast("decimal(18,6)") * 1000000).cast(dec)
+    val hist = df
+      .filter(col(keyCol).isNotNull && v.isNotNull)
+      .groupBy(col(keyCol).as("k"), v6i.as("x"))
+      .agg(count(lit(1)).as("t"))
+    val rng = hist.groupBy(col("k"))
+      .agg(min(col("x")).as("_lo"), max(col("x")).as("_hi"))
+    val hb = hist.join(rng, Seq("k"))
+      .withColumn("bkt", when(col("_lo") === col("_hi"), lit(1L))
+        .otherwise(width_bucket(col("x").cast("double"),
+          col("_lo").cast("double"), col("_hi").cast("double"),
+          lit(nBuckets))))
+      .drop("_lo", "_hi")
+    val wOff = W.partitionBy(col("k")).orderBy(col("bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = hb.groupBy(col("k"), col("bkt"))
+      .agg(sum(col("t")).as("bn"))
+      .select(col("k"), col("bkt"),
+        coalesce(sum(col("bn")).over(wOff), lit(0L)).as("off"))
+    val wIn = W.partitionBy(col("k"), col("bkt")).orderBy(col("x"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val before = (col("off") + sum(col("t")).over(wIn) - col("t"))
+      .cast(dec)
+    val tC = col("t").cast(dec)
+    // doubled Σi·x (2·t·before + t(t+1) is always an even-safe exact
+    // integer — no decimal halving, the doubled-midrank discipline)
+    val agg = hb.join(offs, Seq("k", "bkt"))
+      .select(col("k"), col("x"), col("t"),
+        (col("x") * (tC * before * 2 + tC * (tC + 1))).cast(dec)
+          .as("_ix2"),
+        (col("x") * tC).cast(dec).as("_sx"),
+        when(col("x") < 0, 1L).otherwise(0L).as("_neg"))
+      .groupBy(col("k"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("_ix2")).cast(dec).as("_s12"),
+        sum(col("_sx")).cast(dec).as("_s"),
+        sum(col("_neg")).as("_nneg"))
+    val nD = col("n").cast("double")
+    val ok = col("_nneg") === 0 && col("_s").cast("double") > 0
+    agg.select(col("k").as(keyCol), col("n"),
+      round(col("_s").cast("double") / 1.0e6, 6).as("total"),
+      when(ok, round(
+        col("_s12").cast("double") /
+          (nD * col("_s").cast("double")) - (nD + 1.0) / nD, 6))
+        .as("gini"))
+  }
+
   /** Two-sided normal p-value from an (already-rounded) z statistic —
     * the bridge between this file's z-emitting tests ([[mannKendall]],
     * [[mannWhitney]], [[wilcoxonSignedRank]]) and [[bhFdr]]'s

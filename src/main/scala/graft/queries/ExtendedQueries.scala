@@ -3656,6 +3656,106 @@ object ExtendedQueries {
         adj_p <= 0.05 AS reject
       FROM ad ORDER BY user_id"""))
 
+  // Lorenz/Gini concentration (R64, Stats.giniConcentration): how
+  // concentrated document volume (n_chars) is across each source —
+  // the corpus-inequality readout. Both sums are exact HUGEINTs over
+  // the per-key value histogram; G is one IEEE ladder both engines
+  // replay.
+  private val q124 = Q(
+    "q124_gini",
+    (s, d) =>
+      graft.operators.Stats.giniConcentration(
+        t(s, d, "documents"), "source", "n_chars")
+        .orderBy(col("source")),
+    Some("""WITH r AS (SELECT source AS k,
+          CAST(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(18,6))
+            * 1000000 AS HUGEINT) AS x
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      h AS (SELECT k, x, CAST(count(*) AS HUGEINT) AS t
+        FROM r GROUP BY 1, 2),
+      c AS (SELECT k, x, t,
+          coalesce(sum(t) OVER (PARTITION BY k ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS bef
+        FROM h),
+      a AS (SELECT k, CAST(sum(t) AS BIGINT) AS n,
+          sum(x * (2 * t * bef + t * (t + 1))) AS s12,
+          sum(x * t) AS s,
+          sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS nneg
+        FROM c GROUP BY 1)
+      SELECT k AS source, n,
+        round(CAST(s AS DOUBLE) / 1000000.0, 6) AS total,
+        CASE WHEN nneg = 0 AND CAST(s AS DOUBLE) > 0 THEN
+          round(CAST(s12 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+            - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END
+          AS gini
+      FROM a ORDER BY source"""))
+
+  // Friedman repeated-measures rank test (R65, Stats.friedman):
+  // blocks = users, treatments = event types, observation = the
+  // user's exact-decimal value total per type; users missing a type
+  // drop. Doubled midranks and rank sums are exact integers; the
+  // tie-corrected chi2 ladder is replayed with the ordered fold.
+  private val q125 = Q(
+    "q125_friedman",
+    (s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id") % 11 === 0 && col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      graft.operators.Stats.friedman(obs, "user_id", "event_type", "v")
+    },
+    Some("""WITH raw AS (SELECT user_id AS b, event_type AS g,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events
+        WHERE user_id % 11 = 0 AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      kk AS (SELECT count(DISTINCT g) AS k FROM raw),
+      pb AS (SELECT b, count(*) AS nb, count(DISTINCT g) AS db
+        FROM raw GROUP BY 1),
+      vb AS (SELECT b FROM pb CROSS JOIN kk
+        WHERE nb = kk.k AND db = kk.k),
+      dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        FROM pb CROSS JOIN kk WHERE NOT (nb = kk.k AND db = kk.k)),
+      vv AS (SELECT * FROM raw WHERE b IN (SELECT b FROM vb)),
+      gh AS (SELECT b, v, CAST(count(*) AS HUGEINT) AS t
+        FROM vv GROUP BY 1, 2),
+      rk AS (SELECT b, v, t,
+          coalesce(sum(t) OVER (PARTITION BY b ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS bef
+        FROM gh),
+      rr AS (SELECT vv.g, (2 * rk.bef + rk.t + 1) AS r2
+        FROM vv JOIN rk ON vv.b = rk.b AND vv.v = rk.v),
+      pg AS (SELECT g, sum(CAST(r2 AS HUGEINT)) AS r2s
+        FROM rr GROUP BY 1),
+      sr AS (SELECT coalesce(list_reduce(
+          list(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE) / 4.0
+            ORDER BY g), (a, b) -> a + b), 0.0) AS srr
+        FROM pg),
+      nb2 AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM vb),
+      ti AS (SELECT coalesce(sum(t*t*t - t), 0) AS tie3 FROM gh)
+      SELECT n_blocks, n_dropped, CAST(kk.k AS BIGINT) AS k_treatments,
+        CASE WHEN kk.k >= 2 AND n_blocks > 0
+            AND (1.0 - CAST(tie3 AS DOUBLE)
+              / (CAST(n_blocks AS DOUBLE)
+                * (CAST(kk.k AS DOUBLE) * kk.k * kk.k - kk.k))) > 0
+          THEN round(
+            (12.0 * srr / (CAST(n_blocks AS DOUBLE)
+                * CAST(kk.k AS DOUBLE) * (CAST(kk.k AS DOUBLE) + 1.0))
+              - 3.0 * CAST(n_blocks AS DOUBLE)
+                * (CAST(kk.k AS DOUBLE) + 1.0))
+            / (1.0 - CAST(tie3 AS DOUBLE)
+              / (CAST(n_blocks AS DOUBLE)
+                * (CAST(kk.k AS DOUBLE) * kk.k * kk.k - kk.k))), 6)
+          END AS chi2,
+        CASE WHEN kk.k >= 1 THEN CAST(kk.k - 1 AS BIGINT) END AS dof
+      FROM nb2 CROSS JOIN dr CROSS JOIN kk CROSS JOIN sr
+        CROSS JOIN ti"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3663,5 +3763,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123)
+    q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -394,6 +394,15 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bfr = ev.friedman("user_id", "event_type", "value").run()
+    val ofr = graft.operators.Stats.friedman(ev.run(), "user_id",
+      "event_type", "value")
+    assert(bfr.collect().toSeq == ofr.collect().toSeq)
+    val bgc = ev.giniConcentration("event_type", "value").run()
+    val ogc = graft.operators.Stats.giniConcentration(ev.run(),
+      "event_type", "value")
+    assert(bgc.collect().toSeq.sortBy(_.getString(0)) ==
+      ogc.collect().toSeq.sortBy(_.getString(0)))
     val bfd = ev.proj("event_id", "value")
       .bhFdr("event_id", "value", alpha = 0.5).run()
     val ofd = graft.operators.Stats.bhFdr(

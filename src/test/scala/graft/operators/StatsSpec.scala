@@ -720,6 +720,63 @@ class StatsSpec extends AnyFunSuite {
     assert(ob == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("friedman: textbook 6.5, tie correction 2.0, drops, degenerates") {
+    // 4 complete blocks, 3 treatments, C always ranks 3:
+    // R = (5,7,12) → chi2 = 12/(4·3·4)·218 − 48 = 6.5
+    val base = Seq(
+      (1, "A", 10.0), (1, "B", 20.0), (1, "C", 30.0),
+      (2, "A", 1.0), (2, "B", 2.0), (2, "C", 3.0),
+      (3, "A", 5.0), (3, "B", 4.0), (3, "C", 6.0),
+      (4, "A", 7.0), (4, "B", 8.0), (4, "C", 9.0))
+    val r = Stats.friedman(base.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(r == ((4L, 0L, 3L, Some(6.5), Some(2L))))
+    // one tied block: ranks (1.5, 1.5, 3) → uncorr 1.5, c = 1 − 6/24,
+    // chi2 = 2.0 (the scipy-documented correction)
+    val tied = Seq((1, "A", 1.0), (1, "B", 1.0), (1, "C", 2.0))
+    val t = Stats.friedman(tied.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(t == ((1L, 0L, 3L, Some(2.0), Some(2L))))
+    // incomplete and duplicated blocks drop; the complete ones score
+    val mixed = base ++ Seq((5, "A", 1.0), (5, "B", 2.0)) ++
+      Seq((6, "A", 1.0), (6, "A", 2.0), (6, "B", 3.0), (6, "C", 4.0))
+    val m = Stats.friedman(mixed.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(m == ((4L, 2L, 3L, Some(6.5), Some(2L))))
+    // all-tied blocks: correction hits 0 → honest NULL
+    val flat = Seq((1, "A", 5.0), (1, "B", 5.0), (1, "C", 5.0))
+    val f = Stats.friedman(flat.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(f._4.isEmpty)
+    // single treatment: k < 2 → NULL chi2, dof 0
+    val k1 = Seq((1, "A", 1.0), (2, "A", 2.0))
+    val o = Stats.friedman(k1.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(o == ((2L, 0L, 1L, None, Some(0L))))
+  }
+
+  test("giniConcentration: even=0, maximal=(n-1)/n, hand 0.25, guards") {
+    val df = (Seq.fill(4)(("e", 5.0)) ++
+      Seq(("m", 0.0), ("m", 0.0), ("m", 0.0), ("m", 10.0)) ++
+      Seq(("h", 1.0), ("h", 2.0), ("h", 3.0), ("h", 4.0)) ++
+      Seq(("neg", -1.0), ("neg", 5.0)) ++
+      Seq(("z", 0.0), ("z", 0.0))).toDF("k", "v")
+    val got = Stats.giniConcentration(df, "k", "v")
+      .select("k", "n", "total", "gini")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("e") == ((4L, 20.0, Some(0.0))))
+    assert(got("m") == ((4L, 10.0, Some(0.75)))) // (n-1)/n, one holder
+    assert(got("h") == ((4L, 10.0, Some(0.25)))) // 2·30/(4·10) − 5/4
+    assert(got("neg")._3.isEmpty, "negative values leave gini undefined")
+    assert(got("z")._3.isEmpty, "zero total leaves gini undefined")
+    // bucketing invisible
+    val big = (1 to 300).map(i => ("k", (i % 37) * 1.5)).toDF("k", "v")
+    assert(Stats.giniConcentration(big, "k", "v").collect().toSeq ==
+      Stats.giniConcentration(big, "k", "v", nBuckets = 1)
+        .collect().toSeq)
+  }
+
   test("twoSidedNormalP: A&S ladder against hand-replayed values") {
     // values replay the exact ladder: exp rounded 12dp FIRST, fixed
     // Horner form, 6dp result — z=1.96 lands on the textbook 0.05
