@@ -286,6 +286,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .distributionPsi(tbl(a(0)), a(1), a(2), a(3))
           .queryExecution.analyzed
       }))
+    // r10 continuation: the classifier-QA / agreement / multiple-
+    // testing family at the SQL surface (R59–R65, P30).
+    ext.injectTableFunction((FunctionIdentifier("graft_auc"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_auc"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_auc(view, key_col, label_col, score_col)")
+        val a = args.map(strLit(_, "graft_auc"))
+        Stats.rocAuc(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_wilcoxon"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_wilcoxon"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_wilcoxon(view, x_col, y_col)")
+        val a = args.map(strLit(_, "graft_wilcoxon"))
+        Stats.wilcoxonSignedRank(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_mcnemar"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_mcnemar"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_mcnemar(view, x_col, y_col)")
+        val a = args.map(strLit(_, "graft_mcnemar"))
+        Stats.mcnemar(tbl(a(0)), a(1), a(2)).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_kappa"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_kappa"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_kappa(view, a_col, b_col)")
+        val a = args.map(strLit(_, "graft_kappa"))
+        Stats.cohensKappa(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_friedman"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_friedman"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_friedman(view, block_col, treatment_col, val_col)")
+        val a = args.map(strLit(_, "graft_friedman"))
+        Stats.friedman(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_gini"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_gini"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_gini(view, key_col, val_col)")
+        val a = args.map(strLit(_, "graft_gini"))
+        Stats.giniConcentration(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_calibration"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_calibration"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_calibration(view, key_col, label_col, score_col, n_bins)")
+        val a = args.take(4).map(strLit(_, "graft_calibration"))
+        Stats.calibration(tbl(a(0)), a(1), a(2), a(3),
+          intLit(args(4), "graft_calibration"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_bh_fdr"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_bh_fdr"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_bh_fdr(view, id_col, p_col, alpha)")
+        Stats.bhFdr(tbl(strLit(args(0), "graft_bh_fdr")),
+            strLit(args(1), "graft_bh_fdr"),
+            strLit(args(2), "graft_bh_fdr"),
+            dblLit(args(3), "graft_bh_fdr"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_winsorize"),
       new ExpressionInfo(Quality.getClass.getName, "graft_winsorize"),
       (args: Seq[Expression]) => {

@@ -222,6 +222,57 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(psiSql == psiOp)
   }
 
+  test("classifier-QA / agreement / FDR family SQL paths match the operators") {
+    val ev = spark.table("events")
+    // lazy operators → strongest (sameResult) contract
+    def planEq(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val sqlPlan = spark.sql(sql).queryExecution.optimizedPlan
+      val opPlan = op.queryExecution.optimizedPlan
+      assert(sqlPlan.sameResult(opPlan), s"plan divergence for: $sql")
+    }
+    planEq("SELECT * FROM graft_auc('events', 'event_type', 'user_id', 'value')",
+      graft.operators.Stats.rocAuc(ev, "event_type", "user_id", "value"))
+    planEq("SELECT * FROM graft_mcnemar('events', 'value', 'user_id')",
+      graft.operators.Stats.mcnemar(ev, "value", "user_id"))
+    planEq("SELECT * FROM graft_gini('events', 'event_type', 'value')",
+      graft.operators.Stats.giniConcentration(ev, "event_type", "value"))
+    planEq("SELECT * FROM graft_calibration('events', 'event_type', 'user_id', 'value', 10)",
+      graft.operators.Stats.calibration(ev, "event_type", "user_id",
+        "value", 10))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_ps AS
+      SELECT event_id, CAST(user_id % 97 + 1 AS DOUBLE) / 100.0 AS p
+      FROM events""")
+    planEq("SELECT * FROM graft_bh_fdr('sqs_ps', 'event_id', 'p', 0.05)",
+      graft.operators.Stats.bhFdr(spark.table("sqs_ps"), "event_id",
+        "p", 0.05))
+    // operators that materialize internally (probe/checkpoint) →
+    // pinned-input value equality (the graft_pagerank precedent)
+    def same(sql: String, op: org.apache.spark.sql.DataFrame): Unit =
+      assert(spark.sql(sql).collect().toSeq == op.collect().toSeq,
+        s"SQL/operator divergence for: $sql")
+    same("SELECT * FROM graft_wilcoxon('events', 'value', 'user_id')",
+      graft.operators.Stats.wilcoxonSignedRank(ev, "value", "user_id"))
+    same("SELECT * FROM graft_kappa('sqs_chi', 'event_type', 'band')",
+      graft.operators.Stats.cohensKappa(spark.table("sqs_chi"),
+        "event_type", "band"))
+    same("SELECT * FROM graft_friedman('events', 'user_id', 'event_type', 'value')",
+      graft.operators.Stats.friedman(ev, "user_id", "event_type",
+        "value"))
+  }
+
+  test("r10-continuation table functions reject malformed arguments") {
+    val cases = Seq(
+      "SELECT * FROM graft_auc('events', 'event_type', 'user_id')",  // arity
+      "SELECT * FROM graft_kappa('events', 'event_type')",           // arity
+      "SELECT * FROM graft_calibration('events', 'k', 'y', 's', 'x')", // non-int
+      "SELECT * FROM graft_bh_fdr('events', 'event_id', 'value', 'a')", // non-num
+      "SELECT * FROM graft_friedman('events', 'user_id', 'event_type')") // arity
+    cases.foreach { q =>
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      assert(e != null, s"expected rejection for: $q")
+    }
+  }
+
   test("widened table functions reject malformed arguments") {
     val cases = Seq(
       "SELECT * FROM graft_components('events')",         // arity
