@@ -403,6 +403,14 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.wilcoxonSignedRank(df, xCol,
       yCol))
 
+  /** Holt linear-trend smoothing with h-step forecast — see
+    * [[graft.operators.TimeJoins.holtSmooth]] (r10). */
+  def holtSmooth(keyCol: String, tsCol: String, valCol: String,
+      tieCol: String, alpha: Double = 0.3, beta: Double = 0.1,
+      horizon: Int = 1): QueryNode =
+    new QueryNode(graft.operators.TimeJoins.holtSmooth(df, keyCol,
+      tsCol, valCol, tieCol, alpha, beta, horizon))
+
   /** Friedman complete-block rank test — see
     * [[graft.operators.Stats.friedman]] (r10). */
   def friedman(blockCol: String, treatmentCol: String,

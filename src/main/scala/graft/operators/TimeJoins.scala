@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * primitives (union+window, bucket equi-join) rather than
   * broadcast-nested-loop, so they scale to fact-sized inputs.
   */
-object TimeJoins {
+object TimeJoins extends org.apache.spark.internal.Logging {
 
   /** As-of join: for every left row, the single right row with the
     * greatest `tsCol` satisfying right.ts <= left.ts within the same
@@ -144,6 +144,78 @@ object TimeJoins {
         round(expr(s"aggregate(_vs, cast(0 as double), (a, x) -> a * $q + x)")
           / ((lit(1.0) - pow(lit(q), size(col("_vs")))) / alpha), 6))
       .drop("_vs")
+  }
+
+  /** Holt linear-trend (double exponential) smoothing per key
+    * (SURVEY.md §2 R66) — the forecasting baseline of the time-series
+    * family: [[ewma]] smooths a LEVEL, this one carries level AND
+    * trend so it can extrapolate ("where is this metric heading in h
+    * steps" — capacity planning, drift projection). Standard Hyndman
+    * FPP form: l₁ = y₁, b₁ = y₂−y₁, then for t ≥ 2
+    * l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}; one summary row per key:
+    * (key, n, level, trend, forecast) with forecast = l_n + h·b_n.
+    * Keys with a single observation report level only (a 1-point
+    * trend is undefined — honest NULLs).
+    *
+    * Exactness: the recurrence is a LEFT FOLD in explicit (ts, tie)
+    * order — both engines execute the identical IEEE sequence, so the
+    * unrounded l/b agree bit-for-bit (the ewma/bpeTrain ordered-fold
+    * discipline); only the emitted level/trend/forecast round 6dp. α,
+    * β and their complements embed as shortest-repr literals, which
+    * round-trip to the same doubles in any engine.
+    *
+    * Scale: ONE partial-agg'd key shuffle; each key's series rides as
+    * one array (the bounded-series contract — a recurrence is
+    * inherently sequential per key, the parallelism is ACROSS keys).
+    * A count probe warns loudly past `warnSeriesSize` (the theilSen
+    * discipline) — beyond it one key's history stops fitting a task. */
+  def holtSmooth(obs: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, alpha: Double = 0.3,
+      beta: Double = 0.1, horizon: Int = 1,
+      warnSeriesSize: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "need 0<alpha<1, 0<beta<1")
+    require(horizon >= 1, "horizon must be >= 1")
+    val base = obs
+      .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"),
+        struct(col(tsCol).as("t"), col(tieCol).as("i"),
+          col(valCol).cast("double").as("v")).as("o"))
+    val maxRow = base.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxN > warnSeriesSize)
+      logWarning(s"holtSmooth: largest key holds $maxN observations — " +
+        "one key's full series must fit a single task (the recurrence " +
+        "is sequential per key). Resample or window each key's " +
+        "history first, or raise warnSeriesSize to silence.")
+    val q = 1 - alpha
+    val r = 1 - beta
+    val g = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        expr("transform(array_sort(collect_list(o)), x -> x.v)")
+          .as("_vs"))
+    // left fold over y₂..y_n in explicit order; the n ≥ 2 guard keeps
+    // ANSI element_at in bounds
+    val st = expr(
+      s"""IF(size(_vs) >= 2,
+        aggregate(slice(_vs, 2, size(_vs) - 1),
+          named_struct('l', element_at(_vs, 1),
+            'b', element_at(_vs, 2) - element_at(_vs, 1)),
+          (acc, x) -> named_struct(
+            'l', $alpha * x + $q * (acc.l + acc.b),
+            'b', $beta * (($alpha * x + $q * (acc.l + acc.b)) - acc.l)
+              + $r * acc.b)),
+        named_struct('l', cast(null as double),
+          'b', cast(null as double)))""")
+    g.withColumn("_st", st)
+      .select(col("k").as(keyCol), col("n"),
+        when(col("n") === 1, round(element_at(col("_vs"), 1), 6))
+          .otherwise(round(col("_st.l"), 6)).as("level"),
+        round(col("_st.b"), 6).as("trend"),
+        round(col("_st.l") + lit(horizon.toDouble) * col("_st.b"), 6)
+          .as("forecast"))
   }
 
   /** Rolling z-score anomaly flag (SURVEY.md §2 R27; the alerting

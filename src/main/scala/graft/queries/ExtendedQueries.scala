@@ -3756,6 +3756,49 @@ object ExtendedQueries {
       FROM nb2 CROSS JOIN dr CROSS JOIN kk CROSS JOIN sr
         CROSS JOIN ti"""))
 
+  // Holt linear-trend smoothing (R66, TimeJoins.holtSmooth): per-user
+  // level+trend over the event value series with a 3-step forecast.
+  // The recurrence is an ordered left fold — DuckDB replays the
+  // identical IEEE sequence via list_reduce with a prepended init
+  // struct (the bpeTrain fold discipline); alpha/beta chosen with
+  // exact complements (0.25/0.75, 0.125/0.875).
+  private val q126 = Q(
+    "q126_holt",
+    (s, d) =>
+      graft.operators.TimeJoins.holtSmooth(
+        t(s, d, "events").filter(col("user_id") % 13 === 0),
+        "user_id", "ts", "value", "event_id",
+        alpha = 0.25, beta = 0.125, horizon = 3)
+        .orderBy(col("user_id")),
+    Some("""WITH obs AS (SELECT user_id AS k, ts AS t, event_id AS i,
+          CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE user_id % 13 = 0 AND value IS NOT NULL
+          AND ts IS NOT NULL),
+      g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          list(v ORDER BY t, i) AS vs
+        FROM obs GROUP BY 1),
+      f AS (SELECT k, n, vs,
+          -- state rides as [l, b]: DuckDB 1.0 list_reduce mutates a
+          -- STRUCT accumulator field-by-field (the second field sees
+          -- the first field's new value); a LIST accumulator folds
+          -- cleanly
+          CASE WHEN len(vs) >= 2 THEN list_reduce(
+            list_prepend([vs[1], vs[2] - vs[1]],
+              list_transform(vs[2:], x -> [x, 0.0e0])),
+            (acc, x) -> [
+              0.25e0 * x[1] + 0.75e0 * (acc[1] + acc[2]),
+              0.125e0 * ((0.25e0 * x[1] + 0.75e0 * (acc[1] + acc[2]))
+                - acc[1]) + 0.875e0 * acc[2]])
+          END AS st
+        FROM g)
+      SELECT k AS user_id, n,
+        CASE WHEN n = 1 THEN round(vs[1], 6)
+          ELSE round(st[1], 6) END AS level,
+        round(st[2], 6) AS trend,
+        round(st[1] + 3.0e0 * st[2], 6) AS forecast
+      FROM f ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3763,5 +3806,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

@@ -296,6 +296,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val oz = graft.operators.TimeJoins
       .rollingZScore(evDf, "user_id", "ts", "value", "event_id")
     assert(bz.exceptAll(oz).isEmpty && oz.exceptAll(bz).isEmpty)
+    val bh = ev.holtSmooth("user_id", "ts", "value", "event_id").run()
+    val oh = graft.operators.TimeJoins
+      .holtSmooth(evDf, "user_id", "ts", "value", "event_id")
+    assert(bh.exceptAll(oh).isEmpty && oh.exceptAll(bh).isEmpty)
     val series = ev.projExprs(
         ("user_id", col("user_id")),
         ("hr", expr("unix_micros(date_trunc('hour', ts)) div 3600000000")))

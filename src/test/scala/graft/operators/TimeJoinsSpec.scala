@@ -101,6 +101,42 @@ class TimeJoinsSpec extends AnyFunSuite {
       4L -> 10.0))
   }
 
+  test("holtSmooth: perfect line invariant, hand noisy case, 1-obs NULLs") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // perfect line slope 2 under alpha=beta=0.5: level tracks exactly,
+    // trend stays 2, forecast extrapolates l + h·b
+    val line = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 01:00:00"), 12.0, 2L),
+      (1L, ts("2024-01-01 02:00:00"), 14.0, 3L),
+      (1L, ts("2024-01-01 03:00:00"), 16.0, 4L),
+      // noisy key: l=[10,12,12.5], b=[2,2,1.25] → forecast 13.75
+      (2L, ts("2024-01-01 00:00:00"), 10.0, 5L),
+      (2L, ts("2024-01-01 01:00:00"), 12.0, 6L),
+      (2L, ts("2024-01-01 02:00:00"), 11.0, 7L),
+      // single observation: trend/forecast honestly NULL
+      (3L, ts("2024-01-01 00:00:00"), 7.0, 8L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = TimeJoins.holtSmooth(line, "user_id", "ts", "value",
+        "event_id", alpha = 0.5, beta = 0.5, horizon = 2)
+      .select("user_id", "n", "level", "trend", "forecast")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, Some(16.0), Some(2.0), Some(20.0))))
+    assert(got(2L) == ((3L, Some(12.5), Some(1.25), Some(15.0))))
+    assert(got(3L) == ((1L, Some(7.0), None, None)))
+    // the fold respects (ts, tie) order, not input order
+    val shuffled = Seq(
+      (9L, ts("2024-01-01 02:00:00"), 11.0, 3L),
+      (9L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (9L, ts("2024-01-01 01:00:00"), 12.0, 2L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val s = TimeJoins.holtSmooth(shuffled, "user_id", "ts", "value",
+        "event_id", alpha = 0.5, beta = 0.5, horizon = 2)
+      .select("level", "trend").as[(Double, Double)].head()
+    assert(s == ((12.5, 1.25)))
+  }
+
   test("ohlcBars: first/last by (ts, tie), hi/lo/count per bucket") {
     val obs = Seq(
       // one bucket, same-second ties broken by event_id
