@@ -459,6 +459,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
 
+  test("streaming Holt: final and cut-prefix emissions EQUAL batch holtSmooth bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .dropDuplicates("k", "t")
+    val rows = obs.as[(Long, Long, Double)].collect().sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def batchHolt(data: Seq[(Long, Long, Double)]) =
+      graft.operators.TimeJoins
+        .holtSmooth(data.toDF("k", "t", "v"), "k", "t", "v", "t",
+          alpha = 0.25, beta = 0.125, horizon = 3)
+        .select(col("k"), col("n"), col("level"), col("trend"),
+          col("forecast"))
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = StreamHolt.smooth(mem.toDF().toDF("k", "t", "v"),
+        alpha = 0.25, beta = 0.125, horizon = 3)
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      val atCut = latestPerKey()
+      assert(atCut == batchHolt(first.toIndexedSeq),
+        s"cut-prefix mismatch: ${atCut.take(2)}")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      val fin = latestPerKey()
+      assert(fin == batchHolt(rows.toIndexedSeq),
+        s"final mismatch: ${fin.take(2)}")
+      assert(fin.valuesIterator.exists(_._3.isDefined),
+        "at least one key carries a real trend")
+    } finally q.stop()
+
+    def latestPerKey() = spark.table("holt_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("n").desc, col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("n"), col("level"), col("trend"),
+        col("forecast"))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
