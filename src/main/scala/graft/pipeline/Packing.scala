@@ -271,6 +271,65 @@ object Packing {
     * rank), not ε-probabilistic. Hash ties break by id: a total order,
     * reproducible by any engine.
     * id < 2^31 × 2971215073 < 2^63: ANSI-overflow-free. */
+  /** Stratified EXACT train/val/test split (SURVEY.md §2 P31) — the
+    * proportion-guaranteed sibling of [[withSplit]]: the hash-percent
+    * split is only exact in expectation (a 100-doc rare language can
+    * land 71/29 instead of 80/20), this one gives every group EXACTLY
+    * ⌊n_g·cum_i/100⌋ − ⌊n_g·cum_{i−1}/100⌋ rows per slice — the
+    * guarantee an eval set over low-resource strata needs. Membership
+    * is decided by each row's EXACT rank under an independent Knuth
+    * hash (multiplier 3267000013, ⟂ every other multiplier in the
+    * repo), so the split is deterministic, engine-replayable, and
+    * uncorrelated with [[withSplit]]'s buckets.
+    *
+    * Scale: the exact per-group rank uses the [[quotaSample]]
+    * two-phase scheme applied to ALL buckets — a (group, key-bucket)
+    * histogram (≤ groups×nBuckets rows) broadcasts its cumulative
+    * offsets, and in-bucket row_numbers run over ~n/nBuckets-row
+    * frames partitioned by (group, bucket) — a full-corpus exact rank
+    * with NO global window and NO low-cardinality-key window. Group
+    * sizes ride as a broadcast |groups|-row frame. */
+  def stratifiedSplit(docs: DataFrame,
+      weights: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      groupCol: String = "source", idCol: String = "doc_id",
+      nBuckets: Int = 1024): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100 &&
+      weights.forall(_._2 > 0),
+      "weights must be positive percents summing to exactly 100")
+    require(nBuckets > 0 && 4294967296L % nBuckets == 0,
+      "nBuckets must be a power of two dividing 2^32")
+    val bucketWidth = 4294967296L / nBuckets
+    val keyed = docs
+      .withColumn("s_key",
+        pmod(col(idCol).cast("long") * lit(3267000013L),
+          lit(4294967296L)))
+      .withColumn("s_bucket", expr(s"s_key div $bucketWidth"))
+    val hist = keyed.groupBy(col(groupCol), col("s_bucket"))
+      .agg(count(lit(1)).as("s_bcount"))
+      .withColumn("s_cum_before", coalesce(
+        sum(col("s_bcount")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("s_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("s_bucket"), col("s_cum_before"))
+    val ng = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_ng"))
+    val wb = Window.partitionBy(col(groupCol), col("s_bucket"))
+      .orderBy(col("s_key"), col(idCol))
+    val ranked = keyed.join(broadcast(hist), Seq(groupCol, "s_bucket"))
+      .withColumn("strat_rank",
+        col("s_cum_before") + row_number().over(wb).cast("long"))
+      .join(broadcast(ng), Seq(groupCol))
+    // rank ≤ ⌊n_g·cum/100⌋ boundaries — exact integer arithmetic
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val label = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), hi), rest) =>
+        when(col("strat_rank") <= expr(s"(_ng * $hi) div 100"), name)
+          .otherwise(rest)
+    }
+    ranked.withColumn("split", label)
+      .drop("s_key", "s_bucket", "s_cum_before", "_ng")
+  }
+
   def quotaSample(docs: DataFrame, nPerGroup: Int,
       groupCol: String = "source", idCol: String = "doc_id",
       nBuckets: Int = 1024): DataFrame = {

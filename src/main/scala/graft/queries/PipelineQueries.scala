@@ -1478,6 +1478,33 @@ object PipelineQueries {
           THEN 'val' ELSE 'test' END AS split
       FROM documents ORDER BY doc_id"""))
 
+  // P31 (r10): stratified EXACT split — every source gets exactly
+  // ⌊n_g·cum/100⌋ boundary-allocated rows per slice under the
+  // independent 3267000013 Knuth rank. The oracle computes the same
+  // rank with one global window (fine at oracle scale) and the same
+  // integer boundaries — a hash match proves the bucketed two-phase
+  // rank equals the global rank row-for-row.
+  private val splitStrat = Q(
+    "split_stratified",
+    (s, d) =>
+      Packing.stratifiedSplit(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("source"), col("strat_rank"),
+          col("split"))
+        .orderBy(col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, source,
+          (CAST(doc_id AS BIGINT) * 3267000013) % 4294967296 AS sk
+        FROM documents),
+      rk AS (SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY sk,
+            doc_id) AS BIGINT) AS strat_rank,
+          count(*) OVER (PARTITION BY source) AS ng
+        FROM r)
+      SELECT doc_id, source, strat_rank,
+        CASE WHEN strat_rank <= (ng * 80) // 100 THEN 'train'
+          WHEN strat_rank <= (ng * 90) // 100 THEN 'val'
+          ELSE 'test' END AS split
+      FROM rk ORDER BY doc_id"""))
+
   // P14: eval-set decontamination — benchmark = every 97th doc; flag
   // corpus docs sharing any 5-gram shingle with it. Oracle mirrors the
   // shingling (same CASE for short docs) and the overlap count.
@@ -3131,7 +3158,7 @@ object PipelineQueries {
     annTopk, annHardNeg, annLsh, annIvf, annPq, annIvfPq, annRecall,
     annIvfStored, annIvfPqStored, annIvfIncr, erMatch,
     packSequences,
-    splitTrain,
+    splitTrain, splitStrat,
     textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,
     mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,

@@ -231,6 +231,39 @@ class PackingSpec extends AnyFunSuite {
     assert(sharded.select("doc_id").distinct().count() == docs.count())
   }
 
+  test("stratifiedSplit: exact per-group proportions, determinism, bucket invariance") {
+    // group sizes 10 and 7 under 80/10/10: 10 → 8/1/1;
+    // 7 → boundaries ⌊5.6⌋=5, ⌊6.3⌋=6, 7 → 5/1/1 — EXACT, where the
+    // hash split can only promise this in expectation
+    val rows = (1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 17).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val got = Packing.stratifiedSplit(df)
+      .groupBy("source", "split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("big", "train") -> 8L, ("big", "val") -> 1L,
+      ("big", "test") -> 1L, ("small", "train") -> 5L,
+      ("small", "val") -> 1L, ("small", "test") -> 1L))
+    // deterministic across runs and invariant to the bucket count
+    val a = Packing.stratifiedSplit(df).orderBy("doc_id")
+      .select("doc_id", "strat_rank", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    val b = Packing.stratifiedSplit(df, nBuckets = 1).orderBy("doc_id")
+      .select("doc_id", "strat_rank", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(a == b)
+    // ranks are a permutation of 1..n_g within each group
+    val ranks = Packing.stratifiedSplit(df)
+      .filter(col("source") === "big").select("strat_rank")
+      .as[Long].collect().sorted.toSeq
+    assert(ranks == (1L to 10L))
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      Packing.stratifiedSplit(df, weights = Seq("train" -> 80))
+    }
+  }
+
   test("quotaSample: exact per-group quotas, deterministic, hash-shuffled order") {
     val q = Packing.quotaSample(docs, nPerGroup = 10)
     // every group keeps exactly min(10, |group|)
