@@ -320,6 +320,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.cohensKappa(tbl(a(0)), a(1), a(2))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_cochran"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_cochran"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_cochran(view, block_col, treatment_col, val_col)")
+        val a = args.map(strLit(_, "graft_cochran"))
+        Stats.cochranQ(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_friedman"),
       new ExpressionInfo(Stats.getClass.getName, "graft_friedman"),
       (args: Seq[Expression]) => {

@@ -411,6 +411,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.TimeJoins.holtSmooth(df, keyCol,
       tsCol, valCol, tieCol, alpha, beta, horizon))
 
+  /** Cochran's Q over binary complete blocks — see
+    * [[graft.operators.Stats.cochranQ]] (r10). */
+  def cochranQ(blockCol: String, treatmentCol: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.cochranQ(df, blockCol,
+      treatmentCol, valCol))
+
   /** Friedman complete-block rank test — see
     * [[graft.operators.Stats.friedman]] (r10). */
   def friedman(blockCol: String, treatmentCol: String,

@@ -363,6 +363,69 @@ object Stats extends org.apache.spark.internal.Logging {
     res
   }
 
+  /** Cochran's Q test over a complete block design of BINARY outcomes
+    * (SURVEY.md §2 R67) — the k-treatment extension of [[mcnemar]] and
+    * the binary sibling of [[friedman]]: every block (user, document,
+    * item) saw all k treatments (rule variants, model versions), each
+    * outcome is pass/fail, and the test asks whether pass rates differ
+    * across treatments. Blocks missing a treatment or holding
+    * duplicates DROP into `n_dropped` (the [[friedman]] contract). One
+    * row: (n_blocks, n_dropped, k_treatments, q_stat, dof). An outcome
+    * is "pass" when `valCol` > 0.
+    *
+    * Exactness: Q clears every fraction —
+    * (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) with C_j the per-treatment
+    * and R_i the per-block pass counts — so BOTH sides are exact
+    * DECIMAL(38,0) integers and Q is ONE IEEE division rounded 6dp
+    * (the [[cohensKappa]] discipline). Zero denominator (no
+    * within-block variation anywhere) is honestly NULL.
+    *
+    * Scale: one (block, treatment) shuffle for validity, then two
+    * partial-agg'd passes (per-block and per-treatment counts); the
+    * treatment side is k rows, the block side aggregates away. */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).as("b"), col(treatmentCol).as("g"),
+        when(col(valCol).cast("double") > 0, 1L).otherwise(0L).as("x"))
+      .localCheckpoint()
+    val kTot = obs.agg(countDistinct(col("g")).as("_k"))
+    val perB = obs.groupBy(col("b"))
+      .agg(count(lit(1)).as("_nb"), countDistinct(col("g")).as("_db"),
+        sum(col("x")).as("_r"))
+      .crossJoin(broadcast(kTot))
+    val okB = col("_nb") === col("_k") && col("_db") === col("_k")
+    val blocks = perB.filter(okB)
+    val dropped = perB.filter(!okB)
+      .agg(count(lit(1)).as("n_dropped"))
+    val bAgg = blocks.agg(count(lit(1)).as("n_blocks"),
+      coalesce(sum(col("_r")), lit(0L)).as("_n"),
+      coalesce(sum((col("_r").cast(dec) * col("_r")).cast(dec)),
+        lit(0).cast(dec)).as("_rr"))
+    val gAgg = obs.join(blocks.select(col("b")), Seq("b"), "left_semi")
+      .groupBy(col("g")).agg(sum(col("x")).as("_c"))
+      .agg(coalesce(sum((col("_c").cast(dec) * col("_c")).cast(dec)),
+        lit(0).cast(dec)).as("_cc"))
+    val out = bAgg.crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(kTot)).crossJoin(broadcast(gAgg))
+    val k = col("_k").cast(dec)
+    val n = col("_n").cast(dec)
+    val num = ((k - 1) * (k * col("_cc") - n * n)).cast(dec)
+    val den = (k * n - col("_rr")).cast(dec)
+    val res = out.select(col("n_blocks"), col("n_dropped"),
+      col("_k").as("k_treatments"),
+      when(col("_k") >= 2 && col("n_blocks") > 0 &&
+        den =!= lit(0).cast(dec),
+        round(num.cast("double") / den.cast("double"), 6)).as("q_stat"),
+      when(col("_k") >= 1, (col("_k") - 1).cast("long")).as("dof"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(obs)
+    res
+  }
+
   /** Lorenz/Gini concentration index of `valCol` per key (SURVEY.md §2
     * R64) — the inequality readout of a corpus: "how concentrated is
     * token volume across documents / sources / shards" (0 = perfectly

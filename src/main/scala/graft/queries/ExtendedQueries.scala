@@ -3799,6 +3799,50 @@ object ExtendedQueries {
         round(st[1] + 3.0e0 * st[2], 6) AS forecast
       FROM f ORDER BY user_id"""))
 
+  // Cochran's Q (R67, Stats.cochranQ): per-user binary outcome "had a
+  // high-value event of this type" across all five types. Q clears
+  // every fraction to exact HUGEINT integers — one division, 6dp.
+  private val q127 = Q(
+    "q127_cochran",
+    (s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id") % 11 === 0 && col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(when(max(col("value")) > 30, 1L).otherwise(0L).as("x"))
+      graft.operators.Stats.cochranQ(obs, "user_id", "event_type", "x")
+    },
+    Some("""WITH raw AS (SELECT user_id AS b, event_type AS g,
+          CASE WHEN max(value) > 30 THEN 1 ELSE 0 END AS x
+        FROM events
+        WHERE user_id % 11 = 0 AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      kk AS (SELECT count(DISTINCT g) AS k FROM raw),
+      pb AS (SELECT b, count(*) AS nb, count(DISTINCT g) AS db,
+          sum(x) AS r
+        FROM raw GROUP BY 1),
+      vb AS (SELECT b, r FROM pb CROSS JOIN kk
+        WHERE nb = kk.k AND db = kk.k),
+      dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        FROM pb CROSS JOIN kk WHERE NOT (nb = kk.k AND db = kk.k)),
+      ba AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+          coalesce(sum(r), 0) AS n,
+          coalesce(sum(CAST(r AS HUGEINT) * r), 0) AS rr
+        FROM vb),
+      ga AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c), 0) AS cc
+        FROM (SELECT g, sum(x) AS c FROM raw
+          WHERE b IN (SELECT b FROM vb) GROUP BY 1))
+      SELECT n_blocks, n_dropped, CAST(kk.k AS BIGINT) AS k_treatments,
+        CASE WHEN kk.k >= 2 AND n_blocks > 0
+            AND CAST(kk.k AS HUGEINT) * n - rr <> 0 THEN
+          round(CAST((CAST(kk.k AS HUGEINT) - 1)
+              * (CAST(kk.k AS HUGEINT) * cc
+                - CAST(n AS HUGEINT) * n) AS DOUBLE)
+            / CAST(CAST(kk.k AS HUGEINT) * n - rr AS DOUBLE), 6) END
+          AS q_stat,
+        CASE WHEN kk.k >= 1 THEN CAST(kk.k - 1 AS BIGINT) END AS dof
+      FROM ba CROSS JOIN dr CROSS JOIN kk CROSS JOIN ga"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3806,5 +3850,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }

@@ -258,6 +258,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     same("SELECT * FROM graft_friedman('events', 'user_id', 'event_type', 'value')",
       graft.operators.Stats.friedman(ev, "user_id", "event_type",
         "value"))
+    same("SELECT * FROM graft_cochran('events', 'user_id', 'event_type', 'value')",
+      graft.operators.Stats.cochranQ(ev, "user_id", "event_type",
+        "value"))
   }
 
   test("r10-continuation table functions reject malformed arguments") {

@@ -398,6 +398,10 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bcq = ev.cochranQ("user_id", "event_type", "value").run()
+    val ocq = graft.operators.Stats.cochranQ(ev.run(), "user_id",
+      "event_type", "value")
+    assert(bcq.collect().toSeq == ocq.collect().toSeq)
     val bfr = ev.friedman("user_id", "event_type", "value").run()
     val ofr = graft.operators.Stats.friedman(ev.run(), "user_id",
       "event_type", "value")
@@ -411,20 +415,24 @@ class QueryBuilderSpec extends AnyFunSuite {
       .bhFdr("event_id", "value", alpha = 0.5).run()
     val ofd = graft.operators.Stats.bhFdr(
       ev.proj("event_id", "value").run(), "event_id", "value", 0.5)
-    assert(bfd.collect().toSeq == ofd.collect().toSeq)
+    assert(bfd.collect().toSeq.sortBy(_.getLong(0)) ==
+      ofd.collect().toSeq.sortBy(_.getLong(0)))
     val bap = ev.averagePrecision("event_type", "event_id", "value",
       "user_id").run()
     val oap = graft.operators.Stats.averagePrecision(ev.run(),
       "event_type", "event_id", "value", "user_id")
-    assert(bap.collect().toSeq == oap.collect().toSeq)
+    assert(bap.collect().toSeq.sortBy(_.getString(0)) ==
+      oap.collect().toSeq.sortBy(_.getString(0)))
     val bcal = ev.calibration("event_type", "user_id", "value").run()
     val ocal = graft.operators.Stats.calibration(ev.run(), "event_type",
       "user_id", "value")
-    assert(bcal.collect().toSeq == ocal.collect().toSeq)
+    assert(bcal.collect().toSeq.sortBy(_.getString(0)) ==
+      ocal.collect().toSeq.sortBy(_.getString(0)))
     val brb = ev.reliabilityBins("event_type", "user_id", "value").run()
     val orb = graft.operators.Stats.reliabilityBins(ev.run(),
       "event_type", "user_id", "value")
-    assert(brb.collect().toSeq == orb.collect().toSeq)
+    assert(brb.collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1))) ==
+      orb.collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1))))
     val bck = ev.cohensKappa("event_type", "props").run()
     val ock = graft.operators.Stats.cohensKappa(ev.run(), "event_type",
       "props")

@@ -755,6 +755,30 @@ class StatsSpec extends AnyFunSuite {
     assert(o == ((2L, 0L, 1L, None, Some(0L))))
   }
 
+  test("cochranQ: textbook 4.666667, drops, no-variation NULL") {
+    // blocks × treatments (A,B,C): C=(3,4,1), R=(2,2,1,3), N=8
+    // Q = 2·(3·26 − 64)/(24 − 18) = 28/6 = 4.666667
+    val base = Seq(
+      (1, "A", 1), (1, "B", 1), (1, "C", 0),
+      (2, "A", 1), (2, "B", 1), (2, "C", 0),
+      (3, "A", 0), (3, "B", 1), (3, "C", 0),
+      (4, "A", 1), (4, "B", 1), (4, "C", 1))
+    val r = Stats.cochranQ(base.toDF("b", "g", "x"), "b", "g", "x")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(r == ((4L, 0L, 3L, Some(4.666667), Some(2L))))
+    // incomplete + duplicated blocks drop, the rest still scores
+    val mixed = base ++ Seq((5, "A", 1)) ++
+      Seq((6, "A", 1), (6, "A", 0), (6, "B", 1), (6, "C", 0))
+    val m = Stats.cochranQ(mixed.toDF("b", "g", "x"), "b", "g", "x")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(m == ((4L, 2L, 3L, Some(4.666667), Some(2L))))
+    // every block uniform (all-pass or all-fail): denominator 0 → NULL
+    val flat = Seq((1, "A", 1), (1, "B", 1), (2, "A", 0), (2, "B", 0))
+    val f = Stats.cochranQ(flat.toDF("b", "g", "x"), "b", "g", "x")
+      .as[(Long, Long, Long, Option[Double], Option[Long])].head()
+    assert(f == ((2L, 0L, 2L, None, Some(1L))))
+  }
+
   test("giniConcentration: even=0, maximal=(n-1)/n, hand 0.25, guards") {
     val df = (Seq.fill(4)(("e", 5.0)) ++
       Seq(("m", 0.0), ("m", 0.0), ("m", 0.0), ("m", 10.0)) ++
