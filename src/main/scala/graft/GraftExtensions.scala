@@ -320,6 +320,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.cohensKappa(tbl(a(0)), a(1), a(2))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_cramer"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_cramer"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_cramer(view, a_col, b_col)")
+        val a = args.map(strLit(_, "graft_cramer"))
+        Stats.cramersV(tbl(a(0)), a(1), a(2)).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_cronbach"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_cronbach"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_cronbach(view, block_col, item_col, val_col)")
+        val a = args.map(strLit(_, "graft_cronbach"))
+        Stats.cronbachAlpha(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_cochran"),
       new ExpressionInfo(Stats.getClass.getName, "graft_cochran"),
       (args: Seq[Expression]) => {

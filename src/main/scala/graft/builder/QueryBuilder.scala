@@ -411,6 +411,18 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.TimeJoins.holtSmooth(df, keyCol,
       tsCol, valCol, tieCol, alpha, beta, horizon))
 
+  /** Cramér's V contingency effect size — see
+    * [[graft.operators.Stats.cramersV]] (r10). */
+  def cramersV(aCol: String, bCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.cramersV(df, aCol, bCol))
+
+  /** Cronbach's alpha internal consistency — see
+    * [[graft.operators.Stats.cronbachAlpha]] (r10). */
+  def cronbachAlpha(blockCol: String, itemCol: String,
+      valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.cronbachAlpha(df, blockCol,
+      itemCol, valCol))
+
   /** Cochran's Q over binary complete blocks — see
     * [[graft.operators.Stats.cochranQ]] (r10). */
   def cochranQ(blockCol: String, treatmentCol: String,

@@ -363,6 +363,128 @@ object Stats extends org.apache.spark.internal.Logging {
     res
   }
 
+  /** Cramér's V effect size for a contingency table (SURVEY.md §2
+    * R68) — the MAGNITUDE companion of [[chiSquare]]: χ² says whether
+    * dependence exists (and grows with n even for trivial effects), V
+    * = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] says how STRONG it is —
+    * comparable across tables and sample sizes, the number a feature-
+    * relevance ranking actually sorts by. One row:
+    * (n_total, n_a, n_b, chi2, dof, cramers_v); V honestly NULL when
+    * either column is single-category (min−1 = 0) or the table is
+    * empty.
+    *
+    * Exactness: chi2/dof come from [[chiSquare]]'s OWN frame (one
+    * implementation — its 12dp-term/6dp ladder is already
+    * oracle-proven); V is ONE IEEE expression (sqrt of a ratio of
+    * agreed operands) rounded 6dp.
+    *
+    * Scale: [[chiSquare]]'s cell-grid cost plus one |A|·|B|-row
+    * aggregate — nothing beyond the grid rule. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val tot = cells.agg(
+      coalesce(sum(col("observed")), lit(0L)).as("n_total"),
+      countDistinct(col(aCol)).as("n_a"),
+      countDistinct(col(bCol)).as("n_b"))
+    val stat = chiSquare(df, aCol, bCol)
+      .select(col("chi2"), col("dof")).limit(1)
+    val minDim = least(col("n_a"), col("n_b"))
+    tot.crossJoin(broadcast(stat))
+      .select(col("n_total"), col("n_a"), col("n_b"), col("chi2"),
+        col("dof"),
+        when(col("n_total") > 0 && minDim >= 2,
+          round(sqrt(col("chi2") /
+            (col("n_total").cast("double") * (minDim - 1))), 6))
+          .as("cramers_v"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient (SURVEY.md §2
+    * R69) — the scale-reliability readout of the agreement family:
+    * [[cohensKappa]] asks whether two raters agree, alpha asks
+    * whether k ITEMS (rubric questions, quality sub-scores, ensemble
+    * members) measure the same construct — the gate before averaging
+    * them into one score. Complete blocks only (a block = one subject
+    * scored on all k items; incomplete/duplicated blocks DROP into
+    * `n_dropped`, the [[friedman]] contract). One row: (n_blocks,
+    * n_dropped, k_items, alpha) with
+    * α = k/(k−1)·(1 − Σ_j var_j / var_total), var over blocks
+    * (sample, n−1), var_total over per-block sums.
+    *
+    * Exactness: values round 6dp and ride as SCALE-0 v·1e6 integers
+    * (the [[anovaF]] trick); per-item and per-block-total moments are
+    * exact DECIMAL(38,0); each variance numerator n·Σx²−(Σx)² is
+    * UNROUNDED IEEE on those integers, the item sum folds in item
+    * order (k structs); alpha is one ladder rounded 6dp — honest NULL
+    * under k<2, n<2, or zero total variance.
+    *
+    * Scale: one (block, item) validity shuffle, one partial-agg'd
+    * item-moment pass (k rows), one per-block total pass that
+    * aggregates away. */
+  def cronbachAlpha(df: DataFrame, blockCol: String, itemCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v6i = (round(col(valCol).cast("double"), 6)
+      .cast("decimal(18,6)") * 1000000).cast(dec)
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(itemCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).as("b"), col(itemCol).as("g"),
+        v6i.as("x"))
+      .localCheckpoint()
+    val kTot = obs.agg(countDistinct(col("g")).as("_k"))
+    val perB = obs.groupBy(col("b"))
+      .agg(count(lit(1)).as("_nb"), countDistinct(col("g")).as("_db"),
+        sum(col("x")).cast(dec).as("_t"))
+      .crossJoin(broadcast(kTot))
+    val okB = col("_nb") === col("_k") && col("_db") === col("_k")
+    val blocks = perB.filter(okB).select(col("b"), col("_t"))
+      .localCheckpoint()
+    val dropped = perB.filter(!okB)
+      .agg(count(lit(1)).as("n_dropped"))
+    val nB = blocks.agg(count(lit(1)).as("n_blocks"),
+      coalesce(sum(col("_t")), lit(0).cast(dec)).as("_ts"),
+      coalesce(sum((col("_t") * col("_t")).cast(dec)),
+        lit(0).cast(dec)).as("_tq"))
+    // per-item moments over valid blocks — variance numerators stay
+    // unrounded IEEE on exact integers, summed by the item-order fold
+    val items = obs.join(blocks.select(col("b")), Seq("b"), "left_semi")
+      .groupBy(col("g"))
+      .agg(sum(col("x")).cast(dec).as("_s"),
+        sum((col("x") * col("x")).cast(dec)).cast(dec).as("_q"))
+    val itemSums = items
+      .select(struct(col("g").as("g"),
+        col("_s").cast("double").as("s"),
+        col("_q").cast("double").as("q")).as("gt"))
+      .agg(
+        aggregate(sort_array(collect_list(col("gt"))), lit(0.0),
+          (acc, x) => acc + x.getField("q") * 1.0e-12).as("_sumq"),
+        aggregate(sort_array(collect_list(col("gt"))), lit(0.0),
+          (acc, x) => acc + (x.getField("s") * 1.0e-6) *
+            (x.getField("s") * 1.0e-6)).as("_sumss"))
+    val res0 = nB.crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(kTot)).crossJoin(broadcast(itemSums))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("_k").cast("double")
+    // Σ_j var_j = (n·Σ_jΣx² − Σ_j(Σx)²)/(n(n−1)) at the 1e-6 value
+    // grain; var_total from the per-block totals at the same grain
+    val sumVar = (nD * col("_sumq") - col("_sumss")) / (nD * (nD - 1.0))
+    val varTot = (nD * (col("_tq").cast("double") * 1.0e-12) -
+      (col("_ts").cast("double") * 1.0e-6) *
+        (col("_ts").cast("double") * 1.0e-6)) / (nD * (nD - 1.0))
+    val ok = col("_k") >= 2 && col("n_blocks") >= 2 && varTot > 0
+    val res = res0.select(col("n_blocks"), col("n_dropped"),
+      col("_k").as("k_items"),
+      when(ok, round(kD / (kD - 1.0) * (lit(1.0) - sumVar / varTot), 6))
+        .as("alpha"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(obs)
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(blocks)
+    res
+  }
+
   /** Cochran's Q test over a complete block design of BINARY outcomes
     * (SURVEY.md §2 R67) — the k-treatment extension of [[mcnemar]] and
     * the binary sibling of [[friedman]]: every block (user, document,

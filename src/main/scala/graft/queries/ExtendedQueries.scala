@@ -3843,6 +3843,109 @@ object ExtendedQueries {
         CASE WHEN kk.k >= 1 THEN CAST(kk.k - 1 AS BIGINT) END AS dof
       FROM ba CROSS JOIN dr CROSS JOIN kk CROSS JOIN ga"""))
 
+  // Cramér's V (R68, Stats.cramersV): effect-size summary of the
+  // returnflag × ship-month contingency — chi2/dof replayed exactly as
+  // in q72's ladder, V one sqrt expression on the agreed operands.
+  private val q128 = Q(
+    "q128_cramer",
+    (s, d) =>
+      graft.operators.Stats
+        .cramersV(t(s, d, "lineitem")
+          .withColumn("ship_month", month(col("l_shipdate"))),
+          "l_returnflag", "ship_month"),
+    Some("""WITH cells AS (
+        SELECT l_returnflag AS a, month(l_shipdate) AS b,
+          count(*) AS observed
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS row_tot
+        FROM cells GROUP BY 1),
+      ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS col_tot
+        FROM cells GROUP BY 1),
+      g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total,
+          count(DISTINCT a) AS na, count(DISTINCT b) AS nb
+        FROM cells),
+      e AS (SELECT rt.a, ct.b, coalesce(c.observed, 0) AS observed,
+          round(CAST(rt.row_tot AS DOUBLE) * ct.col_tot / g.n_total, 6)
+            AS expected
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b, g),
+      tt AS (SELECT round(pow(observed - expected, 2) / expected, 12)
+          AS term FROM e),
+      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+          AS DOUBLE), 6) AS chi2 FROM tt)
+      SELECT g.n_total, CAST(g.na AS BIGINT) AS n_a,
+        CAST(g.nb AS BIGINT) AS n_b, st.chi2,
+        CAST((g.na - 1) * (g.nb - 1) AS BIGINT) AS dof,
+        CASE WHEN g.n_total > 0 AND least(g.na, g.nb) >= 2 THEN
+          round(sqrt(st.chi2 / (CAST(g.n_total AS DOUBLE)
+            * (least(g.na, g.nb) - 1))), 6) END AS cramers_v
+      FROM g CROSS JOIN st"""))
+
+  // Cronbach's alpha (R69, Stats.cronbachAlpha): are the five
+  // per-user event-type value totals measuring one "activity"
+  // construct? Exact 1e6-scale integer moments, ordered item folds,
+  // one IEEE ladder — all replayed.
+  private val q129 = Q(
+    "q129_cronbach",
+    (s, d) => {
+      val obs = t(s, d, "events")
+        .filter(col("user_id") % 11 === 0 && col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      graft.operators.Stats
+        .cronbachAlpha(obs, "user_id", "event_type", "v")
+    },
+    Some("""WITH raw AS (SELECT user_id AS b, event_type AS g,
+          CAST(CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+            AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x
+        FROM events
+        WHERE user_id % 11 = 0 AND value IS NOT NULL
+          AND user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      kk AS (SELECT count(DISTINCT g) AS k FROM raw),
+      pb AS (SELECT b, count(*) AS nb, count(DISTINCT g) AS db,
+          sum(x) AS t
+        FROM raw GROUP BY 1),
+      vb AS (SELECT b, t FROM pb CROSS JOIN kk
+        WHERE nb = kk.k AND db = kk.k),
+      dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        FROM pb CROSS JOIN kk WHERE NOT (nb = kk.k AND db = kk.k)),
+      nb2 AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+          coalesce(sum(t), 0) AS ts,
+          coalesce(sum(t * t), 0) AS tq
+        FROM vb),
+      it AS (SELECT g, sum(x) AS s, sum(x * x) AS q FROM raw
+        WHERE b IN (SELECT b FROM vb) GROUP BY 1),
+      isum AS (SELECT
+          coalesce(list_reduce(list(CAST(q AS DOUBLE) * 1.0e-12
+            ORDER BY g), (a, b) -> a + b), 0.0e0) AS sumq,
+          coalesce(list_reduce(list((CAST(s AS DOUBLE) * 1.0e-6)
+              * (CAST(s AS DOUBLE) * 1.0e-6) ORDER BY g),
+            (a, b) -> a + b), 0.0e0) AS sumss
+        FROM it)
+      SELECT n_blocks, n_dropped, CAST(kk.k AS BIGINT) AS k_items,
+        CASE WHEN kk.k >= 2 AND n_blocks >= 2
+            AND (CAST(n_blocks AS DOUBLE)
+                * (CAST(tq AS DOUBLE) * 1.0e-12)
+              - (CAST(ts AS DOUBLE) * 1.0e-6)
+                * (CAST(ts AS DOUBLE) * 1.0e-6))
+              / (CAST(n_blocks AS DOUBLE)
+                * (CAST(n_blocks AS DOUBLE) - 1.0)) > 0 THEN
+          round(CAST(kk.k AS DOUBLE) / (CAST(kk.k AS DOUBLE) - 1.0)
+            * (1.0 - ((CAST(n_blocks AS DOUBLE) * sumq - sumss)
+                / (CAST(n_blocks AS DOUBLE)
+                  * (CAST(n_blocks AS DOUBLE) - 1.0)))
+              / ((CAST(n_blocks AS DOUBLE)
+                  * (CAST(tq AS DOUBLE) * 1.0e-12)
+                - (CAST(ts AS DOUBLE) * 1.0e-6)
+                  * (CAST(ts AS DOUBLE) * 1.0e-6))
+                / (CAST(n_blocks AS DOUBLE)
+                  * (CAST(n_blocks AS DOUBLE) - 1.0)))), 6) END
+          AS alpha
+      FROM nb2 CROSS JOIN dr CROSS JOIN kk CROSS JOIN isum"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3850,5 +3953,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

@@ -494,7 +494,11 @@ class CsvSourceSpec extends AnyFunSuite {
       "q78_spearman" ->
         "bucket-offset cum-sum over the ≤nBuckets(=1024)+2 coarse-bucket aggregate (Stats.rankMap ×2)",
       "q81_kendall" ->
-        "cum-sum over the distinct-x-axis aggregate of the dominance grid (Stats.kendallTau — the A14 bounded-grid contract: |X|=50 quantities here; an unbounded axis must be width_bucket-discretized first, as q81's y axis is)")
+        "cum-sum over the distinct-x-axis aggregate of the dominance grid (Stats.kendallTau — the A14 bounded-grid contract: |X|=50 quantities here; an unbounded axis must be width_bucket-discretized first, as q81's y axis is)",
+      "q118_wilcoxon" ->
+        "bucket-offset cum-sum over the ≤nBuckets(=1024) |d|-histogram aggregate (Stats.wilcoxonSignedRank — the q76/q77 rankedHistogram shape)",
+      "q123_bh_fdr" ->
+        "rank + reverse running-min over ONE ROW PER HYPOTHESIS — experiment-design-bounded (hundreds to thousands of tests), never corpus-bounded; NULL p's are excluded before the window (Stats.bhFdr, R63)")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     var found = 0
     def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {

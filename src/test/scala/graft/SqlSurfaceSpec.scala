@@ -261,6 +261,12 @@ class SqlSurfaceSpec extends AnyFunSuite {
     same("SELECT * FROM graft_cochran('events', 'user_id', 'event_type', 'value')",
       graft.operators.Stats.cochranQ(ev, "user_id", "event_type",
         "value"))
+    same("SELECT * FROM graft_cramer('sqs_chi', 'event_type', 'band')",
+      graft.operators.Stats.cramersV(spark.table("sqs_chi"),
+        "event_type", "band"))
+    same("SELECT * FROM graft_cronbach('events', 'user_id', 'event_type', 'value')",
+      graft.operators.Stats.cronbachAlpha(ev, "user_id", "event_type",
+        "value"))
   }
 
   test("r10-continuation table functions reject malformed arguments") {

@@ -398,6 +398,14 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bcv = ev.cramersV("event_type", "props").run()
+    val ocv = graft.operators.Stats.cramersV(ev.run(), "event_type",
+      "props")
+    assert(bcv.collect().toSeq == ocv.collect().toSeq)
+    val bca = ev.cronbachAlpha("user_id", "event_type", "value").run()
+    val oca = graft.operators.Stats.cronbachAlpha(ev.run(), "user_id",
+      "event_type", "value")
+    assert(bca.collect().toSeq == oca.collect().toSeq)
     val bcq = ev.cochranQ("user_id", "event_type", "value").run()
     val ocq = graft.operators.Stats.cochranQ(ev.run(), "user_id",
       "event_type", "value")

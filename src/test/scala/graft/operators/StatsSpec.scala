@@ -755,6 +755,51 @@ class StatsSpec extends AnyFunSuite {
     assert(o == ((2L, 0L, 1L, None, Some(0L))))
   }
 
+  test("cramersV: perfect association 1, independence 0, degenerate NULL") {
+    val perfect = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("a", "b")
+    val p = Stats.cramersV(perfect, "a", "b")
+      .select("n_total", "chi2", "cramers_v")
+      .as[(Long, Double, Option[Double])].head()
+    assert(p == ((10L, 10.0, Some(1.0))))
+    val indep = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a1" else "a2", if (i % 4 < 2) "b1" else "b2"))
+      .toDF("a", "b")
+    assert(Stats.cramersV(indep, "a", "b").select("cramers_v")
+      .as[Option[Double]].head().contains(0.0))
+    // single-category side: min(r,c)−1 = 0 → V undefined, not ∞
+    val degen = Seq(("a1", "b1"), ("a2", "b1")).toDF("a", "b")
+    assert(Stats.cramersV(degen, "a", "b").select("cramers_v")
+      .as[Option[Double]].head().isEmpty)
+  }
+
+  test("cronbachAlpha: duplicate items 1, hand 0.888889, guards") {
+    // two identical items: Σvar = 2v, var_total = 4v → α = 1
+    val dup = (1 to 4).flatMap(i =>
+      Seq((i, "A", i.toDouble), (i, "B", i.toDouble)))
+    val d = Stats.cronbachAlpha(dup.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(d == ((4L, 0L, 2L, Some(1.0))))
+    // hand case: A = 1,2,3,4; B = 1,3,2,4 → Σvar = 10/3, var_t = 6,
+    // α = 2·(1 − 5/9) = 0.888889
+    val hand = Seq((1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0),
+      (4, "A", 4.0), (1, "B", 1.0), (2, "B", 3.0), (3, "B", 2.0),
+      (4, "B", 4.0))
+    val h = Stats.cronbachAlpha(hand.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(h == ((4L, 0L, 2L, Some(0.888889))))
+    // anti-correlated items: totals constant → zero total variance NULL
+    val anti = (1 to 4).flatMap(i =>
+      Seq((i, "A", i.toDouble), (i, "B", 5.0 - i)))
+    assert(Stats.cronbachAlpha(anti.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
+    // incomplete blocks drop; single item k<2 → NULL
+    val mixed = hand ++ Seq((5, "A", 9.0))
+    val m = Stats.cronbachAlpha(mixed.toDF("b", "g", "v"), "b", "g", "v")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(m == ((4L, 1L, 2L, Some(0.888889))))
+  }
+
   test("cochranQ: textbook 4.666667, drops, no-variation NULL") {
     // blocks × treatments (A,B,C): C=(3,4,1), R=(2,2,1,3), N=8
     // Q = 2·(3·26 − 64)/(24 − 18) = 28/6 = 4.666667

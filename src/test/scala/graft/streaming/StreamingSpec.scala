@@ -504,6 +504,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
 
+  test("streaming calibration: final and cut-prefix emissions EQUAL batch bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id").as("k"), col("event_id").as("t"),
+        (pmod(col("value"), lit(100.0)) / 100.0).as("s"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      .na.drop()
+    val rows = obs.as[(Long, Long, Double, Int)].collect().sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def batchCal(data: Seq[(Long, Long, Double, Int)]) =
+      graft.operators.Stats
+        .calibration(data.toDF("k", "t", "s", "y"), "k", "y", "s",
+          nBins = 10)
+        .select(col("k"), col("n"), col("n_pos"), col("brier"),
+          col("ece"))
+        .as[(Long, Long, Long, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Int)]
+    val q = StreamCalibration
+      .monitor(mem.toDF().toDF("k", "t", "s", "y"), nBins = 10)
+      .writeStream.format("memory").queryName("cal_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      val atCut = latestPerKey()
+      assert(atCut == batchCal(first.toIndexedSeq),
+        s"cut-prefix mismatch: ${atCut.take(2)}")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      val fin = latestPerKey()
+      assert(fin == batchCal(rows.toIndexedSeq),
+        s"final mismatch: ${fin.take(2)}")
+      assert(fin.valuesIterator.exists(_._4 > 0),
+        "at least one key carries a real ECE")
+    } finally q.stop()
+
+    def latestPerKey() = spark.table("cal_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("n").desc, col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("n"), col("n_pos"), col("brier"), col("ece"))
+      .as[(Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
