@@ -320,6 +320,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.cohensKappa(tbl(a(0)), a(1), a(2))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_partial_corr"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_partial_corr"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_partial_corr(view, x_col, y_col, z_col)")
+        val a = args.map(strLit(_, "graft_partial_corr"))
+        Stats.partialCorr(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_cramer"),
       new ExpressionInfo(Stats.getClass.getName, "graft_cramer"),
       (args: Seq[Expression]) => {

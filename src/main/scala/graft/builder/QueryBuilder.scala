@@ -411,6 +411,12 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.TimeJoins.holtSmooth(df, keyCol,
       tsCol, valCol, tieCol, alpha, beta, horizon))
 
+  /** Partial correlation controlling for a third column — see
+    * [[graft.operators.Stats.partialCorr]] (r10). */
+  def partialCorr(xCol: String, yCol: String, zCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.partialCorr(df, xCol, yCol,
+      zCol))
+
   /** Cramér's V contingency effect size — see
     * [[graft.operators.Stats.cramersV]] (r10). */
   def cramersV(aCol: String, bCol: String): QueryNode =

@@ -363,6 +363,44 @@ object Stats extends org.apache.spark.internal.Logging {
     res
   }
 
+  /** Partial correlation of x and y CONTROLLING for z (SURVEY.md §2
+    * R70) — the confounder-aware member of the correlation family:
+    * [[corrMatrix]] reports raw pairwise r's, this one asks "does x
+    * still track y once z's influence is removed" (the classic
+    * spurious-correlation check before a feature is credited):
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). One row:
+    * (n, r_xy, r_xz, r_yz, r_partial); honestly NULL when any input r
+    * is undefined or a control correlation is ±1 (z explains
+    * everything — the partial is 0/0).
+    *
+    * Exactness: the three r's come from [[corrMatrix]]'s OWN
+    * listwise-deleted single-Aggregate frame (one implementation, its
+    * exact-decimal-moment ladder already oracle-proven, and all three
+    * share the same n by construction); the partial is ONE IEEE
+    * expression on those agreed 6dp operands rounded 6dp.
+    *
+    * Scale: exactly [[corrMatrix]]'s one partial-agg'd pass — the
+    * pivot runs over 3 rows. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val m = corrMatrix(df, Seq(xCol, yCol, zCol))
+    val agg = m.agg(
+      max(col("n")).as("n"),
+      max(when(col("col_x") === xCol && col("col_y") === yCol,
+        col("corr"))).as("r_xy"),
+      max(when(col("col_x") === xCol && col("col_y") === zCol,
+        col("corr"))).as("r_xz"),
+      max(when(col("col_x") === yCol && col("col_y") === zCol,
+        col("corr"))).as("r_yz"))
+    val denom = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    agg.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+      when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+        col("r_yz").isNotNull && denom > 0,
+        round((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(denom),
+          6)).as("r_partial"))
+  }
+
   /** Cramér's V effect size for a contingency table (SURVEY.md §2
     * R68) — the MAGNITUDE companion of [[chiSquare]]: χ² says whether
     * dependence exists (and grows with n even for trivial effects), V

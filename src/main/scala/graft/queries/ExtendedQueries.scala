@@ -3946,6 +3946,66 @@ object ExtendedQueries {
           AS alpha
       FROM nb2 CROSS JOIN dr CROSS JOIN kk CROSS JOIN isum"""))
 
+  // Partial correlation (R70, Stats.partialCorr): does quantity still
+  // track the extended price once the discount is controlled? The
+  // three r's replay q91's exact-moment ladder; the partial is one
+  // IEEE expression on the rounded r's.
+  private val q130 = Q(
+    "q130_partial_corr",
+    (s, d) =>
+      graft.operators.Stats.partialCorr(t(s, d, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_discount"),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sums = cols.map(c =>
+        s"""CAST(sum(CAST(CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS s_$c,
+          CAST(sum(CAST(CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(20,6)) * CAST(round(CAST($c AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS ss_$c""").mkString(",\n          ")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val prods = pairs.map { case (a, b) =>
+        s"""CAST(sum(CAST(CAST(round(CAST($a AS DOUBLE), 6)
+            AS DECIMAL(20,6)) * CAST(round(CAST($b AS DOUBLE), 6)
+            AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+            AS sp_${a}_$b""" }.mkString(",\n          ")
+      def corrExpr(a: String, b: String) =
+        s"""CASE WHEN n >= 2
+            AND CAST(ss_$a AS DOUBLE) * n
+              - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+            AND CAST(ss_$b AS DOUBLE) * n
+              - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+          THEN round((CAST(sp_${a}_$b AS DOUBLE) * n
+              - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+            / sqrt((CAST(ss_$a AS DOUBLE) * n
+                - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+              * (CAST(ss_$b AS DOUBLE) * n
+                - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+          END"""
+      s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          $sums,
+          $prods
+        FROM lineitem
+        WHERE ${cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+      r AS (SELECT CAST(n AS BIGINT) AS n,
+          ${corrExpr(cols(0), cols(1))} AS r_xy,
+          ${corrExpr(cols(0), cols(2))} AS r_xz,
+          ${corrExpr(cols(1), cols(2))} AS r_yz
+        FROM m)
+      SELECT n, r_xy, r_xz, r_yz,
+        CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+            AND r_yz IS NOT NULL
+            AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0 THEN
+          round((r_xy - r_xz * r_yz)
+            / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) END
+          AS r_partial
+      FROM r"""
+    })
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -3953,5 +4013,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

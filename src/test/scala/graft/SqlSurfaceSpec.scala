@@ -234,6 +234,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.operators.Stats.rocAuc(ev, "event_type", "user_id", "value"))
     planEq("SELECT * FROM graft_mcnemar('events', 'value', 'user_id')",
       graft.operators.Stats.mcnemar(ev, "value", "user_id"))
+    planEq("SELECT * FROM graft_partial_corr('lineitem', 'l_quantity', 'l_tax', 'l_discount')",
+      graft.operators.Stats.partialCorr(spark.table("lineitem"),
+        "l_quantity", "l_tax", "l_discount"))
     planEq("SELECT * FROM graft_gini('events', 'event_type', 'value')",
       graft.operators.Stats.giniConcentration(ev, "event_type", "value"))
     planEq("SELECT * FROM graft_calibration('events', 'event_type', 'user_id', 'value', 10)",

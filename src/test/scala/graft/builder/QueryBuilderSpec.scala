@@ -398,6 +398,12 @@ class QueryBuilderSpec extends AnyFunSuite {
     val bmn = ev.mcnemar("value", "user_id").run()
     val omn = graft.operators.Stats.mcnemar(ev.run(), "value", "user_id")
     assert(bmn.collect().toSeq == omn.collect().toSeq)
+    val bpc = hdk.scan("lineitem")
+      .partialCorr("l_quantity", "l_extendedprice", "l_tax").run()
+    val opc = graft.operators.Stats.partialCorr(
+      hdk.scan("lineitem").run(), "l_quantity", "l_extendedprice",
+      "l_tax")
+    assert(bpc.collect().toSeq == opc.collect().toSeq)
     val bcv = ev.cramersV("event_type", "props").run()
     val ocv = graft.operators.Stats.cramersV(ev.run(), "event_type",
       "props")

@@ -755,6 +755,30 @@ class StatsSpec extends AnyFunSuite {
     assert(o == ((2L, 0L, 1L, None, Some(0L))))
   }
 
+  test("partialCorr: hand 0.464986, identity-control 1, saturated-control NULL") {
+    // x/y both ride a shared trend z plus own structure — the partial
+    // strips z's share: r_xy=.940256, r_xz=.956183, r_yz=.931589 →
+    // r_xy·z = 0.464986 on the agreed 6dp operands
+    val hand = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 1.0), (3.0, 3.0, 2.0),
+      (4.0, 4.0, 2.0), (5.0, 5.0, 3.0), (6.0, 7.0, 3.0))
+      .toDF("x", "y", "z")
+    val h = Stats.partialCorr(hand, "x", "y", "z")
+      .select("n", "r_xy", "r_partial")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(h == ((6L, Some(0.940256), Some(0.464986))))
+    // y = x with a weak control: numerator and denominator coincide →
+    // partial exactly 1 regardless of the control's strength
+    val ident = Seq((1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (3.0, 3.0, 2.0),
+      (4.0, 4.0, 2.0)).toDF("x", "y", "z")
+    assert(Stats.partialCorr(ident, "x", "y", "z")
+      .select("r_partial").as[Option[Double]].head().contains(1.0))
+    // z IS x: the control saturates (r_xz = 1) → 0/0, honest NULL
+    val sat = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 2.0), (3.0, 5.0, 3.0),
+      (4.0, 9.0, 4.0)).toDF("x", "y", "z")
+    assert(Stats.partialCorr(sat, "x", "y", "z")
+      .select("r_partial").as[Option[Double]].head().isEmpty)
+  }
+
   test("cramersV: perfect association 1, independence 0, degenerate NULL") {
     val perfect = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
       .toDF("a", "b")
