@@ -4006,6 +4006,87 @@ object ExtendedQueries {
       FROM r"""
     })
 
+  // SQL-twin keys for the r10 agreement/inequality TVFs (params
+  // distinct from their DataFrame twins, the q113 discipline): the
+  // whole operator runs through spark.sql and still earns a FULL
+  // oracle.
+  private val q131 = Q(
+    "q131_sql_kappa",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMP VIEW kap_v AS
+        SELECT CASE WHEN l_quantity <= 10 THEN 'low'
+            WHEN l_quantity <= 30 THEN 'mid' ELSE 'high' END AS ra,
+          CASE WHEN l_extendedprice <= 20000 THEN 'low'
+            WHEN l_extendedprice <= 40000 THEN 'mid'
+            ELSE 'high' END AS rb
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL""")
+      s.sql("SELECT * FROM graft_kappa('kap_v', 'ra', 'rb')")
+    },
+    Some("""WITH p AS (SELECT
+          CASE WHEN l_quantity <= 10 THEN 'low'
+            WHEN l_quantity <= 30 THEN 'mid' ELSE 'high' END AS a,
+          CASE WHEN l_extendedprice <= 20000 THEN 'low'
+            WHEN l_extendedprice <= 40000 THEN 'mid'
+            ELSE 'high' END AS b
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      c AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS n FROM p
+        GROUP BY 1, 2),
+      ma AS (SELECT a, sum(n) AS ra FROM c GROUP BY 1),
+      mb AS (SELECT b, sum(n) AS rb FROM c GROUP BY 1),
+      pe AS (SELECT coalesce(sum(ra * rb), 0) AS pe2
+        FROM ma JOIN mb ON ma.a = mb.b),
+      t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0)
+            AS BIGINT) AS n_agree
+        FROM c)
+      SELECT n_pairs, n_agree,
+        CASE WHEN n_pairs > 0 THEN
+          round(CAST(n_agree AS DOUBLE) / n_pairs, 6) END AS po,
+        CASE WHEN n_pairs > 0 THEN
+          round(CAST(pe2 AS DOUBLE)
+            / (CAST(n_pairs AS DOUBLE) * n_pairs), 6) END AS pe,
+        CASE WHEN n_pairs > 0
+            AND CAST(n_pairs AS HUGEINT) * n_pairs - pe2 <> 0 THEN
+          round(CAST(CAST(n_pairs AS HUGEINT) * n_agree - pe2 AS DOUBLE)
+            / CAST(CAST(n_pairs AS HUGEINT) * n_pairs - pe2 AS DOUBLE),
+            6) END AS kappa
+      FROM t CROSS JOIN pe"""))
+
+  private val q132 = Q(
+    "q132_sql_gini",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("SELECT * FROM graft_gini('lineitem', 'l_linestatus', 'l_quantity') ORDER BY l_linestatus")
+    },
+    Some("""WITH r AS (SELECT l_linestatus AS k,
+          CAST(CAST(round(CAST(l_quantity AS DOUBLE), 6)
+            AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x
+        FROM lineitem
+        WHERE l_linestatus IS NOT NULL AND l_quantity IS NOT NULL),
+      h AS (SELECT k, x, CAST(count(*) AS HUGEINT) AS t
+        FROM r GROUP BY 1, 2),
+      c AS (SELECT k, x, t,
+          coalesce(sum(t) OVER (PARTITION BY k ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS bef
+        FROM h),
+      a AS (SELECT k, CAST(sum(t) AS BIGINT) AS n,
+          sum(x * (2 * t * bef + t * (t + 1))) AS s12,
+          sum(x * t) AS s,
+          sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS nneg
+        FROM c GROUP BY 1)
+      SELECT k AS l_linestatus, n,
+        round(CAST(s AS DOUBLE) / 1000000.0, 6) AS total,
+        CASE WHEN nneg = 0 AND CAST(s AS DOUBLE) > 0 THEN
+          round(CAST(s12 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+            - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) END
+          AS gini
+      FROM a ORDER BY l_linestatus"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -4013,5 +4094,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }
