@@ -329,6 +329,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.partialCorr(tbl(a(0)), a(1), a(2), a(3))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_fleiss"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_fleiss"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_fleiss(view, item_col, category_col, raters_per_item)")
+        Stats.fleissKappa(tbl(strLit(args(0), "graft_fleiss")),
+            strLit(args(1), "graft_fleiss"),
+            strLit(args(2), "graft_fleiss"),
+            intLit(args(3), "graft_fleiss"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_cramer"),
       new ExpressionInfo(Stats.getClass.getName, "graft_cramer"),
       (args: Seq[Expression]) => {

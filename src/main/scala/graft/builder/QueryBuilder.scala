@@ -417,6 +417,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.partialCorr(df, xCol, yCol,
       zCol))
 
+  /** Fleiss' kappa multi-rater agreement — see
+    * [[graft.operators.Stats.fleissKappa]] (r10). */
+  def fleissKappa(itemCol: String, categoryCol: String,
+      ratersPerItem: Int): QueryNode =
+    new QueryNode(graft.operators.Stats.fleissKappa(df, itemCol,
+      categoryCol, ratersPerItem))
+
   /** Cramér's V contingency effect size — see
     * [[graft.operators.Stats.cramersV]] (r10). */
   def cramersV(aCol: String, bCol: String): QueryNode =

@@ -363,6 +363,74 @@ object Stats extends org.apache.spark.internal.Logging {
     res
   }
 
+  /** Fleiss' kappa multi-rater agreement (SURVEY.md §2 R71) — the
+    * k-RATER extension of [[cohensKappa]] and the real labeling-QA
+    * standard: n raters label every item (crowd annotation, model
+    * ensembles voting a category), and kappa measures agreement
+    * beyond the chance the pooled category distribution guarantees.
+    * Input is one row per RATING (item, category); items with a
+    * rating count ≠ `ratersPerItem` DROP into n_dropped (Fleiss
+    * requires a fixed panel size — the [[friedman]] contract). One
+    * row: (n_items, n_dropped, n_raters, n_categories, p_bar, p_e,
+    * kappa); honestly NULL when p_e = 1 (all ratings one category).
+    *
+    * Exactness: kappa clears EVERY fraction — with A = Σ_ij n_ij²,
+    * B = Σ_j c_j², N items, n raters:
+    * κ = [(A−Nn)·N²n² − B·Nn(n−1)] / [(N²n² − B)·Nn(n−1)] — both
+    * sides exact DECIMAL(38,0) integers, ONE IEEE division rounded
+    * 6dp (the [[cohensKappa]]/[[cochranQ]] discipline); p_bar/p_e
+    * display-round 6dp from the same integers.
+    *
+    * Scale: one (item, category) cell shuffle, one per-item validity
+    * pass that aggregates away, category totals at |C| rows. */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+      ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2, "ratersPerItem must be >= 2")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("i"),
+        col(categoryCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val perI = cells.groupBy(col("i"))
+      .agg(sum(col("m")).as("_ni"),
+        sum((col("m").cast(dec) * col("m")).cast(dec)).cast(dec)
+          .as("_sq"))
+    val valid = perI.filter(col("_ni") === ratersPerItem)
+    val dropped = perI.filter(col("_ni") =!= ratersPerItem)
+      .agg(count(lit(1)).as("n_dropped"))
+    val iAgg = valid.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("_sq")), lit(0).cast(dec)).cast(dec).as("_a"))
+    val cAgg = cells.join(valid.select(col("i")), Seq("i"), "left_semi")
+      .groupBy(col("c")).agg(sum(col("m")).as("_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum((col("_cj").cast(dec) * col("_cj")).cast(dec)),
+          lit(0).cast(dec)).cast(dec).as("_b"))
+    val out = iAgg.crossJoin(broadcast(dropped))
+      .crossJoin(broadcast(cAgg))
+    val nI = col("n_items").cast(dec)
+    val n = lit(ratersPerItem).cast(dec)
+    val nn = (nI * n).cast(dec)
+    // κ numerator/denominator as exact integers
+    val num = ((col("_a") - nn) * nn * nn -
+      col("_b") * nn * (n - 1)).cast(dec)
+    val den = ((nn * nn - col("_b")) * nn * (n - 1)).cast(dec)
+    val res = out.select(col("n_items"), col("n_dropped"),
+      lit(ratersPerItem.toLong).as("n_raters"), col("n_categories"),
+      when(col("n_items") > 0,
+        round((col("_a") - nn).cast("double") /
+          (nn * (n - 1)).cast("double"), 6)).as("p_bar"),
+      when(col("n_items") > 0,
+        round(col("_b").cast("double") /
+          (nn * nn).cast("double"), 6)).as("p_e"),
+      when(col("n_items") > 0 && den =!= lit(0).cast(dec),
+        round(num.cast("double") / den.cast("double"), 6)).as("kappa"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(cells)
+    res
+  }
+
   /** Partial correlation of x and y CONTROLLING for z (SURVEY.md §2
     * R70) — the confounder-aware member of the correlation family:
     * [[corrMatrix]] reports raw pairwise r's, this one asks "does x

@@ -4087,6 +4087,69 @@ object ExtendedQueries {
           AS gini
       FROM a ORDER BY l_linestatus"""))
 
+  // Fleiss' kappa (R71, Stats.fleissKappa): each user's first five
+  // events are a 5-member "panel" labeling the user with event types;
+  // users with fewer than five events drop. Every fraction clears to
+  // exact HUGEINT integers — one division, 6dp.
+  private val q133 = Q(
+    "q133_fleiss",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ratings = t(s, d, "events")
+        .filter(col("user_id") % 5 === 0 && col("event_type").isNotNull
+          && col("ts").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      graft.operators.Stats
+        .fleissKappa(ratings, "user_id", "event_type", 5)
+    },
+    Some("""WITH r AS (SELECT user_id AS i, event_type AS c,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE user_id % 5 = 0 AND event_type IS NOT NULL
+          AND ts IS NOT NULL AND user_id IS NOT NULL),
+      rr AS (SELECT i, c FROM r WHERE rn <= 5),
+      cells AS (SELECT i, c, CAST(count(*) AS HUGEINT) AS m
+        FROM rr GROUP BY 1, 2),
+      pi AS (SELECT i, sum(m) AS ni, sum(m * m) AS sq
+        FROM cells GROUP BY 1),
+      vi AS (SELECT i, sq FROM pi WHERE ni = 5),
+      dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        FROM pi WHERE ni <> 5),
+      ia AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          coalesce(sum(sq), 0) AS a
+        FROM vi),
+      ca AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          coalesce(sum(CAST(cj AS HUGEINT) * cj), 0) AS b
+        FROM (SELECT c, sum(m) AS cj FROM cells
+          WHERE i IN (SELECT i FROM vi) GROUP BY 1))
+      SELECT n_items, n_dropped, CAST(5 AS BIGINT) AS n_raters,
+        n_categories,
+        CASE WHEN n_items > 0 THEN
+          round(CAST(a - CAST(n_items AS HUGEINT) * 5 AS DOUBLE)
+            / CAST(CAST(n_items AS HUGEINT) * 5 * 4 AS DOUBLE), 6) END
+          AS p_bar,
+        CASE WHEN n_items > 0 THEN
+          round(CAST(b AS DOUBLE)
+            / CAST(CAST(n_items AS HUGEINT) * 5
+              * (CAST(n_items AS HUGEINT) * 5) AS DOUBLE), 6) END
+          AS p_e,
+        CASE WHEN n_items > 0
+            AND (CAST(n_items AS HUGEINT) * 5
+                * (CAST(n_items AS HUGEINT) * 5) - b)
+              * (CAST(n_items AS HUGEINT) * 5) * 4 <> 0 THEN
+          round(CAST((a - CAST(n_items AS HUGEINT) * 5)
+              * (CAST(n_items AS HUGEINT) * 5)
+              * (CAST(n_items AS HUGEINT) * 5)
+            - b * (CAST(n_items AS HUGEINT) * 5) * 4 AS DOUBLE)
+          / CAST((CAST(n_items AS HUGEINT) * 5
+              * (CAST(n_items AS HUGEINT) * 5) - b)
+            * (CAST(n_items AS HUGEINT) * 5) * 4 AS DOUBLE), 6) END
+          AS kappa
+      FROM ia CROSS JOIN dr CROSS JOIN ca"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -4094,5 +4157,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }

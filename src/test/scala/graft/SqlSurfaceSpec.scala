@@ -264,6 +264,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     same("SELECT * FROM graft_cochran('events', 'user_id', 'event_type', 'value')",
       graft.operators.Stats.cochranQ(ev, "user_id", "event_type",
         "value"))
+    same("SELECT * FROM graft_fleiss('sqs_chi', 'band', 'event_type', 4)",
+      graft.operators.Stats.fleissKappa(spark.table("sqs_chi"),
+        "band", "event_type", 4))
     same("SELECT * FROM graft_cramer('sqs_chi', 'event_type', 'band')",
       graft.operators.Stats.cramersV(spark.table("sqs_chi"),
         "event_type", "band"))

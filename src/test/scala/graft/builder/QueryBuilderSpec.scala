@@ -404,6 +404,10 @@ class QueryBuilderSpec extends AnyFunSuite {
       hdk.scan("lineitem").run(), "l_quantity", "l_extendedprice",
       "l_tax")
     assert(bpc.collect().toSeq == opc.collect().toSeq)
+    val bfk = ev.fleissKappa("user_id", "event_type", 3).run()
+    val ofk = graft.operators.Stats.fleissKappa(ev.run(), "user_id",
+      "event_type", 3)
+    assert(bfk.collect().toSeq == ofk.collect().toSeq)
     val bcv = ev.cramersV("event_type", "props").run()
     val ocv = graft.operators.Stats.cramersV(ev.run(), "event_type",
       "props")

@@ -755,6 +755,35 @@ class StatsSpec extends AnyFunSuite {
     assert(o == ((2L, 0L, 1L, None, Some(0L))))
   }
 
+  test("fleissKappa: hand 1/3, unanimity 1, single-category NULL, drops") {
+    // 4 items × 3 raters over {a,b}: A=28, B=72 → P̄=2/3, P̄e=1/2,
+    // κ = (2/3 − 1/2)/(1/2) = 0.333333
+    val hand = Seq((1, "a"), (1, "a"), (1, "a"), (2, "a"), (2, "a"),
+      (2, "b"), (3, "b"), (3, "b"), (3, "b"), (4, "a"), (4, "b"),
+      (4, "b"))
+    val h = Stats.fleissKappa(hand.toDF("i", "c"), "i", "c", 3)
+      .select("n_items", "n_dropped", "n_categories", "p_bar", "p_e",
+        "kappa")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(h == ((4L, 0L, 2L, Some(0.666667), Some(0.5),
+      Some(0.333333))))
+    // unanimous items over two categories: perfect agreement
+    val unam = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+    assert(Stats.fleissKappa(unam.toDF("i", "c"), "i", "c", 2)
+      .select("kappa").as[Option[Double]].head().contains(1.0))
+    // every rating one category: p_e = 1 → honest NULL
+    val mono = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a"))
+    assert(Stats.fleissKappa(mono.toDF("i", "c"), "i", "c", 2)
+      .select("kappa").as[Option[Double]].head().isEmpty)
+    // wrong panel size drops, the rest still scores
+    val mixed = hand ++ Seq((5, "a"), (5, "b"))
+    val m = Stats.fleissKappa(mixed.toDF("i", "c"), "i", "c", 3)
+      .select("n_items", "n_dropped", "kappa")
+      .as[(Long, Long, Option[Double])].head()
+    assert(m == ((4L, 1L, Some(0.333333))))
+  }
+
   test("partialCorr: hand 0.464986, identity-control 1, saturated-control NULL") {
     // x/y both ride a shared trend z plus own structure — the partial
     // strips z's share: r_xy=.940256, r_xz=.956183, r_yz=.931589 →
