@@ -549,6 +549,66 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
 
+  test("streaming AUC: final and cut-prefix emissions EQUAL batch rocAuc bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id").as("k"), col("event_id").as("t"),
+        col("value").as("s"),
+        when(col("event_type").isin("purchase", "click"), 1)
+          .otherwise(0).as("y"))
+      .na.drop()
+    val rows = obs.as[(Long, Long, Double, Int)].collect().sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def batchAuc(data: Seq[(Long, Long, Double, Int)]) =
+      graft.operators.Stats
+        .rocAuc(data.toDF("k", "t", "s", "y"), "k", "y", "s")
+        .select(col("k"), col("n_pos"), col("n_neg"), col("auc"),
+          col("gini"))
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double, Int)]
+    val q = StreamAuc.monitor(mem.toDF().toDF("k", "t", "s", "y"))
+      .writeStream.format("memory").queryName("auc_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      val atCut = latestPerKey()
+      assert(atCut == batchAuc(first.toIndexedSeq),
+        s"cut-prefix mismatch: ${atCut.take(2)}")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      val fin = latestPerKey()
+      assert(fin == batchAuc(rows.toIndexedSeq),
+        s"final mismatch: ${fin.take(2)}")
+      assert(fin.valuesIterator.exists(_._3.isDefined),
+        "at least one key carries a real AUC")
+    } finally q.stop()
+    def latestPerKey() = spark.table("auc_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))
+          .orderBy((col("n_pos") + col("n_neg")).desc, col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("n_pos"), col("n_neg"), col("auc"),
+        col("gini"))
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // the vocabulary failsafe fires loudly instead of truncating
+    val mem2 = MemoryStream[(Long, Long, Double, Int)]
+    val q2 = StreamAuc
+      .monitor(mem2.toDF().toDF("k", "t", "s", "y"), maxDistinct = 3)
+      .writeStream.format("memory").queryName("auc_over")
+      .outputMode("update").start()
+    try {
+      mem2.addData((1 to 8).map(i => (1L, i.toLong, i * 1.0, i % 2)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("maxDistinct") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxDistinct")))
+    } finally q2.stop()
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
