@@ -329,6 +329,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Stats.partialCorr(tbl(a(0)), a(1), a(2), a(3))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_mwu_by_key"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_mwu_by_key"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_mwu_by_key(view, key_col, group_col, group_a, group_b, val_col)")
+        val a = args.map(strLit(_, "graft_mwu_by_key"))
+        Stats.mannWhitneyByKey(tbl(a(0)), a(1), a(2), a(3), a(4), a(5))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_fleiss"),
       new ExpressionInfo(Stats.getClass.getName, "graft_fleiss"),
       (args: Seq[Expression]) => {

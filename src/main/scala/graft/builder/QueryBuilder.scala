@@ -417,6 +417,13 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.operators.Stats.partialCorr(df, xCol, yCol,
       zCol))
 
+  /** Per-key Mann-Whitney U — see
+    * [[graft.operators.Stats.mannWhitneyByKey]] (r10). */
+  def mannWhitneyByKey(keyCol: String, groupCol: String, gA: String,
+      gB: String, valCol: String): QueryNode =
+    new QueryNode(graft.operators.Stats.mannWhitneyByKey(df, keyCol,
+      groupCol, gA, gB, valCol))
+
   /** Fleiss' kappa multi-rater agreement — see
     * [[graft.operators.Stats.fleissKappa]] (r10). */
   def fleissKappa(itemCol: String, categoryCol: String,

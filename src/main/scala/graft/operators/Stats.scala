@@ -1189,6 +1189,82 @@ object Stats extends org.apache.spark.internal.Logging {
         col("reject_05"))
   }
 
+  /** Per-key Mann–Whitney U (SURVEY.md §2 R72) — [[mannWhitney]]
+    * fanned across segments: one (n_a, n_b, u_stat, z_stat,
+    * reject_05) row PER KEY, the shape a slice-wise A/B readout
+    * produces and [[bhFdr]] exists to correct ("which of these 500
+    * segments' shifts survive multiple testing" — compose with
+    * [[twoSidedNormalP]] on the emitted z). Same semantics, tie
+    * handling, and rounding ladder as the global operator.
+    *
+    * Exactness: the doubled rank sum and tie term are exact
+    * DECIMAL(38,0) integers per key (the [[mannWhitney]] ladder
+    * verbatim); z one IEEE expression rounded 4dp; single-class or
+    * zero-variance keys honest NULLs.
+    *
+    * Scale: rows collapse to (key, distinct value) in ONE partial-
+    * agg'd shuffle; cumulative-below is the keyed two-phase bucket
+    * scheme ([[rocAuc]]'s) — no global sort, no unbounded per-key
+    * frame. */
+  def mannWhitneyByKey(df: DataFrame, keyCol: String, groupCol: String,
+      gA: String, gB: String, valCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val v = col(valCol).cast("double")
+    val hist = df
+      .filter(col(keyCol).isNotNull && v.isNotNull &&
+        col(groupCol).isin(gA, gB))
+      .groupBy(col(keyCol).as("k"), v.as("v"))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("nb"))
+    val rng = hist.groupBy(col("k"))
+      .agg(min(col("v")).as("_lo"), max(col("v")).as("_hi"))
+    val hb = hist.join(rng, Seq("k"))
+      .withColumn("bkt", when(col("_lo") === col("_hi"), lit(1L))
+        .otherwise(width_bucket(col("v"), col("_lo"), col("_hi"),
+          lit(nBuckets))))
+      .drop("_lo", "_hi")
+    val wOff = W.partitionBy(col("k")).orderBy(col("bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = hb.groupBy(col("k"), col("bkt"))
+      .agg(sum(col("na") + col("nb")).as("bt"))
+      .select(col("k"), col("bkt"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+    val wIn = W.partitionBy(col("k"), col("bkt")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val t = (col("na") + col("nb")).cast(dec)
+    val before = (col("off") +
+      sum(col("na") + col("nb")).over(wIn)).cast(dec) - t
+    val agg = hb.join(offs, Seq("k", "bkt"))
+      .select(col("k"), col("na"), col("nb"),
+        (col("na").cast(dec) * (before * 2 + t + 1)).cast(dec)
+          .as("_r2t"),
+        (t * t * t - t).cast(dec).as("_t3"))
+      .groupBy(col("k"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        coalesce(sum(col("_r2t")), lit(0L).cast(dec)).as("_r2a"),
+        coalesce(sum(col("_t3")), lit(0L).cast(dec)).as("_ties"))
+    val n = col("n_a") + col("n_b")
+    val u2 = col("_r2a") - (col("n_a").cast(dec) * (col("n_a") + 1))
+    val mu2 = col("n_a").cast(dec) * col("n_b")
+    val varU = col("n_a").cast("double") * col("n_b") / 12.0 *
+      ((n + 1).cast("double") -
+        col("_ties").cast("double") / (n.cast("double") * (n - 1)))
+    agg
+      .withColumn("u_stat",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          u2.cast("double") / 2.0))
+      .withColumn("z_stat",
+        when(col("n_a") > 0 && col("n_b") > 0 && n > 1 && varU > 0,
+          round((u2 - mu2).cast("double") / 2.0 / sqrt(varU), 4)))
+      .withColumn("reject_05",
+        when(col("z_stat").isNotNull, abs(col("z_stat")) > 1.96))
+      .select(col("k").as(keyCol), col("n_a"), col("n_b"),
+        col("u_stat"), col("z_stat"), col("reject_05"))
+  }
+
   /** Doubled-midrank map of a single value column: (v, r2) with
     * r2 = 2·before(v) + t(v) + 1 — an exact INTEGER for every value,
     * ties included (midrank ·2). Same two-phase bucket prefix-sum as

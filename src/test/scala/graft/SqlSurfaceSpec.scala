@@ -237,6 +237,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     planEq("SELECT * FROM graft_partial_corr('lineitem', 'l_quantity', 'l_tax', 'l_discount')",
       graft.operators.Stats.partialCorr(spark.table("lineitem"),
         "l_quantity", "l_tax", "l_discount"))
+    planEq("SELECT * FROM graft_mwu_by_key('events', 'user_id', 'event_type', 'click', 'view', 'value')",
+      graft.operators.Stats.mannWhitneyByKey(ev, "user_id",
+        "event_type", "click", "view", "value"))
     planEq("SELECT * FROM graft_gini('events', 'event_type', 'value')",
       graft.operators.Stats.giniConcentration(ev, "event_type", "value"))
     planEq("SELECT * FROM graft_calibration('events', 'event_type', 'user_id', 'value', 10)",

@@ -404,6 +404,12 @@ class QueryBuilderSpec extends AnyFunSuite {
       hdk.scan("lineitem").run(), "l_quantity", "l_extendedprice",
       "l_tax")
     assert(bpc.collect().toSeq == opc.collect().toSeq)
+    val bmw = ev.mannWhitneyByKey("user_id", "event_type", "click",
+      "view", "value").run()
+    val omw = graft.operators.Stats.mannWhitneyByKey(ev.run(),
+      "user_id", "event_type", "click", "view", "value")
+    assert(bmw.collect().toSeq.sortBy(_.getLong(0)) ==
+      omw.collect().toSeq.sortBy(_.getLong(0)))
     val bfk = ev.fleissKappa("user_id", "event_type", 3).run()
     val ofk = graft.operators.Stats.fleissKappa(ev.run(), "user_id",
       "event_type", 3)

@@ -755,6 +755,38 @@ class StatsSpec extends AnyFunSuite {
     assert(o == ((2L, 0L, 1L, None, Some(0L))))
   }
 
+  test("mannWhitneyByKey: per-key hand case, degenerate keys, global equivalence") {
+    // key s replays the global hand case (U=1.5); key t all-identical
+    // values (zero variance → NULL z); key o has only group a
+    val rows = Seq(("s", "a", 1.0), ("s", "a", 2.0), ("s", "a", 3.0),
+      ("s", "b", 2.0), ("s", "b", 4.0), ("s", "b", 5.0),
+      ("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 5.0), ("t", "b", 5.0),
+      ("o", "a", 1.0), ("o", "a", 2.0)).toDF("k", "g", "v")
+    val got = Stats.mannWhitneyByKey(rows, "k", "g", "a", "b", "v")
+      .select("k", "n_a", "n_b", "u_stat", "z_stat")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("s")._3.contains(1.5))
+    val z = BigDecimal((1.5 - 4.5) / math.sqrt(0.75 * (7.0 - 6.0 / 30.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("s")._4.contains(z))
+    assert(got("t") == ((2L, 2L, Some(2.0), None)))
+    assert(got("o") == ((2L, 0L, None, None)))
+    // a single-key frame reproduces the GLOBAL operator bit-for-bit
+    val ev = graft.Tables.load(spark, graft.TestSpark.sf, "events")
+    val keyed = Stats.mannWhitneyByKey(
+        ev.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+        "one", "event_type", "click",
+        "purchase", "value")
+      .select("n_a", "n_b", "u_stat", "z_stat", "reject_05")
+      .collect().toSeq
+    val global = Stats.mannWhitney(ev, "event_type", "click",
+        "purchase", "value")
+      .select("n_a", "n_b", "u_stat", "z_stat", "reject_05")
+      .collect().toSeq
+    assert(keyed == global)
+  }
+
   test("fleissKappa: hand 1/3, unanimity 1, single-category NULL, drops") {
     // 4 items × 3 raters over {a,b}: A=28, B=72 → P̄=2/3, P̄e=1/2,
     // κ = (2/3 − 1/2)/(1/2) = 0.333333
