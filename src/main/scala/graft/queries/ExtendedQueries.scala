@@ -4202,6 +4202,81 @@ object ExtendedQueries {
             AS DOUBLE) / 2.0 / sqrt(varu), 4)) > 1.96 END AS reject_05
       FROM z ORDER BY cohort"""))
 
+  // The COMPLETE multiple-testing workflow in one oracled key (R72 →
+  // R63): per-cohort MWU z's → the exp-first A&S normal-p bridge →
+  // the BH step-up — the three composable operators a slice-wise A/B
+  // analysis actually chains, end-to-end bit-equal to DuckDB.
+  private val q135 = Q(
+    "q135_mwu_fdr",
+    (s, d) => {
+      val mwu = graft.operators.Stats.mannWhitneyByKey(
+        t(s, d, "events").withColumn("cohort", col("user_id") % 17),
+        "cohort", "event_type", "click", "view", "value")
+      val withP = mwu.select(col("cohort"),
+        graft.operators.Stats.twoSidedNormalP(col("z_stat")).as("p"))
+      graft.operators.Stats.bhFdr(withP, "cohort", "p", alpha = 0.05)
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH r AS (SELECT user_id % 17 AS k, event_type AS g,
+          CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+          AND user_id IS NOT NULL),
+      h AS (SELECT k, v,
+          sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na,
+          sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nb
+        FROM r GROUP BY 1, 2),
+      c AS (SELECT k, v, na, nb,
+          coalesce(sum(na + nb) OVER (PARTITION BY k ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS bef
+        FROM h),
+      a AS (SELECT k, CAST(sum(na) AS BIGINT) AS n_a,
+          CAST(sum(nb) AS BIGINT) AS n_b,
+          coalesce(sum(CAST(na AS HUGEINT)
+            * (2 * bef + (na + nb) + 1)), 0) AS r2a,
+          coalesce(sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+            - (na + nb)), 0) AS ties
+        FROM c GROUP BY 1),
+      z AS (SELECT k,
+          CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+              AND CAST(n_a AS DOUBLE) * n_b / 12.0
+                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+                > 0
+            THEN round(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+              / 2.0 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                * (CAST(n_a + n_b + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+              4) END AS zs
+        FROM a),
+      tt AS (SELECT k, abs(zs) AS az,
+          1.0 / (1.0 + 0.2316419 * abs(zs)) AS t
+        FROM z WHERE zs IS NOT NULL),
+      pp AS (SELECT k,
+          round((2.0 * (round(exp(-0.5 * az * az), 12)
+              / 2.5066282746310002))
+            * (t * (0.319381530 + t * (-0.356563782
+              + t * (1.781477937 + t * (-1.821255978
+                + t * 1.330274429))))), 6) AS p
+        FROM tt),
+      mm AS (SELECT count(*) AS m FROM pp),
+      rk AS (SELECT k, p,
+          CAST(row_number() OVER (ORDER BY p, k) AS BIGINT) AS rank
+        FROM pp),
+      ad AS (SELECT k, p, rank,
+          round(least(min((CAST(m AS DOUBLE) * p) / rank)
+            OVER (ORDER BY p DESC, k DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            1.0), 6) AS adj_p
+        FROM rk CROSS JOIN mm)
+      SELECT k AS cohort, p AS p_value, rank, adj_p,
+        adj_p <= 0.05 AS reject
+      FROM ad ORDER BY cohort"""))
+
   val all: Seq[Q] = Seq(q10b, q15b, q19c, q26, q30, q31, q25c, q32, q33, q34,
     q34b, q35, q35b, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q18b, q51, q52, q53, q54, q55, q56, q57,
@@ -4209,5 +4284,5 @@ object ExtendedQueries {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
     q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

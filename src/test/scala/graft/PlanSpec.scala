@@ -498,7 +498,9 @@ class CsvSourceSpec extends AnyFunSuite {
       "q118_wilcoxon" ->
         "bucket-offset cum-sum over the ≤nBuckets(=1024) |d|-histogram aggregate (Stats.wilcoxonSignedRank — the q76/q77 rankedHistogram shape)",
       "q123_bh_fdr" ->
-        "rank + reverse running-min over ONE ROW PER HYPOTHESIS — experiment-design-bounded (hundreds to thousands of tests), never corpus-bounded; NULL p's are excluded before the window (Stats.bhFdr, R63)")
+        "rank + reverse running-min over ONE ROW PER HYPOTHESIS — experiment-design-bounded (hundreds to thousands of tests), never corpus-bounded; NULL p's are excluded before the window (Stats.bhFdr, R63)",
+      "q135_mwu_fdr" ->
+        "the same bhFdr hypothesis-frame windows as q123, fed by the per-cohort MWU fan-out (17 rows here; cohort-count-bounded by design)")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     var found = 0
     def sweep(name: String, lp: LogicalPlan): Unit = lp.foreach {
