@@ -465,20 +465,28 @@ class QueryBuilderSpec extends AnyFunSuite {
     val owx = graft.operators.Stats.wilcoxonSignedRank(ev.run(),
       "value", "user_id")
     assert(bwx.collect().toSeq == owx.collect().toSeq)
+    // keyed outputs are MULTI-ROW: two executions of the same groupBy
+    // plan can return rows in different partition-completion order
+    // under concurrent suites, so both sides must sort (the r10
+    // test-hygiene rule — unsorted versions of these three asserts
+    // were the QueryBuilderSpec full-suite flake).
     val bau = ev.rocAuc("event_type", "user_id", "value").run()
     val oau = graft.operators.Stats.rocAuc(ev.run(), "event_type",
       "user_id", "value")
-    assert(bau.collect().toSeq == oau.collect().toSeq)
+    assert(bau.collect().toSeq.sortBy(_.toString) ==
+      oau.collect().toSeq.sortBy(_.toString))
     val bre = ev.retrievalEval("event_type", "user_id", "value",
       "value", 5).run()
     val ore = graft.operators.Stats.retrievalEval(ev.run(), "event_type",
       "user_id", "value", "value", 5)
-    assert(bre.collect().toSeq == ore.collect().toSeq)
+    assert(bre.collect().toSeq.sortBy(_.toString) ==
+      ore.collect().toSeq.sortBy(_.toString))
     val docs = hdk.scan("documents")
     val bps = docs.distributionPsi("text", "source", "src0").run()
     val ops = graft.pipeline.TextAnalysis.distributionPsi(docs.run(),
       "text", "source", "src0")
-    assert(bps.collect().toSeq == ops.collect().toSeq)
+    assert(bps.collect().toSeq.sortBy(_.toString) ==
+      ops.collect().toSeq.sortBy(_.toString))
   }
 
   test("r9-continuation builder methods all coincide with their operators") {
