@@ -412,6 +412,232 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             dblLit(args(3), "graft_bh_fdr"))
           .queryExecution.analyzed
       }))
+    // r11 widening: the TIME-SERIES family at the SQL surface — the
+    // last family with zero SQL routes (r10 verdict #2; the reference
+    // routes ALL analytics through SQL, hdk.py:2456). Thin delegates
+    // onto the operators' own plans, the established pattern.
+    ext.injectTableFunction((FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_asof"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_asof(left_view, right_view, key_col, ts_col, 'rc1,rc2')")
+        val a = args.map(strLit(_, "graft_asof"))
+        val rightCols = a(4).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        TimeJoins.asofJoin(tbl(a(0)), tbl(a(1)), a(2), a(3), rightCols)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_resample"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_resample"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_resample(view, key_col, ts_col, val_col, tie_col, unit)")
+        val a = args.map(strLit(_, "graft_resample"))
+        TimeJoins.resampleFfill(tbl(a(0)), a(1), a(2), a(3), a(4), a(5))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_ewma"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_ewma"),
+      (args: Seq[Expression]) => {
+        require(args.size == 7,
+          "graft_ewma(view, key_col, ts_col, val_col, tie_col, alpha, span)")
+        val a = args.take(5).map(strLit(_, "graft_ewma"))
+        TimeJoins.ewma(tbl(a(0)), a(1), a(2), a(3), a(4),
+            dblLit(args(5), "graft_ewma"), intLit(args(6), "graft_ewma"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_twap"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_twap"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_twap(view, key_col, ts_col, val_col, tie_col)")
+        val a = args.map(strLit(_, "graft_twap"))
+        TimeJoins.twap(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_cusum"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_cusum"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_cusum(view, key_col, t_col, val_col, slack, threshold)")
+        val a = args.take(4).map(strLit(_, "graft_cusum"))
+        TimeJoins.cusum(tbl(a(0)), a(1), a(2), a(3),
+            dblLit(args(4), "graft_cusum"), dblLit(args(5), "graft_cusum"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_holt"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_holt"),
+      (args: Seq[Expression]) => {
+        require(args.size == 8,
+          "graft_holt(view, key_col, ts_col, val_col, tie_col, alpha, beta, horizon)")
+        val a = args.take(5).map(strLit(_, "graft_holt"))
+        TimeJoins.holtSmooth(tbl(a(0)), a(1), a(2), a(3), a(4),
+            dblLit(args(5), "graft_holt"), dblLit(args(6), "graft_holt"),
+            intLit(args(7), "graft_holt"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_acf"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_acf"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_acf(view, key_col, t_col, val_col, max_lag)")
+        val a = args.take(4).map(strLit(_, "graft_acf"))
+        TimeJoins.acf(tbl(a(0)), a(1), a(2), a(3),
+            intLit(args(4), "graft_acf"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_ccf"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_ccf"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_ccf(view, key_col, t_col, x_col, y_col, max_lag)")
+        val a = args.take(5).map(strLit(_, "graft_ccf"))
+        TimeJoins.ccf(tbl(a(0)), a(1), a(2), a(3), a(4),
+            intLit(args(5), "graft_ccf"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_seasonal"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_seasonal"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_seasonal(view, key_col, t_col, val_col, period)")
+        val a = args.take(4).map(strLit(_, "graft_seasonal"))
+        TimeJoins.seasonalDecompose(tbl(a(0)), a(1), a(2), a(3),
+            intLit(args(4), "graft_seasonal"))
+          .queryExecution.analyzed
+      }))
+    // …the CORRELATION family (A13/A14/R52/R37/R53/R54)…
+    ext.injectTableFunction((FunctionIdentifier("graft_spearman"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_spearman"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_spearman(view, x_col, y_col)")
+        val a = args.map(strLit(_, "graft_spearman"))
+        Stats.spearman(tbl(a(0)), a(1), a(2)).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_kendall"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_kendall"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_kendall(view, x_col, y_col)")
+        val a = args.map(strLit(_, "graft_kendall"))
+        Stats.kendallTau(tbl(a(0)), a(1), a(2)).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_mutual_info"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_mutual_info"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_mutual_info(view, a_col, b_col)")
+        val a = args.map(strLit(_, "graft_mutual_info"))
+        Stats.mutualInformation(tbl(a(0)), a(1), a(2))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_benford"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_benford"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_benford(view, val_col, scale)")
+        Stats.benford(tbl(strLit(args(0), "graft_benford")),
+            strLit(args(1), "graft_benford"),
+            intLit(args(2), "graft_benford"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_mann_kendall"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_mann_kendall"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_mann_kendall(view, key_col, ts_col, val_col, tie_col)")
+        val a = args.map(strLit(_, "graft_mann_kendall"))
+        Stats.mannKendall(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_theil_sen"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_theil_sen"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_theil_sen(view, key_col, ts_col, val_col)")
+        val a = args.map(strLit(_, "graft_theil_sen"))
+        Stats.theilSen(tbl(a(0)), a(1), a(2), a(3))
+          .queryExecution.analyzed
+      }))
+    // …the LINKAGE family (R28/R47)…
+    ext.injectTableFunction((FunctionIdentifier("graft_er_match"),
+      new ExpressionInfo(graft.operators.Linkage.getClass.getName,
+        "graft_er_match"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_er_match(dirty_view, clean_view, threshold)")
+        graft.operators.Linkage.matchEntities(
+            tbl(strLit(args(0), "graft_er_match")),
+            tbl(strLit(args(1), "graft_er_match")),
+            dblLit(args(2), "graft_er_match"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_editdist"),
+      new ExpressionInfo(graft.operators.Linkage.getClass.getName,
+        "graft_editdist"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_editdist(view, id_col, str_col, k)")
+        graft.operators.Linkage.editDistancePairs(
+            tbl(strLit(args(0), "graft_editdist")),
+            strLit(args(1), "graft_editdist"),
+            strLit(args(2), "graft_editdist"),
+            intLit(args(3), "graft_editdist"))
+          .queryExecution.analyzed
+      }))
+    // …the CHANGE-DATA family (R29/R18)…
+    ext.injectTableFunction((FunctionIdentifier("graft_snapshot_diff"),
+      new ExpressionInfo(graft.operators.Merge.getClass.getName,
+        "graft_snapshot_diff"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_snapshot_diff(prev_view, next_view, 'k1,k2')")
+        val keys = strLit(args(2), "graft_snapshot_diff")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        graft.operators.Merge.snapshotDiff(
+            tbl(strLit(args(0), "graft_snapshot_diff")),
+            tbl(strLit(args(1), "graft_snapshot_diff")), keys)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_scd2"),
+      new ExpressionInfo(graft.operators.Merge.getClass.getName,
+        "graft_scd2"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_scd2(view, 'k1,k2', ts_col, 't1,t2')")
+        def cols(e: Expression) = strLit(e, "graft_scd2")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        graft.operators.Merge.historize(
+            tbl(strLit(args(0), "graft_scd2")), cols(args(1)),
+            strLit(args(2), "graft_scd2"), cols(args(3)))
+          .queryExecution.analyzed
+      }))
+    // …and the RETRIEVAL-EVAL family (P27/P27b/P27c).
+    ext.injectTableFunction((FunctionIdentifier("graft_ndcg"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_ndcg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_ndcg(view, query_col, doc_col, score_col, rel_col, k)")
+        val a = args.take(5).map(strLit(_, "graft_ndcg"))
+        Stats.ndcgAtK(tbl(a(0)), a(1), a(2), a(3), a(4),
+            intLit(args(5), "graft_ndcg"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_retrieval_eval"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_retrieval_eval"),
+      (args: Seq[Expression]) => {
+        require(args.size == 6,
+          "graft_retrieval_eval(view, query_col, doc_col, score_col, rel_col, k)")
+        val a = args.take(5).map(strLit(_, "graft_retrieval_eval"))
+        Stats.retrievalEval(tbl(a(0)), a(1), a(2), a(3), a(4),
+            intLit(args(5), "graft_retrieval_eval"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_map"),
+      new ExpressionInfo(Stats.getClass.getName, "graft_map"),
+      (args: Seq[Expression]) => {
+        require(args.size == 5,
+          "graft_map(view, query_col, doc_col, score_col, rel_col)")
+        val a = args.map(strLit(_, "graft_map"))
+        Stats.averagePrecision(tbl(a(0)), a(1), a(2), a(3), a(4))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_winsorize"),
       new ExpressionInfo(Quality.getClass.getName, "graft_winsorize"),
       (args: Seq[Expression]) => {

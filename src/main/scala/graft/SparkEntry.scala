@@ -10,7 +10,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     _root_.graft.queries.CoreQueries.all ++
       _root_.graft.queries.ExtendedQueries.all ++
-      _root_.graft.queries.PipelineQueries.all
+      _root_.graft.queries.PipelineQueries.all ++
+      _root_.graft.queries.SqlTvfQueries.all
 
   private lazy val maps = Q.toMaps(modules)
 

@@ -61,9 +61,14 @@ object Stats extends org.apache.spark.internal.Logging {
       .withColumn("expected",
         round(col("row_tot").cast("double") * col("col_tot") /
           col("n_total"), 6))
+      // (o−e)² squares by MULTIPLICATION, not pow: x·x is correctly
+      // rounded IEEE in every engine, while libm pow(x, 2) is not — a
+      // last-ulp pow difference survives the 12dp round whenever the
+      // term magnitude exceeds ~1e3 (the r11 benford SQL-twin oracle
+      // caught exactly that)
       .withColumn("term",
-        round(pow(col("observed") - col("expected"), 2) /
-          col("expected"), 12))
+        round((col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"), 12))
     val stat = withE.agg(
       round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
         .as("chi2"))
@@ -176,9 +181,10 @@ object Stats extends org.apache.spark.internal.Logging {
       .withColumn("expected", round(col("exp_p") * col("n_total"), 6))
       .withColumn("obs_p",
         round(col("observed").cast("double") / col("n_total"), 6))
+      // multiplication, not pow — the chiSquare term discipline
       .withColumn("term",
-        round(pow(col("observed") - col("expected"), 2) /
-          col("expected"), 12))
+        round((col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"), 12))
     val stat = grid.agg(
       round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
         .as("chi2"))
@@ -1637,24 +1643,67 @@ object Stats extends org.apache.spark.internal.Logging {
     * task) stops fitting executor memory long before the join finishes.
     * Cap or window a key's history first (e.g. last-90-days per
     * entity); the operator stays exact because the caller asked for
-    * the exact median. */
+    * the exact median.
+    *
+    * `strategy = "sampled"` (r11) is the labeled scale leg: a
+    * deterministic hash-ranked subsample of m = ⌈√(2·maxPairsPerKey)⌉
+    * observations per key bounds the pair mass at maxPairsPerKey
+    * regardless of key size (a hot key cannot detonate), and the
+    * result is the exact Sen median OF THE SUBSERIES — the standard
+    * subsample estimator, with n/n_pairs honestly reporting the
+    * sampled sizes. Keys with ≤ m observations pass through whole, so
+    * the sampled leg coincides with exact there. The probe warning is
+    * retired on this path (nothing to warn about — the bound is by
+    * construction). */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, warnGroupSize: Int = 2000): DataFrame = {
-    val obs = df
+      valCol: String, warnGroupSize: Int = 2000,
+      strategy: String = "exact",
+      maxPairsPerKey: Int = 500000): DataFrame = {
+    require(Set("exact", "sampled")(strategy),
+      s"theilSen: unknown strategy '$strategy' (exact | sampled)")
+    require(maxPairsPerKey >= 1, "maxPairsPerKey must be positive")
+    val obs0 = df
       .filter(col(valCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
         col(valCol).as("v"))
+    // strategy = "sampled" (r11; the scale leg the exact default
+    // cannot offer — median-of-pairwise-slopes has no cell-space
+    // shortcut): a DETERMINISTIC hash-ranked subsample of
+    // OBSERVATIONS per key, m = ⌈√(2·maxPairsPerKey)⌉ rows, keeps the
+    // per-key pair mass ≤ maxPairsPerKey by construction — sampling
+    // observations bounds the pairs WITHOUT enumerating them (pair-
+    // level sampling would first materialize the O(n²) join it exists
+    // to avoid). The estimate is the EXACT Sen median of the sampled
+    // subseries (labeled approximate: n/n_pairs report the sampled
+    // sizes); xxhash64 ranking makes the subsample reproducible
+    // run-to-run and engine-independent. Keys at or under m are
+    // passed through whole, so sampled ≡ exact there (spec-asserted).
+    val obs = if (strategy == "sampled") {
+      val m = math.ceil(math.sqrt(2.0 * maxPairsPerKey)).toInt
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"))
+        .orderBy(xxhash64(col("k"), col("us"), col("v")), col("us"),
+          col("v"))
+      obs0.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= m).drop("_rk")
+    } else obs0
     // regime probe: ONE partial-agg'd aggregate (key-cardinality) —
-    // NULL-safe on an empty frame (the allPairsJaccard guard)
-    val maxRow = obs.groupBy(col("k")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxN > warnGroupSize)
-      logWarning(s"theilSen: largest key holds $maxN observations — " +
-        s"the exact median enumerates ~${maxN * maxN / 2} pairwise " +
-        "slopes for that key in one task (O(n_k^2) by construction). " +
-        "Cap or window each key's history before calling (the " +
-        "bounded-group contract), or raise warnGroupSize to silence.")
+    // NULL-safe on an empty frame (the allPairsJaccard guard). The
+    // sampled leg is bounded by construction, so the probe (and its
+    // warning) applies to the exact path only.
+    if (strategy == "exact") {
+      val maxRow = obs.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      if (maxN > warnGroupSize)
+        logWarning(s"theilSen: largest key holds $maxN observations — " +
+          s"the exact median enumerates ~${maxN * maxN / 2} pairwise " +
+          "slopes for that key in one task (O(n_k^2) by construction). " +
+          "Cap or window each key's history before calling (the " +
+          "bounded-group contract), raise warnGroupSize to silence, " +
+          "or switch to strategy=\"sampled\" for the bounded " +
+          "approximate estimate.")
+    }
     val l = obs.select(col("k"), col("us").as("ua"), col("v").as("va"))
     val r = obs.select(col("k"), col("us").as("ub"), col("v").as("vb"))
     val pairs = l.join(r, Seq("k"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -542,6 +542,27 @@ object TimeJoins extends org.apache.spark.internal.Logging {
           .as("acf"))
   }
 
+  /** Exact HALF_UP(numer6/den) at 6dp, as a double. `numer6` is a
+    * DECIMAL(*,6) exact value, `den` a positive integral column. The
+    * quotient rounds via INTEGER arithmetic at micros scale — numer·1e6
+    * is an exact integer, and the half-away-from-zero division
+    * (2|M|+den) div (2·den) uses the pmod trick so the only decimal
+    * division ever executed has an exactly-divisible numerator, which
+    * every engine's scale/rounding rule maps to the same integer. A
+    * plain round(numer/den, 6) is NOT cross-engine safe: when the
+    * rational sits exactly on a .5e-6 boundary (common — per-phase
+    * sums over 3–4 rows), Java's shortest-repr HALF_UP and DuckDB's
+    * exact-binary round diverge by 1e-6 (the §6 hazard this operator's
+    * r11 SQL-twin oracle caught on the odd-period branch). */
+  private def roundDiv6(numer6: Column, den: Column): Column = {
+    val m = (numer6 * lit(1000000)).cast("decimal(38,0)")
+    val d = den.cast("decimal(38,0)")
+    val num = abs(m) * 2 + d
+    val d2 = d * 2
+    val q = ((num - pmod(num, d2)) / d2).cast("decimal(38,0)")
+    when(m < 0, -q).otherwise(q).cast("double") / lit(1e6)
+  }
+
   def seasonalDecompose(obs: DataFrame, keyCol: String, tCol: String,
       valCol: String, period: Int = 24): DataFrame = {
     require(period >= 3, "period must be >= 3")
@@ -556,10 +577,11 @@ object TimeJoins extends org.apache.spark.internal.Logging {
         when(count(col("_v6")).over(w) === period &&
             max(col(tCol)).over(w) - min(col(tCol)).over(w)
               === period - 1,
-          round(sum(col("_v6")).over(w).cast("double") / period, 6))
+          roundDiv6(sum(col("_v6")).over(w).cast("decimal(38,6)"),
+            lit(period)))
       } else {
         // 2×m MA: double every weight so the accumulator stays integral
-        // in DECIMAL — (2·Σ inner + lo + hi) / 2p, one IEEE division.
+        // in DECIMAL — (2·Σ inner + lo + hi) / 2p, rounded exactly.
         val wIn = wOrd.rowsBetween(-(h - 1), h - 1)
         val lo = lag(col("_v6"), h).over(wOrd)
         val hi = lead(col("_v6"), h).over(wOrd)
@@ -568,8 +590,8 @@ object TimeJoins extends org.apache.spark.internal.Logging {
               === period - 2 &&
             lag(col(tCol), h).over(wOrd) === col(tCol) - h &&
             lead(col(tCol), h).over(wOrd) === col(tCol) + h,
-          round((sum(col("_v6")).over(wIn).cast("decimal(38,6)") * 2 +
-            lo + hi).cast("double") / (2.0 * period), 6))
+          roundDiv6((sum(col("_v6")).over(wIn).cast("decimal(38,6)") * 2 +
+            lo + hi).cast("decimal(38,6)"), lit(2 * period)))
       }
     val withTrend = obs
       .withColumn("_v6", v6)
@@ -583,14 +605,13 @@ object TimeJoins extends org.apache.spark.internal.Logging {
       .groupBy(col(keyCol), col("phase"))
       .agg(sum(col("_det")).cast("decimal(38,6)").as("_ds"),
         count(lit(1)).as("_dn"))
-      .withColumn("_seas_raw",
-        round(col("_ds").cast("double") / col("_dn").cast("double"), 6))
+      .withColumn("_seas_raw", roundDiv6(col("_ds"), col("_dn")))
     val wKey = Window.partitionBy(col(keyCol)) // ≤ period rows per key
     val seasonal = seasRaw
       .withColumn("_mean",
-        round(sum(col("_seas_raw").cast("decimal(18,6)")).over(wKey)
-            .cast("double") /
-          count(lit(1)).over(wKey).cast("double"), 6))
+        roundDiv6(sum(col("_seas_raw").cast("decimal(18,6)")).over(wKey)
+            .cast("decimal(38,6)"),
+          count(lit(1)).over(wKey)))
       .select(col(keyCol), col("phase"),
         round(col("_seas_raw") - col("_mean"), 6).as("seasonal"))
     withTrend

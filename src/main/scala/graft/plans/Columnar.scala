@@ -7,10 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   BoundReference, EqualTo, EvalMode, Expression, GreaterThan,
   GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal,
   NamedExpression, Not, Or, Add, Multiply, Subtract, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Count, Max, Min, Partial, Sum}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec,
   SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector,
   WritableColumnVector}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
@@ -67,6 +70,27 @@ object Columnar {
         ba.children.forall(c => c.dataType == ba.dataType && supported(c))
     case _ => false
   }
+
+  /** Aggregate whitelist for the columnar PARTIAL aggregate (r11 — the
+    * scan-adjacent trio's last member, and the op where columnar wins
+    * most: map-side combine collapses rows before they shuffle):
+    * Partial-mode, non-distinct, unfiltered sum/count/min/max whose
+    * child is vectorizable and whose buffer is a single attribute
+    * (long/double sums; decimal sums carry an isEmpty flag and refuse).
+    * TRY sums refuse — the null-on-overflow contract is not
+    * implemented here (the [[supported]] rule). */
+  private[plans] def supportedAgg(ae: AggregateExpression): Boolean =
+    ae.mode == Partial && !ae.isDistinct && ae.filter.isEmpty &&
+      (ae.aggregateFunction match {
+        case s: Sum =>
+          s.aggBufferAttributes.size == 1 && supported(s.child) &&
+            supportedType(s.dataType) &&
+            s.evalContext.evalMode != EvalMode.TRY
+        case c: Count => c.children.size == 1 && supported(c.children.head)
+        case m: Min => supported(m.child) && supportedType(m.dataType)
+        case m: Max => supported(m.child) && supportedType(m.dataType)
+        case _ => false
+      })
 
   /** Predicate whitelist for the columnar filter: comparisons between
     * same-typed supported value expressions, Kleene AND/OR/NOT, and
@@ -374,6 +398,173 @@ case class GraftColumnarFilterExec(condition: Expression,
   }
 }
 
+/** Vectorized map-side (Partial) hash aggregate (r11): consumes the
+  * whole partition's batches into one insertion-ordered hash of group →
+  * aggregate cells, updating each cell in ROW ORDER — exactly the row
+  * path's fold, so double sums are BIT-IDENTICAL to HashAggregateExec's
+  * partial buffers (emitting per-batch partials instead would re-
+  * associate the FP additions). Emits one batch of
+  * (group, buffer...) rows whose attributes are the ORIGINAL partial
+  * aggregate's output, so the downstream final aggregate consumes it
+  * unchanged. ANSI long sums use Math.addExact (overflow still fails
+  * the query, with a coarser message — the documented demonstrator
+  * trade-off); min/max over doubles use java.lang.Double.compare,
+  * Spark's NaN-greatest / −0.0 < 0.0 ordering. Group cardinality is
+  * assumed to fit the task (no spill — a production accelerator adds
+  * it; the row path keeps serving everything the whitelist refuses).
+  */
+case class GraftColumnarPartialAggExec(groupAttr: AttributeReference,
+    aggs: Seq[AggregateExpression], outAttrs: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = outAttrs
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def supportsColumnar: Boolean = true
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new IllegalStateException(
+      "GraftColumnarPartialAggExec is columnar-only; the planner inserts " +
+        "a ColumnarToRow transition above it")
+
+  // one descriptor per aggregate, prepared at plan time so the task
+  // closure carries plain serializable values
+  private case class AggDesc(kind: Int, ansi: Boolean,
+      inType: DataType, outType: DataType, bound: Expression)
+  private val KSum = 0; private val KCount = 1
+  private val KMin = 2; private val KMax = 3
+
+  override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
+    val groupIdx = child.output.indexWhere(_.exprId == groupAttr.exprId)
+    require(groupIdx >= 0, "grouping attribute missing from child output")
+    val groupType = groupAttr.dataType
+    val descs = aggs.zipWithIndex.map { case (ae, j) =>
+      val (kind, ansi, childExpr) = ae.aggregateFunction match {
+        case s: Sum =>
+          (KSum, s.evalContext.evalMode == EvalMode.ANSI, s.child)
+        case c: Count => (KCount, false, c.children.head)
+        case m: Min => (KMin, false, m.child)
+        case m: Max => (KMax, false, m.child)
+        case other =>
+          throw new IllegalStateException(s"unsupported aggregate $other")
+      }
+      AggDesc(kind, ansi, childExpr.dataType, outAttrs(1 + j).dataType,
+        BindReferences.bindReference(childExpr, child.output))
+    }.toArray
+    val outTypes = outAttrs.map(_.dataType).toArray
+
+    child.executeColumnar().mapPartitions { batches =>
+      // per-group, per-agg cell: (long acc, double acc, seen-any flag)
+      final class Cell {
+        var l: Long = 0L; var d: Double = 0.0; var set: Boolean = false
+      }
+      val NullKey = new Object // partition-local sentinel for the null group
+      val groups = scala.collection.mutable
+        .LinkedHashMap.empty[Any, Array[Cell]]
+      batches.foreach { batch =>
+        val n = batch.numRows()
+        val gcol = batch.column(groupIdx)
+        val acols = descs.map(d => ColumnarEval.eval(d.bound, batch, n))
+        var i = 0
+        while (i < n) {
+          val key: Any =
+            if (gcol.isNullAt(i)) NullKey
+            else groupType match {
+              case LongType => gcol.getLong(i)
+              case IntegerType => gcol.getInt(i)
+              case DoubleType => gcol.getDouble(i)
+              case dt => throw new IllegalStateException(s"unsupported $dt")
+            }
+          val cells = groups.getOrElseUpdate(key,
+            Array.fill(descs.length)(new Cell))
+          var j = 0
+          while (j < descs.length) {
+            val d = descs(j); val c = cells(j); val v = acols(j)
+            d.kind match {
+              case KCount => if (!v.isNullAt(i)) { c.l += 1L; c.set = true }
+              case KSum => if (!v.isNullAt(i)) {
+                d.outType match {
+                  case DoubleType =>
+                    c.d += v.getDouble(i)
+                  case LongType =>
+                    val x = d.inType match {
+                      case IntegerType => v.getInt(i).toLong
+                      case _ => v.getLong(i)
+                    }
+                    c.l = if (d.ansi) Math.addExact(c.l, x) else c.l + x
+                  case dt =>
+                    throw new IllegalStateException(s"unsupported $dt")
+                }
+                c.set = true
+              }
+              case _ => if (!v.isNullAt(i)) { // min/max
+                val mn = d.kind == KMin
+                d.inType match {
+                  case LongType =>
+                    val x = v.getLong(i)
+                    val cmp = java.lang.Long.compare(x, c.l)
+                    if (!c.set || (if (mn) cmp < 0 else cmp > 0)) c.l = x
+                  case IntegerType =>
+                    val x = v.getInt(i).toLong
+                    val cmp = java.lang.Long.compare(x, c.l)
+                    if (!c.set || (if (mn) cmp < 0 else cmp > 0)) c.l = x
+                  case DoubleType =>
+                    val x = v.getDouble(i)
+                    val cmp = java.lang.Double.compare(x, c.d)
+                    if (!c.set || (if (mn) cmp < 0 else cmp > 0)) c.d = x
+                  case dt =>
+                    throw new IllegalStateException(s"unsupported $dt")
+                }
+                c.set = true
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        acols.foreach(_.close())
+      }
+      if (groups.isEmpty) Iterator.empty
+      else {
+        val m = groups.size
+        val vecs = outTypes.map(new OnHeapColumnVector(m, _))
+        var r = 0
+        groups.foreach { case (key, cells) =>
+          if (key.asInstanceOf[AnyRef] eq NullKey) vecs(0).putNull(r)
+          else groupType match {
+            case LongType => vecs(0).putLong(r, key.asInstanceOf[Long])
+            case IntegerType => vecs(0).putInt(r, key.asInstanceOf[Int])
+            case DoubleType => vecs(0).putDouble(r, key.asInstanceOf[Double])
+            case dt => throw new IllegalStateException(s"unsupported $dt")
+          }
+          var j = 0
+          while (j < descs.length) {
+            val d = descs(j); val c = cells(j); val out = vecs(1 + j)
+            d.kind match {
+              case KCount => out.putLong(r, c.l) // count buffer is non-null 0
+              case _ =>
+                if (!c.set) out.putNull(r)
+                else d.outType match {
+                  case LongType => out.putLong(r, c.l)
+                  case IntegerType => out.putInt(r, c.l.toInt)
+                  case DoubleType => out.putDouble(r, c.d)
+                  case dt =>
+                    throw new IllegalStateException(s"unsupported $dt")
+                }
+            }
+            j += 1
+          }
+          r += 1
+        }
+        Iterator.single(
+          new ColumnarBatch(vecs.toArray[ColumnVector], m))
+      }
+    }
+  }
+}
+
 /** The injected rule: under the flag, swap every fully-supported
   * ProjectExec/FilterExec for its vectorized node. Runs in
   * preColumnarTransitions, so the planner then places
@@ -397,6 +588,24 @@ class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 f.child.output.forall(a =>
                   Columnar.supportedType(a.dataType)) =>
             GraftColumnarFilterExec(f.condition, f.child)
+          // the map-side (Partial) aggregate: single supported grouping
+          // attribute, whitelisted aggregate functions, and the
+          // pass-through partial output layout (grouping attr + one
+          // buffer attr per aggregate, positionally)
+          case a: HashAggregateExec
+              if a.groupingExpressions.size == 1 &&
+                a.groupingExpressions.head.isInstanceOf[AttributeReference] &&
+                Columnar.supportedType(
+                  a.groupingExpressions.head.dataType) &&
+                a.aggregateExpressions.nonEmpty &&
+                a.aggregateExpressions.forall(Columnar.supportedAgg) &&
+                a.output.size == 1 + a.aggregateExpressions.size &&
+                a.output.head.exprId ==
+                  a.groupingExpressions.head.asInstanceOf[AttributeReference]
+                    .exprId =>
+            GraftColumnarPartialAggExec(
+              a.groupingExpressions.head.asInstanceOf[AttributeReference],
+              a.aggregateExpressions, a.output, a.child)
         }
     }
 }

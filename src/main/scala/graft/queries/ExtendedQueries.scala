@@ -1713,9 +1713,10 @@ object ExtendedQueries {
         LEFT JOIN cells c ON c.lang = rt.lang AND c.source = ct.source,
         g),
       tt AS (SELECT *,
-          round(pow(observed - expected, 2) / expected, 12) AS term
+          CAST(round(CAST(CAST((observed - expected) * (observed - expected)
+            / expected AS VARCHAR) AS DECIMAL(38,20)), 12) AS DOUBLE) AS term
         FROM e),
-      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+      st AS (SELECT round(CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
           AS DOUBLE), 6) AS chi2 FROM tt)
       SELECT tt.lang, tt.source, tt.observed, tt.expected, tt.term,
         st.chi2, CAST((g.na - 1) * (g.nb - 1) AS BIGINT) AS dof
@@ -1776,9 +1777,10 @@ object ExtendedQueries {
           round(CAST(observed AS DOUBLE) / n_total, 6) AS obs_p
         FROM g),
       tt AS (SELECT *,
-          round(pow(observed - expected, 2) / expected, 12) AS term
+          CAST(round(CAST(CAST((observed - expected) * (observed - expected)
+            / expected AS VARCHAR) AS DECIMAL(38,20)), 12) AS DOUBLE) AS term
         FROM e),
-      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+      st AS (SELECT round(CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
           AS DOUBLE), 6) AS chi2 FROM tt)
       SELECT tt.digit, tt.observed, tt.expected, tt.obs_p, tt.exp_p,
         tt.term, st.chi2, CAST(8 AS BIGINT) AS dof, tt.n_total
@@ -1959,13 +1961,16 @@ object ExtendedQueries {
           epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
           CAST(count(*) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2),
-      b AS (SELECT k, hr, CAST(round(v, 6) AS DECIMAL(18,6)) AS v6 FROM s),
+      b AS (SELECT k, hr, CAST(round(v, 6) AS DECIMAL(18,6)) AS v6,
+          CAST(CAST(round(v, 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+            AS v6i
+        FROM s),
       w AS (SELECT k, hr, v6,
           count(v6) OVER win AS n_in,
           max(hr) OVER win - min(hr) OVER win AS span_in,
-          CAST(sum(v6) OVER win AS DECIMAL(38,6)) AS s_in,
-          lag(v6, 12) OVER wo AS lo,
-          lead(v6, 12) OVER wo AS hi,
+          sum(v6i) OVER win AS s_in,
+          lag(v6i, 12) OVER wo AS lo,
+          lead(v6i, 12) OVER wo AS hi,
           lag(hr, 12) OVER wo AS lot,
           lead(hr, 12) OVER wo AS hit,
           hr % 24 AS phase
@@ -1973,24 +1978,40 @@ object ExtendedQueries {
         WINDOW win AS (PARTITION BY k ORDER BY hr
             ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING),
           wo AS (PARTITION BY k ORDER BY hr)),
+      -- the trend quotient rounds via exact HUGEINT half-away division
+      -- at micros scale (the operator's roundDiv6): round(x/d, 6) on
+      -- the double quotient diverges cross-engine when the rational
+      -- sits exactly on a .5e-6 boundary
       tr AS (SELECT k, hr, v6, phase,
           CASE WHEN n_in = 23 AND span_in = 22
               AND lot = hr - 12 AND hit = hr + 12
-            THEN round(CAST(s_in * 2 + lo + hi AS DOUBLE) / 48.0, 6)
+            THEN CAST(CASE WHEN s_in * 2 + lo + hi >= 0
+                THEN (2*(s_in * 2 + lo + hi) + 48) // 96
+                ELSE -((-2*(s_in * 2 + lo + hi) + 48) // 96) END
+              AS DOUBLE) / 1000000.0
             END AS trend
         FROM w),
-      sr AS (SELECT k, phase,
-          round(CAST(sum(CAST(round(CAST(v6 AS DOUBLE) - trend, 6)
-              AS DECIMAL(18,6))) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE), 6) AS seas_raw
+      sr0 AS (SELECT k, phase,
+          sum(CAST(CAST(round(CAST(v6 AS DOUBLE) - trend, 6)
+              AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS dsm,
+          CAST(count(*) AS HUGEINT) AS dn
         FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sr AS (SELECT k, phase,
+          CAST(CASE WHEN dsm >= 0 THEN (2*dsm + dn) // (2*dn)
+               ELSE -((-2*dsm + dn) // (2*dn)) END AS DOUBLE)
+            / 1000000.0 AS seas_raw
+        FROM sr0),
+      sc0 AS (SELECT k, phase, seas_raw,
+          sum(CAST(CAST(seas_raw AS DECIMAL(18,6)) * 1000000 AS HUGEINT))
+            OVER (PARTITION BY k) AS srm,
+          CAST(count(*) OVER (PARTITION BY k) AS HUGEINT) AS srn
+        FROM sr),
       sc AS (SELECT k, phase,
           round(seas_raw
-            - round(CAST(sum(CAST(seas_raw AS DECIMAL(18,6)))
-                OVER (PARTITION BY k) AS DOUBLE)
-              / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE), 6), 6)
-            AS seasonal
-        FROM sr)
+            - CAST(CASE WHEN srm >= 0 THEN (2*srm + srn) // (2*srn)
+                ELSE -((-2*srm + srn) // (2*srn)) END AS DOUBLE)
+              / 1000000.0, 6) AS seasonal
+        FROM sc0)
       SELECT tr.k AS event_type, tr.hr, CAST(tr.v6 AS DOUBLE) AS value,
         tr.phase, tr.trend, sc.seasonal,
         CASE WHEN tr.trend IS NOT NULL AND sc.seasonal IS NOT NULL
@@ -2956,9 +2977,10 @@ object ExtendedQueries {
           AND c.user_band = ct.user_band,
         g),
       tt AS (SELECT *,
-          round(pow(observed - expected, 2) / expected, 12) AS term
+          CAST(round(CAST(CAST((observed - expected) * (observed - expected)
+            / expected AS VARCHAR) AS DECIMAL(38,20)), 12) AS DOUBLE) AS term
         FROM e),
-      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+      st AS (SELECT round(CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
           AS DOUBLE), 6) AS chi2 FROM tt)
       SELECT tt.event_type, tt.user_band, tt.observed, tt.expected,
         tt.term, st.chi2, CAST((g.na - 1) * (g.nb - 1) AS BIGINT) AS dof
@@ -3871,9 +3893,10 @@ object ExtendedQueries {
             AS expected
         FROM rt CROSS JOIN ct
         LEFT JOIN cells c ON c.a = rt.a AND c.b = ct.b, g),
-      tt AS (SELECT round(pow(observed - expected, 2) / expected, 12)
+      tt AS (SELECT CAST(round(CAST(CAST((observed - expected) * (observed - expected)
+            / expected AS VARCHAR) AS DECIMAL(38,20)), 12) AS DOUBLE)
           AS term FROM e),
-      st AS (SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12)))
+      st AS (SELECT round(CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
           AS DOUBLE), 6) AS chi2 FROM tt)
       SELECT g.n_total, CAST(g.na AS BIGINT) AS n_a,
         CAST(g.nb AS BIGINT) AS n_b, st.chi2,

@@ -1,0 +1,874 @@
+package graft.queries
+
+import graft.{Q, Tables}
+
+/** SQL-surface twins for the analytics families that reach `spark.sql`
+  * through the r11 table functions (GraftExtensions): time-series
+  * (R13/R17/R21/R33/R42/R66/R43/R49/R40), the correlation family
+  * (A13/A14/R52/R37/R53/R54), linkage (R28/R47), change-data
+  * (R29/R18) and retrieval eval (P27/P27b/P27c). The reference is
+  * SQL-first for ALL analytics (pyhdk hdk.py:2456 routes everything
+  * through HDK.sql); after this module every operator family has a SQL
+  * route. Each key runs PURELY through SQL text with parameters
+  * DISTINCT from its DataFrame twin, so it earns its own full DuckDB
+  * oracle; SqlSurfaceSpec asserts plan identity (sameResult) for the
+  * lazy operators and pinned-input value equality for the
+  * internally-materializing ones.
+  */
+object SqlTvfQueries {
+
+  private type S = org.apache.spark.sql.SparkSession
+
+  private def sql(s: S, d: String, stmts: String*) = {
+    Tables.registerAll(s, d)
+    stmts.init.foreach(s.sql)
+    s.sql(stmts.last)
+  }
+
+  // ---------------------------------------------------------------
+  // Time-series family
+  // ---------------------------------------------------------------
+
+  // R13 as-of join via SQL: view events enriched with the latest
+  // signup value at-or-before each view (q37 used purchase/click).
+  // Oracle: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+  // implementation of the semantics.
+  private val q136 = Q(
+    "q136_sql_asof",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q136_l AS
+        SELECT event_id, user_id, ts, value AS p_val FROM events
+        WHERE event_type = 'view'""",
+      """CREATE OR REPLACE TEMP VIEW q136_r AS
+        SELECT user_id, ts, max(value) AS c_val, ts AS c_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id, ts""",
+      """SELECT event_id, user_id, p_val, asof_c_ts, asof_c_val
+        FROM graft_asof('q136_l', 'q136_r', 'user_id', 'ts', 'c_ts,c_val')
+        ORDER BY event_id"""),
+    Some("""WITH p AS (
+        SELECT event_id, user_id, ts, value AS p_val FROM events
+        WHERE event_type = 'view'),
+      c AS (
+        SELECT user_id, ts AS c_ts, max(value) AS c_val FROM events
+        WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.p_val,
+        c.c_ts AS asof_c_ts, c.c_val AS asof_c_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.c_ts <= p.ts
+      ORDER BY p.event_id"""))
+
+  // R17 resample+ffill via SQL on a DAILY grid (q52 used hourly, a
+  // different user slice).
+  private val q137 = Q(
+    "q137_sql_resample",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q137_obs AS
+        SELECT * FROM events WHERE user_id % 11 = 3""",
+      """SELECT * FROM
+        graft_resample('q137_obs', 'user_id', 'ts', 'value', 'event_id', 'day')
+        ORDER BY user_id, bucket"""),
+    Some("""WITH obs AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+          epoch_us(ts) AS us, event_id, value
+        FROM events WHERE user_id % 11 = 3),
+      lastb AS (
+        SELECT user_id, bucket, v_last FROM (
+          SELECT user_id, bucket, value AS v_last,
+            row_number() OVER (PARTITION BY user_id, bucket
+              ORDER BY us DESC, event_id DESC) AS rn
+          FROM obs) WHERE rn = 1),
+      spans AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM obs GROUP BY 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY))
+          AS bucket FROM spans)
+      SELECT user_id, bucket,
+        last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      FROM grid LEFT JOIN lastb USING (user_id, bucket)
+      ORDER BY user_id, bucket"""))
+
+  // R21 EWMA via SQL with α=0.25 over a 10-row trailing frame (q57:
+  // α=0.1/span 20, a different user slice). DuckDB replays the
+  // identical left fold and closed-form geometric denominator.
+  private val q138 = Q(
+    "q138_sql_ewma",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q138_obs AS
+        SELECT * FROM events WHERE user_id % 6 = 2""",
+      """SELECT user_id, event_id, ewma FROM
+        graft_ewma('q138_obs', 'user_id', 'ts', 'value', 'event_id', 0.25D, 10)
+        ORDER BY user_id, event_id"""),
+    Some("""WITH f AS (
+        SELECT user_id, event_id,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+        FROM events WHERE user_id % 6 = 2)
+      SELECT user_id, event_id,
+        round(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+            (a, x) -> a * 0.75e0 + x)
+          / ((1 - pow(0.75e0, len(vs))) / 0.25e0), 6) AS ewma
+      FROM f ORDER BY user_id, event_id"""))
+
+  // R33 TWAP via SQL (q70 used user_id % 7).
+  private val q139 = Q(
+    "q139_sql_twap",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q139_obs AS
+        SELECT * FROM events WHERE user_id % 4 = 1""",
+      """SELECT * FROM
+        graft_twap('q139_obs', 'user_id', 'ts', 'value', 'event_id')
+        ORDER BY user_id"""),
+    Some("""WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+          round(value, 6) AS v
+        FROM events WHERE user_id % 4 = 1),
+      d AS (SELECT user_id, v, us,
+          lead(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) - us AS dt
+        FROM obs),
+      a AS (SELECT user_id, count(*) AS n_obs,
+          CAST(sum(CAST(CAST(v AS DECIMAL(18,6))
+            * CAST(dt AS DECIMAL(20,0)) AS DECIMAL(38,6)))
+            AS DECIMAL(38,6)) AS ws,
+          max(us) - min(us) AS span_us
+        FROM d GROUP BY 1)
+      SELECT user_id, n_obs, span_us,
+        CASE WHEN span_us > 0
+          THEN round(CAST(ws AS DOUBLE) / CAST(span_us AS DOUBLE), 6)
+        END AS twap
+      FROM a ORDER BY user_id"""))
+
+  // R42 CUSUM via SQL on the per-user-decile hourly count series with
+  // k=0.25, h=3 (q82: per-type series, 0.5/5). (key, hr) is unique by
+  // construction of the GROUP BY.
+  private val q140 = Q(
+    "q140_sql_cusum",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q140_series AS
+        SELECT user_id % 10 AS grp,
+          unix_micros(date_trunc('hour', ts)) div 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2""",
+      """SELECT * FROM
+        graft_cusum('q140_series', 'grp', 'hr', 'value', 0.25D, 3.0D)
+        ORDER BY grp, hr"""),
+    Some("""WITH s AS (SELECT user_id % 10 AS grp,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      mu AS (SELECT grp,
+          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+        FROM s GROUP BY 1),
+      c AS (SELECT s.grp, hr, v, mu,
+          count(*) OVER w AS i,
+          CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) OVER w
+            AS DECIMAL(38,6)) AS cs
+        FROM s JOIN mu USING (grp)
+        WINDOW w AS (PARTITION BY s.grp ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cc AS (SELECT grp, hr, v,
+          round(CAST(cs AS DOUBLE) - i * (mu + 0.25), 6) AS cup,
+          round(-CAST(cs AS DOUBLE) + i * (mu - 0.25), 6) AS cdn
+        FROM c),
+      sc AS (SELECT grp, hr, v,
+          round(cup - least(0.0, min(cup) OVER w2), 6) AS cusum_up,
+          round(cdn - least(0.0, min(cdn) OVER w2), 6) AS cusum_dn
+        FROM cc WINDOW w2 AS (PARTITION BY grp ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT grp, hr, v AS value, cusum_up, cusum_dn,
+        cusum_up > 3.0 OR cusum_dn > 3.0 AS flagged
+      FROM sc ORDER BY grp, hr"""))
+
+  // R66 Holt via SQL with α=0.5, β=0.25, horizon 2 (q126:
+  // 0.25/0.125/3, a different user slice). The [l,b] LIST accumulator
+  // replays the exact IEEE fold (DuckDB list_reduce mutates struct
+  // accumulators — the q126 lesson).
+  private val q141 = Q(
+    "q141_sql_holt",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q141_obs AS
+        SELECT * FROM events WHERE user_id % 17 = 5""",
+      """SELECT * FROM
+        graft_holt('q141_obs', 'user_id', 'ts', 'value', 'event_id',
+          0.5D, 0.25D, 2)
+        ORDER BY user_id"""),
+    Some("""WITH obs AS (SELECT user_id AS k, ts AS t, event_id AS i,
+          CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE user_id % 17 = 5 AND value IS NOT NULL
+          AND ts IS NOT NULL),
+      g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+          list(v ORDER BY t, i) AS vs
+        FROM obs GROUP BY 1),
+      f AS (SELECT k, n, vs,
+          CASE WHEN len(vs) >= 2 THEN list_reduce(
+            list_prepend([vs[1], vs[2] - vs[1]],
+              list_transform(vs[2:], x -> [x, 0.0e0])),
+            (acc, x) -> [
+              0.5e0 * x[1] + 0.5e0 * (acc[1] + acc[2]),
+              0.25e0 * ((0.5e0 * x[1] + 0.5e0 * (acc[1] + acc[2]))
+                - acc[1]) + 0.75e0 * acc[2]])
+          END AS st
+        FROM g)
+      SELECT k AS user_id, n,
+        CASE WHEN n = 1 THEN round(vs[1], 6)
+          ELSE round(st[1], 6) END AS level,
+        round(st[2], 6) AS trend,
+        round(st[1] + 2.0e0 * st[2], 6) AS forecast
+      FROM f ORDER BY user_id"""))
+
+  // R43 ACF via SQL at lags 1..7 on the DAILY count series (q83:
+  // hourly, lags 1..25).
+  private val q142 = Q(
+    "q142_sql_acf",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q142_series AS
+        SELECT event_type,
+          unix_micros(date_trunc('day', ts)) div 86400000000 AS dy,
+          CAST(count(*) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2""",
+      """SELECT * FROM
+        graft_acf('q142_series', 'event_type', 'dy', 'value', 7)
+        ORDER BY event_type, lag"""),
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      mu AS (SELECT k,
+          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mu
+        FROM s GROUP BY 1),
+      d AS (SELECT s.k, dy,
+          CAST(round(round(v, 6) - mu, 6) AS DECIMAL(18,6)) AS dd,
+          row_number() OVER (PARTITION BY s.k ORDER BY dy) AS rn
+        FROM s JOIN mu USING (k)),
+      den AS (SELECT k,
+          CAST(sum(dd * dd) AS DECIMAL(38,12)) AS ss
+        FROM d GROUP BY 1),
+      pairs AS (SELECT a.k, l.lag, a.dd AS da, b.dd AS db
+        FROM d a
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        LEFT JOIN d b ON a.k = b.k AND b.rn = a.rn - l.lag),
+      num AS (SELECT k, CAST(lag AS INT) AS lag,
+          CAST(count(db) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(da * db), 0) AS DECIMAL(38,12)) AS sp
+        FROM pairs GROUP BY 1, 2),
+      j AS (SELECT num.k, lag, n_pairs, sp, ss
+        FROM num JOIN den ON num.k = den.k)
+      SELECT k AS event_type, lag, n_pairs,
+        CASE WHEN n_pairs > 0 AND ss > 0
+          THEN round(CAST(sp AS DOUBLE) / CAST(ss AS DOUBLE), 6)
+          END AS acf
+      FROM j ORDER BY event_type, lag"""))
+
+  // R49 CCF via SQL at lags ±4 with the y series thresholded at 20
+  // (q89: ±6, threshold 50).
+  private val q143 = Q(
+    "q143_sql_ccf",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q143_series AS
+        SELECT event_type,
+          unix_micros(date_trunc('hour', ts)) div 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS x,
+          CAST(count(CASE WHEN value > 20.0 THEN 1 END) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2""",
+      """SELECT * FROM
+        graft_ccf('q143_series', 'event_type', 'hr', 'x', 'y', 4)
+        ORDER BY event_type, lag"""),
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+          CAST(count(*) AS DOUBLE) AS x,
+          CAST(count(*) FILTER (value > 20.0) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      mx AS (SELECT k, round(CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mx
+        FROM s GROUP BY 1),
+      my AS (SELECT k, round(CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS my
+        FROM s GROUP BY 1),
+      d AS (SELECT s.k, hr,
+          CAST(round(round(x, 6) - mx, 6) AS DECIMAL(18,6)) AS dx,
+          CAST(round(round(y, 6) - my, 6) AS DECIMAL(18,6)) AS dy,
+          row_number() OVER (PARTITION BY s.k ORDER BY hr) AS rn
+        FROM s JOIN mx USING (k) JOIN my USING (k)),
+      den AS (SELECT k,
+          CAST(sum(CAST(dx AS DECIMAL(20,6)) * dx) AS DECIMAL(38,12))
+            AS sxx,
+          CAST(sum(CAST(dy AS DECIMAL(20,6)) * dy) AS DECIMAL(38,12))
+            AS syy
+        FROM d GROUP BY 1),
+      pairs AS (SELECT a.k, l.lag, a.dx AS da, b.dy AS db
+        FROM d a
+        CROSS JOIN (SELECT unnest(range(-4, 5)) AS lag) l
+        LEFT JOIN d b ON a.k = b.k AND b.rn = a.rn + l.lag),
+      num AS (SELECT k, CAST(lag AS INT) AS lag,
+          CAST(count(db) AS BIGINT) AS n_pairs,
+          CAST(coalesce(sum(CAST(da AS DECIMAL(20,6)) * db), 0)
+            AS DECIMAL(38,12)) AS sp
+        FROM pairs GROUP BY 1, 2),
+      j AS (SELECT num.k, lag, n_pairs, sp, sxx, syy
+        FROM num JOIN den ON num.k = den.k)
+      SELECT k AS event_type, lag, n_pairs,
+        CASE WHEN n_pairs > 0 AND sxx > 0 AND syy > 0
+          THEN round(CAST(sp AS DOUBLE)
+            / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+          END AS ccf
+      FROM j ORDER BY event_type, lag"""))
+
+  // R40 seasonal decomposition via SQL with period 7 on the daily
+  // series — the ODD-period branch (plain ±3 centered MA; q79
+  // exercised the even 2×24 branch). Gap days (a type with zero
+  // events that day is a MISSING row) NULL the straddling trends via
+  // the count+span gate.
+  private val q144 = Q(
+    "q144_sql_seasonal",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q144_series AS
+        SELECT event_type,
+          unix_micros(date_trunc('day', ts)) div 86400000000 AS dy,
+          CAST(count(*) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2""",
+      """SELECT * FROM
+        graft_seasonal('q144_series', 'event_type', 'dy', 'value', 7)
+        ORDER BY event_type, dy"""),
+    Some("""WITH s AS (SELECT event_type AS k,
+          epoch_us(date_trunc('day', ts)) // 86400000000 AS dy,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT k, dy, CAST(round(v, 6) AS DECIMAL(18,6)) AS v6,
+          CAST(CAST(round(v, 6) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+            AS v6i
+        FROM s),
+      w AS (SELECT k, dy, v6,
+          count(v6) OVER win AS n_in,
+          max(dy) OVER win - min(dy) OVER win AS span_in,
+          sum(v6i) OVER win AS m_in,
+          dy % 7 AS phase
+        FROM b
+        WINDOW win AS (PARTITION BY k ORDER BY dy
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr AS (SELECT k, dy, v6, phase,
+          CASE WHEN n_in = 7 AND span_in = 6
+            THEN CAST(CASE WHEN m_in >= 0 THEN (2*m_in + 7) // 14
+                 ELSE -((-2*m_in + 7) // 14) END AS DOUBLE) / 1000000.0
+            END AS trend
+        FROM w),
+      sr0 AS (SELECT k, phase,
+          sum(CAST(CAST(round(CAST(v6 AS DOUBLE) - trend, 6)
+              AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS dsm,
+          CAST(count(*) AS HUGEINT) AS dn
+        FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+      sr AS (SELECT k, phase,
+          CAST(CASE WHEN dsm >= 0 THEN (2*dsm + dn) // (2*dn)
+               ELSE -((-2*dsm + dn) // (2*dn)) END AS DOUBLE)
+            / 1000000.0 AS seas_raw
+        FROM sr0),
+      sc0 AS (SELECT k, phase, seas_raw,
+          sum(CAST(CAST(seas_raw AS DECIMAL(18,6)) * 1000000 AS HUGEINT))
+            OVER (PARTITION BY k) AS srm,
+          CAST(count(*) OVER (PARTITION BY k) AS HUGEINT) AS srn
+        FROM sr),
+      sc AS (SELECT k, phase,
+          round(seas_raw
+            - CAST(CASE WHEN srm >= 0 THEN (2*srm + srn) // (2*srn)
+                ELSE -((-2*srm + srn) // (2*srn)) END AS DOUBLE)
+              / 1000000.0, 6) AS seasonal
+        FROM sc0)
+      SELECT tr.k AS event_type, tr.dy, CAST(tr.v6 AS DOUBLE) AS value,
+        tr.phase, tr.trend, sc.seasonal,
+        CASE WHEN tr.trend IS NOT NULL AND sc.seasonal IS NOT NULL
+          THEN round(CAST(tr.v6 AS DOUBLE) - tr.trend - sc.seasonal, 6)
+          END AS residual
+      FROM tr LEFT JOIN sc ON tr.k = sc.k AND tr.phase = sc.phase
+      ORDER BY event_type, dy"""))
+
+  // ---------------------------------------------------------------
+  // Correlation family
+  // ---------------------------------------------------------------
+
+  // A13 Spearman via SQL on discount vs tax (q78: quantity vs price).
+  private val q145 = Q(
+    "q145_sql_spearman",
+    (s, d) => sql(s, d,
+      "SELECT * FROM graft_spearman('lineitem', 'l_discount', 'l_tax')"),
+    Some("""WITH r AS (SELECT CAST(l_discount AS DOUBLE) AS x,
+          CAST(l_tax AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+      hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      cx AS (SELECT v,
+          2 * (CAST(sum(n) OVER (ORDER BY v) AS BIGINT) - n) + n + 1 AS rx
+        FROM hx),
+      hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      cy AS (SELECT v,
+          2 * (CAST(sum(n) OVER (ORDER BY v) AS BIGINT) - n) + n + 1 AS ry
+        FROM hy),
+      j AS (SELECT cx.rx, cy.ry FROM r
+        JOIN cx ON r.x = cx.v JOIN cy ON r.y = cy.v),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          coalesce(sum(CAST(rx AS HUGEINT)), 0) AS sx,
+          coalesce(sum(CAST(ry AS HUGEINT)), 0) AS sy,
+          coalesce(sum(CAST(rx AS HUGEINT) * rx), 0) AS sxx,
+          coalesce(sum(CAST(ry AS HUGEINT) * ry), 0) AS syy,
+          coalesce(sum(CAST(rx AS HUGEINT) * ry), 0) AS sxy
+        FROM j),
+      v AS (SELECT n,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+          CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS cov
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n,
+        CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+          THEN round(cov / sqrt(vx * vy), 6) END AS rho
+      FROM v"""))
+
+  // A14 Kendall tau-b via SQL on linenumber vs quantity — a naturally
+  // bounded 7×50 grid, no bucketing needed (q81 bucketed the price).
+  private val q146 = Q(
+    "q146_sql_kendall",
+    (s, d) => sql(s, d,
+      "SELECT * FROM graft_kendall('lineitem', 'l_linenumber', 'l_quantity')"),
+    Some("""WITH r AS (SELECT CAST(l_linenumber AS DOUBLE) AS x,
+          CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+      cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn
+        FROM r GROUP BY 1, 2),
+      grid AS (SELECT xs.x, ys.y, coalesce(c.cn, 0) AS cn
+        FROM (SELECT DISTINCT x FROM cells) xs
+        CROSS JOIN (SELECT DISTINCT y FROM cells) ys
+        LEFT JOIN cells c ON xs.x = c.x AND ys.y = c.y),
+      c1 AS (SELECT x, y, cn,
+          CAST(sum(cn) OVER (PARTITION BY y ORDER BY x) AS BIGINT) AS cx,
+          CAST(sum(cn) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS cy
+        FROM grid),
+      c2 AS (SELECT x, y, cn, cx, cy,
+          CAST(sum(cx) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS cum
+        FROM c1),
+      xt AS (SELECT x, CAST(sum(cn) AS BIGINT) AS tx FROM cells GROUP BY 1),
+      xtc AS (SELECT x, tx,
+          CAST(sum(tx) OVER (ORDER BY x) AS BIGINT) AS txc FROM xt),
+      pq AS (SELECT
+          coalesce(sum(CAST(c2.cn AS HUGEINT)
+            * (c2.cum - c2.cx - c2.cy + c2.cn)), 0) AS p,
+          coalesce(sum(CAST(c2.cn AS HUGEINT)
+            * ((xtc.txc - xtc.tx) - (c2.cum - c2.cy))), 0) AS q,
+          CAST(coalesce(sum(c2.cn), 0) AS HUGEINT) AS n
+        FROM c2 JOIN xtc ON c2.x = xtc.x WHERE c2.cn > 0),
+      m AS (SELECT p, q, n,
+          (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            FROM (SELECT sum(cn) AS t FROM cells GROUP BY x)) AS n1m,
+          (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+            FROM (SELECT sum(cn) AS t FROM cells GROUP BY y)) AS n2m
+        FROM pq)
+      SELECT CAST(n AS BIGINT) AS n,
+        CASE WHEN n >= 2
+            AND CAST(n * (n - 1) - n1m AS DOUBLE)
+              * CAST(n * (n - 1) - n2m AS DOUBLE) > 0
+          THEN round(2.0 * CAST(p - q AS DOUBLE)
+            / sqrt(CAST(n * (n - 1) - n1m AS DOUBLE)
+              * CAST(n * (n - 1) - n2m AS DOUBLE)), 6) END AS tau
+      FROM m"""))
+
+  // R52 mutual information via SQL on returnflag × linestatus (q92:
+  // order status × priority).
+  private val q147 = Q(
+    "q147_sql_mutual_info",
+    (s, d) => sql(s, d,
+      "SELECT * FROM graft_mutual_info('lineitem', 'l_returnflag', 'l_linestatus')"),
+    Some("""WITH cells AS (SELECT l_returnflag AS a,
+          l_linestatus AS b, CAST(count(*) AS BIGINT) AS nab
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        GROUP BY 1, 2),
+      at AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na
+        FROM cells GROUP BY 1),
+      bt AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM cells),
+      mi AS (SELECT CAST(coalesce(sum(CAST(nab AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(nab AS DOUBLE) * n
+                / (CAST(na AS DOUBLE) * nb)), 12) AS DECIMAL(38,12))),
+          0) AS DECIMAL(38,12)) AS m
+        FROM cells JOIN at USING (a) JOIN bt USING (b) CROSS JOIN tot),
+      ha AS (SELECT CAST(coalesce(sum(CAST(na AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(na AS DOUBLE) / n), 12)
+              AS DECIMAL(38,12))), 0) AS DECIMAL(38,12)) AS h
+        FROM at CROSS JOIN tot),
+      hb AS (SELECT CAST(coalesce(sum(CAST(nb AS DECIMAL(38,12))
+            * CAST(round(ln(CAST(nb AS DOUBLE) / n), 12)
+              AS DECIMAL(38,12))), 0) AS DECIMAL(38,12)) AS h
+        FROM bt CROSS JOIN tot)
+      SELECT n,
+        round(CAST(m AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mi_nats,
+        CASE WHEN -CAST(ha.h AS DOUBLE) / CAST(n AS DOUBLE) > 0
+            AND -CAST(hb.h AS DOUBLE) / CAST(n AS DOUBLE) > 0
+          THEN round((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((-CAST(ha.h AS DOUBLE) / CAST(n AS DOUBLE))
+              * (-CAST(hb.h AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+          END AS normalized_mi
+      FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot"""))
+
+  // R37 Benford via SQL on extended price at scale 1 (q74: order
+  // totals at scale 2).
+  private val q148 = Q(
+    "q148_sql_benford",
+    (s, d) => sql(s, d,
+      "SELECT * FROM graft_benford('lineitem', 'l_extendedprice', 1) ORDER BY digit"),
+    Some("""WITH v AS (
+        SELECT CAST(round(abs(l_extendedprice) * 10, 0) AS BIGINT) AS v2
+        FROM lineitem),
+      c AS (SELECT CAST(substr(CAST(v2 AS VARCHAR), 1, 1) AS INTEGER)
+          AS digit, count(*) AS observed
+        FROM v WHERE v2 > 0 GROUP BY 1),
+      n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM c),
+      g AS (SELECT d.digit, coalesce(c.observed, 0) AS observed,
+          n.n_total,
+          round(log10(1.0 + 1.0 / d.digit), 6) AS exp_p
+        FROM range(1, 10) d(digit) LEFT JOIN c USING (digit), n),
+      e AS (SELECT digit, observed, n_total, exp_p,
+          round(exp_p * n_total, 6) AS expected,
+          round(CAST(observed AS DOUBLE) / n_total, 6) AS obs_p
+        FROM g),
+      tt AS (SELECT *,
+          CAST(round(CAST(CAST((observed - expected) * (observed - expected)
+            / expected AS VARCHAR) AS DECIMAL(38,20)), 12) AS DOUBLE) AS term
+        FROM e),
+      st AS (SELECT round(CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,12)))
+          AS DOUBLE), 6) AS chi2 FROM tt)
+      SELECT tt.digit, tt.observed, tt.expected, tt.obs_p, tt.exp_p,
+        tt.term, st.chi2, CAST(8 AS BIGINT) AS dof, tt.n_total
+      FROM tt, st ORDER BY tt.digit"""))
+
+  // R53 Mann-Kendall via SQL (q96: user_id % 9).
+  private val q149 = Q(
+    "q149_sql_mann_kendall",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q149_obs AS
+        SELECT * FROM events WHERE user_id % 14 = 2""",
+      """SELECT * FROM
+        graft_mann_kendall('q149_obs', 'user_id', 'ts', 'value', 'event_id')
+        ORDER BY user_id"""),
+    Some("""WITH obs AS (
+        SELECT user_id AS k, ts AS t, event_id AS i, value AS v
+        FROM events
+        WHERE user_id % 14 = 2 AND value IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT a.k,
+          sum(CASE WHEN b.v > a.v THEN 1
+            WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+        FROM obs a JOIN obs b ON a.k = b.k
+          AND (a.t < b.t OR (a.t = b.t AND a.i < b.i))
+        GROUP BY 1),
+      tg AS (SELECT k, v, count(*) AS t FROM obs GROUP BY 1, 2),
+      ties AS (SELECT k,
+          CAST(sum(CAST(t*(t-1)*(2*t+5) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS tie_term
+        FROM tg GROUP BY 1),
+      nk AS (SELECT k, count(*) AS n FROM obs GROUP BY 1),
+      j AS (SELECT nk.k, nk.n, coalesce(p.s, 0) AS s,
+          CAST(CAST(nk.n AS DECIMAL(38,0)) * (nk.n - 1) * (2*nk.n + 5)
+            AS DECIMAL(38,0)) - ties.tie_term AS var_num
+        FROM nk LEFT JOIN p USING (k) JOIN ties USING (k)),
+      zz AS (SELECT k, n, s,
+          CASE WHEN n >= 2 AND var_num > 0 THEN
+            round((CASE WHEN s > 0 THEN s - 1
+                WHEN s < 0 THEN s + 1 ELSE 0 END)
+              / sqrt(CAST(var_num AS DOUBLE) / 18.0), 6) END AS z
+        FROM j)
+      SELECT k AS user_id, n, CAST(s AS BIGINT) AS s, z,
+        CASE WHEN z IS NULL THEN NULL
+          WHEN z > 1.96 THEN 'increasing'
+          WHEN z < -1.96 THEN 'decreasing'
+          ELSE 'no_trend' END AS trend
+      FROM zz ORDER BY user_id"""))
+
+  // R54 Theil–Sen via SQL (q97: user_id % 9).
+  private val q150 = Q(
+    "q150_sql_theil_sen",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q150_obs AS
+        SELECT * FROM events WHERE user_id % 15 = 4""",
+      """SELECT * FROM
+        graft_theil_sen('q150_obs', 'user_id', 'ts', 'value')
+        ORDER BY user_id"""),
+    Some("""WITH obs AS (
+        SELECT user_id AS k, epoch_us(ts) AS us, value AS v
+        FROM events
+        WHERE user_id % 15 = 4 AND value IS NOT NULL AND ts IS NOT NULL),
+      p AS (SELECT a.k,
+          (b.v - a.v) * 86400000000.0 / CAST(b.us - a.us AS DOUBLE)
+            AS slope
+        FROM obs a JOIN obs b ON a.k = b.k AND a.us < b.us),
+      g AS (SELECT k, list(slope ORDER BY slope) AS ss,
+          count(*) AS n_pairs
+        FROM p GROUP BY 1),
+      nk AS (SELECT k, count(*) AS n FROM obs GROUP BY 1)
+      SELECT nk.k AS user_id, nk.n,
+        coalesce(g.n_pairs, 0) AS n_pairs,
+        round(CASE WHEN g.n_pairs % 2 = 0
+            THEN (ss[CAST(g.n_pairs//2 AS INT)]
+              + ss[CAST(g.n_pairs//2 AS INT) + 1]) / 2.0
+            ELSE ss[CAST((g.n_pairs+1)//2 AS INT)] END, 6) + 0.0
+          AS sen_slope
+      FROM nk LEFT JOIN g USING (k) ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------
+  // Linkage family
+  // ---------------------------------------------------------------
+
+  // R28 entity resolution via SQL: the dirty feed drops each record's
+  // FIRST token (a text-domain corruption both engines replay from the
+  // same view definition; er_match used the P24 token dropout), τ=0.4.
+  // Oracle = the UNBLOCKED full-cross argmax — a hash match proves
+  // blocking recall 1 (the er_match discipline).
+  private val q151 = Q(
+    "q151_sql_er_match",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q151_dirty AS
+        SELECT doc_id AS dirty_id,
+          regexp_replace(trim(text), '^\\S+\\s+', '') AS text
+        FROM documents WHERE doc_id % 4 = 1""",
+      """CREATE OR REPLACE TEMP VIEW q151_clean AS
+        SELECT doc_id AS clean_id, text FROM documents""",
+      """SELECT * FROM graft_er_match('q151_dirty', 'q151_clean', 0.4D)
+        ORDER BY dirty_id"""),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      dirty AS (SELECT doc_id AS dirty_id,
+          string_split_regex(trim(lower(
+            regexp_replace(trim(text), '^\S+\s+', ''))), '\s+') AS ks
+        FROM documents WHERE doc_id % 4 = 1),
+      dsh AS (SELECT dirty_id, unnest(CASE WHEN len(ks) < 3
+          THEN [list_aggregate(ks, 'string_agg', ' ')]
+          ELSE list_distinct([ks[i] || ' ' || ks[i+1] || ' ' || ks[i+2]
+                              for i in range(1, len(ks) - 1)]) END) AS sh
+        FROM dirty),
+      csh AS (SELECT doc_id AS clean_id, unnest(CASE WHEN len(ts) < 3
+          THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END) AS sh
+        FROM t),
+      dsz AS (SELECT dirty_id, count(*) AS sz FROM dsh GROUP BY 1),
+      csz AS (SELECT clean_id, count(*) AS sz FROM csh GROUP BY 1),
+      inter AS (SELECT d.dirty_id, c.clean_id, count(*) AS i
+        FROM dsh d JOIN csh c ON d.sh = c.sh GROUP BY 1, 2),
+      sims AS (SELECT dirty_id, clean_id,
+          round(CAST(i AS DOUBLE) / (ds.sz + cs.sz - i), 6) AS sim
+        FROM inter JOIN dsz ds USING (dirty_id) JOIN csz cs USING (clean_id)),
+      ranked AS (SELECT dirty_id, clean_id, sim,
+          row_number() OVER (PARTITION BY dirty_id
+            ORDER BY sim DESC, clean_id) AS rn
+        FROM sims WHERE sim >= 0.4),
+      best AS (SELECT dirty_id, clean_id AS match_id, sim
+        FROM ranked WHERE rn = 1)
+      SELECT d.dirty_id, b.match_id, b.sim
+      FROM dirty d LEFT JOIN best b USING (dirty_id)
+      ORDER BY d.dirty_id"""))
+
+  // R47 edit-distance join via SQL on 24-char prefixes at k=1 (q87:
+  // 32 chars, k=2). Oracle = the UNBLOCKED cross join: recall 1.
+  private val q152 = Q(
+    "q152_sql_editdist",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q152_docs AS
+        SELECT doc_id AS id, substring(lower(text), 1, 24) AS s
+        FROM documents""",
+      """SELECT * FROM graft_editdist('q152_docs', 'id', 's', 1)
+        ORDER BY a_id, b_id"""),
+    Some("""WITH d AS (SELECT doc_id AS id, substr(lower(text), 1, 24) AS s
+        FROM documents WHERE text IS NOT NULL)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM d a JOIN d b ON a.id < b.id
+        AND abs(length(a.s) - length(b.s)) <= 1
+      WHERE levenshtein(a.s, b.s) <= 1
+      ORDER BY a_id, b_id"""))
+
+  // ---------------------------------------------------------------
+  // Change-data family
+  // ---------------------------------------------------------------
+
+  // R29 snapshot diff via SQL: next drops keys ≡2 (mod 9), reprices
+  // keys ≡0 (mod 5) by +7.5, adds shifted keys ≡4 (mod 17) — all
+  // classes distinct from q66's vintages.
+  private val q153 = Q(
+    "q153_sql_snapshot_diff",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q153_prev AS
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""",
+      """CREATE OR REPLACE TEMP VIEW q153_next AS
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.5
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 9 <> 2
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 4""",
+      """SELECT o_orderkey, op, o_custkey, o_totalprice
+        FROM graft_snapshot_diff('q153_prev', 'q153_next', 'o_orderkey')
+        ORDER BY o_orderkey"""),
+    Some("""WITH prev AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      next AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.5
+               ELSE o_totalprice END AS o_totalprice
+        FROM prev WHERE o_orderkey % 9 <> 2
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_custkey, o_totalprice
+        FROM prev WHERE o_orderkey % 17 = 4),
+      d AS (
+        SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN p.o_orderkey IS NULL THEN 'I'
+               WHEN n.o_orderkey IS NULL THEN 'D'
+               WHEN p.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                AND p.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                 THEN NULL
+               ELSE 'U' END AS op,
+          CASE WHEN n.o_orderkey IS NULL THEN p.o_custkey
+               ELSE n.o_custkey END AS o_custkey,
+          CASE WHEN n.o_orderkey IS NULL THEN p.o_totalprice
+               ELSE n.o_totalprice END AS o_totalprice
+        FROM prev p FULL OUTER JOIN next n
+          ON p.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey, op, o_custkey, o_totalprice
+      FROM d WHERE op IS NOT NULL ORDER BY o_orderkey"""))
+
+  // R18 SCD2 historize via SQL (q53: o_custkey % 50).
+  private val q154 = Q(
+    "q154_sql_scd2",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q154_obs AS
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM orders WHERE o_custkey % 30 = 7""",
+      """SELECT o_custkey, o_orderkey, valid_from, valid_to, is_current
+        FROM graft_scd2('q154_obs', 'o_custkey', 'o_orderdate', 'o_orderkey')
+        ORDER BY o_custkey, valid_from, o_orderkey"""),
+    Some("""SELECT o_custkey, o_orderkey,
+        CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP) AS valid_to,
+        (lead(o_orderdate) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+      FROM orders WHERE o_custkey % 30 = 7
+      ORDER BY o_custkey, valid_from, o_orderkey"""))
+
+  // ---------------------------------------------------------------
+  // Retrieval-eval family — a GENERIC ranked view (events as the
+  // candidate frame: query = event type, doc = event id, score =
+  // value), distinct from the BM25-composed text_* twins.
+  // ---------------------------------------------------------------
+
+  // P27 NDCG@10 via SQL with a graded 0..2 relevance.
+  private val q155 = Q(
+    "q155_sql_ndcg",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q155_ranked AS
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS score,
+          CAST(pmod(user_id, 3) AS BIGINT) AS rel
+        FROM events WHERE value IS NOT NULL""",
+      """SELECT * FROM
+        graft_ndcg('q155_ranked', 'event_type', 'event_id', 'score', 'rel', 10)
+        ORDER BY event_type"""),
+    Some("""WITH r AS (SELECT event_type, event_id,
+          CAST(value AS DOUBLE) AS score, user_id % 3 AS rel
+        FROM events WHERE value IS NOT NULL),
+      w AS (SELECT event_type, rel,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY score DESC, event_id) AS rs,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY rel DESC, event_id) AS ri
+        FROM r),
+      t AS (SELECT event_type,
+          CASE WHEN rs <= 10 THEN round((pow(2.0, rel) - 1.0)
+            / log2(rs + 1.0), 12) ELSE 0.0 END AS dterm,
+          CASE WHEN ri <= 10 THEN round((pow(2.0, rel) - 1.0)
+            / log2(ri + 1.0), 12) ELSE 0.0 END AS iterm
+        FROM w),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_docs,
+          round(CAST(sum(CAST(dterm AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS dcg,
+          round(CAST(sum(CAST(iterm AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS idcg
+        FROM t GROUP BY 1)
+      SELECT event_type, n_docs, dcg, idcg,
+        CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+      FROM a ORDER BY event_type"""))
+
+  // P27b precision/recall/RR@10 via SQL with binary relevance
+  // value > 30.
+  private val q156 = Q(
+    "q156_sql_retrieval",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q156_ranked AS
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS score,
+          CASE WHEN value > 30 THEN 1L ELSE 0L END AS rel
+        FROM events WHERE value IS NOT NULL""",
+      """SELECT * FROM
+        graft_retrieval_eval('q156_ranked', 'event_type', 'event_id', 'score', 'rel', 10)
+        ORDER BY event_type"""),
+    Some("""WITH r AS (SELECT event_type, event_id,
+          CAST(value AS DOUBLE) AS score,
+          CASE WHEN value > 30 THEN 1 ELSE 0 END AS rel
+        FROM events WHERE value IS NOT NULL),
+      w AS (SELECT event_type, rel,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY score DESC, event_id) AS rs
+        FROM r),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+          CAST(sum(CASE WHEN rel > 0 AND rs <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rk,
+          min(CASE WHEN rel > 0 THEN rs END) AS fr
+        FROM w GROUP BY 1)
+      SELECT event_type, nd AS n_docs, nr AS n_rel, rk AS rel_at_k,
+        round(CAST(rk AS DOUBLE) / 10, 6) AS precision_k,
+        CASE WHEN nr > 0 THEN round(CAST(rk AS DOUBLE) / nr, 6) END
+          AS recall_k,
+        CASE WHEN nr = 0 THEN NULL
+          WHEN fr <= 10 THEN round(1.0 / fr, 6)
+          ELSE 0.0 END AS rr_k
+      FROM a ORDER BY event_type"""))
+
+  // P27c average precision via SQL with binary relevance value > 60.
+  private val q157 = Q(
+    "q157_sql_map",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q157_ranked AS
+        SELECT event_type, event_id, CAST(value AS DOUBLE) AS score,
+          CASE WHEN value > 60 THEN 1L ELSE 0L END AS rel
+        FROM events WHERE value IS NOT NULL""",
+      """SELECT * FROM
+        graft_map('q157_ranked', 'event_type', 'event_id', 'score', 'rel')
+        ORDER BY event_type"""),
+    Some("""WITH r AS (SELECT event_type, event_id,
+          CAST(value AS DOUBLE) AS score,
+          CASE WHEN value > 60 THEN 1 ELSE 0 END AS reli
+        FROM events WHERE value IS NOT NULL),
+      w AS (SELECT event_type, reli,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY score DESC, event_id) AS rs
+        FROM r),
+      c AS (SELECT event_type, rs, reli,
+          sum(reli) OVER (PARTITION BY event_type ORDER BY rs
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+        FROM w),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+          CAST(sum(reli) AS BIGINT) AS nr,
+          coalesce(sum(CASE WHEN reli = 1 THEN
+            CAST(round(CAST(cr AS DOUBLE) / rs, 12) AS DECIMAL(38,12))
+            END), 0) AS s
+        FROM c GROUP BY 1)
+      SELECT event_type, nd AS n_docs, nr AS n_rel,
+        CASE WHEN nr > 0 THEN round(CAST(s AS DOUBLE) / nr, 6) END AS ap
+      FROM a ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q136, q137, q138, q139, q140, q141, q142, q143,
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
+    q155, q156, q157)
+}

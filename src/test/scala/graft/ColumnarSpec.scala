@@ -176,4 +176,100 @@ class ColumnarSpec extends AnyFunSuite {
       case g: graft.plans.GraftColumnarFilterExec => g
     }.isEmpty)
   }
+
+  // ------------------------- r11: the vectorized PARTIAL AGGREGATE
+  // (the scan-adjacent trio's last member — map-side combine is where
+  // columnar wins most)
+
+  private def lineitemAgg = Tables
+    .load(spark, TestSpark.sf, "lineitem")
+    .groupBy(col("l_suppkey"))
+    .agg(sum(col("l_extendedprice")).as("s_d"),
+      sum(col("l_orderkey")).as("s_l"),
+      count(col("l_quantity")).as("cnt"),
+      min(col("l_discount")).as("mn"),
+      max(col("l_partkey")).as("mx"))
+
+  test("flag on: supported partial aggregate runs on the columnar node, " +
+      "bit-equal to the row path incl. multi-batch double sums") {
+    // multi-batch partitions are the FP-order case: the node must fold
+    // double sums in row order across batches, not per-batch partials.
+    // Aggregates shuffle, so AQE injects the columnar node at stage
+    // creation — assert on the executed adaptive plan, post-collect.
+    val rowPath = lineitemAgg.orderBy(col("l_suppkey")).collect().toSeq
+    withFlag(on = true) {
+      val df = lineitemAgg.orderBy(col("l_suppkey"))
+      val got = df.collect().toSeq
+      assert(df.queryExecution.executedPlan.toString
+        .contains("GraftColumnarPartialAgg"),
+        s"no GraftColumnarPartialAggExec in:\n${df.queryExecution.executedPlan}")
+      assert(got == rowPath)
+    }
+    // flag off: untouched
+    val off = lineitemAgg
+    off.collect()
+    assert(!off.queryExecution.executedPlan.toString
+      .contains("GraftColumnarPartialAgg"))
+  }
+
+  test("partial aggregate: null groups and null values aggregate identically") {
+    import spark.implicits._
+    val dir = GraftSession.scratchDir("columnar_agg_nulls")
+    Seq[(java.lang.Long, java.lang.Double, java.lang.Long)](
+      (1L, 10.5, 100L), (1L, null, 200L), (null, 3.25, null),
+      (null, null, 50L), (2L, -0.0, null), (2L, 0.0, 7L))
+      .toDF("g", "v", "w").write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("cv"),
+        min(col("v")).as("mnv"), max(col("w")).as("mxw"),
+        sum(col("w")).as("sw"), count(lit(1)).as("n"))
+    val rowPath = q.collect().map(_.toString).sorted.toSeq
+    val (colPath, sawNode) = withFlag(on = true) {
+      val df = q
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (rows, df.queryExecution.executedPlan.toString
+        .contains("GraftColumnarPartialAgg"))
+    }
+    assert(sawNode, "columnar partial aggregate not planned")
+    assert(colPath == rowPath)
+    // the null group is a real group and all-null inputs give null
+    // sums/mins with zero counts
+    assert(rowPath.exists(_.startsWith("[null,")))
+  }
+
+  test("ANSI overflow in a vectorized long sum still fails the query") {
+    import spark.implicits._
+    assume(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+    val dir = GraftSession.scratchDir("columnar_agg_ovf")
+    Seq((1L, Long.MaxValue), (1L, 1L)).toDF("g", "v")
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("g"))
+      .agg(sum(col("v")).as("s"))
+    intercept[Exception] { q.collect() } // row path fails
+    // AQE off: the node is visible pre-execution, so the failure is
+    // provably OURS
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withFlag(on = true) {
+      val df = q
+      assert(df.queryExecution.executedPlan.collectFirst {
+        case g: graft.plans.GraftColumnarPartialAggExec => g }.isDefined)
+      val e = intercept[Exception] { df.collect() }
+      assert(e != null) // columnar path fails too (coarser message)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("unsupported aggregates refuse the columnar path") {
+    withFlag(on = true) {
+      // avg's partial carries (sum, count) buffers; distinct rewrites —
+      // both must stay on the row path and still run
+      val df = Tables.load(spark, TestSpark.sf, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(avg(col("l_quantity")).as("a"),
+          countDistinct(col("l_partkey")).as("d"))
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("GraftColumnarPartialAgg"),
+        "avg/distinct aggregates must stay row-based")
+    }
+  }
 }

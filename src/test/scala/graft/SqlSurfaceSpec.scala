@@ -278,6 +278,168 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "value"))
   }
 
+  // ---- r11 widened surface: the time-series family (the last family
+  // with zero SQL routes), the correlation family, linkage,
+  // change-data and retrieval eval. Same contract split as r10: lazy
+  // operators → sameResult; internally-materializing ones
+  // (persist/checkpoint/probe roots) → pinned-input value equality.
+
+  test("r11 time-series TVFs optimize to the operators' plans") {
+    import graft.operators.TimeJoins
+    val ev = spark.table("events")
+    def planEq(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val sqlPlan = spark.sql(sql).queryExecution.optimizedPlan
+      val opPlan = op.queryExecution.optimizedPlan
+      assert(sqlPlan.sameResult(opPlan), s"plan divergence for: $sql")
+    }
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_asof_l AS
+      SELECT event_id, user_id, ts, value AS p_val FROM events
+      WHERE event_type = 'purchase'""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_asof_r AS
+      SELECT user_id, ts, max(value) AS c_val, ts AS c_ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts""")
+    planEq(
+      "SELECT * FROM graft_asof('sqs_asof_l', 'sqs_asof_r', 'user_id', 'ts', 'c_ts,c_val')",
+      TimeJoins.asofJoin(spark.table("sqs_asof_l"),
+        spark.table("sqs_asof_r"), "user_id", "ts", Seq("c_ts", "c_val")))
+    planEq(
+      "SELECT * FROM graft_resample('events', 'user_id', 'ts', 'value', 'event_id', 'hour')",
+      TimeJoins.resampleFfill(ev, "user_id", "ts", "value", "event_id",
+        "hour"))
+    planEq(
+      "SELECT * FROM graft_ewma('events', 'user_id', 'ts', 'value', 'event_id', 0.25D, 10)",
+      TimeJoins.ewma(ev, "user_id", "ts", "value", "event_id", 0.25, 10))
+    planEq(
+      "SELECT * FROM graft_twap('events', 'user_id', 'ts', 'value', 'event_id')",
+      TimeJoins.twap(ev, "user_id", "ts", "value", "event_id"))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_series AS
+      SELECT event_type,
+        unix_micros(date_trunc('hour', ts)) div 3600000000 AS hr,
+        CAST(count(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2""")
+    planEq(
+      "SELECT * FROM graft_cusum('sqs_series', 'event_type', 'hr', 'value', 0.5D, 5.0D)",
+      TimeJoins.cusum(spark.table("sqs_series"), "event_type", "hr",
+        "value", 0.5, 5.0))
+    planEq(
+      "SELECT * FROM graft_acf('sqs_series', 'event_type', 'hr', 'value', 3)",
+      TimeJoins.acf(spark.table("sqs_series"), "event_type", "hr",
+        "value", maxLag = 3))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_series2 AS
+      SELECT event_type,
+        unix_micros(date_trunc('hour', ts)) div 3600000000 AS hr,
+        CAST(count(*) AS DOUBLE) AS x,
+        CAST(count(CASE WHEN value > 50.0 THEN 1 END) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2""")
+    planEq(
+      "SELECT * FROM graft_ccf('sqs_series2', 'event_type', 'hr', 'x', 'y', 2)",
+      TimeJoins.ccf(spark.table("sqs_series2"), "event_type", "hr",
+        "x", "y", maxLag = 2))
+    planEq(
+      "SELECT * FROM graft_seasonal('sqs_series', 'event_type', 'hr', 'value', 5)",
+      TimeJoins.seasonalDecompose(spark.table("sqs_series"),
+        "event_type", "hr", "value", period = 5))
+    planEq(
+      "SELECT * FROM graft_holt('events', 'user_id', 'ts', 'value', 'event_id', 0.5D, 0.25D, 2)",
+      TimeJoins.holtSmooth(ev, "user_id", "ts", "value", "event_id",
+        alpha = 0.5, beta = 0.25, horizon = 2))
+  }
+
+  test("r11 correlation / change-data / retrieval TVFs match the operators") {
+    import graft.operators.{Merge, Stats}
+    def planEq(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val sqlPlan = spark.sql(sql).queryExecution.optimizedPlan
+      val opPlan = op.queryExecution.optimizedPlan
+      assert(sqlPlan.sameResult(opPlan), s"plan divergence for: $sql")
+    }
+    planEq(
+      "SELECT * FROM graft_benford('orders', 'o_totalprice', 1)",
+      Stats.benford(spark.table("orders"), "o_totalprice", scale = 1))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_prev AS
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_next AS
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 3 <> 1""")
+    planEq(
+      "SELECT * FROM graft_snapshot_diff('sqs_prev', 'sqs_next', 'o_orderkey')",
+      Merge.snapshotDiff(spark.table("sqs_prev"),
+        spark.table("sqs_next"), Seq("o_orderkey")))
+    planEq(
+      "SELECT * FROM graft_scd2('sqs_prev', 'o_custkey', 'o_orderkey', 'o_totalprice')",
+      Merge.historize(spark.table("sqs_prev"), Seq("o_custkey"),
+        "o_orderkey", Seq("o_totalprice")))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_ranked AS
+      SELECT event_type, event_id, CAST(value AS DOUBLE) AS score,
+        CAST(pmod(user_id, 3) AS BIGINT) AS rel
+      FROM events WHERE value IS NOT NULL""")
+    planEq(
+      "SELECT * FROM graft_ndcg('sqs_ranked', 'event_type', 'event_id', 'score', 'rel', 10)",
+      Stats.ndcgAtK(spark.table("sqs_ranked"), "event_type", "event_id",
+        "score", "rel", k = 10))
+    planEq(
+      "SELECT * FROM graft_retrieval_eval('sqs_ranked', 'event_type', 'event_id', 'score', 'rel', 10)",
+      Stats.retrievalEval(spark.table("sqs_ranked"), "event_type",
+        "event_id", "score", "rel", k = 10))
+    planEq(
+      "SELECT * FROM graft_map('sqs_ranked', 'event_type', 'event_id', 'score', 'rel')",
+      Stats.averagePrecision(spark.table("sqs_ranked"), "event_type",
+        "event_id", "score", "rel"))
+    // materializing operators (persisted/checkpointed roots) →
+    // pinned-input value equality, sorted (multi-row outputs)
+    def same(sql: String, op: org.apache.spark.sql.DataFrame): Unit =
+      assert(spark.sql(sql).collect().toSeq.sortBy(_.toString) ==
+        op.collect().toSeq.sortBy(_.toString),
+        s"SQL/operator divergence for: $sql")
+    same("SELECT * FROM graft_mutual_info('lineitem', 'l_returnflag', 'l_linestatus')",
+      graft.operators.Stats.mutualInformation(spark.table("lineitem"),
+        "l_returnflag", "l_linestatus"))
+    same("SELECT * FROM graft_spearman('lineitem', 'l_quantity', 'l_tax')",
+      graft.operators.Stats.spearman(spark.table("lineitem"),
+        "l_quantity", "l_tax"))
+    same("SELECT * FROM graft_kendall('lineitem', 'l_linenumber', 'l_quantity')",
+      graft.operators.Stats.kendallTau(spark.table("lineitem"),
+        "l_linenumber", "l_quantity"))
+    same("SELECT * FROM graft_mann_kendall('events', 'user_id', 'ts', 'value', 'event_id')",
+      graft.operators.Stats.mannKendall(spark.table("events"),
+        "user_id", "ts", "value", "event_id"))
+    same("SELECT * FROM graft_theil_sen('events', 'user_id', 'ts', 'value')",
+      graft.operators.Stats.theilSen(spark.table("events"),
+        "user_id", "ts", "value"))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_dirty AS
+      SELECT doc_id AS dirty_id,
+        regexp_replace(trim(text), '^\\S+\\s+', '') AS text
+      FROM documents WHERE doc_id % 5 = 1""")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_clean AS
+      SELECT doc_id AS clean_id, text FROM documents""")
+    same("SELECT * FROM graft_er_match('sqs_dirty', 'sqs_clean', 0.5D)",
+      graft.operators.Linkage.matchEntities(spark.table("sqs_dirty"),
+        spark.table("sqs_clean"), threshold = 0.5))
+    spark.sql("""CREATE OR REPLACE TEMP VIEW sqs_ed AS
+      SELECT doc_id AS id, substring(lower(text), 1, 16) AS s
+      FROM documents""")
+    same("SELECT * FROM graft_editdist('sqs_ed', 'id', 's', 1)",
+      graft.operators.Linkage.editDistancePairs(spark.table("sqs_ed"),
+        "id", "s", k = 1))
+  }
+
+  test("r11 table functions reject malformed arguments") {
+    val cases = Seq(
+      "SELECT * FROM graft_asof('events', 'events', 'user_id', 'ts')", // arity
+      "SELECT * FROM graft_ewma('events', 'user_id', 'ts', 'value', 'event_id', 'a', 10)", // non-num alpha
+      "SELECT * FROM graft_holt('events', 'user_id', 'ts', 'value', 'event_id', 0.5D, 0.25D, 'two')", // non-int horizon
+      "SELECT * FROM graft_cusum('events', 'user_id', 'ts', 'value', 0.5D)", // arity
+      "SELECT * FROM graft_seasonal('events', 'user_id', 'ts', 'value', 'daily')", // non-int period
+      "SELECT * FROM graft_theil_sen('events', 'user_id', 'ts')", // arity
+      "SELECT * FROM graft_er_match('documents', 'documents')", // arity
+      "SELECT * FROM graft_editdist('documents', 'doc_id', 'text', 'one')", // non-int k
+      "SELECT * FROM graft_snapshot_diff('orders', 'orders')", // arity
+      "SELECT * FROM graft_ndcg('events', 'event_type', 'event_id', 'value', 'user_id', 0.5D)") // non-int k
+    cases.foreach { q =>
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      assert(e != null, s"expected rejection for: $q")
+    }
+  }
+
   test("r10-continuation table functions reject malformed arguments") {
     val cases = Seq(
       "SELECT * FROM graft_auc('events', 'event_type', 'user_id')",  // arity

@@ -492,6 +492,54 @@ class StatsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("theilSen sampled leg: bounded pairs, planted trend recovered, " +
+      "exact coincidence under the cap, probe retired") {
+    val day = 86400000000L
+    // 200-point series with slope 3/day plus 12 wild outliers — the
+    // shape Sen exists for; the sampled subseries median must land on
+    // the planted slope (pairwise slopes between on-trend points are
+    // exactly 3.0, and on-trend pairs dominate any subsample)
+    val rows = (0 until 200).map { i =>
+      val v = if (i % 17 == 0) 1000.0 + i else 3.0 * i
+      ("hot", i.toLong * day, v)
+    } :+ (("cold", 0L, 1.0)) :+ (("cold", day, 4.0))
+    val df = rows.toDF("k", "us", "v")
+      .select(col("k"), org.apache.spark.sql.functions
+        .expr("timestamp_micros(us)").as("ts"), col("v"))
+    // maxPairsPerKey 450 → m = 30 sampled observations, ≤ 435 pairs
+    val sampled = Stats.theilSen(df, "k", "ts", "v",
+        strategy = "sampled", maxPairsPerKey = 450)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val (nHot, pHot, sHot) = sampled("hot")
+    assert(nHot == 30 && pHot <= 450,
+      s"sampled sizes out of bound: n=$nHot pairs=$pHot")
+    assert(sHot.exists(s => math.abs(s - 3.0) < 0.2),
+      s"planted slope 3.0 not recovered: $sHot")
+    // a key at or under the cap passes through whole → sampled ≡ exact
+    assert(sampled("cold") == ((2L, 1L, Some(3.0))))
+    // determinism: the hash-ranked subsample reproduces run-to-run
+    val again = Stats.theilSen(df, "k", "ts", "v",
+      strategy = "sampled", maxPairsPerKey = 450)
+    assert(again.collect().toSeq.sortBy(_.getString(0)) ==
+      Stats.theilSen(df, "k", "ts", "v", strategy = "sampled",
+        maxPairsPerKey = 450).collect().toSeq.sortBy(_.getString(0)))
+    // probe retired on the sampled path: a key far past warnGroupSize
+    // stays silent
+    val quiet = captureWarnings("graft.operators.Stats") {
+      Stats.theilSen(df, "k", "ts", "v", warnGroupSize = 32,
+        strategy = "sampled", maxPairsPerKey = 450).collect()
+    }
+    assert(!quiet.exists(_.contains("observations")),
+      s"sampled path must not warn: $quiet")
+    // unknown strategy rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Stats.theilSen(df, "k", "ts", "v", strategy = "approx")
+    }
+    assert(e.getMessage.contains("strategy"))
+  }
+
   test("kruskalWallis: textbook no-tie three-group case") {
     // a={1,2,3} b={4,5,6} c={7,8,9}: ranks 1..9, R=6/15/24 →
     // H = 12/90·(12+75+192) − 30 = 7.2, no tie correction
