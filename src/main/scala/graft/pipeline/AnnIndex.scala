@@ -68,8 +68,18 @@ object AnnIndex {
   /** Assign `batch` to the STORED centroids and append its postings —
     * no retraining. The batch must carry the index's embedding dim
     * (checked in one batch-scan aggregate: a short vector would
-    * silently truncate in the dot products). */
-  def addIvfBatch(batch: DataFrame, root: String): Unit = {
+    * silently truncate in the dot products).
+    *
+    * IO10 wiring (r11): every append lands ≥1 small file per touched
+    * cell partition, so after N daily adds a probe pays N footer reads
+    * per pruned cell — the add path therefore finishes with
+    * [[graft.sources.Layout.compactPartitions]] over the postings,
+    * rewriting only cells past `maxFilesPerCell` (free when nothing to
+    * do; values untouched, so stored ≡ fresh equality is preserved).
+    * Pass `maxFilesPerCell = Int.MaxValue` to defer maintenance to an
+    * explicit [[compactPostings]] call. */
+  def addIvfBatch(batch: DataFrame, root: String,
+      maxFilesPerCell: Int = 8): Unit = {
     val spark = batch.sparkSession
     val stored = spark.read.parquet(cents(root))
     val d = stored.select(size(col("cv"))).head().getInt(0)
@@ -81,7 +91,17 @@ object AnnIndex {
     Similarity.assignCells(norm, stored)
       .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
       .write.mode("append").partitionBy("cell_id").parquet(posts(root))
+    compactPostings(spark, root, maxFilesPerCell)
   }
+
+  /** Explicit IO10 maintenance over the stored postings: compact every
+    * cell partition holding more than `maxFilesPerCell` parquet files.
+    * Returns the number of cells rewritten (0 = already at fixpoint). */
+  def compactPostings(spark: SparkSession, root: String,
+      maxFilesPerCell: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int =
+    graft.sources.Layout.compactPartitions(spark, posts(root),
+      "cell_id=", maxFilesPerCell, targetBytes)
 
   private def cbsPath(root: String) = s"$root/codebooks"
   private def codesPath(root: String) = s"$root/codes"

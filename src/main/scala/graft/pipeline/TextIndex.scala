@@ -84,9 +84,19 @@ object TextIndex {
 
   /** Append a new batch — postings/doclens append, termstats rebuild
     * from the appended postings (vocab-sized aggregate), 1-row stats
-    * advance. No corpus re-tokenization. */
+    * advance. No corpus re-tokenization.
+    *
+    * IO10 wiring (r11): each append lands ≥1 small file per touched
+    * token bucket (and one in the flat doclens dir), so after N daily
+    * adds a query pays N footer reads per pruned bucket — the add
+    * path finishes with [[graft.sources.Layout.compactPartitions]]
+    * over the postings buckets plus a flat-dir compaction of doclens,
+    * rewriting only directories past `maxFilesPerBucket` (fixpoint
+    * when nothing to do; values untouched, so stored ≡ fresh equality
+    * is preserved). Pass `maxFilesPerBucket = Int.MaxValue` to defer
+    * maintenance to an explicit [[compactIndex]] call. */
   def addBm25Batch(batch: DataFrame, root: String, nBuckets: Int = 64,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text", maxFilesPerBucket: Int = 8): Unit = {
     val spark = batch.sparkSession
     // new-ids-only contract, ENFORCED: a re-appended doc_id would
     // silently double-count its postings, doclen and n_docs share.
@@ -124,6 +134,27 @@ object TextIndex {
     toks.unpersist(); batchDl.unpersist()
     writeStats(spark, root, prev.getLong(0) + batch.count(),
       prev.getLong(1) + delta.getLong(0), prev.getLong(2) + delta.getLong(1))
+    compactIndex(spark, root, maxFilesPerBucket)
+  }
+
+  /** Explicit IO10 maintenance over the stored index: compact every
+    * token-bucket partition (and the flat doclens directory) holding
+    * more than `maxFilesPerDir` parquet files. Returns the number of
+    * directories rewritten (0 = already at fixpoint). */
+  def compactIndex(spark: SparkSession, root: String,
+      maxFilesPerDir: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val nParts = graft.sources.Layout.compactPartitions(spark,
+      postings(root), "tok_bucket=", maxFilesPerDir, targetBytes)
+    val dlPath = new org.apache.hadoop.fs.Path(doclens(root))
+    val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDl = if (fs.exists(dlPath) &&
+        fs.listStatus(dlPath).count(_.getPath.getName.endsWith(".parquet"))
+          > maxFilesPerDir) {
+      graft.sources.Layout.compactFiles(spark, doclens(root), targetBytes)
+      1
+    } else 0
+    nParts + nDl
   }
 
   /** Top-k BM25 from the stored index — identical output contract and

@@ -82,6 +82,39 @@ object Layout {
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Per-partition form of [[compactFiles]] (IO10; r11) — the
+    * maintenance pass the STORED-INDEX add paths invoke
+    * ([[graft.pipeline.AnnIndex.addIvfBatch]],
+    * [[graft.pipeline.TextIndex.addBm25Batch]]): incremental appends
+    * land ≥1 small file per touched hive partition
+    * (`cell_id=`/`tok_bucket=` directories), and after N daily adds a
+    * probe pays N footer reads per pruned partition — exactly the
+    * pathology IO10 exists for. Compacts every partition directory
+    * under `dir` whose parquet file count exceeds `maxFilesPerPart`
+    * (partitions at or under the bound are untouched — idempotent
+    * maintenance is free when there is nothing to do, so a second
+    * pass is a FIXPOINT). Values are untouched; only the file layout
+    * changes, so stored ≡ fresh query equality is preserved by
+    * construction. Returns the number of partitions rewritten. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      dir: String, partPrefix: String, maxFilesPerPart: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(maxFilesPerPart >= 1, "maxFilesPerPart must be positive")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      .count { part =>
+        val n = fs.listStatus(part.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (n > maxFilesPerPart) {
+          compactFiles(spark, part.getPath.toString, targetBytes)
+          true
+        } else false
+      }
+  }
+
   /** Bucketed + sorted table write (SURVEY.md §2 IO11) — the third
     * leg of the layout family: hive partitioning (IO6) prunes on a
     * LOW-cardinality key, Z-order (IO8) makes min/max skipping work

@@ -90,6 +90,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("IO10 compaction of the postings after N adds: fewer files, " +
+      "identical answers, fixpoint on the second pass") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val root = freshRoot("annindex_spec_compact")
+    def cellFiles(): Map[String, Int] = {
+      val base = new java.io.File(s"$root/postings")
+      base.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    AnnIndex.buildIvf(emb.filter(col("vec_id") % 4 === 0), root)
+    // three deferred-maintenance adds accumulate small files per cell
+    (1 to 3).foreach { r =>
+      AnnIndex.addIvfBatch(emb.filter(col("vec_id") % 4 === r), root,
+        maxFilesPerCell = Int.MaxValue)
+    }
+    val before = cellFiles()
+    assert(before.values.exists(_ > 1),
+      s"adds should have accumulated files per cell: $before")
+    val q = emb.filter(col("vec_id") < 8)
+    def answers() = AnnIndex.ivfQuery(spark, root, q, k = 10)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val preCompact = answers()
+    val n1 = AnnIndex.compactPostings(spark, root, maxFilesPerCell = 1)
+    assert(n1 > 0, "first compaction must rewrite the accumulated cells")
+    assert(cellFiles().values.forall(_ <= 1),
+      s"cells not compacted: ${cellFiles()}")
+    assert(answers() == preCompact,
+      "compaction is layout maintenance — answers must not change")
+    // fixpoint: a second pass finds nothing to do
+    assert(AnnIndex.compactPostings(spark, root, maxFilesPerCell = 1) == 0)
+    // and the WIRED path: an add with the bound enabled leaves every
+    // touched cell at or under it
+    AnnIndex.addIvfBatch(
+      emb.filter(col("vec_id") % 4 === 1)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L)),
+      root, maxFilesPerCell = 1)
+    assert(cellFiles().values.forall(_ <= 1),
+      s"wired add must compact past the bound: ${cellFiles()}")
+  }
+
   test("ivfQuery is read-only: its plan scans the stored tables, no training") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val root = freshRoot("annindex_spec_plan")

@@ -55,6 +55,40 @@ class TextIndexSpec extends AnyFunSuite {
       ((b.getLong(0), b.getLong(1), b.getLong(2))))
   }
 
+  test("IO10 compaction of the index after N adds: fewer files, " +
+      "identical answers, fixpoint on the second pass") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val root = freshRoot("bm25_spec_compact")
+    def bucketFiles(): Map[String, Int] = {
+      val base = new java.io.File(s"$root/postings")
+      base.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("tok_bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    TextIndex.buildBm25(docs.filter(col("doc_id") % 4 === 0), root,
+      nBuckets = 8)
+    (1 to 3).foreach { r =>
+      TextIndex.addBm25Batch(docs.filter(col("doc_id") % 4 === r), root,
+        nBuckets = 8, maxFilesPerBucket = Int.MaxValue)
+    }
+    val before = bucketFiles()
+    assert(before.values.exists(_ > 1),
+      s"adds should have accumulated files per bucket: $before")
+    def answers() = TextIndex
+      .bm25Query(spark, root, terms, k = 20, nBuckets = 8)
+      .select("doc_id", "dl", "n_terms", "bm25")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val preCompact = answers()
+    val n1 = TextIndex.compactIndex(spark, root, maxFilesPerDir = 1)
+    assert(n1 > 0, "first compaction must rewrite the accumulated dirs")
+    assert(bucketFiles().values.forall(_ <= 1),
+      s"buckets not compacted: ${bucketFiles()}")
+    assert(answers() == preCompact,
+      "compaction is layout maintenance — answers must not change")
+    assert(TextIndex.compactIndex(spark, root, maxFilesPerDir = 1) == 0)
+  }
+
   test("query plan is read-only and bucket-pruned — no tokenization") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val root = freshRoot("bm25_spec_plan")
