@@ -265,6 +265,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             dblLit(args(1), "graft_dedup_keep"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_dedup_keep_best"),
+      new ExpressionInfo(graft.pipeline.Dedup.getClass.getName,
+        "graft_dedup_keep_best"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_dedup_keep_best(docs_view, score_col, threshold)")
+        graft.pipeline.Dedup.nearDedupKeepBest(
+            tbl(strLit(args(0), "graft_dedup_keep_best")),
+            strLit(args(1), "graft_dedup_keep_best"),
+            dblLit(args(2), "graft_dedup_keep_best"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_drift"),
       new ExpressionInfo(graft.pipeline.TextAnalysis.getClass.getName,
         "graft_drift"),

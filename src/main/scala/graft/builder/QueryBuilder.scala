@@ -369,6 +369,14 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
     new QueryNode(graft.pipeline.Dedup
       .nearDedupAuto(df, threshold, strategy))
 
+  /** Quality-aware keep decision (r11): highest-`scoreCol` member per
+    * near-dup component — see
+    * [[graft.pipeline.Dedup.nearDedupKeepBest]]. */
+  def nearDedupKeepBest(scoreCol: String, threshold: Double = 0.8,
+      strategy: String = "auto"): QueryNode =
+    new QueryNode(graft.pipeline.Dedup
+      .nearDedupKeepBest(df, scoreCol, threshold, strategy))
+
   // ----- hypothesis-testing family at the builder surface (r9)
 
   /** Chi-square independence — see [[graft.operators.Stats.chiSquare]]. */

@@ -402,7 +402,14 @@ object Graph extends org.apache.spark.internal.Logging {
       .join(adjC.select(col("w"), col("x").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
     // AA term: round the transcendental FIRST, then one agreed IEEE
-    // reciprocal, 12dp, into the order-free DECIMAL sum
+    // reciprocal, 12dp — carried through the wedge shuffle as an EXACT
+    // 1e12-scaled LONG (r11): the 12dp decimal recovers exactly, and
+    // sum(long) is a primitive codegen aggregate where sum(decimal(38))
+    // boxes a BigDecimal per wedge row — at the 25×-probe wedge mass
+    // (57.8M rows) that boxing was the measured GC-churn driver, not
+    // the (linear) plan. Bound: term ≤ 1/ln(2)·1e12 ≈ 1.45e12, pair
+    // wedge count ≤ maxCenterDegree, so the sum stays far inside a
+    // long for any sane cap (≤ 1e6).
     val inv = round(lit(1.0) / round(
       org.apache.spark.sql.functions.log(col("dw").cast("double")), 12), 12)
     // aggregate BEFORE the adjacency anti-join: the pair aggregate
@@ -411,11 +418,20 @@ object Graph extends org.apache.spark.internal.Logging {
     // aggregated frame — so the anti-join moves the small frame, not
     // the wedge stream
     val scored = wedges
-      .select(col("a"), col("b"), inv.cast("decimal(38,12)").as("t"))
+      .select(col("a"), col("b"),
+        (inv.cast("decimal(38,12)") * lit(1000000000000L)).cast("long")
+          .as("t"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(col("t")).cast("decimal(38,12)").as("_aa"))
+        sum(col("t")).as("_aa12"))
       .filter(col("common_neighbors") >= minCommonNeighbors)
+      // back to the exact decimal the ranking and oracle compare —
+      // /1e12 of a scale-0 decimal is exact at the result scale, so
+      // the value is BIT-IDENTICAL to the old direct decimal sum
+      .withColumn("_aa",
+        (col("_aa12").cast("decimal(38,0)") / lit(1000000000000L))
+          .cast("decimal(38,12)"))
+      .drop("_aa12")
       .join(canon.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
     // cut to topN FIRST (TakeOrderedAndProject over the pair frame —

@@ -883,32 +883,60 @@ object Dedup extends org.apache.spark.internal.Logging {
       strategy: String = "auto", medianDfThreshold: Int = 32,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketDf: Int = 1000): DataFrame = {
+    val sh = shingleTable(docs).persist()
+    val pairs = autoPairs(docs, sh, threshold, strategy,
+      medianDfThreshold, numHashes, bands, maxBucketDf)
+    val kept = keepAfterNearDedup(docs, pairs)
+    sh.unpersist()
+    kept
+  }
+
+  /** The QUALITY-aware auto-routed keep decision (SURVEY.md §2 P4g,
+    * r11): [[nearDedupAuto]]'s pair machinery (same probe, same legs,
+    * same recall/precision contracts) feeding
+    * [[keepBestAfterNearDedup]] — one doc per near-dup component, the
+    * HIGHEST-`scoreCol` member instead of the arbitrary min id. The
+    * decision a production pipeline actually wants: when a page was
+    * crawled five times, keep the copy the quality model scored best,
+    * not the one that happened to get the smallest id. */
+  def nearDedupKeepBest(docs: DataFrame, scoreCol: String,
+      threshold: Double = 0.8, strategy: String = "auto",
+      medianDfThreshold: Int = 32, numHashes: Int = 64, bands: Int = 16,
+      maxBucketDf: Int = 1000): DataFrame = {
+    val sh = shingleTable(docs).persist()
+    val pairs = autoPairs(docs, sh, threshold, strategy,
+      medianDfThreshold, numHashes, bands, maxBucketDf)
+    val kept = keepBestAfterNearDedup(docs, pairs, scoreCol)
+    sh.unpersist()
+    kept
+  }
+
+  /** The shared pair stage of [[nearDedupAuto]] / [[nearDedupKeepBest]]
+    * — probe-routed candidates + exact verify, one implementation. */
+  private def autoPairs(docs: DataFrame, sh: DataFrame,
+      threshold: Double, strategy: String, medianDfThreshold: Int,
+      numHashes: Int, bands: Int, maxBucketDf: Int): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     require(Set("auto", "exact", "bands")(strategy),
       s"unknown strategy '$strategy'")
-    val sh = shingleTable(docs).persist()
     val useBands = strategy match {
       case "exact" => false
       case "bands" => true
       case _ => medianShingleDf(sh) > medianDfThreshold
     }
-    val pairs =
-      if (!useBands) allPairsJaccard(docs, threshold, shingled = Some(sh))
-      else {
-        logInfo("nearDedupAuto: median-df probe selected the minhash " +
-          "band leg (saturated-vocabulary regime)")
-        val est = math.max(0.0, threshold - 0.3)
-        val cands = minhashPairs(docs, numHashes, bands, est,
-          maxBucketDf, shingled = Some(sh))
-        // dfCap unbounded: the verify must score the FULL shingle sets
-        // so the kept set matches the exact leg's contract pair-for-pair
-        // wherever band recall holds
-        verifyCandidates(docs, cands, threshold, dfCap = Int.MaxValue,
-          shingled = Some(sh))
-      }
-    val kept = keepAfterNearDedup(docs, pairs)
-    sh.unpersist()
-    kept
+    if (!useBands) allPairsJaccard(docs, threshold, shingled = Some(sh))
+    else {
+      logInfo("nearDedupAuto: median-df probe selected the minhash " +
+        "band leg (saturated-vocabulary regime)")
+      val est = math.max(0.0, threshold - 0.3)
+      val cands = minhashPairs(docs, numHashes, bands, est,
+        maxBucketDf, shingled = Some(sh))
+      // dfCap unbounded: the verify must score the FULL shingle sets
+      // so the kept set matches the exact leg's contract pair-for-pair
+      // wherever band recall holds
+      verifyCandidates(docs, cands, threshold, dfCap = Int.MaxValue,
+        shingled = Some(sh))
+    }
   }
 
   /** Candidate stage of [[allPairsJaccard]] — prefix + length +
@@ -1004,6 +1032,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     val losers = connectedComponentsActive(docs, pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
+    docs.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** The QUALITY-aware dedup decision (SURVEY.md §2 P4g, r11): one doc
+    * per near-dup component — the HIGHEST-`scoreCol` member, ties
+    * broken on the SMALLER doc_id (deterministic), instead of
+    * [[keepAfterNearDedup]]'s arbitrary min-id. NULL scores rank WORST
+    * (a doc the quality scorer could not read must not win its
+    * cluster); docs in no pair keep themselves.
+    *
+    * Scale: the CC runs over PAIR nodes only (the keepAfterNearDedup
+    * contract — singletons never enter the loop); winners are one
+    * partial-agg'd `max_by` per component over a (score, −id) struct
+    * at component cardinality; the corpus joins once, as an anti-join
+    * against the (small) loser set. */
+  def keepBestAfterNearDedup(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val members = connectedComponentsActive(docs, pairs)
+      .join(docs.select(col("doc_id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("_s")),
+        Seq("doc_id"))
+    val winners = members.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("_s"), -col("doc_id"))).as("doc_id"))
+      .select(col("doc_id"))
+    val losers = members.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
     docs.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
   }
 

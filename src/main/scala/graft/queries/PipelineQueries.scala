@@ -241,6 +241,68 @@ object PipelineQueries {
     },
     Some(allpairsKeepOracleSql))
 
+  // P4g (r11): the QUALITY-AWARE keep decision — per component keep
+  // the highest-scoring member (score DESC, doc_id ASC), not the
+  // min id; score = n_chars (the "keep the longest copy" heuristic a
+  // crawl dedup actually runs). The oracle closes the same uncapped
+  // exact pair relation, labels components min-reachable-id, and
+  // replays the (score DESC, doc_id) argmax per component.
+  private def mkBestKeepOracle(tau: String) = raw"""WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        FROM documents),
+      shl AS (
+        SELECT doc_id,
+          CASE WHEN len(ts) < 3 THEN [list_aggregate(ts, 'string_agg', ' ')]
+          ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                              for i in range(1, len(ts) - 1)]) END AS shs
+        FROM tok),
+      sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a_id, b_id FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= $tau),
+      edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS component
+        FROM reach GROUP BY 1),
+      scored AS (SELECT c.doc_id, c.component,
+          coalesce(CAST(d.n_chars AS DOUBLE), -1e308) AS s
+        FROM comp c JOIN documents d USING (doc_id)),
+      w AS (SELECT doc_id, row_number() OVER (PARTITION BY component
+          ORDER BY s DESC, doc_id) AS rn FROM scored)
+      SELECT doc_id FROM w WHERE rn = 1 ORDER BY doc_id"""
+
+  private val dedupBestKeep = Q(
+    "dedup_best_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.nearDedupKeepBest(docs, "n_chars", threshold = 0.8)
+        .orderBy(col("doc_id"))
+    },
+    Some(mkBestKeepOracle("0.8")))
+
+  // …and its SQL-surface twin at τ=0.6 (distinct params → own oracle).
+  private val dedupBestKeepSql = Q(
+    "q158_sql_dedup_best",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT doc_id
+        FROM graft_dedup_keep_best('documents', 'n_chars', 0.6D)
+        ORDER BY doc_id""")
+    },
+    Some(mkBestKeepOracle("0.6")))
+
   // r10: the PIPELINE family at the SQL surface — `FROM
   // graft_dedup_keep('documents', 0.7)` is the whole near-dup keep
   // pipeline (probe-routed candidates + exact verify + CC keep) as a
@@ -3151,7 +3213,8 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupBag, dedupIncr, dedupLinesQ, mixWeighted, textBm25, textBm25Stored, textNdcg, textMrr, textMap,
     dedupMinhash, dedupSimhash, dedupNgram, dedupAllpairs,
-    dedupAllpairsKeep, dedupAutoKeep, dedupKeepSql, driftSql,
+    dedupAllpairsKeep, dedupAutoKeep, dedupBestKeep, dedupBestKeepSql,
+    dedupKeepSql, driftSql,
     dedupKeep, dedupMinhashIncr,
     dedupMinhashKeep, dedupSimhashKeep, dedupCosine, dedupCosineLsh,
     semDedup, semDecontamQ,

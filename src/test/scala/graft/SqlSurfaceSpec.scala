@@ -433,6 +433,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_er_match('documents', 'documents')", // arity
       "SELECT * FROM graft_editdist('documents', 'doc_id', 'text', 'one')", // non-int k
       "SELECT * FROM graft_snapshot_diff('orders', 'orders')", // arity
+      "SELECT * FROM graft_dedup_keep_best('documents', 'n_chars')", // arity
       "SELECT * FROM graft_ndcg('events', 'event_type', 'event_id', 'value', 'user_id', 0.5D)") // non-int k
     cases.foreach { q =>
       val e = intercept[Exception] { spark.sql(q).collect() }

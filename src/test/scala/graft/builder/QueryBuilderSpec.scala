@@ -545,5 +545,8 @@ class QueryBuilderSpec extends AnyFunSuite {
     val docs = hdk.scan("documents").filter(col("doc_id") % 3 === 0)
     same(docs.nearDedupAuto(threshold = 0.8).run(),
       graft.pipeline.Dedup.nearDedupAuto(docs.run(), threshold = 0.8))
+    same(docs.nearDedupKeepBest("n_chars", threshold = 0.8).run(),
+      graft.pipeline.Dedup.nearDedupKeepBest(docs.run(), "n_chars",
+        threshold = 0.8))
   }
 }

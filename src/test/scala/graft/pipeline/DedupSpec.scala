@@ -432,4 +432,32 @@ class DedupSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq
     assert(auto == exact)
   }
+
+  test("nearDedupKeepBest: highest score wins its cluster, ties break " +
+      "to the smaller id, NULL scores lose, singletons keep themselves") {
+    val clusterText = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq[(Long, String, java.lang.Double)](
+      (1L, clusterText, 5.0),   // cluster {1,2,3,5}: 2 and 3 tie at 9
+      (2L, clusterText, 9.0),   //   → 2 wins (smaller id)
+      (3L, clusterText, 9.0),
+      (5L, clusterText, null),  //   NULL ranks worst
+      (4L, "one two three four five six seven eight", 0.0), // singleton
+      (6L, "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        -3.0),                  // cluster {6,7}: −1 beats −3
+      (7L, "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        -1.0))
+    val d = rows.toDF("doc_id", "text", "q")
+    val kept = Dedup.nearDedupKeepBest(d, "q", threshold = 0.8,
+        strategy = "exact")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 7L), s"got $kept")
+    // min-id keep on the same corpus differs — the score genuinely
+    // drives the decision
+    val minId = Dedup.nearDedupAuto(d, threshold = 0.8,
+      strategy = "exact").as[Long].collect().sorted.toSeq
+    assert(minId == Seq(1L, 4L, 6L))
+    // deterministic across runs
+    assert(Dedup.nearDedupKeepBest(d, "q", threshold = 0.8,
+      strategy = "exact").as[Long].collect().sorted.toSeq == kept)
+  }
 }
