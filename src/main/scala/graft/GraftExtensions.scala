@@ -517,6 +517,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(4), "graft_seasonal"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_zscore"),
+      new ExpressionInfo(TimeJoins.getClass.getName, "graft_zscore"),
+      (args: Seq[Expression]) => {
+        require(args.size == 8,
+          "graft_zscore(view, key_col, ts_col, val_col, tie_col, span, min_obs, threshold)")
+        val a = args.take(5).map(strLit(_, "graft_zscore"))
+        TimeJoins.rollingZScore(tbl(a(0)), a(1), a(2), a(3), a(4),
+            intLit(args(5), "graft_zscore"),
+            intLit(args(6), "graft_zscore"),
+            dblLit(args(7), "graft_zscore"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_retention"),
+      new ExpressionInfo(Funnel.getClass.getName, "graft_retention"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_retention(events_view)")
+        Funnel.retention(tbl(strLit(args(0), "graft_retention")))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_transitions"),
+      new ExpressionInfo(Funnel.getClass.getName, "graft_transitions"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_transitions(events_view)")
+        Funnel.transitions(tbl(strLit(args(0), "graft_transitions")))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_skew"),
+      new ExpressionInfo(graft.operators.Skew.getClass.getName,
+        "graft_skew"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_skew(view, 'k1,k2', top_k, salt_threshold)")
+        val keys = strLit(args(1), "graft_skew")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        graft.operators.Skew.keyProfile(
+            tbl(strLit(args(0), "graft_skew")), keys,
+            intLit(args(2), "graft_skew"),
+            dblLit(args(3), "graft_skew"))
+          .queryExecution.analyzed
+      }))
     // …the CORRELATION family (A13/A14/R52/R37/R53/R54)…
     ext.injectTableFunction((FunctionIdentifier("graft_spearman"),
       new ExpressionInfo(Stats.getClass.getName, "graft_spearman"),

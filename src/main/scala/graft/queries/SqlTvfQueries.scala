@@ -868,7 +868,107 @@ object SqlTvfQueries {
         CASE WHEN nr > 0 THEN round(CAST(s AS DOUBLE) / nr, 6) END AS ap
       FROM a ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------
+  // Behavioral-analytics + diagnostics remainder (r11 continuation):
+  // retention, transitions, rolling z-score, skew profile — after
+  // these, every relational/time-series/behavioral operator family
+  // has a SQL route.
+  // ---------------------------------------------------------------
+
+  // R20 weekly retention via SQL on a user slice (q56: all users).
+  private val q159 = Q(
+    "q159_sql_retention",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q159_ev AS
+        SELECT * FROM events WHERE user_id % 3 <> 0""",
+      """SELECT * FROM graft_retention('q159_ev')
+        ORDER BY cohort_week, week_offset"""),
+    Some("""WITH first AS (
+        SELECT user_id,
+          CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE user_id % 3 <> 0 GROUP BY 1),
+      act AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events WHERE user_id % 3 <> 0)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+        count(*) AS n_users
+      FROM act JOIN first USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // R22 transition matrix via SQL over high-value events only (q58:
+  // all events).
+  private val q160 = Q(
+    "q160_sql_transitions",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q160_ev AS
+        SELECT * FROM events WHERE value > 10.0""",
+      """SELECT * FROM graft_transitions('q160_ev')
+        ORDER BY from_type, to_type"""),
+    Some("""WITH l AS (
+        SELECT user_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type,
+          event_type AS to_type
+        FROM events WHERE value > 10.0)
+      SELECT from_type, to_type, count(*) AS n
+      FROM l WHERE from_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // R27 rolling z-score via SQL with span 10 / minObs 3 / threshold
+  // 2.5 on a user slice (q64: 20/5/3.0, all users).
+  private val q161 = Q(
+    "q161_sql_zscore",
+    (s, d) => sql(s, d,
+      """CREATE OR REPLACE TEMP VIEW q161_ev AS
+        SELECT event_id, user_id, unix_micros(ts) AS us,
+          CAST(value AS DOUBLE) AS value
+        FROM events WHERE user_id % 5 = 2""",
+      """SELECT * FROM
+        graft_zscore('q161_ev', 'user_id', 'us', 'value', 'event_id', 10, 3, 2.5D)
+        ORDER BY user_id, us, event_id"""),
+    Some("""WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+          CAST(value AS DOUBLE) AS value
+        FROM events WHERE user_id % 5 = 2),
+      sc AS (SELECT event_id, user_id, us, value,
+          count(value) OVER w AS roll_n,
+          round(avg(value) OVER w, 6) AS m6,
+          round(stddev_samp(value) OVER w, 6) AS s6
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, us, value, roll_n,
+        CASE WHEN roll_n >= 3 AND s6 > 0
+          THEN round((value - m6) / s6, 4) END AS z,
+        coalesce(abs(CASE WHEN roll_n >= 3 AND s6 > 0
+          THEN round((value - m6) / s6, 4) END) > 2.5, false) AS flagged
+      FROM sc ORDER BY user_id, us, event_id"""))
+
+  // R34 skew profile via SQL over the orders priority key (q71: the
+  // events type key, topK 5 / threshold 4).
+  private val q162 = Q(
+    "q162_sql_skew",
+    (s, d) => sql(s, d,
+      """SELECT * FROM graft_skew('orders', 'o_orderpriority', 3, 2.0D)
+        ORDER BY rank"""),
+    Some("""WITH c AS (
+        SELECT o_orderpriority, count(*) AS n_rows FROM orders GROUP BY 1),
+      g AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+          count(*) AS n_keys, max(n_rows) AS mx FROM c),
+      r AS (SELECT o_orderpriority, n_rows,
+          row_number() OVER (ORDER BY n_rows DESC, o_orderpriority) AS rank
+        FROM c)
+      SELECT r.o_orderpriority, r.n_rows, r.rank, g.n_total, g.n_keys,
+        round(CAST(r.n_rows AS DOUBLE) / g.n_total, 6) AS share,
+        round(CAST(g.n_total AS DOUBLE) / g.n_keys, 6) AS avg_rows,
+        round(CAST(g.mx AS DOUBLE) * g.n_keys / g.n_total, 6)
+          AS skew_factor,
+        round(CAST(g.mx AS DOUBLE) * g.n_keys / g.n_total, 6) > 2.0
+          AS salt_recommended
+      FROM r, g WHERE r.rank <= 3 ORDER BY r.rank"""))
+
   val all: Seq[Q] = Seq(q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157)
+    q155, q156, q157, q159, q160, q161, q162)
 }

@@ -343,6 +343,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_holt('events', 'user_id', 'ts', 'value', 'event_id', 0.5D, 0.25D, 2)",
       TimeJoins.holtSmooth(ev, "user_id", "ts", "value", "event_id",
         alpha = 0.5, beta = 0.25, horizon = 2))
+    planEq(
+      "SELECT * FROM graft_zscore('events', 'user_id', 'ts', 'value', 'event_id', 10, 3, 2.5D)",
+      TimeJoins.rollingZScore(ev, "user_id", "ts", "value", "event_id",
+        span = 10, minObs = 3, threshold = 2.5))
+    planEq(
+      "SELECT * FROM graft_retention('events')",
+      graft.operators.Funnel.retention(ev))
+    planEq(
+      "SELECT * FROM graft_transitions('events')",
+      graft.operators.Funnel.transitions(ev))
+    // keyProfile materializes internally → pinned-input value equality
+    // (sorted: multi-row output)
+    assert(spark
+      .sql("SELECT * FROM graft_skew('events', 'event_type', 3, 2.0D)")
+      .collect().toSeq.sortBy(_.toString) ==
+      graft.operators.Skew.keyProfile(ev, Seq("event_type"), topK = 3,
+        saltThreshold = 2.0).collect().toSeq.sortBy(_.toString))
   }
 
   test("r11 correlation / change-data / retrieval TVFs match the operators") {
@@ -434,6 +451,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_editdist('documents', 'doc_id', 'text', 'one')", // non-int k
       "SELECT * FROM graft_snapshot_diff('orders', 'orders')", // arity
       "SELECT * FROM graft_dedup_keep_best('documents', 'n_chars')", // arity
+      "SELECT * FROM graft_retention('events', 'extra')", // arity
+      "SELECT * FROM graft_zscore('events', 'user_id', 'ts', 'value', 'event_id', 'ten', 3, 2.5D)", // non-int span
+      "SELECT * FROM graft_skew('orders', 'o_orderpriority', 3)", // arity
       "SELECT * FROM graft_ndcg('events', 'event_type', 'event_id', 'value', 'user_id', 0.5D)") // non-int k
     cases.foreach { q =>
       val e = intercept[Exception] { spark.sql(q).collect() }
