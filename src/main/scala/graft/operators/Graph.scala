@@ -364,10 +364,11 @@ object Graph extends org.apache.spark.internal.Logging {
     * broken by the pair), so the topN cut is deterministic.
     *
     * Scale: canonical edges + degrees + capped adjacency each
-    * localCheckpoint once; the wedge self-join and the (a, b) score
-    * aggregate are the only fat shuffles, both on hashed high-
-    * cardinality keys; the final ranking is TakeOrderedAndProject,
-    * never a global sort. */
+    * localCheckpoint once; the wedge self-join and the (a, b, dw)
+    * count aggregate are the only fat shuffles, both on hashed high-
+    * cardinality keys (the wedge-mass aggregate is a primitive long
+    * count; the exact decimal sum runs on the collapsed frame); the
+    * final ranking is TakeOrderedAndProject, never a global sort. */
   def linkPredict(edges: DataFrame, topN: Int = 100,
       maxCenterDegree: Int = 10000,
       minCommonNeighbors: Int = 1): DataFrame = {
@@ -402,36 +403,37 @@ object Graph extends org.apache.spark.internal.Logging {
       .join(adjC.select(col("w"), col("x").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
     // AA term: round the transcendental FIRST, then one agreed IEEE
-    // reciprocal, 12dp — carried through the wedge shuffle as an EXACT
-    // 1e12-scaled LONG (r11): the 12dp decimal recovers exactly, and
-    // sum(long) is a primitive codegen aggregate where sum(decimal(38))
-    // boxes a BigDecimal per wedge row — at the 25×-probe wedge mass
-    // (57.8M rows) that boxing was the measured GC-churn driver, not
-    // the (linear) plan. Bound: term ≤ 1/ln(2)·1e12 ≈ 1.45e12, pair
-    // wedge count ≤ maxCenterDegree, so the sum stays far inside a
-    // long for any sane cap (≤ 1e6).
+    // reciprocal, 12dp — an exact DECIMAL(38,12). The aggregate over
+    // the wedge mass is TWO-STAGE (r12): stage 1 counts wedges per
+    // (a, b, dw) — a primitive codegen count, no per-wedge BigDecimal
+    // boxing (the r11-measured GC-churn driver at the 25×-probe's
+    // 57.8M-row wedge mass); stage 2 sums cnt·term as DECIMAL(38,12)
+    // over the COLLAPSED frame (≤ one row per distinct common-neighbor
+    // degree per pair), so the exact decimal sum has 38-digit headroom
+    // and no long-overflow bound at all — a pair's wedge count is
+    // limited only by its endpoints' (uncapped) degrees, which the
+    // r11 single-stage 1e12-scaled long sum could overflow past
+    // ~6.4e6 common neighbors.
+    // type discipline: inv ∈ (0, 1/ln 2] fits decimal(14,12); cnt as
+    // decimal(20,0) → product decimal(35,12) (35 = 20+14+1 ≤ 38, so
+    // NO precision-loss adjustment — a wider operand pair would get
+    // its scale silently cut to 6) and sum decimal(38,12), both exact
     val inv = round(lit(1.0) / round(
       org.apache.spark.sql.functions.log(col("dw").cast("double")), 12), 12)
+      .cast("decimal(14,12)")
     // aggregate BEFORE the adjacency anti-join: the pair aggregate
     // shrinks the wedge mass ~3× (cn wedges per pair collapse to one
     // row), and the dropped adjacent pairs are at most m rows of the
     // aggregated frame — so the anti-join moves the small frame, not
     // the wedge stream
     val scored = wedges
-      .select(col("a"), col("b"),
-        (inv.cast("decimal(38,12)") * lit(1000000000000L)).cast("long")
-          .as("t"))
+      .groupBy(col("a"), col("b"), col("dw"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(col("t")).as("_aa12"))
+      .agg(sum(col("cnt")).as("common_neighbors"),
+        sum(col("cnt").cast("decimal(20,0)") * inv).as("_aa"))
       .filter(col("common_neighbors") >= minCommonNeighbors)
-      // back to the exact decimal the ranking and oracle compare —
-      // /1e12 of a scale-0 decimal is exact at the result scale, so
-      // the value is BIT-IDENTICAL to the old direct decimal sum
-      .withColumn("_aa",
-        (col("_aa12").cast("decimal(38,0)") / lit(1000000000000L))
-          .cast("decimal(38,12)"))
-      .drop("_aa12")
+      .withColumn("_aa", col("_aa").cast("decimal(38,12)"))
       .join(canon.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
     // cut to topN FIRST (TakeOrderedAndProject over the pair frame —

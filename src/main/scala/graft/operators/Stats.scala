@@ -1646,8 +1646,9 @@ object Stats extends org.apache.spark.internal.Logging {
     * the exact median.
     *
     * `strategy = "sampled"` (r11) is the labeled scale leg: a
-    * deterministic hash-ranked subsample of m = ⌈√(2·maxPairsPerKey)⌉
-    * observations per key bounds the pair mass at maxPairsPerKey
+    * deterministic hash-ranked subsample of m observations per key
+    * (the largest m with m(m−1)/2 ≤ maxPairsPerKey) bounds the pair
+    * mass at maxPairsPerKey
     * regardless of key size (a hot key cannot detonate), and the
     * result is the exact Sen median OF THE SUBSERIES — the standard
     * subsample estimator, with n/n_pairs honestly reporting the
@@ -1669,8 +1670,9 @@ object Stats extends org.apache.spark.internal.Logging {
     // strategy = "sampled" (r11; the scale leg the exact default
     // cannot offer — median-of-pairwise-slopes has no cell-space
     // shortcut): a DETERMINISTIC hash-ranked subsample of
-    // OBSERVATIONS per key, m = ⌈√(2·maxPairsPerKey)⌉ rows, keeps the
-    // per-key pair mass ≤ maxPairsPerKey by construction — sampling
+    // OBSERVATIONS per key, m rows (largest m with m(m−1)/2 ≤
+    // maxPairsPerKey), keeps the per-key pair mass ≤ maxPairsPerKey
+    // by construction — sampling
     // observations bounds the pairs WITHOUT enumerating them (pair-
     // level sampling would first materialize the O(n²) join it exists
     // to avoid). The estimate is the EXACT Sen median of the sampled
@@ -1679,7 +1681,14 @@ object Stats extends org.apache.spark.internal.Logging {
     // run-to-run and engine-independent. Keys at or under m are
     // passed through whole, so sampled ≡ exact there (spec-asserted).
     val obs = if (strategy == "sampled") {
-      val m = math.ceil(math.sqrt(2.0 * maxPairsPerKey)).toInt
+      // largest m with m(m-1)/2 <= maxPairsPerKey — the ceil(sqrt(2P))
+      // form (r11) could exceed the cap for small P (P=5 gave m=4 →
+      // 6 pairs), breaking the "≤ maxPairsPerKey by construction"
+      // contract; the quadratic-root floor keeps it strict (m ≥ 2
+      // always, so a 2-row key still yields its one pair)
+      val m = math.max(2,
+        math.floor((1.0 + math.sqrt(1.0 + 8.0 * maxPairsPerKey)) / 2.0)
+          .toInt)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("k"))
         .orderBy(xxhash64(col("k"), col("us"), col("v")), col("us"),

@@ -883,6 +883,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       strategy: String = "auto", medianDfThreshold: Int = 32,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketDf: Int = 1000): DataFrame = {
+    validateAutoArgs(threshold, strategy)
     val sh = shingleTable(docs).persist()
     val pairs = autoPairs(docs, sh, threshold, strategy,
       medianDfThreshold, numHashes, bands, maxBucketDf)
@@ -903,6 +904,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       threshold: Double = 0.8, strategy: String = "auto",
       medianDfThreshold: Int = 32, numHashes: Int = 64, bands: Int = 16,
       maxBucketDf: Int = 1000): DataFrame = {
+    validateAutoArgs(threshold, strategy)
     val sh = shingleTable(docs).persist()
     val pairs = autoPairs(docs, sh, threshold, strategy,
       medianDfThreshold, numHashes, bands, maxBucketDf)
@@ -911,14 +913,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     kept
   }
 
+  /** Argument validation shared by [[nearDedupAuto]] /
+    * [[nearDedupKeepBest]], hoisted AHEAD of the shingle-table
+    * persist() so an invalid threshold/strategy can't leave a cache
+    * entry registered that no unpersist() will ever release. */
+  private def validateAutoArgs(threshold: Double,
+      strategy: String): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(Set("auto", "exact", "bands")(strategy),
+      s"unknown strategy '$strategy'")
+  }
+
   /** The shared pair stage of [[nearDedupAuto]] / [[nearDedupKeepBest]]
     * — probe-routed candidates + exact verify, one implementation. */
   private def autoPairs(docs: DataFrame, sh: DataFrame,
       threshold: Double, strategy: String, medianDfThreshold: Int,
       numHashes: Int, bands: Int, maxBucketDf: Int): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    require(Set("auto", "exact", "bands")(strategy),
-      s"unknown strategy '$strategy'")
+    validateAutoArgs(threshold, strategy)
     val useBands = strategy match {
       case "exact" => false
       case "bands" => true

@@ -16,15 +16,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per key is the (distinct value → per-group counts) histogram —
   * bounded by the column's VALUE VOCABULARY, never by stream length,
   * with a LOUD `maxDistinct` failsafe (the ST18/ST21 discipline:
-  * silent truncation would corrupt every later D). Each emission walks
-  * the histogram in ascending value order and recomputes the batch
-  * operator's exact integers — D's numerator max |cum_a·n_b −
-  * cum_b·n_a| over integer cross-products — then applies the same
-  * one-division 6dp/4dp rounding ladder, so streamed (d_stat, c_stat,
-  * reject_05) ≡ `Stats.ksTest` over the seen rows BIT-FOR-BIT
-  * (StreamingSpec proves cut-prefix and final equality). Statistics
-  * are order-free; arrival order only affects which `t` labels an
-  * emission.
+  * silent truncation would corrupt every later D). Emission is ONCE
+  * per key per MICRO-BATCH (r12; labeled by the batch's max `t`): D's
+  * numerator — max |cum_a·n_b − cum_b·n_a| over exact BigInteger
+  * cross-products — depends on the running TOTALS, so it cannot be
+  * maintained incrementally under insertion; a per-ARRIVAL emission
+  * (the r11 shape) re-walked the whole histogram per row, making a
+  * busy key's micro-batch O(rows × |V|) BigInteger work — at the
+  * 100000 default maxDistinct, billions of ops. Per-batch emission
+  * bounds the cost at O(rows·log|V| + |V|) per key per batch while
+  * every emitted row still equals `Stats.ksTest` over all rows seen
+  * through that batch BIT-FOR-BIT — the same one-division 6dp/4dp
+  * rounding ladder over the same integers (StreamingSpec proves
+  * cut-prefix and final equality). Statistics are order-free; arrival
+  * order only affects which `t` labels an emission.
   */
 object StreamKs {
 
@@ -35,9 +40,6 @@ object StreamKs {
       d_stat: Option[Double], c_stat: Option[Double],
       reject_05: Option[Boolean])
 
-  private def round(x: Double, s: Int): Double =
-    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   /** `obs` needs (k, t, g, v): key, tie, group label, value. Rows whose
     * group is neither `gA` nor `gB` are out of scope (the batch
     * operator's filter). */
@@ -47,6 +49,11 @@ object StreamKs {
     val spark = obs.sparkSession
     import spark.implicits._
 
+    // local so the state function captures no module reference (the
+    // StreamKs object is not serializable and must not ride the task)
+    def round(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
     def fn(key: Long, rows: Iterator[(Long, Long, String, Double)],
         state: GroupState[KsState]): Iterator[KsRow] = {
       val cells = scala.collection.mutable.TreeMap.empty[Double, (Long, Long)]
@@ -54,7 +61,12 @@ object StreamKs {
         val st = state.get
         st.vs.indices.foreach(i => cells(st.vs(i)) = (st.na(i), st.nb(i)))
       }
-      val out = rows.toArray.sortBy(_._2).map { case (_, t, g, v) =>
+      // apply the whole micro-batch to the histogram first (one
+      // insertion per row), then ONE ascending walk for the emission —
+      // never a walk per arriving row
+      var tMax = Long.MinValue
+      rows.foreach { case (_, t, g, v) =>
+        if (t > tMax) tMax = t
         val (a0, b0) = cells.getOrElse(v, (0L, 0L))
         cells(v) = if (g == gA) (a0 + 1, b0) else (a0, b0 + 1)
         if (cells.size > maxDistinct)
@@ -63,31 +75,34 @@ object StreamKs {
               "distinct values — a truncated histogram would corrupt " +
               "every later D statistic. Quantize the value upstream " +
               "(its measurement grain) or raise the bound.")
-        // the batch integers, walked over ascending values:
-        // max |cum_a·n_b_tot − cum_b·n_a_tot| as exact BigInteger
-        var ta = 0L; var tb = 0L
-        cells.foreach { case (_, (a, b)) => ta += a; tb += b }
-        val taB = java.math.BigInteger.valueOf(ta)
-        val tbB = java.math.BigInteger.valueOf(tb)
-        var cumA = java.math.BigInteger.ZERO
-        var cumB = java.math.BigInteger.ZERO
-        var dnum = java.math.BigInteger.ZERO
-        cells.foreach { case (_, (a, b)) =>
-          cumA = cumA.add(java.math.BigInteger.valueOf(a))
-          cumB = cumB.add(java.math.BigInteger.valueOf(b))
-          val x = cumA.multiply(tbB).subtract(cumB.multiply(taB)).abs()
-          if (x.compareTo(dnum) > 0) dnum = x
-        }
-        if (ta > 0 && tb > 0) {
+      }
+      // the batch integers, walked over ascending values:
+      // max |cum_a·n_b_tot − cum_b·n_a_tot| as exact BigInteger
+      var ta = 0L; var tb = 0L
+      cells.foreach { case (_, (a, b)) => ta += a; tb += b }
+      val taB = java.math.BigInteger.valueOf(ta)
+      val tbB = java.math.BigInteger.valueOf(tb)
+      var cumA = java.math.BigInteger.ZERO
+      var cumB = java.math.BigInteger.ZERO
+      var dnum = java.math.BigInteger.ZERO
+      cells.foreach { case (_, (a, b)) =>
+        cumA = cumA.add(java.math.BigInteger.valueOf(a))
+        cumB = cumB.add(java.math.BigInteger.valueOf(b))
+        val x = cumA.multiply(tbB).subtract(cumB.multiply(taB)).abs()
+        if (x.compareTo(dnum) > 0) dnum = x
+      }
+      val out =
+        if (tMax == Long.MinValue) Iterator.empty[KsRow]
+        else if (ta > 0 && tb > 0) {
           val d = round(dnum.doubleValue / (ta.toDouble * tb), 6)
           val c = round(d * math.sqrt(ta.toDouble * tb / (ta + tb)), 4)
-          KsRow(key, t, ta, tb, Some(d), Some(c), Some(c > 1.358))
-        } else KsRow(key, t, ta, tb, None, None, None)
-      }
+          Iterator(KsRow(key, tMax, ta, tb, Some(d), Some(c),
+            Some(c > 1.358)))
+        } else Iterator(KsRow(key, tMax, ta, tb, None, None, None))
       val snap = cells.toSeq
       state.update(KsState(snap.map(_._1), snap.map(_._2._1),
         snap.map(_._2._2)))
-      out.iterator
+      out
     }
 
     obs
