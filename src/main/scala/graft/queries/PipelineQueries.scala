@@ -385,21 +385,26 @@ object PipelineQueries {
 
   // P2c: INCREMENTAL near-dup — today's batch (doc_id % 10 >= 6) vs the
   // STORED minhash band-bucket index of the already-ingested corpus
-  // (doc_id % 10 < 6), the near-dup twin of dedup_incr. The index is
-  // materialized once (the "persisted at ingest" table — its corpus is
-  // never re-shingled per batch); candidates come only from the band
-  // join, then the exact-Jaccard verify decides. The oracle recomputes
-  // the FULL exact batch×index Jaccard relation in DuckDB — matching it
-  // PROVES band-candidate recall 1 on every true ≥0.5 cross pair (a
-  // missed candidate would lower that batch doc's count).
+  // (doc_id % 10 < 6), the near-dup twin of dedup_incr. r12: the index
+  // is the PERSISTENT BandIndex module (build-if-absent, the
+  // ann_ivf_stored discipline) — the probe reads the stored parquet
+  // band table, re-shingling only the batch; candidates come only from
+  // the band join, then the exact-Jaccard verify decides. The oracle
+  // recomputes the FULL exact batch×index Jaccard relation in DuckDB —
+  // matching it PROVES band-candidate recall 1 on every true ≥0.5
+  // cross pair (a missed candidate would lower that batch doc's count)
+  // AND that the stored round-trip is value-exact.
   private val dedupMinhashIncr = Q(
     "dedup_minhash_incr",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
       val index = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
-      val indexBands = Dedup.minhashBandRows(index).localCheckpoint()
-      val cands = Dedup.incrementalMinhashCandidates(indexBands, batch)
+      val root = graft.GraftSession.scratchDir(
+        "band_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(s"$root/bands/_SUCCESS").exists())
+        graft.pipeline.BandIndex.buildBands(index, root)
+      val cands = graft.pipeline.BandIndex.candidates(s, root, batch)
         .select(col("batch_id").as("a_id"), col("index_id").as("b_id"))
       val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5)
       val perBatch = verified.groupBy(col("a_id").as("doc_id"))
