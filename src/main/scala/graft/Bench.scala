@@ -153,21 +153,55 @@ object Bench {
     // an explicit failure count so the aggregate can't masquerade.
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ > 0).sum
-    def wrap(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // External yardstick (r12): if tools/oracle_bench.py has recorded
+    // the oracle engine's per-query DuckDB seconds (target/
+    // oracle_bench.json), ride its TOTAL in the stdout line and the
+    // full per-query map in the durable file — informational only (a
+    // single-process engine at bench SF measures engine overhead, not
+    // scaling; SURVEY §5 states the comparison rule). Absent file →
+    // fields omitted, nothing fails.
+    val oracleRef: Option[(Double, String)] = try {
+      val p = java.nio.file.Paths.get("target", "oracle_bench.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val tot = """"total_s":\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val m = """"oracle_s":\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        tot.zip(m).map { case (t, qs) =>
+          (t, "{" + qs.replaceAll("\\s+", "") + "}")
+        }
+      } else None
+    } catch { case _: Throwable => None }
+    def wrap(qs: String, withOracleMap: Boolean): String = {
+      val oracleFields = oracleRef match {
+        case Some((t, m)) =>
+          s""","oracle_engine":"duckdb","oracle_total_s":$t""" +
+            (if (withOracleMap) s""","oracle_s":$m""" else "")
+        case None => ""
+      }
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs$oracleFields,"sf":"$sfDir"}"""
+    }
     // leg diagnostics ride in the queries map (not the total — the gate
     // line already counts) and are pinned into the headline
     val headline = (results.filter(_._2 > 0).sortBy(-_._2).take(30) ++
       annLegs.filter(_._2 > 0)).sortBy(_._1)
-    println(wrap(qjson(headline)))
     // Loss-proofing: the driver captures stdout, but a truncated capture
     // (observed rounds 2/5/6) loses per-query timings irrecoverably.
     // Persist the FULL map to a file as the durable copy.
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (wrap(qjson(results ++ annLegs)) + "\n")
+      (wrap(qjson(results ++ annLegs), withOracleMap = true) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The headline JSON line prints LAST, after spark.stop(): the
+    // driver's stdout capture is a tail window, and r11's line was
+    // buried under post-println Spark WARN noise (BENCH_r11 recorded
+    // parsed:null). Silence the logger first so shutdown can't write
+    // past the line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(wrap(qjson(headline), withOracleMap = false))
   }
 }
