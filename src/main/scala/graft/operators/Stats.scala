@@ -682,11 +682,11 @@ object Stats extends org.apache.spark.internal.Logging {
     * shuffle; cumulative-below is the keyed two-phase bucket scheme
     * ([[rocAuc]]'s) — no global sort, no unbounded per-key frame. */
   def giniConcentration(df: DataFrame, keyCol: String, valCol: String,
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = 1024, grain: Double = 0.0): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val v = col(valCol).cast("double")
+    val v = quantize(col(valCol).cast("double"), grain)
     val v6i = (round(v, 6).cast("decimal(18,6)") * 1000000).cast(dec)
     val hist = df
       .filter(col(keyCol).isNotNull && v.isNotNull)
@@ -942,9 +942,10 @@ object Stats extends org.apache.spark.internal.Logging {
     * key, then in-bucket cumulative windows partitioned by
     * (key, bucket) — no global sort, no unbounded per-key frame. */
   def rocAuc(df: DataFrame, keyCol: String, labelCol: String,
-      scoreCol: String, nBuckets: Int = 1024): DataFrame = {
+      scoreCol: String, nBuckets: Int = 1024,
+      grain: Double = 0.0): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val v = col(scoreCol).cast("double")
+    val v = quantize(col(scoreCol).cast("double"), grain)
     val pos = col(labelCol).cast("double") > 0
     val hist = df
       .filter(v.isNotNull && col(labelCol).isNotNull)
@@ -1056,6 +1057,27 @@ object Stats extends org.apache.spark.internal.Logging {
               pow(sb, 2) / (col("n_b") - 1)), 4)))
   }
 
+  /** The QUANTIZE-TO-GRAIN contract as CODE (r12; previously a §2
+    * caveat): the histogram statistics family ([[rocAuc]], [[ksTest]],
+    * [[mannWhitney]], [[mannWhitneyByKey]], [[giniConcentration]])
+    * collapses rows to DISTINCT values, so a continuous double domain
+    * (|V| ≈ n) degenerates their sub-linear regime to linear. A
+    * classifier score or measured value always HAS a real measurement
+    * grain (the model emits float32 probabilities meaningful to ~3-4
+    * digits; a price has cents); `grain > 0` rounds the value to that
+    * grain (v → round(v/grain)·grain) BEFORE the histogram, making the
+    * sub-linear regime a parameter instead of a caveat. `grain <= 0`
+    * (default) keeps today's exact distinct-value behavior bit-for-bit.
+    * The statistic is then the exact statistic OF THE QUANTIZED scores
+    * — identical to the caller pre-rounding the column (spec-asserted),
+    * honest about what a grain means rather than a hidden approximation
+    * of the raw-score statistic. Quantized legs are scale legs: keep
+    * oracled keys at grain 0 (a /-then-· double roundtrip is engine-
+    * deterministic per run but not a cross-engine agreed grid). */
+  private def quantize(v: org.apache.spark.sql.Column, grain: Double)
+      : org.apache.spark.sql.Column =
+    if (grain <= 0.0) v else round(v / lit(grain), 0) * lit(grain)
+
   /** Shared exact-rank machinery for the two rank tests ([[ksTest]],
     * [[mannWhitney]]): per DISTINCT value of `valCol`, the two groups'
     * counts and INCLUSIVE cumulative counts in value order — computed
@@ -1068,8 +1090,9 @@ object Stats extends org.apache.spark.internal.Logging {
     * every window either bucket-bounded or partitioned by bucket.
     * Returns (v, n_a, n_b, cum_a, cum_b) — all exact longs. */
   private def rankedHistogram(df: DataFrame, groupCol: String, gA: String,
-      gB: String, valCol: String, nBuckets: Int): DataFrame = {
-    val v = col(valCol).cast("double")
+      gB: String, valCol: String, nBuckets: Int,
+      grain: Double = 0.0): DataFrame = {
+    val v = quantize(col(valCol).cast("double"), grain)
     val hist = df
       .filter((col(groupCol) === gA || col(groupCol) === gB) && v.isNotNull)
       .groupBy(v.as("v"))
@@ -1120,9 +1143,10 @@ object Stats extends org.apache.spark.internal.Logging {
     * the [[rankedHistogram]] two-phase prefix sum (no global sort, no
     * unbounded global window), one max aggregate. */
   def ksTest(df: DataFrame, groupCol: String, gA: String, gB: String,
-      valCol: String, nBuckets: Int = 1024): DataFrame = {
+      valCol: String, nBuckets: Int = 1024,
+      grain: Double = 0.0): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets)
+    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets, grain)
     val dec = "decimal(38,0)"
     val totals = rh.agg(
       coalesce(sum(col("n_a")), lit(0L)).as("_ta"),
@@ -1164,9 +1188,10 @@ object Stats extends org.apache.spark.internal.Logging {
     * Scale: identical to [[ksTest]] — histogram + two-phase prefix
     * sum, one final aggregate. */
   def mannWhitney(df: DataFrame, groupCol: String, gA: String, gB: String,
-      valCol: String, nBuckets: Int = 1024): DataFrame = {
+      valCol: String, nBuckets: Int = 1024,
+      grain: Double = 0.0): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets)
+    val rh = rankedHistogram(df, groupCol, gA, gB, valCol, nBuckets, grain)
     val dec = "decimal(38,0)"
     val t = (col("n_a") + col("n_b")).cast(dec)
     val before = (col("cum_a") + col("cum_b")).cast(dec) - t
@@ -1214,11 +1239,11 @@ object Stats extends org.apache.spark.internal.Logging {
     * frame. */
   def mannWhitneyByKey(df: DataFrame, keyCol: String, groupCol: String,
       gA: String, gB: String, valCol: String,
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = 1024, grain: Double = 0.0): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val W = org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val v = col(valCol).cast("double")
+    val v = quantize(col(valCol).cast("double"), grain)
     val hist = df
       .filter(col(keyCol).isNotNull && v.isNotNull &&
         col(groupCol).isin(gA, gB))

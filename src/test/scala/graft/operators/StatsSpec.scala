@@ -1051,4 +1051,59 @@ class StatsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("grain: grain<=0 is bitwise today's behavior across the histogram family") {
+    import org.apache.spark.sql.{functions => F}
+    val df = (1 to 400).map { i =>
+      ("k" + (i % 3), if (i % 2 == 0) "A" else "B", i % 5,
+        math.sin(i.toDouble) * 10 + i * 0.01)
+    }.toDF("k", "g", "lab", "v")
+    def sorted(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(_.toString).sorted.toSeq
+    assert(sorted(Stats.rocAuc(df, "k", "lab", "v", grain = 0.0)) ==
+      sorted(Stats.rocAuc(df, "k", "lab", "v")))
+    assert(sorted(Stats.ksTest(df, "g", "A", "B", "v", grain = -1.0)) ==
+      sorted(Stats.ksTest(df, "g", "A", "B", "v")))
+    assert(sorted(Stats.mannWhitney(df, "g", "A", "B", "v", grain = 0.0)) ==
+      sorted(Stats.mannWhitney(df, "g", "A", "B", "v")))
+    assert(sorted(Stats.mannWhitneyByKey(df, "k", "g", "A", "B", "v",
+        grain = 0.0)) ==
+      sorted(Stats.mannWhitneyByKey(df, "k", "g", "A", "B", "v")))
+    val nn = df.withColumn("v", F.abs(F.col("v")))
+    assert(sorted(Stats.giniConcentration(nn, "k", "v", grain = 0.0)) ==
+      sorted(Stats.giniConcentration(nn, "k", "v")))
+  }
+
+  test("grain: quantized statistic EQUALS the caller pre-rounding the column") {
+    import org.apache.spark.sql.{functions => F}
+    val g = 0.25
+    val df = (1 to 300).map { i =>
+      ("k" + (i % 2), if (i % 2 == 0) "A" else "B", i % 4,
+        math.cos(i.toDouble) * 3 + i * 0.003)
+    }.toDF("k", "g", "lab", "v")
+    val pre = df.withColumn("v",
+      F.round(F.col("v") / F.lit(g), 0) * F.lit(g))
+    def sorted(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(_.toString).sorted.toSeq
+    assert(sorted(Stats.rocAuc(df, "k", "lab", "v", grain = g)) ==
+      sorted(Stats.rocAuc(pre, "k", "lab", "v")))
+    assert(sorted(Stats.ksTest(df, "g", "A", "B", "v", grain = g)) ==
+      sorted(Stats.ksTest(pre, "g", "A", "B", "v")))
+    assert(sorted(Stats.mannWhitney(df, "g", "A", "B", "v", grain = g)) ==
+      sorted(Stats.mannWhitney(pre, "g", "A", "B", "v")))
+    assert(sorted(Stats.mannWhitneyByKey(df, "k", "g", "A", "B", "v",
+        grain = g)) ==
+      sorted(Stats.mannWhitneyByKey(pre, "k", "g", "A", "B", "v")))
+    val nn = df.withColumn("v", F.abs(F.col("v")))
+    val nnPre = nn.withColumn("v",
+      F.round(F.col("v") / F.lit(g), 0) * F.lit(g))
+    assert(sorted(Stats.giniConcentration(nn, "k", "v", grain = g)) ==
+      sorted(Stats.giniConcentration(nnPre, "k", "v")))
+    // and the quantization actually coarsens: a continuous domain
+    // collapses to ≤ a handful of grid points per unit interval
+    val distinctRaw = df.select("v").distinct().count()
+    val distinctQ = pre.select("v").distinct().count()
+    assert(distinctQ < distinctRaw,
+      s"grain must shrink the value vocabulary ($distinctQ vs $distinctRaw)")
+  }
 }
