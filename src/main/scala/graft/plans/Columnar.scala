@@ -16,8 +16,8 @@ import org.apache.spark.sql.execution.{ColumnarRule, FilterExec, ProjectExec,
 import org.apache.spark.sql.execution.aggregate.HashAggregateExec
 import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector,
   WritableColumnVector}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
-  LongType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType,
+  DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** Executable proof of the accelerator extension point (SURVEY §1's
@@ -54,6 +54,12 @@ object Columnar {
   private[plans] def supportedType(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == DoubleType
 
+  /** Grouping keys additionally admit strings (r12 — the TPC-H q01
+    * shape groups on l_returnflag/l_linestatus): the key is only read,
+    * hashed, and re-emitted, never computed on. */
+  private[plans] def supportedGroupType(dt: DataType): Boolean =
+    supportedType(dt) || dt == StringType
+
   /** Conservative whitelist: every projected expression must be fully
     * evaluable by the vectorized interpreter, same-typed through each
     * arithmetic node (the analyzer's inserted casts make mixed-type
@@ -75,22 +81,40 @@ object Columnar {
     * scan-adjacent trio's last member, and the op where columnar wins
     * most: map-side combine collapses rows before they shuffle):
     * Partial-mode, non-distinct, unfiltered sum/count/min/max whose
-    * child is vectorizable and whose buffer is a single attribute
-    * (long/double sums; decimal sums carry an isEmpty flag and refuse).
-    * TRY sums refuse — the null-on-overflow contract is not
-    * implemented here (the [[supported]] rule). */
+    * child is vectorizable. r12 widens sums to the TPC-H q01 shape:
+    * a DECIMAL column sum is accepted with its two-attribute
+    * (sum, isEmpty) buffer — the child must be a bare column reference
+    * (decimal ARITHMETIC stays on the row path; the interpreter's
+    * whitelist is int/long/double). TRY sums refuse — the
+    * null-on-overflow contract is not implemented here (the
+    * [[supported]] rule). */
   private[plans] def supportedAgg(ae: AggregateExpression): Boolean =
     ae.mode == Partial && !ae.isDistinct && ae.filter.isEmpty &&
       (ae.aggregateFunction match {
+        case s: Sum if s.dataType.isInstanceOf[DecimalType] =>
+          s.aggBufferAttributes.size == 2 &&
+            s.child.isInstanceOf[AttributeReference] &&
+            s.child.dataType.isInstanceOf[DecimalType] &&
+            s.evalContext.evalMode != EvalMode.TRY
         case s: Sum =>
           s.aggBufferAttributes.size == 1 && supported(s.child) &&
             supportedType(s.dataType) &&
             s.evalContext.evalMode != EvalMode.TRY
-        case c: Count => c.children.size == 1 && supported(c.children.head)
+        // count needs only NULL-ness, so a bare column reference of ANY
+        // type is countable (count(decimal_col), count(string_col));
+        // computed children still need the interpreter's whitelist
+        case c: Count => c.children.size == 1 &&
+          (c.children.head.isInstanceOf[AttributeReference] ||
+            supported(c.children.head))
         case m: Min => supported(m.child) && supportedType(m.dataType)
         case m: Max => supported(m.child) && supportedType(m.dataType)
         case _ => false
       })
+
+  /** Buffer width of one whitelisted aggregate in the Partial output
+    * layout (decimal sums carry (sum, isEmpty); everything else one). */
+  private[plans] def bufferWidth(ae: AggregateExpression): Int =
+    ae.aggregateFunction.aggBufferAttributes.size
 
   /** Predicate whitelist for the columnar filter: comparisons between
     * same-typed supported value expressions, Kleene AND/OR/NOT, and
@@ -409,11 +433,16 @@ case class GraftColumnarFilterExec(condition: Expression,
   * unchanged. ANSI long sums use Math.addExact (overflow still fails
   * the query, with a coarser message — the documented demonstrator
   * trade-off); min/max over doubles use java.lang.Double.compare,
-  * Spark's NaN-greatest / −0.0 < 0.0 ordering. Group cardinality is
-  * assumed to fit the task (no spill — a production accelerator adds
-  * it; the row path keeps serving everything the whitelist refuses).
+  * Spark's NaN-greatest / −0.0 < 0.0 ordering. r12 widens to the
+  * TPC-H q01 SHAPE: up to two grouping attributes (strings admitted
+  * as keys), and DECIMAL column sums with the row path's exact
+  * two-slot (sum, isEmpty) buffer — accumulation is exact
+  * java.math.BigDecimal, so it is bit-identical to the row path's
+  * decimal fold in any order. Group cardinality is assumed to fit the
+  * task (no spill — a production accelerator adds it; the row path
+  * keeps serving everything the whitelist refuses).
   */
-case class GraftColumnarPartialAggExec(groupAttr: AttributeReference,
+case class GraftColumnarPartialAggExec(groupAttrs: Seq[AttributeReference],
     aggs: Seq[AggregateExpression], outAttrs: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
@@ -430,18 +459,27 @@ case class GraftColumnarPartialAggExec(groupAttr: AttributeReference,
         "a ColumnarToRow transition above it")
 
   // one descriptor per aggregate, prepared at plan time so the task
-  // closure carries plain serializable values
+  // closure carries plain serializable values. `off` = the aggregate's
+  // first buffer column in the output layout (decimal sums span two:
+  // sum + isEmpty).
   private case class AggDesc(kind: Int, ansi: Boolean,
-      inType: DataType, outType: DataType, bound: Expression)
+      inType: DataType, outType: DataType, bound: Expression, off: Int)
   private val KSum = 0; private val KCount = 1
-  private val KMin = 2; private val KMax = 3
+  private val KMin = 2; private val KMax = 3; private val KSumDec = 4
 
   override protected def doExecuteColumnar(): RDD[ColumnarBatch] = {
-    val groupIdx = child.output.indexWhere(_.exprId == groupAttr.exprId)
-    require(groupIdx >= 0, "grouping attribute missing from child output")
-    val groupType = groupAttr.dataType
-    val descs = aggs.zipWithIndex.map { case (ae, j) =>
+    val groupIdxs = groupAttrs.map { ga =>
+      val idx = child.output.indexWhere(_.exprId == ga.exprId)
+      require(idx >= 0, "grouping attribute missing from child output")
+      idx
+    }.toArray
+    val groupTypes = groupAttrs.map(_.dataType).toArray
+    val nG = groupIdxs.length
+    var off = nG
+    val descs = aggs.map { ae =>
       val (kind, ansi, childExpr) = ae.aggregateFunction match {
+        case s: Sum if s.dataType.isInstanceOf[DecimalType] =>
+          (KSumDec, s.evalContext.evalMode == EvalMode.ANSI, s.child)
         case s: Sum =>
           (KSum, s.evalContext.evalMode == EvalMode.ANSI, s.child)
         case c: Count => (KCount, false, c.children.head)
@@ -450,40 +488,78 @@ case class GraftColumnarPartialAggExec(groupAttr: AttributeReference,
         case other =>
           throw new IllegalStateException(s"unsupported aggregate $other")
       }
-      AggDesc(kind, ansi, childExpr.dataType, outAttrs(1 + j).dataType,
-        BindReferences.bindReference(childExpr, child.output))
+      // decimal children bypass the int/long/double interpreter at
+      // execution time and read the batch column directly (bare
+      // references only — the whitelist refuses decimal arithmetic)
+      val d = AggDesc(kind, ansi, childExpr.dataType,
+        outAttrs(off).dataType,
+        BindReferences.bindReference(childExpr, child.output), off)
+      off += Columnar.bufferWidth(ae)
+      d
     }.toArray
+    require(off == outAttrs.size, "partial output layout mismatch")
     val outTypes = outAttrs.map(_.dataType).toArray
 
     child.executeColumnar().mapPartitions { batches =>
-      // per-group, per-agg cell: (long acc, double acc, seen-any flag)
+      // per-group, per-agg cell: (long acc, double acc, exact decimal
+      // acc, seen-any flag)
       final class Cell {
-        var l: Long = 0L; var d: Double = 0.0; var set: Boolean = false
+        var l: Long = 0L; var d: Double = 0.0
+        var bd: java.math.BigDecimal = null
+        var set: Boolean = false
       }
-      val NullKey = new Object // partition-local sentinel for the null group
+      val NullKey = new Object // partition-local sentinel for null keys
       val groups = scala.collection.mutable
         .LinkedHashMap.empty[Any, Array[Cell]]
       batches.foreach { batch =>
         val n = batch.numRows()
-        val gcol = batch.column(groupIdx)
-        val acols = descs.map(d => ColumnarEval.eval(d.bound, batch, n))
+        val gcols = groupIdxs.map(batch.column)
+        // bare-reference children (decimal sums; counts of any-typed
+        // columns) read the batch column raw — only computed children
+        // go through the int/long/double interpreter
+        def rawRef(d: AggDesc): Boolean = d.kind == KSumDec ||
+          (d.kind == KCount && d.bound.isInstanceOf[BoundReference] &&
+            !Columnar.supportedType(d.inType))
+        val acols = descs.map { d =>
+          if (rawRef(d)) null else ColumnarEval.eval(d.bound, batch, n)
+        }
+        val rawCols = descs.map { d =>
+          if (rawRef(d))
+            batch.column(d.bound.asInstanceOf[BoundReference].ordinal)
+          else null
+        }
+        def keyElem(g: Int, i: Int): Any =
+          if (gcols(g).isNullAt(i)) NullKey
+          else groupTypes(g) match {
+            case LongType => gcols(g).getLong(i)
+            case IntegerType => gcols(g).getInt(i)
+            case DoubleType => gcols(g).getDouble(i)
+            case StringType => gcols(g).getUTF8String(i).toString
+            case dt => throw new IllegalStateException(s"unsupported $dt")
+          }
         var i = 0
         while (i < n) {
           val key: Any =
-            if (gcol.isNullAt(i)) NullKey
-            else groupType match {
-              case LongType => gcol.getLong(i)
-              case IntegerType => gcol.getInt(i)
-              case DoubleType => gcol.getDouble(i)
-              case dt => throw new IllegalStateException(s"unsupported $dt")
-            }
+            if (nG == 1) keyElem(0, i)
+            else (keyElem(0, i), keyElem(1, i))
           val cells = groups.getOrElseUpdate(key,
             Array.fill(descs.length)(new Cell))
           var j = 0
           while (j < descs.length) {
             val d = descs(j); val c = cells(j); val v = acols(j)
             d.kind match {
-              case KCount => if (!v.isNullAt(i)) { c.l += 1L; c.set = true }
+              case KCount =>
+                val src = if (v != null) v else rawCols(j)
+                if (!src.isNullAt(i)) { c.l += 1L; c.set = true }
+              case KSumDec =>
+                val src = rawCols(j)
+                if (!src.isNullAt(i)) {
+                  val dt = d.inType.asInstanceOf[DecimalType]
+                  val x = src.getDecimal(i, dt.precision, dt.scale)
+                    .toJavaBigDecimal
+                  c.bd = if (c.bd == null) x else c.bd.add(x)
+                  c.set = true
+                }
               case KSum => if (!v.isNullAt(i)) {
                 d.outType match {
                   case DoubleType =>
@@ -524,26 +600,57 @@ case class GraftColumnarPartialAggExec(groupAttr: AttributeReference,
           }
           i += 1
         }
-        acols.foreach(_.close())
+        acols.foreach(v => if (v != null) v.close())
       }
       if (groups.isEmpty) Iterator.empty
       else {
         val m = groups.size
         val vecs = outTypes.map(new OnHeapColumnVector(m, _))
+        def putKeyElem(g: Int, r: Int, elem: Any): Unit =
+          if (elem.asInstanceOf[AnyRef] eq NullKey) vecs(g).putNull(r)
+          else groupTypes(g) match {
+            case LongType => vecs(g).putLong(r, elem.asInstanceOf[Long])
+            case IntegerType => vecs(g).putInt(r, elem.asInstanceOf[Int])
+            case DoubleType =>
+              vecs(g).putDouble(r, elem.asInstanceOf[Double])
+            case StringType =>
+              vecs(g).putByteArray(r, elem.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case dt => throw new IllegalStateException(s"unsupported $dt")
+          }
         var r = 0
         groups.foreach { case (key, cells) =>
-          if (key.asInstanceOf[AnyRef] eq NullKey) vecs(0).putNull(r)
-          else groupType match {
-            case LongType => vecs(0).putLong(r, key.asInstanceOf[Long])
-            case IntegerType => vecs(0).putInt(r, key.asInstanceOf[Int])
-            case DoubleType => vecs(0).putDouble(r, key.asInstanceOf[Double])
-            case dt => throw new IllegalStateException(s"unsupported $dt")
+          if (nG == 1) putKeyElem(0, r, key)
+          else {
+            val (k0, k1) = key.asInstanceOf[(Any, Any)]
+            putKeyElem(0, r, k0); putKeyElem(1, r, k1)
           }
           var j = 0
           while (j < descs.length) {
-            val d = descs(j); val c = cells(j); val out = vecs(1 + j)
+            val d = descs(j); val c = cells(j); val out = vecs(d.off)
             d.kind match {
               case KCount => out.putLong(r, c.l) // count buffer is non-null 0
+              case KSumDec =>
+                // the row path's (sum, isEmpty) buffer INVARIANT: sum
+                // is NEVER null in a healthy partial — an all-null
+                // group carries (0, isEmpty=true); Spark's merge
+                // codegen adds the sums unguarded and reads a null as
+                // buffer overflow. The exact BigDecimal total must fit
+                // the +10-headroom buffer type (a partial-side overflow
+                // needs >1e10 max-precision rows in ONE task — fail
+                // loudly, the Math.addExact discipline, rather than
+                // emit a wrapped value).
+                val bufT = d.outType.asInstanceOf[DecimalType]
+                val total =
+                  if (c.set) c.bd.setScale(bufT.scale)
+                  else java.math.BigDecimal.ZERO.setScale(bufT.scale)
+                if (total.precision > bufT.precision)
+                  throw new ArithmeticException(
+                    s"decimal partial sum overflows ${bufT.sql}")
+                out.putDecimal(r,
+                  Decimal(total, bufT.precision, bufT.scale),
+                  bufT.precision)
+                vecs(d.off + 1).putBoolean(r, !c.set) // isEmpty
               case _ =>
                 if (!c.set) out.putNull(r)
                 else d.outType match {
@@ -588,23 +695,28 @@ class GraftColumnarRule(session: SparkSession) extends ColumnarRule {
                 f.child.output.forall(a =>
                   Columnar.supportedType(a.dataType)) =>
             GraftColumnarFilterExec(f.condition, f.child)
-          // the map-side (Partial) aggregate: single supported grouping
-          // attribute, whitelisted aggregate functions, and the
-          // pass-through partial output layout (grouping attr + one
-          // buffer attr per aggregate, positionally)
+          // the map-side (Partial) aggregate: 1-2 supported grouping
+          // attributes (strings admitted as keys — the q01 shape),
+          // whitelisted aggregate functions, and the pass-through
+          // partial output layout (grouping attrs + each aggregate's
+          // buffer attrs positionally; decimal sums span two)
           case a: HashAggregateExec
-              if a.groupingExpressions.size == 1 &&
-                a.groupingExpressions.head.isInstanceOf[AttributeReference] &&
-                Columnar.supportedType(
-                  a.groupingExpressions.head.dataType) &&
+              if a.groupingExpressions.nonEmpty &&
+                a.groupingExpressions.size <= 2 &&
+                a.groupingExpressions.forall(g =>
+                  g.isInstanceOf[AttributeReference] &&
+                    Columnar.supportedGroupType(g.dataType)) &&
                 a.aggregateExpressions.nonEmpty &&
                 a.aggregateExpressions.forall(Columnar.supportedAgg) &&
-                a.output.size == 1 + a.aggregateExpressions.size &&
-                a.output.head.exprId ==
-                  a.groupingExpressions.head.asInstanceOf[AttributeReference]
-                    .exprId =>
+                a.output.size == a.groupingExpressions.size +
+                  a.aggregateExpressions.map(Columnar.bufferWidth).sum &&
+                a.groupingExpressions.zipWithIndex.forall { case (g, i) =>
+                  a.output(i).exprId ==
+                    g.asInstanceOf[AttributeReference].exprId
+                } =>
             GraftColumnarPartialAggExec(
-              a.groupingExpressions.head.asInstanceOf[AttributeReference],
+              a.groupingExpressions
+                .map(_.asInstanceOf[AttributeReference]),
               a.aggregateExpressions, a.output, a.child)
         }
     }

@@ -258,6 +258,60 @@ class ColumnarSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q01 shape: two string group keys + decimal sums, bit-equal to the row path") {
+    val dir = GraftSession.scratchDir("columnar_agg_q01")
+    Tables.load(spark, TestSpark.sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    // the TPC-H q01 aggregate shape: 2 group keys, decimal sums, a
+    // count, and a long sum riding along in the same partial
+    def q = spark.read.parquet(dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("price")).as("sum_price"),
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("s_l"))
+    val rowPath = q.collect().map(_.toString).sorted.toSeq
+    val (colPath, sawNode) = withFlag(on = true) {
+      val df = q
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (rows, df.queryExecution.executedPlan.toString
+        .contains("GraftColumnarPartialAgg"))
+    }
+    assert(sawNode, "q01-shaped partial aggregate not planned columnar")
+    assert(colPath == rowPath)
+    assert(rowPath.size > 1, "q01 shape should produce several groups")
+  }
+
+  test("decimal sums: null keys and all-null decimal groups keep the (sum, isEmpty) contract") {
+    import spark.implicits._
+    val dir = GraftSession.scratchDir("columnar_agg_decnull")
+    Seq[(String, String, java.lang.Long)](
+      ("A", "x", 100L), ("A", "x", null), ("A", null, 5L),
+      (null, "x", null), (null, "x", null), ("B", "y", 7L))
+      .toDF("g1", "g2", "raw")
+      .withColumn("v", col("raw").cast("decimal(9,2)") / 4)
+      .select(col("g1"), col("g2"),
+        col("v").cast("decimal(10,3)").as("v"))
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("g1"), col("g2"))
+      .agg(sum(col("v")).as("sv"), count(col("v")).as("cv"))
+    val rowPath = q.collect().map(_.toString).sorted.toSeq
+    val (colPath, sawNode) = withFlag(on = true) {
+      val df = q
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (rows, df.queryExecution.executedPlan.toString
+        .contains("GraftColumnarPartialAgg"))
+    }
+    assert(sawNode, "decimal partial aggregate not planned columnar")
+    assert(colPath == rowPath)
+    // the (null, "x") group is real and all-null input gives NULL sum
+    assert(rowPath.exists(_.startsWith("[null,x,null,0")))
+  }
+
   test("unsupported aggregates refuse the columnar path") {
     withFlag(on = true) {
       // avg's partial carries (sum, count) buffers; distinct rewrites —
