@@ -702,6 +702,87 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             dblLit(args(4), "graft_winsorize"))
           .queryExecution.analyzed
       }))
+    // …and the PIPELINE-ASSEMBLY family (P12/P13/P16/P20/A12/P18f) —
+    // the r12 close of the SQL-parity story: every pure frame→frame
+    // assembly operator reaches spark.sql (write-path ops — corpus
+    // sharding IO, index builds — stay code-surface-only by nature:
+    // a TVF returns a relation, it cannot own a side-effecting write).
+    ext.injectTableFunction((FunctionIdentifier("graft_mix"),
+      new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
+        "graft_mix"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_mix(view, 'src:bp,src:bp,...', default_bp)")
+        val rates = strLit(args(1), "graft_mix").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split(":").map(_.trim)
+            k -> v.toInt
+          }
+        graft.pipeline.Packing.sampleMixture(
+            tbl(strLit(args(0), "graft_mix")), rates,
+            intLit(args(2), "graft_mix"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_split"),
+      new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
+        "graft_split"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_split(view, id_col, 'train:80,val:10,test:10')")
+        val weights = strLit(args(2), "graft_split").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split(":").map(_.trim)
+            k -> v.toInt
+          }
+        graft.pipeline.Packing.withSplit(
+            tbl(strLit(args(0), "graft_split")),
+            strLit(args(1), "graft_split"), weights)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_pack"),
+      new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
+        "graft_pack"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_pack(view, capacity, n_shards)")
+        graft.pipeline.Packing.packSequences(
+            tbl(strLit(args(0), "graft_pack")),
+            intLit(args(1), "graft_pack"),
+            intLit(args(2), "graft_pack"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_quota"),
+      new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
+        "graft_quota"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_quota(view, n_per_group)")
+        graft.pipeline.Packing.quotaSample(
+            tbl(strLit(args(0), "graft_quota")),
+            intLit(args(1), "graft_quota"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_bm25_topk"),
+      new ExpressionInfo(graft.pipeline.TextAnalysis.getClass.getName,
+        "graft_bm25_topk"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          "graft_bm25_topk(view, 'term term ...', k)")
+        val terms = strLit(args(1), "graft_bm25_topk")
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        graft.pipeline.TextAnalysis.bm25TopK(
+            tbl(strLit(args(0), "graft_bm25_topk")), terms,
+            intLit(args(2), "graft_bm25_topk"))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_profile"),
+      new ExpressionInfo(Quality.getClass.getName, "graft_profile"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_profile(view, 'col1,col2,...')")
+        val cols = strLit(args(1), "graft_profile").split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        Quality.profile(tbl(strLit(args(0), "graft_profile")), cols)
+          .queryExecution.analyzed
+      }))
   }
 
   private def funnelPlan(view: String, steps: Seq[String],

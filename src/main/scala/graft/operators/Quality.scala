@@ -168,4 +168,43 @@ object Quality {
       .withColumn("clipped",
         coalesce(v < col("lo") || v > col("hi"), lit(false)))
   }
+
+  /** One-pass column profiler (SURVEY.md §2 A12; r12 — extracted from
+    * the q54_profile query body verbatim so the `graft_profile` TVF
+    * and the DataFrame surface share one implementation): every exact
+    * stat (nulls, min, max, decimal-exact mean) for every profiled
+    * column in a SINGLE scan + aggregate — the data-card utility for
+    * a table you can't afford to re-scan per column at 100 TB. Approx
+    * NDV (HLL, 2% rsd) rides in the same pass; the exact NDV it is
+    * gated against uses a second expand-based aggregate (the gate's
+    * price, not the operator's — production ships the approx). One
+    * row per profiled column: (col_name, n_rows, n_nulls, min_v,
+    * max_v, mean_v, ndv_exact, ndv_ok). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+      min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c"),
+      sum(col(c).cast("decimal(18,2)")).as(s"sm_$c"),
+      approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val ex = df.agg(
+      countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
+    val st = cols.map(c =>
+      s"'$c', nn_$c, mn_$c, mx_$c, sm_$c, andv_$c, ndv_$c")
+      .mkString(", ")
+    one.crossJoin(ex)
+      .selectExpr("n_rows", s"stack(${cols.size}, $st) AS " +
+        "(col_name, n_nulls, min_v, max_v, sum_dec, andv, ndv_exact)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        round(col("sum_dec").cast("double")
+          / (col("n_rows") - col("n_nulls")), 6).as("mean_v"),
+        col("ndv_exact"),
+        (abs(col("andv") - col("ndv_exact"))
+          <= col("ndv_exact") * 0.05).as("ndv_ok"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -1011,33 +1011,11 @@ object ExtendedQueries {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     Q(
       "q54_profile",
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-        val aggs = cols.flatMap(c => Seq(
-          sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-          min(col(c)).as(s"mn_$c"),
-          max(col(c)).as(s"mx_$c"),
-          sum(col(c).cast("decimal(18,2)")).as(s"sm_$c"),
-          approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
-        val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        val ex = li.agg(
-          countDistinct(col(cols.head)).as(s"ndv_${cols.head}"),
-          cols.tail.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
-        val st = cols.map(c =>
-          s"'$c', nn_$c, mn_$c, mx_$c, sm_$c, andv_$c, ndv_$c")
-          .mkString(", ")
-        one.crossJoin(ex)
-          .selectExpr("n_rows", s"stack(${cols.size}, $st) AS " +
-            "(col_name, n_nulls, min_v, max_v, sum_dec, andv, ndv_exact)")
-          .select(col("col_name"), col("n_rows"), col("n_nulls"),
-            col("min_v"), col("max_v"),
-            round(col("sum_dec").cast("double")
-              / (col("n_rows") - col("n_nulls")), 6).as("mean_v"),
-            col("ndv_exact"),
-            (abs(col("andv") - col("ndv_exact"))
-              <= col("ndv_exact") * 0.05).as("ndv_ok"))
-          .orderBy(col("col_name"))
-      },
+      (s, d) =>
+        // r12: the profiler body moved VERBATIM to Quality.profile so
+        // the graft_profile TVF shares it; this key's oracle is
+        // unchanged and now gates both surfaces
+        graft.operators.Quality.profile(t(s, d, "lineitem"), cols),
       Some(cols.map(c => s"""SELECT '$c' AS col_name,
           count(*) AS n_rows,
           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)

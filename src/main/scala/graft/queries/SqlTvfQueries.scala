@@ -968,7 +968,166 @@ object SqlTvfQueries {
           AS salt_recommended
       FROM r, g WHERE r.rank <= 3 ORDER BY r.rank"""))
 
+  // ---------------------------------------------------------------
+  // Pipeline-assembly family (r12 — the SQL-parity close): mixture /
+  // split / packing / quota / profile / bm25-topk are pure frame→frame
+  // operators, so they get TVFs + their own oracles under SECOND
+  // parameterizations. Write-path assembly ops (corpus sharding IO,
+  // index builds) stay code-surface-only: a TVF returns a relation and
+  // cannot own a side-effecting write (§2 note).
+  // ---------------------------------------------------------------
+
+  // P16 mixture sampling via SQL (mix_sample: src0:2500/src1:0/
+  // src2:10000 default 5000 — here src1:7500/src2:1000 default 3000).
+  private val q163 = Q(
+    "q163_sql_mix",
+    (s, d) => sql(s, d,
+      """SELECT doc_id, source, mix_bucket, mix_rate_bp, keep
+        FROM graft_mix('documents', 'src1:7500,src2:1000', 3000)
+        ORDER BY doc_id"""),
+    Some("""SELECT doc_id, source,
+        (CAST(doc_id AS BIGINT) * 2246822519) % 4294967296 % 10000
+          AS mix_bucket,
+        CASE WHEN source = 'src1' THEN 7500
+             WHEN source = 'src2' THEN 1000 ELSE 3000 END AS mix_rate_bp,
+        (CAST(doc_id AS BIGINT) * 2246822519) % 4294967296 % 10000 <
+          CASE WHEN source = 'src1' THEN 7500
+               WHEN source = 'src2' THEN 1000 ELSE 3000 END AS "keep"
+      FROM documents ORDER BY doc_id"""))
+
+  // P13 hash split via SQL (split_train: 80/10/10 — here 70/15/15).
+  private val q164 = Q(
+    "q164_sql_split",
+    (s, d) => sql(s, d,
+      """SELECT doc_id, split_bucket, split
+        FROM graft_split('documents', 'doc_id', 'train:70,val:15,test:15')
+        ORDER BY doc_id"""),
+    Some("""SELECT doc_id,
+        (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100
+          AS split_bucket,
+        CASE WHEN (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100 < 70
+          THEN 'train'
+          WHEN (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 % 100 < 85
+          THEN 'val' ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  // P12 sequence packing via SQL (pack_sequences: capacity 1024 over 8
+  // shards — here 512 over 4).
+  private val q165 = Q(
+    "q165_sql_pack",
+    (s, d) => sql(s, d,
+      """SELECT shard, chunk_idx, doc_id, doc_from, doc_to, chunk_off
+        FROM graft_pack('documents', 512, 4)
+        ORDER BY shard, chunk_idx, doc_id"""),
+    Some("""WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(doc_id % 4 AS BIGINT) AS shard
+        FROM documents),
+      s AS (
+        SELECT doc_id, shard, n_tokens,
+          coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS tok_start
+        FROM t),
+      e AS (SELECT *, tok_start + n_tokens AS tok_end FROM s),
+      x AS (
+        SELECT shard, doc_id, tok_start, tok_end,
+          unnest(range(tok_start // 512, (tok_end - 1) // 512 + 1))
+            AS chunk_idx
+        FROM e)
+      SELECT shard, chunk_idx, doc_id,
+        greatest(tok_start, chunk_idx * 512) - tok_start AS doc_from,
+        least(tok_end, (chunk_idx + 1) * 512) - tok_start AS doc_to,
+        greatest(tok_start, chunk_idx * 512) - chunk_idx * 512 AS chunk_off
+      FROM x ORDER BY shard, chunk_idx, doc_id"""))
+
+  // P20 quota sampling via SQL (quota_sample: 10 per group — here 25).
+  private val q166 = Q(
+    "q166_sql_quota",
+    (s, d) => sql(s, d,
+      """SELECT doc_id, source, q_rank, kept
+        FROM graft_quota('documents', 25)
+        ORDER BY doc_id"""),
+    Some("""WITH k AS (
+        SELECT doc_id, source,
+          (CAST(doc_id AS BIGINT) * 2971215073) % 4294967296 AS q_key
+        FROM documents),
+      b AS (SELECT doc_id, source, q_key, q_key // 4194304 AS q_bucket
+        FROM k),
+      h AS (SELECT source, q_bucket, count(*) AS bcount
+        FROM b GROUP BY 1, 2),
+      c AS (SELECT source, q_bucket,
+        coalesce(sum(bcount) OVER (PARTITION BY source ORDER BY q_bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum_before
+        FROM h),
+      r AS (SELECT b.doc_id, b.source, c.cum_before,
+        CAST(row_number() OVER (PARTITION BY b.source
+          ORDER BY b.q_key, b.doc_id) AS BIGINT) AS grank
+        FROM b JOIN c USING (source, q_bucket))
+      SELECT doc_id, source,
+        CASE WHEN cum_before < 25 THEN grank END AS q_rank,
+        coalesce(CASE WHEN cum_before < 25 THEN grank END <= 25, false)
+          AS kept
+      FROM r ORDER BY doc_id"""))
+
+  // P18f BM25 top-k via SQL (text_bm25: spark/hash/window k=20 — here
+  // data/join/stream k=15).
+  private val q167 = Q(
+    "q167_sql_bm25",
+    (s, d) => sql(s, d,
+      """SELECT doc_id, dl, n_terms, bm25
+        FROM graft_bm25_topk('documents', 'data join stream', 15)
+        ORDER BY bm25 DESC, doc_id"""),
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tnz AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tnz GROUP BY 1),
+      st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tnz
+        WHERE token IN ('data', 'join', 'stream') GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, dl,
+          round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * round(dl / avgdl, 6))),
+            6) AS tscore
+        FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN st)
+      SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+        CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 15"""))
+
+  // A12 column profiler via SQL (q54: the four lineitem decimal-ish
+  // measures — here the two long join keys, a different stat mix).
+  private val q168 = Q(
+    "q168_sql_profile",
+    (s, d) => sql(s, d,
+      """SELECT col_name, n_rows, n_nulls, min_v, max_v, mean_v,
+          ndv_exact, ndv_ok
+        FROM graft_profile('lineitem', 'l_partkey,l_suppkey')
+        ORDER BY col_name"""),
+    Some(Seq("l_partkey", "l_suppkey").map(c => s"""SELECT
+          '$c' AS col_name,
+          count(*) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_nulls,
+          min($c) AS min_v, max($c) AS max_v,
+          round(CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+            / count($c), 6) AS mean_v,
+          count(DISTINCT $c) AS ndv_exact,
+          CAST(1 AS BOOLEAN) AS ndv_ok
+        FROM lineitem""").mkString("SELECT * FROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY col_name")))
+
   val all: Seq[Q] = Seq(q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q159, q160, q161, q162)
+    q155, q156, q157, q159, q160, q161, q162, q163, q164, q165, q166,
+    q167, q168)
 }

@@ -362,6 +362,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
         saltThreshold = 2.0).collect().toSeq.sortBy(_.toString))
   }
 
+  test("r12 pipeline-assembly TVFs optimize to the operators' plans") {
+    import graft.pipeline.{Packing, TextAnalysis}
+    val docs = spark.table("documents")
+    def planEq(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
+      val sqlPlan = spark.sql(sql).queryExecution.optimizedPlan
+      val opPlan = op.queryExecution.optimizedPlan
+      assert(sqlPlan.sameResult(opPlan), s"plan divergence for: $sql")
+    }
+    planEq(
+      "SELECT * FROM graft_mix('documents', 'src1:7500,src2:1000', 3000)",
+      Packing.sampleMixture(docs,
+        Seq("src1" -> 7500, "src2" -> 1000), defaultBp = 3000))
+    planEq(
+      "SELECT * FROM graft_split('documents', 'doc_id', 'train:70,val:15,test:15')",
+      Packing.withSplit(docs, "doc_id",
+        Seq("train" -> 70, "val" -> 15, "test" -> 15)))
+    planEq(
+      "SELECT * FROM graft_pack('documents', 512, 4)",
+      Packing.packSequences(docs, capacity = 512, nShards = 4))
+    planEq(
+      "SELECT * FROM graft_quota('documents', 25)",
+      Packing.quotaSample(docs, nPerGroup = 25))
+    planEq(
+      "SELECT * FROM graft_bm25_topk('documents', 'data join stream', 15)",
+      TextAnalysis.bm25TopK(docs, Seq("data", "join", "stream"), k = 15))
+    // graft_profile carries TWO count-distincts, and the optimizer's
+    // distinct-rewrite numbers its FILTER groups by hash-map iteration
+    // order — exprId-dependent, so two analyses of the SAME construction
+    // can land mirror-ordered aggregate lists that sameResult cannot
+    // unify (measured: the flip reproduces only under concurrent
+    // suites' interleaved exprId allocation). Value equality is the
+    // honest contract here (sorted: multi-row output).
+    assert(spark
+      .sql("SELECT * FROM graft_profile('lineitem', 'l_partkey,l_suppkey')")
+      .collect().toSeq.sortBy(_.toString) ==
+      graft.operators.Quality.profile(spark.table("lineitem"),
+        Seq("l_partkey", "l_suppkey")).collect().toSeq.sortBy(_.toString))
+  }
+
   test("r11 correlation / change-data / retrieval TVFs match the operators") {
     import graft.operators.{Merge, Stats}
     def planEq(sql: String, op: org.apache.spark.sql.DataFrame): Unit = {
