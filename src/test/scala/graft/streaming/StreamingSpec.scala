@@ -675,6 +675,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming MWU: final and cut-prefix emissions EQUAL batch mannWhitneyByKey bitwise") {
+    val obs = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(7)).as("k"),
+        col("event_id").as("t"), col("event_type").as("g"),
+        col("value").as("v"))
+      .na.drop()
+    val rows = obs.as[(Long, Long, String, Double)].collect().sortBy(_._2)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    def batchMwu(data: Seq[(Long, Long, String, Double)]) = {
+      val df = data.toDF("k", "t", "g", "v")
+      graft.operators.Stats
+        .mannWhitneyByKey(df, "k", "g", "click", "view", "v")
+        .select(col("k"), col("n_a"), col("n_b"), col("u_stat"),
+          col("z_stat"), col("reject_05"))
+        .as[(Long, Long, Long, Option[Double], Option[Double], Option[Boolean])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamMwu
+      .monitor(mem.toDF().toDF("k", "t", "g", "v"), "click", "view")
+      .writeStream.format("memory").queryName("mwu_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      val atCut = latestPerKey()
+      assert(atCut == batchMwu(first.toIndexedSeq),
+        s"cut-prefix mismatch: ${atCut.take(2)}")
+      mem.addData(second.toSeq); q.processAllAvailable()
+      val fin = latestPerKey()
+      assert(fin == batchMwu(rows.toIndexedSeq),
+        s"final mismatch: ${fin.take(2)}")
+      assert(fin.valuesIterator.exists(_._4.isDefined),
+        "at least one key carries a real z statistic")
+    } finally q.stop()
+    def latestPerKey() = spark.table("mwu_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k"))
+          .orderBy((col("n_a") + col("n_b")).desc, col("t").desc)))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("n_a"), col("n_b"), col("u_stat"),
+        col("z_stat"), col("reject_05"))
+      .as[(Long, Long, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    // the value-vocabulary failsafe fires loudly instead of truncating
+    val mem2 = MemoryStream[(Long, Long, String, Double)]
+    val q2 = StreamMwu
+      .monitor(mem2.toDF().toDF("k", "t", "g", "v"), "click", "view",
+        maxDistinct = 3)
+      .writeStream.format("memory").queryName("mwu_over")
+      .outputMode("update").start()
+    try {
+      mem2.addData((1 to 8).map(i =>
+        (1L, i.toLong, if (i % 2 == 0) "click" else "view", i * 1.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("maxDistinct") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxDistinct")))
+    } finally q2.stop()
+  }
+
   test("streaming CMS: zip-summed shard sketches EQUAL the batch sketch bitwise") {
     val (depth, width) = (3, 128)
     val toks = Tables.load(spark, TestSpark.sf, "documents")
