@@ -751,6 +751,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(args(2), "graft_pack"))
           .queryExecution.analyzed
       }))
+    ext.injectTableFunction((FunctionIdentifier("graft_pack_bins"),
+      new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
+        "graft_pack_bins"),
+      (args: Seq[Expression]) => {
+        require(args.size == 4,
+          "graft_pack_bins(view, capacity, n_shards, max_class)")
+        graft.pipeline.Packing.packBins(
+            tbl(strLit(args(0), "graft_pack_bins")),
+            intLit(args(1), "graft_pack_bins"),
+            intLit(args(2), "graft_pack_bins"),
+            intLit(args(3), "graft_pack_bins"))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((FunctionIdentifier("graft_quota"),
       new ExpressionInfo(graft.pipeline.Packing.getClass.getName,
         "graft_quota"),

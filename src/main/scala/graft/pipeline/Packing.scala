@@ -55,6 +55,68 @@ object Packing {
           - col("chunk_idx") * capacity).as("chunk_off"))
   }
 
+  /** WHOLE-document bin packing by harmonic size classes (SURVEY.md §2
+    * P12d, r12; Lee & Lee's harmonic algorithm, JACM 1985 — public).
+    * [[packSequences]] SPLITS documents across chunk boundaries (the
+    * causal-LM pretraining shape); fine-tuning and any
+    * no-cross-document-attention regime need the other contract: each
+    * document stays WHOLE in exactly one fixed-capacity bin, padding
+    * minimized. Exact first-fit-decreasing is inherently sequential
+    * (bin state after doc i depends on all prior placements), so this
+    * uses the classic parallelizable approximation: class
+    * k = ⌊capacity / n_tokens⌋ (capped at `maxClass`) holds docs with
+    * capacity/(k+1) < n_tokens ≤ capacity/k, and each class-k bin
+    * takes exactly k docs — fit is GUARANTEED (k docs of size
+    * ≤ capacity/k), waste is bounded by the published harmonic ratio
+    * (≤ 1.691·OPT asymptotically), and the assignment is pure window
+    * arithmetic: (row_number within (shard, class) by doc_id − 1)
+    * div k. Docs longer than `capacity` land in singleton bins with
+    * `oversize = true` — surfaced, never silently truncated (feed
+    * those to [[packSequences]]' splitting contract instead).
+    *
+    * Output: (shard, size_class, bin_idx, doc_id, n_tokens, bin_fill,
+    * oversize) — (shard, size_class, bin_idx) IS the bin key;
+    * bin_fill ≤ capacity for every non-oversize bin (spec-asserted).
+    *
+    * Scale: one narrow projection + two windows partitioned by
+    * (shard, class) — shards scale with the cluster exactly as in
+    * [[packSequences]]; bin ids derive only from (shard, doc_id
+    * order, token counts), so assignments are stable across re-runs
+    * and engines (full DuckDB oracle). */
+  def packBins(docs: DataFrame, capacity: Int = 1024, nShards: Int = 8,
+      maxClass: Int = 16, textCol: String = "text"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(nShards > 0, "nShards must be positive")
+    require(maxClass >= 1, "maxClass must be >= 1")
+    val base = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
+      pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"))
+    // class 0 = oversize (n_tokens > capacity): singleton bins; the
+    // smallest sizes collapse into class maxClass (bins of maxClass
+    // docs — the waste bound holds, the window stays bounded)
+    val cls = base.withColumn("size_class",
+      least(expr(s"$capacity div n_tokens"), lit(maxClass.toLong)))
+    val perBin = when(col("size_class") === 0, lit(1L))
+      .otherwise(col("size_class"))
+    val wRn = Window.partitionBy(col("shard"), col("size_class"))
+      .orderBy(col("doc_id"))
+    val assigned = cls
+      .withColumn("_rn", row_number().over(wRn).cast("long") - 1)
+      .withColumn("_k", perBin)
+      // `div` (integer division) exists only in SQL text — Column `/`
+      // is always fp division (the allPairsCandidates note)
+      .withColumn("bin_idx", expr("_rn div _k"))
+      .drop("_rn", "_k")
+    val wBin = Window.partitionBy(col("shard"), col("size_class"),
+      col("bin_idx"))
+    assigned
+      .withColumn("bin_fill", sum(col("n_tokens")).over(wBin))
+      .withColumn("oversize", col("size_class") === 0)
+      .select(col("shard"), col("size_class"), col("bin_idx"),
+        col("doc_id"), col("n_tokens"), col("bin_fill"), col("oversize"))
+  }
+
   /** Deterministic hash-based train/val/test split. The bucket is pure
     * arithmetic — Knuth multiplicative hash mod 2^32, then mod 100 —
     * not an engine hash function, so the assignment is reproducible by

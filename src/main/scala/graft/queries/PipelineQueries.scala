@@ -1528,6 +1528,39 @@ object PipelineQueries {
         greatest(tok_start, chunk_idx * 1024) - chunk_idx * 1024 AS chunk_off
       FROM x ORDER BY shard, chunk_idx, doc_id"""))
 
+  // P12d (r12): WHOLE-document harmonic bin packing — the no-split
+  // twin of pack_sequences (fine-tuning / no-cross-doc-attention
+  // regimes). The oracle replays the class arithmetic, the per-class
+  // row_number, the k-per-bin division, and the bin fill — a hash
+  // match proves the published-algorithm assignment is engine-exact.
+  private val packBins = Q(
+    "pack_bins",
+    (s, d) =>
+      Packing.packBins(Tables.load(s, d, "documents"),
+          capacity = 1024, nShards = 8)
+        .orderBy(col("shard"), col("size_class"), col("bin_idx"),
+          col("doc_id")),
+    Some("""WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(doc_id % 8 AS BIGINT) AS shard
+        FROM documents),
+      c AS (SELECT *, least(1024 // n_tokens, 16) AS size_class FROM t),
+      r AS (SELECT *,
+          CAST(row_number() OVER (PARTITION BY shard, size_class
+            ORDER BY doc_id) AS BIGINT) - 1 AS rn,
+          CASE WHEN size_class = 0 THEN 1 ELSE size_class END AS k
+        FROM c),
+      a AS (SELECT shard, size_class, rn // k AS bin_idx, doc_id,
+          n_tokens
+        FROM r)
+      SELECT shard, size_class, bin_idx, doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard, size_class, bin_idx)
+          AS BIGINT) AS bin_fill,
+        size_class = 0 AS oversize
+      FROM a ORDER BY shard, size_class, bin_idx, doc_id"""))
+
   // P13: deterministic hash split — engine-independent arithmetic
   // (Knuth multiplicative mod 2^32), oracled bit-for-bit.
   private val splitTrain = Q(
@@ -3230,7 +3263,7 @@ object PipelineQueries {
     textDecontam, textDupfrac, textScrub, textMaxdup, mixSample,
     mixUpsample, mixTemperature, selectBudget,
     quotaSampleQ, corpusShuffle,
-    packWindows, packBatches,
+    packWindows, packBatches, packBins,
     textVocab, textEncode, textTfidf, textXent, textRefXent, textDsir,
     qualityBuckets,
     textLangid, textQuality, textGopher, textClassify, sketchRollup,

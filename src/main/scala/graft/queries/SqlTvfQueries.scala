@@ -1043,6 +1043,36 @@ object SqlTvfQueries {
         greatest(tok_start, chunk_idx * 512) - chunk_idx * 512 AS chunk_off
       FROM x ORDER BY shard, chunk_idx, doc_id"""))
 
+  // P12d whole-doc bin packing via SQL (pack_bins: capacity 1024 / 8
+  // shards / maxClass 16 — here 512 / 4 / 8).
+  private val q169 = Q(
+    "q169_sql_pack_bins",
+    (s, d) => sql(s, d,
+      """SELECT shard, size_class, bin_idx, doc_id, n_tokens, bin_fill,
+          oversize
+        FROM graft_pack_bins('documents', 512, 4, 8)
+        ORDER BY shard, size_class, bin_idx, doc_id"""),
+    Some("""WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+            AS n_tokens,
+          CAST(doc_id % 4 AS BIGINT) AS shard
+        FROM documents),
+      c AS (SELECT *, least(512 // n_tokens, 8) AS size_class FROM t),
+      r AS (SELECT *,
+          CAST(row_number() OVER (PARTITION BY shard, size_class
+            ORDER BY doc_id) AS BIGINT) - 1 AS rn,
+          CASE WHEN size_class = 0 THEN 1 ELSE size_class END AS k
+        FROM c),
+      a AS (SELECT shard, size_class, rn // k AS bin_idx, doc_id,
+          n_tokens
+        FROM r)
+      SELECT shard, size_class, bin_idx, doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard, size_class, bin_idx)
+          AS BIGINT) AS bin_fill,
+        size_class = 0 AS oversize
+      FROM a ORDER BY shard, size_class, bin_idx, doc_id"""))
+
   // P20 quota sampling via SQL (quota_sample: 10 per group — here 25).
   private val q166 = Q(
     "q166_sql_quota",
@@ -1129,5 +1159,5 @@ object SqlTvfQueries {
   val all: Seq[Q] = Seq(q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168)
+    q167, q168, q169)
 }

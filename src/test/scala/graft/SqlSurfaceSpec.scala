@@ -382,6 +382,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_pack('documents', 512, 4)",
       Packing.packSequences(docs, capacity = 512, nShards = 4))
     planEq(
+      "SELECT * FROM graft_pack_bins('documents', 512, 4, 8)",
+      Packing.packBins(docs, capacity = 512, nShards = 4, maxClass = 8))
+    planEq(
       "SELECT * FROM graft_quota('documents', 25)",
       Packing.quotaSample(docs, nPerGroup = 25))
     planEq(

@@ -54,6 +54,43 @@ class PackingSpec extends AnyFunSuite {
     assert(doc1.getAs[Long]("chunk_idx") == 2L && doc1.getAs[Long]("chunk_off") == 188L)
   }
 
+  test("packBins: fit guaranteed, class arithmetic, oversize singletons, every doc once") {
+    val capacity = 64
+    val packed = Packing.packBins(docs, capacity = capacity, nShards = 4,
+      maxClass = 8).persist()
+    // every doc assigned exactly once
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // the harmonic guarantee: a non-oversize bin NEVER overflows
+    assert(packed.filter(!col("oversize") &&
+      col("bin_fill") > capacity).count() == 0,
+      "class-k bins hold k docs of size <= capacity/k — fit is by construction")
+    // a class-k bin holds at most k docs (exactly k except the last
+    // bin of each (shard, class))
+    val binSizes = packed.filter(!col("oversize"))
+      .groupBy("shard", "size_class", "bin_idx")
+      .agg(count(lit(1)).as("n_docs"))
+    assert(binSizes.filter(col("n_docs") > col("size_class")).count() == 0)
+    // class membership: capacity/(k+1) < n_tokens <= capacity/k for
+    // classes 1..maxClass-1 (maxClass absorbs the tail)
+    val bad = packed.filter(!col("oversize") && col("size_class") < 8 &&
+      (col("n_tokens") > expr(s"$capacity div size_class") ||
+        col("n_tokens") <= expr(s"$capacity div (size_class + 1)")))
+    assert(bad.count() == 0, "harmonic class bounds violated")
+    // oversize docs are singleton bins, flagged
+    val over = packed.filter(col("oversize"))
+    assert(over.filter(col("n_tokens") <= capacity).count() == 0)
+    assert(over.filter(col("bin_fill") =!= col("n_tokens")).count() == 0,
+      "an oversize doc owns its bin alone")
+    packed.unpersist()
+    // determinism: two runs produce identical assignments (sorted —
+    // the r10 multi-row-parity rule)
+    def runIt() = Packing.packBins(docs, capacity = capacity,
+        nShards = 4, maxClass = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(runIt() == runIt())
+  }
+
   test("withSplit: deterministic, stable fractions, honors weights") {
     val split = Packing.withSplit(docs).select("doc_id", "split")
     val counts = split.groupBy("split").count()
