@@ -46,6 +46,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: expected a numeric literal argument, got $other")
   }
 
+  /** Parse a 'name:int,name:int' rate spec. Malformed entries raise the
+    * same require-style message every other TVF argument gets, instead
+    * of a MatchError/NumberFormatException from inside plan resolution
+    * (r12 advice). */
+  private def parseRates(spec: String, fn: String): Seq[(String, Int)] =
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split(":").map(_.trim) match {
+        case Array(k, v) if k.nonEmpty && v.matches("-?\\d+") =>
+          k -> v.toInt
+        case _ => throw new IllegalArgumentException(
+          s"$fn: each rate must be 'name:int', got '$kv'")
+      }
+    }
+
   /** Resolve a registered table/view by name into the operator input. */
   private def tbl(name: String) = SparkSession.active.table(name)
 
@@ -713,11 +727,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 3,
           "graft_mix(view, 'src:bp,src:bp,...', default_bp)")
-        val rates = strLit(args(1), "graft_mix").split(",").toSeq
-          .map(_.trim).filter(_.nonEmpty).map { kv =>
-            val Array(k, v) = kv.split(":").map(_.trim)
-            k -> v.toInt
-          }
+        val rates = parseRates(strLit(args(1), "graft_mix"), "graft_mix")
         graft.pipeline.Packing.sampleMixture(
             tbl(strLit(args(0), "graft_mix")), rates,
             intLit(args(2), "graft_mix"))
@@ -729,11 +739,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 3,
           "graft_split(view, id_col, 'train:80,val:10,test:10')")
-        val weights = strLit(args(2), "graft_split").split(",").toSeq
-          .map(_.trim).filter(_.nonEmpty).map { kv =>
-            val Array(k, v) = kv.split(":").map(_.trim)
-            k -> v.toInt
-          }
+        val weights = parseRates(strLit(args(2), "graft_split"),
+          "graft_split")
         graft.pipeline.Packing.withSplit(
             tbl(strLit(args(0), "graft_split")),
             strLit(args(1), "graft_split"), weights)

@@ -29,6 +29,14 @@ package object functions {
     GraftShim.column(
       MisraGriesAgg(GraftShim.expression(c), k).toAggregateExpression())
 
+  /** Exact centered-Gram accumulator: `c` is a d-dim vector of
+    * micro-unit (·10⁶) centered coordinates as array<bigint>; returns
+    * the packed upper triangle of Σ c·cᵀ as array<decimal(38,12)>
+    * (see [[GramAgg]] for the 128-bit partial-sum algebra). */
+  def gramUpperTriangle(c: Column, d: Int): Column =
+    GraftShim.column(
+      GramAgg(GraftShim.expression(c), d).toAggregateExpression())
+
   /** Count–Min sketch of string column `c` per group: d·w mergeable
     * counters flattened to array<bigint> (see [[CountMinAgg]]). */
   def cmsSketch(c: Column, depth: Int, width: Int): Column =

@@ -179,9 +179,20 @@ object Quality {
     * gated against uses a second expand-based aggregate (the gate's
     * price, not the operator's — production ships the approx). One
     * row per profiled column: (col_name, n_rows, n_nulls, min_v,
-    * max_v, mean_v, ndv_exact, ndv_ok). */
+    * max_v, mean_v, ndv_exact, ndv_ok).
+    *
+    * Contract notes (r12 advice): column names must be plain
+    * identifiers ([A-Za-z_][A-Za-z0-9_]*) — they are spliced into a
+    * selectExpr stack and a quote/dot/space would misbind, so the
+    * require below fails loudly instead. mean_v sums values cast to
+    * DECIMAL(18,2): exact for currency-scale numerics (the data-card
+    * use), but values are ROUNDED to 2dp before summing and a value
+    * with > 16 integer digits nulls the sum (non-ANSI cast) — profile
+    * wider decimals through a pre-projected alias if that matters. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profile: column name '$c' is not a plain identifier"))
     val aggs = cols.flatMap(c => Seq(
       sum(col(c).isNull.cast("long")).as(s"nn_$c"),
       min(col(c)).as(s"mn_$c"),

@@ -52,6 +52,28 @@ object BandIndex {
     (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
   }
 
+  /** Order-independent 64-bit fingerprint of the indexed id set:
+    * (row count, XOR of xxhash64(doc_id)). XOR instead of sum because
+    * ANSI mode (the session default) faults a wrapping long sum, and
+    * XOR composes over disjoint adds: sig(A ∪ B) = sig(A) ^ sig(B).
+    * One narrow doc_id-pruned scan; addBandsBatch maintains it
+    * incrementally so it always describes the UNION of everything
+    * indexed, not the initial build. */
+  private def fingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("sig"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      numHashes: Int, bands: Int, srcRows: Long, srcSig: Long): Unit = {
+    import spark.implicits._
+    Seq((numHashes, bands, srcRows, srcSig))
+      .toDF("num_hashes", "bands", "src_rows", "src_sig")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+  }
+
   /** Build the band index of `docs` (needs doc_id, text) under `root`
     * (overwrites). Identical construction to [[Dedup.minhashBandRows]]
     * so a stored probe equals a fresh one value-for-value. */
@@ -59,13 +81,41 @@ object BandIndex {
       bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
-    import spark.implicits._
     Dedup.minhashBandRows(docs, numHashes, bands)
       .select(col("band_idx"), col("doc_id"), col("band_hash"))
       .write.mode("overwrite").partitionBy("band_idx")
       .parquet(bandsPath(root))
-    Seq((numHashes, bands)).toDF("num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+    val (n, sig) = fingerprint(docs)
+    writeMeta(spark, root, numHashes, bands, n, sig)
+  }
+
+  /** Build-if-absent-or-STALE: rebuilds when no index exists under
+    * `root`, when the stored meta predates the fingerprint contract,
+    * or when the stored id-set fingerprint differs from `docs` —
+    * regenerating a dataset in place therefore invalidates the index
+    * instead of silently probing stale buckets (r12 advice). Returns
+    * true when a (re)build happened. Cost of the staleness check: one
+    * doc_id-pruned aggregate over `docs` + the 1-row meta read. */
+  def ensureBands(docs: DataFrame, root: String, numHashes: Int = 64,
+      bands: Int = 16): Boolean = {
+    val spark = docs.sparkSession
+    val haveIndex =
+      new java.io.File(s"${bandsPath(root)}/_SUCCESS").exists() &&
+      new java.io.File(s"${metaPath(root)}/_SUCCESS").exists()
+    val stale = !haveIndex || {
+      val meta = spark.read.parquet(metaPath(root))
+      if (!meta.columns.contains("src_rows")) true
+      else {
+        val m = meta.head()
+        val (n, sig) = fingerprint(docs)
+        m.getAs[Int]("num_hashes") != numHashes ||
+          m.getAs[Int]("bands") != bands ||
+          m.getAs[Long]("src_rows") != n ||
+          m.getAs[Long]("src_sig") != sig
+      }
+    }
+    if (stale) buildBands(docs, root, numHashes, bands)
+    stale
   }
 
   /** Append `batch` (doc_id, text) to the stored index under the
@@ -81,15 +131,31 @@ object BandIndex {
       .join(stored.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .localCheckpoint() // count + write below must see ONE snapshot
-    val n = newDocs.count()
-    if (n > 0) {
-      Dedup.minhashBandRows(newDocs, numHashes, bands)
-        .select(col("band_idx"), col("doc_id"), col("band_hash"))
-        .write.mode("append").partitionBy("band_idx")
-        .parquet(bandsPath(root))
-      compactBands(spark, root, maxFilesPerBand)
+    try {
+      val n = newDocs.count()
+      if (n > 0) {
+        Dedup.minhashBandRows(newDocs, numHashes, bands)
+          .select(col("band_idx"), col("doc_id"), col("band_hash"))
+          .write.mode("append").partitionBy("band_idx")
+          .parquet(bandsPath(root))
+        compactBands(spark, root, maxFilesPerBand)
+        // fold the new ids into the stored fingerprint so ensureBands
+        // keeps recognizing the (initial ∪ added) id set as fresh
+        val meta = spark.read.parquet(metaPath(root))
+        if (meta.columns.contains("src_rows")) {
+          val m = meta.head()
+          val (bn, bsig) = fingerprint(newDocs)
+          writeMeta(spark, root, numHashes, bands,
+            m.getAs[Long]("src_rows") + bn, m.getAs[Long]("src_sig") ^ bsig)
+        }
+      }
+      n
+    } finally {
+      // release the checkpoint snapshot: a long-lived ingest session
+      // calls this daily, and each leaked cached RDD would otherwise
+      // live for the session (r12 advice)
+      newDocs.unpersist()
     }
-    n
   }
 
   /** Explicit IO10 maintenance: compact every band_idx partition

@@ -549,10 +549,17 @@ object Similarity {
     * ratio is deterministic given the fixed seeds, but only the threshold
     * claim is engine-independent).
     *
-    * EAGER: the three-row result is localCheckpoint'd so both caches can
+    * EAGER: the per-method result is localCheckpoint'd so both caches can
     * be released before returning — a library operator must not leak
-    * persisted state past its result (SURVEY §5). */
-  def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * persisted state past its result (SURVEY §5).
+    *
+    * `methods` selects which approximate legs to audit (default all
+    * four): the per-leg driver gates (ann_ivf/ann_lsh/ann_pq/ann_ivfpq)
+    * each audit ONE path so a regression pinpoints its method, while
+    * ann_recall keeps the combined four-row audit. */
+  def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      methods: Seq[String] = Seq("ivf", "ivfpq", "lsh", "pq")): DataFrame = {
+    require(methods.nonEmpty, "recallVsExact needs at least one method")
     val norm = Dedup.normalized(corpus).persist()
     val exact = bruteForceTopK(corpus, queries, k, Some(norm))
       .select(col("query_id"), col("neighbor_id")).persist()
@@ -566,17 +573,19 @@ object Similarity {
           (sum(coalesce(col("hit"), lit(0L))).cast("double")
             / count(lit(1))).as("recall"))
         .select(lit(name).as("method"), col("n_queries"), col("recall"))
-    // resolve the dim once for all three approximate paths (each would
+    // resolve the dim once for all approximate paths (each would
     // otherwise run its own one-row probe against the shared corpus)
     val d = resolveDim(norm, 0)
-    val out = row("ivf",
-        ivfTopK(corpus, queries, k, normCorpus = Some(norm), dim = d))
-      .unionAll(row("ivfpq",
-        ivfpqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
-      .unionAll(row("lsh",
-        lshTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
-      .unionAll(row("pq",
-        pqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)))
+    def leg(name: String): DataFrame = name match {
+      case "ivf" => ivfTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)
+      case "ivfpq" => ivfpqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)
+      case "lsh" => lshTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)
+      case "pq" => pqTopK(corpus, queries, k, normCorpus = Some(norm), dim = d)
+      case other => throw new IllegalArgumentException(
+        s"recallVsExact: unknown method '$other'")
+    }
+    val out = methods.map(m => row(m, leg(m)))
+      .reduce(_.unionAll(_))
       .localCheckpoint()
     exact.unpersist()
     norm.unpersist()
@@ -781,15 +790,42 @@ object Similarity {
   /** Distributed centered-Gram build + model collect (shared by the
     * PCA family; arithmetic contract documented on
     * [[pcaTopComponent]]). */
+  /** Exact centered Gram Σ(x−μ)(x−μ)ᵀ on the 6dp decimal grid. Two
+    * narrow passes (r13 — replaced the cent⨝cent self-join the r12
+    * verdict flagged): (1) posexplode → per-dimension means (d rows
+    * collected, the bounded model collect); (2) ONE pass over the
+    * vectors through [[graft.functions.GramAgg]] — each row is centered
+    * in micro-units (·10⁶, the exact DECIMAL(18,6) integer grid) by a
+    * zip_with against the broadcast-literal μ array, and the aggregate
+    * accumulates the d(d+1)/2 upper-triangle products in exact 128-bit
+    * partial sums. The shuffle is partitions·d² cells instead of the
+    * old plan's N·d element rows, and nothing streams N·d² products.
+    * Bit-parity: the result is the same exact integer sum scaled by
+    * 10⁻¹², so every downstream eigen value/hash is unchanged
+    * (SimilaritySpec pins parity against the self-join oracle). */
+  /** The one-pass Gram frame: centered micro-unit vectors through the
+    * [[graft.functions.GramAgg]] global aggregate. Package-visible so
+    * SimilaritySpec can plan-assert the absence of any join and pin
+    * bit-parity against an inline self-join oracle. */
+  private[graft] def gramFrame(embeddings: DataFrame, vecCol: String,
+      d: Int, muMicroLit: org.apache.spark.sql.Column): DataFrame = {
+    // centered micro-unit vector: cast→decimal(18,6) is the SAME 6dp
+    // quantization as the μ pass; ·10⁶ in exact decimal, then long
+    val cent = expr(
+      s"transform($vecCol, x -> cast(cast(round(cast(x as double), 6) " +
+        "as decimal(18,6)) * 1000000 as long))")
+    embeddings
+      .select(zip_with(cent, muMicroLit, (x, m) => x - m).as("c"))
+      .agg(graft.functions.gramUpperTriangle(col("c"), d).as("g"))
+  }
+
   private def centeredGram(embeddings: DataFrame,
       vecCol: String): (Int, Array[Array[java.math.BigDecimal]]) = {
-    val spark = embeddings.sparkSession
-    val ex = embeddings.select(col("vec_id"),
-      posexplode(col(vecCol)).as(Seq("i", "x")))
-      .withColumn("x6", round(col("x").cast("double"), 6)
-        .cast("decimal(18,6)"))
-      .persist()
-    val muRows = ex.groupBy(col("i"))
+    val muRows = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("x6"))
+      .groupBy(col("i"))
       .agg(sum(col("x6")).cast("decimal(38,6)").as("sx"),
         count(lit(1)).as("n"))
       .select(col("i"),
@@ -798,21 +834,26 @@ object Similarity {
       .collect() // d rows — the bounded model collect
     val d = muRows.length
     require(d > 0, "pca needs a non-empty corpus")
-    import spark.implicits._
-    val muDf = broadcast(muRows.map(r => (r.getInt(0), r.getDouble(1)))
-      .toSeq.toDF("i", "mu")
-      .withColumn("mu6", col("mu").cast("decimal(18,6)")).drop("mu"))
-    val cent = ex.join(muDf, Seq("i"))
-      .select(col("vec_id"), col("i"), (col("x6") - col("mu6")).as("c"))
-    val gramRows = cent.as("a")
-      .join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.c") * col("b.c")).cast("decimal(38,12)").as("g"))
-      .collect() // d² rows — the model
-    ex.unpersist()
+    // μ in micro-units as a plan LITERAL (d longs — broadcast with the
+    // task binary, no join): mu has ≤ 6dp so the rounding is exact
+    val muMicro = new Array[Long](d)
+    muRows.foreach(r => muMicro(r.getInt(0)) = math.round(r.getDouble(1) * 1e6))
+    val muLit = lit(muMicro)
+    val packed = gramFrame(embeddings, vecCol, d, muLit)
+      .head().getSeq[java.math.BigDecimal](0)
     val G = Array.ofDim[java.math.BigDecimal](d, d)
-    gramRows.foreach { r =>
-      G(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).setScale(12)
+    var cell = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = packed(cell).setScale(12)
+        G(i)(j) = v
+        G(j)(i) = v
+        cell += 1
+        j += 1
+      }
+      i += 1
     }
     (d, G)
   }

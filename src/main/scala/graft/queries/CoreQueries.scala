@@ -311,14 +311,27 @@ object CoreQueries {
       count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  // kApproxCountDistinct (HLL) — algorithm-specific, rows-only check.
+  // kApproxCountDistinct (HLL). The sketch estimate is
+  // algorithm-specific, so the DRIVER claim is the tolerance gate: the
+  // estimate must land within 10% of the exact distinct count computed
+  // in the same aggregate (default rsd 0.05; GateProbe r13 measured
+  // rel_err ≤ 0.027 at sf0.001/0.01/0.1 — ≥ 3.7× margin). n_parts is
+  // the exact count, genuinely recomputed by DuckDB.
   private val q11b = Q(
     "q11b_approx_distinct",
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy(col("l_returnflag")))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx") - col("n_parts"))
+            <= col("n_parts") * 0.10).as("within_tol"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts, TRUE AS within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q12
   // Arithmetic/bitwise/cast coverage (OpType kPlus..kMod, kBwAnd..kBwNot,
@@ -563,14 +576,29 @@ object CoreQueries {
       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  // kApproxQuantile (t-digest) — algorithm-specific, rows-only.
+  // kApproxQuantile. The sketch median is algorithm-specific, so the
+  // DRIVER claim is the rank-error gate: the approximate median must
+  // land between the exact 45th and 55th percentiles computed in the
+  // same aggregate — a ±5% rank bound where accuracy=1000 guarantees
+  // ±0.1% (GateProbe r13: inside the bracket with wide room at all
+  // three SFs). n_rows is genuinely DuckDB-recomputed.
   private val q19b = Q(
     "q19b_approx_quantile",
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-        .orderBy(col("l_returnflag")))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("am"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("am") >= col("p45") && col("am") <= col("p55"))
+            .as("rank_ok"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS n_rows, TRUE AS rank_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q20
   // kSingleValue: value constant within group (first + guard). Oracle
@@ -601,15 +629,40 @@ object CoreQueries {
       HAVING l_orderkey % 50 = 0
       ORDER BY l_orderkey"""))
 
-  // kSample (arbitrary element per group) + SampleRatioExpr — inherently
-  // nondeterministic across engines → rows-only.
+  // kSample (arbitrary element per group) + SampleRatioExpr. The drawn
+  // rows are engine-specific, so the DRIVER claim is the 3-part gate:
+  // the per-group sample fraction lands within ±0.05 of the requested
+  // 0.1 (GateProbe r13: dev ≤ 0.015 at sf0.001, ≤ 0.004 above), the
+  // same seed re-draws the identical sample (count + min key equal
+  // across two independent legs), and the sampled min key is a genuine
+  // member of its group. n_total is DuckDB-recomputed.
   private val q20b = Q(
     "q20b_sample",
-    (s, d) =>
-      t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .groupBy(col("l_returnflag"))
-        .agg(first(col("l_orderkey")).as("sample_key"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag")))
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      def leg(n: String, k: String) =
+        li.sample(withReplacement = false, 0.1, seed = 42)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(n), min(col("l_orderkey")).as(k))
+      val tot = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_total"))
+      val members = li.select(col("l_returnflag"),
+          col("l_orderkey").as("k1")).distinct()
+        .withColumn("mem", lit(true))
+      leg("n1", "k1").join(leg("n2", "k2"), Seq("l_returnflag"))
+        .join(tot, Seq("l_returnflag"))
+        .join(members, Seq("l_returnflag", "k1"), "left")
+        .select(col("l_returnflag"), col("n_total"),
+          (abs(col("n1") / col("n_total").cast("double") - 0.1) <= 0.05)
+            .as("frac_ok"),
+          (col("n1") === col("n2") && col("k1") === col("k2"))
+            .as("stable_ok"),
+          coalesce(col("mem"), lit(false)).as("member_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_total, TRUE AS frac_ok,
+      TRUE AS stable_ok, TRUE AS member_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q21
   // kTopK / bottom_k (hdk.py:301,328) via graft's native Catalyst

@@ -42,28 +42,15 @@ object PipelineQueries {
         string_split_regex(trim(lower(text)), '\s+')), ' '))
       ORDER BY doc_id"""))
 
-  // P2: MinHash + LSH banding. Hash-function-specific → rows-only.
-  private val dedupMinhash = Q(
-    "dedup_minhash",
-    (s, d) =>
-      Dedup.minhashPairs(Tables.load(s, d, "documents"), threshold = 0.5)
-        .orderBy(col("a_id"), col("b_id")))
-
-  // P3: SimHash hamming pairs. Hash-function-specific → rows-only.
-  private val dedupSimhash = Q(
-    "dedup_simhash",
-    (s, d) =>
-      Dedup.simhashPairs(Tables.load(s, d, "documents"), maxHamming = 7)
-        .orderBy(col("a_id"), col("b_id")))
-
-  // P4: exact n-gram Jaccard pairs — fully SQL-expressible, oracled.
-  private val dedupNgram = Q(
-    "dedup_ngram",
-    (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5)
-        .orderBy(col("a_id"), col("b_id")),
-    Some("""WITH tok AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  /** DuckDB CTE chain computing the EXACT n-gram Jaccard pair relation
+    * `pairs(a_id, b_id, jaccard ≥ threshold)` — the independent exact
+    * twin the minhash/simhash gates score against. Mirrors
+    * [[graft.pipeline.Dedup.ngramJaccardPairs]] (3-token shingles,
+    * df ≤ 100 cap) and the dedup_ngram oracle, hoisted so three keys
+    * share one definition. */
+  private def ngramPairsCte(threshold: Double): String =
+    s"""tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
         FROM documents),
       shl AS (
         SELECT doc_id,
@@ -78,15 +65,85 @@ object PipelineQueries {
       inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
         FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT * FROM (
+        GROUP BY 1, 2),
+      pairs AS (SELECT * FROM (
         SELECT a_id, b_id,
           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id)
-      WHERE jaccard >= 0.5
-      ORDER BY a_id, b_id"""))
+      WHERE jaccard >= $threshold)"""
+
+  // P2: MinHash + LSH banding. The raw candidate-pair set is
+  // hash-function-specific, so the DRIVER claim is the (precision,
+  // recall) gate of the banded candidates against the exact n-gram
+  // Jaccard ≥ 0.5 pair relation (which dedup_ngram's oracle computes
+  // independently in DuckDB): GateProbe r13 measured recall = precision
+  // = 1.0 at sf0.001/0.01/0.1 vs the 0.7 gates. The full banding path
+  // still runs — the gate consumes its output; raw pair-set checks
+  // live in DedupSpec.
+  private val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cand = Dedup.minhashPairs(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("c"))
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      cand.join(exact, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+          coalesce(sum(col("c") * col("e")), lit(0L)).as("n_inter"))
+        .select(col("n_exact"),
+          (col("n_inter") >= col("n_exact") * 0.7).as("recall_ok"),
+          (col("n_inter") >= col("n_cand") * 0.7).as("precision_ok"))
+    },
+    Some(s"""WITH ${ngramPairsCte(0.5)}
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        TRUE AS recall_ok, TRUE AS precision_ok FROM pairs"""))
+
+  // P3: SimHash hamming pairs. Hamming distance over a specific 64-bit
+  // fingerprint has no engine-independent twin, so the DRIVER claim is
+  // the quality gate vs exact n-gram Jaccard: candidates must recover
+  // ≥ 0.5 of the exact ≥ 0.8 pairs (GateProbe r13: 0.82/0.96/0.91 at
+  // sf0.001/0.01/0.1) and ≥ 0.7 of the candidates must be true ≥ 0.5
+  // pairs (measured 1.0 at all three SFs). One exact pass serves both:
+  // the ≥ 0.8 set is a filter over the ≥ 0.5 relation's jaccard column.
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val cand = Dedup.simhashPairs(docs, maxHamming = 7)
+        .select(col("a_id"), col("b_id"), lit(1L).as("c"))
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      cand.join(exact, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("jaccard") >= 0.8, 1L)), lit(0L))
+            .as("n_exact08"),
+          coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+          coalesce(sum(when(col("c").isNotNull && col("jaccard") >= 0.8,
+            1L)), lit(0L)).as("i08"),
+          coalesce(sum(when(col("c").isNotNull && col("jaccard").isNotNull,
+            1L)), lit(0L)).as("i05"))
+        .select(col("n_exact08"),
+          (col("i08") >= col("n_exact08") * 0.5).as("recall_ok"),
+          (col("i05") >= col("n_cand") * 0.7).as("precision_ok"))
+    },
+    Some(s"""WITH ${ngramPairsCte(0.5)}
+      SELECT CAST(count(*) AS BIGINT) AS n_exact08,
+        TRUE AS recall_ok, TRUE AS precision_ok
+      FROM pairs WHERE jaccard >= 0.8"""))
+
+  // P4: exact n-gram Jaccard pairs — fully SQL-expressible, oracled.
+  private val dedupNgram = Q(
+    "dedup_ngram",
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH ${ngramPairsCte(0.5)}
+      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"""))
 
   // P4c: EXACT all-pairs similarity join via prefix filtering — the
   // oracle computes the complete uncapped pair relation (no df cap, no
@@ -402,8 +459,10 @@ object PipelineQueries {
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
       val root = graft.GraftSession.scratchDir(
         "band_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      if (!new java.io.File(s"$root/bands/_SUCCESS").exists())
-        graft.pipeline.BandIndex.buildBands(index, root)
+      // build-if-absent-or-stale: the fingerprint check catches a
+      // regenerated dataset under the same dir (r12 advice), where a
+      // bare _SUCCESS probe would silently serve stale buckets
+      graft.pipeline.BandIndex.ensureBands(index, root)
       val cands = graft.pipeline.BandIndex.candidates(s, root, batch)
         .select(col("batch_id").as("a_id"), col("index_id").as("b_id"))
       val verified = Dedup.verifyCandidates(docs, cands, threshold = 0.5)
@@ -684,27 +743,31 @@ object PipelineQueries {
       WHERE rnk <= 10
       ORDER BY query_id, rnk"""))
 
-  // P6b: LSH-bucketed ANN (the 100 TB path) — approximate → rows-only;
-  // recall vs the exact baseline is asserted in SimilaritySpec.
-  private val annLsh = Q(
-    "ann_lsh",
-    (s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
-        .orderBy(col("query_id"), col("rnk"))
-    })
+  // P6b: LSH-bucketed ANN (the 100 TB path). The top-k artifact is
+  // hash-specific, so the DRIVER claim is the per-leg recall gate vs
+  // the exact brute-force top-10 (r6–r12 measured 0.40–0.76 across
+  // SFs and methods vs the 0.3 gate; seeds fixed → deterministic per
+  // dataset). The approximate query path still runs in full — the gate
+  // consumes its output. Raw artifact checks live in SimilaritySpec.
+  private def annGate(method: String)(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    Similarity.recallVsExact(emb, emb.filter(col("vec_id") < 5), k = 10,
+        methods = Seq(method))
+      .select(col("method"), col("n_queries"),
+        (col("recall") >= 0.3).as("recall_ok"))
+  }
+  private def annGateOracle(method: String): String =
+    s"""WITH p AS (SELECT count(DISTINCT vec_id) AS n_queries
+        FROM embeddings WHERE vec_id < 5)
+      SELECT '$method' AS method, p.n_queries, TRUE AS recall_ok FROM p"""
 
-  // P6c: IVF ANN (k-means inverted file) — approximate → rows-only;
-  // recall vs the exact baseline is asserted in SimilaritySpec.
-  private val annIvf = Q(
-    "ann_ivf",
-    (s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
-        .orderBy(col("query_id"), col("rnk"))
-    })
+  private val annLsh = Q("ann_lsh", annGate("lsh"),
+    Some(annGateOracle("lsh")))
+
+  // P6c: IVF ANN (k-means inverted file) — same per-leg recall gate.
+  private val annIvf = Q("ann_ivf", annGate("ivf"),
+    Some(annGateOracle("ivf")))
 
   // P7: language ID heuristic — deterministic, oracle mirrors the logic.
   private val textLangid = Q(
@@ -1309,16 +1372,10 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY d1, d2"""))
 
-  // P6d: product-quantization ANN (ADC + exact rerank) — approximate →
-  // rows-only; recall vs the exact baseline asserted in SimilaritySpec.
-  private val annPq = Q(
-    "ann_pq",
-    (s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
-        .orderBy(col("query_id"), col("rnk"))
-    })
+  // P6d: product-quantization ANN (ADC + exact rerank) — same per-leg
+  // recall gate as ann_lsh/ann_ivf.
+  private val annPq = Q("ann_pq", annGate("pq"),
+    Some(annGateOracle("pq")))
 
   // P5c: SemDeDup-style semantic near-dup, gated like dedup_cosine_lsh:
   // precision 1 PROVEN cross-engine (n_extra joins found pairs against
@@ -1360,16 +1417,9 @@ object PipelineQueries {
       FROM p WHERE c >= 0.44"""))
 
   // P6f: classic IVF-PQ (coarse inverted file + residual product codes,
-  // the IVFADC composition) — approximate → rows-only; recall asserted
-  // in SimilaritySpec and oracled via ann_recall like its siblings.
-  private val annIvfPq = Q(
-    "ann_ivfpq",
-    (s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
-        .orderBy(col("query_id"), col("rnk"))
-    })
+  // the IVFADC composition) — same per-leg recall gate as its siblings.
+  private val annIvfPq = Q("ann_ivfpq", annGate("ivfpq"),
+    Some(annGateOracle("ivfpq")))
 
   // P6 recall gate: every approximate ANN path audited against the exact
   // top-10 THROUGH the driver gate, not just sbt. The raw recall ratio is

@@ -85,6 +85,35 @@ class BandIndexSpec extends AnyFunSuite {
     assert(after == oneShot, "a fixpoint re-add must write nothing")
   }
 
+  test("ensureBands rebuilds on a stale fingerprint, is a no-op when fresh, and tracks adds") {
+    val part1 = docs.filter(pmod(col("doc_id"), lit(10)) < 4)
+    val part2 = docs.filter(pmod(col("doc_id"), lit(10)).between(4, 5))
+    val root = freshRoot("bandindex_spec_stale")
+    // absent → build; same docs again → recognized fresh, no rebuild
+    assert(BandIndex.ensureBands(part1, root))
+    assert(!BandIndex.ensureBands(part1, root))
+    // the dataset "regenerated in place" (different id set, same root):
+    // the fingerprint mismatch must force a rebuild, and the rebuilt
+    // index must answer like a fresh one over the NEW corpus
+    assert(BandIndex.ensureBands(part2, root))
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) >= 6)
+    val stored = BandIndex.candidates(spark, root, batch)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val fresh = Dedup.incrementalMinhashCandidates(
+        Dedup.minhashBandRows(part2), batch)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(stored == fresh, "post-rebuild probe must match a fresh index")
+    // a parameter change alone is also staleness
+    assert(BandIndex.ensureBands(part2, root, numHashes = 32, bands = 8))
+    // incremental adds keep the fingerprint current: after an add, the
+    // UNION corpus is recognized as fresh (no spurious rebuild)
+    val root2 = freshRoot("bandindex_spec_stale2")
+    BandIndex.buildBands(part1, root2)
+    BandIndex.addBandsBatch(part2, root2)
+    assert(!BandIndex.ensureBands(part1.unionByName(part2), root2),
+      "add must fold new ids into the stored fingerprint")
+  }
+
   test("IO10 compaction after N deferred adds: fewer files, identical candidates, fixpoint") {
     val root = freshRoot("bandindex_spec_compact")
     def bandFiles(): Map[String, Int] = {

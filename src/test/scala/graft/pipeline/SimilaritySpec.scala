@@ -347,6 +347,67 @@ class SimilaritySpec extends AnyFunSuite {
       s"shares descend: ${e1._4} > ${e2._4}")
   }
 
+  test("gramFrame: bit-parity with the exact-integer Gram oracle, no join in the plan") {
+    // The parity oracle is the EXACT Σ c·cᵀ over the 6dp micro-unit
+    // grid, computed driver-side in BigInteger — the same arithmetic
+    // DuckDB's pcaOracle CTE performs (its decimal(19,6)² products are
+    // exact). NOTE this is deliberately NOT the r12 cent⨝cent Spark
+    // plan: there c was decimal(19,6), so c·c hit precision 39 and
+    // Spark rescaled every product to 11dp — the one place the two
+    // engines' Grams silently disagreed at the 1e-10 level. The r13
+    // 128-bit aggregate is exact, i.e. equal to the DuckDB side.
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    // μ exactly as centeredGram derives it
+    val muRows = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("x6"))
+      .groupBy("i")
+      .agg(sum(col("x6")).cast("decimal(38,6)").as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mu"))
+      .collect()
+    val d = muRows.length
+    val muMicro = new Array[Long](d)
+    muRows.foreach(r =>
+      muMicro(r.getInt(0)) = math.round(r.getDouble(1) * 1e6))
+    // centered micro-unit vectors, collected (bounded: N·d longs at
+    // test SF), then the exact BigInteger outer-product sum
+    val centRows = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(cast(round(cast(x as double), 6) as decimal(18,6)) " +
+          "* 1000000 as long)").as("xm"))
+      .collect()
+    val byVec = centRows.groupBy(_.getLong(0))
+    val exact = Array.ofDim[java.math.BigInteger](d, d)
+    for (i <- 0 until d; j <- i until d)
+      exact(i)(j) = java.math.BigInteger.ZERO
+    byVec.values.foreach { rows =>
+      val c = new Array[Long](d)
+      rows.foreach(r => c(r.getInt(1)) = r.getLong(2) - muMicro(r.getInt(1)))
+      for (i <- 0 until d; j <- i until d)
+        exact(i)(j) = exact(i)(j).add(java.math.BigInteger.valueOf(c(i))
+          .multiply(java.math.BigInteger.valueOf(c(j))))
+    }
+    val frame = Similarity.gramFrame(emb, "embedding", d, lit(muMicro))
+    assert(!frame.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "the one-pass Gram must contain NO join:\n" +
+        frame.queryExecution.optimizedPlan.toString)
+    val packed = frame.head().getSeq[java.math.BigDecimal](0)
+    assert(packed.length == d * (d + 1) / 2)
+    var cell = 0
+    for (i <- 0 until d; j <- i until d) {
+      val want = new java.math.BigDecimal(exact(i)(j), 12)
+      assert(packed(cell).setScale(12) == want,
+        s"Gram cell ($i,$j): agg=${packed(cell)} exact=$want")
+      cell += 1
+    }
+  }
+
   test("projectOntoTopComponent: coordinates recover the line, residual the jitter") {
     val pts = (0 until 40).map { n =>
       val t = (n - 19.5) / 4.0
