@@ -686,4 +686,138 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------- JPEG leg (P11g)
+  // The format real crawls actually contain, and the one leg the
+  // codec-free parsers above can't stand in for: decode goes through
+  // javax.imageio (JVM-public, no native codec install). Because JPEG
+  // is LOSSY, the decoded pixels are not oracle-replayable — the
+  // cross-engine claims are the DETERMINISTIC ones (did it decode, the
+  // header dims) plus a fidelity GATE (mean |decoded − source| within
+  // a measured tolerance), the same thresholded-boolean pattern as
+  // ann_recall. Encoding also happens through imageio, so the bytes
+  // are deterministic within one JRE — the synthesizer stands in for
+  // crawl bytes exactly like synthPpm/synthPng do.
+
+  /** A real baseline JPEG with the SAME dims formula and LCG byte
+    * stream as [[synthPpm]]/[[synthPng]] — GRAYSCALE (one LCG byte per
+    * pixel): imageio's RGB JPEG path always chroma-subsamples, which
+    * on a noise corpus costs ~50 MAE and would drown the fidelity
+    * gate's signal; luma-only keeps the q=1.0 round-trip tight
+    * (measured MAE ≤ ~5) so the gate cleanly separates a sane decode
+    * from garbage (~85 on noise). */
+  private[graft] def synthJpeg(seed: Long,
+      quality: Float = 1.0f): Array[Byte] = {
+    val w = 4 + math.floorMod(seed, 29).toInt
+    val h = 4 + math.floorMod(seed >> 16, 29).toInt
+    val px = lcgBytes(seed, w * h)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          java.lang.Byte.toUnsignedInt(px(y * w + x)))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** JPEG record: the binary column plus the seed the fidelity gate
+    * regenerates the source pixels from (a production pipeline would
+    * carry the upstream checksum/reference instead). */
+  case class JpegRecord(doc_id: Long, seed: Long, media: Array[Byte])
+
+  /** Binary JPEG table over the doc_id ≡ 1 mod 3 slice (the PPM leg
+    * owns ≡ 0). Corruption is planted deterministically: every
+    * doc_id ≡ 0 mod 89 loses its trailing 64 bytes — the truncated
+    * download a crawler meets; imageio faults on the missing EOI/scan
+    * data and the row is QUARANTINED downstream. */
+  def jpegTable(docs: DataFrame): DataFrame = {
+    implicit val recEnc = Encoders.product[JpegRecord]
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val seed = textSeed(text)
+        val bytes = synthJpeg(seed)
+        val media =
+          if (id % 89 == 0) bytes.take(20) // truncated download
+          else bytes
+        JpegRecord(id, seed, media)
+      }).toDF()
+  }
+
+  case class JpegFeatures(doc_id: Long, decode_ok: Boolean,
+      error: Option[String], src_w: Option[Int], src_h: Option[Int],
+      fidelity_ok: Option[Boolean])
+
+  /** JPEG decode → fidelity features (SURVEY.md §2 P11g): full imageio
+    * decode per record inside one mapPartitions (one reader init per
+    * batch — the JNI/FFI shape), QUARANTINE on any decode fault
+    * (decode_ok=false + the error string, never a silent drop), and
+    * the lossy-codec gate: mean |decoded − source| luma error must
+    * stay within `tol` (r13 measured ≤ 0.25 on the LCG-noise corpus
+    * at quality 1.0 across sf0.001/0.01/0.1 — noise is DCT's worst
+    * case, so real images sit far inside; a garbage/mis-decoded frame
+    * scores ~85). Narrow, no shuffle, one bounded row per image. */
+  def jpegDecodedFeatures(docs: DataFrame,
+      tol: Double = 24.0): DataFrame = {
+    implicit val recEnc = Encoders.product[JpegRecord]
+    implicit val outEnc = Encoders.product[JpegFeatures]
+    jpegTable(docs).as[JpegRecord]
+      .mapPartitions(_.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          if (img == null)
+            JpegFeatures(r.doc_id, decode_ok = false,
+              Some("imageio: unreadable stream"), None, None, None)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val src = lcgBytes(r.seed, w * h)
+            val raster = img.getRaster
+            var absErr = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                absErr += math.abs(raster.getSample(x, y, 0)
+                  - java.lang.Byte.toUnsignedInt(src(y * w + x)))
+                x += 1
+              }
+              y += 1
+            }
+            val mae = absErr.toDouble / (w * h)
+            JpegFeatures(r.doc_id, decode_ok = true, None,
+              Some(w), Some(h), Some(mae <= tol))
+          }
+        } catch {
+          case e: Exception =>
+            JpegFeatures(r.doc_id, decode_ok = false,
+              Some(s"imageio: ${e.getClass.getSimpleName}"),
+              None, None, None)
+        }
+      }).toDF()
+  }
 }

@@ -2622,6 +2622,37 @@ object PipelineQueries {
         sums.px_sum
       FROM m0 LEFT JOIN sums USING (doc_id) ORDER BY m0.doc_id"""))
 
+  // P11g: JPEG decode through javax.imageio — the format real crawls
+  // contain. Deterministic claims (decode success per the planted
+  // truncation rule, header dims from the seed formula) are FULLY
+  // oracled; the lossy pixel content is gated by the in-query fidelity
+  // boolean (mean luma error ≤ 24 vs the regenerated source — r13
+  // measured ≤ 0.25 at q=1.0 grayscale across all three SFs, garbage
+  // scores ~85). The quarantine contract (truncated downloads emitted
+  // with decode_ok=false, never dropped) is part of the oracle: DuckDB
+  // recomputes exactly which rows must be quarantined.
+  private val multimodalJpeg = Q(
+    "multimodal_jpeg",
+    (s, d) =>
+      Multimodal.jpegDecodedFeatures(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("decode_ok"), col("src_w"),
+          col("src_h"), col("fidelity_ok"))
+        .orderBy(col("doc_id")),
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents WHERE doc_id % 3 = 1)
+      SELECT doc_id, (doc_id % 89 != 0) AS decode_ok,
+        CASE WHEN doc_id % 89 = 0 THEN NULL
+          ELSE CAST(4 + seed % 29 AS INTEGER) END AS src_w,
+        CASE WHEN doc_id % 89 = 0 THEN NULL
+          ELSE CAST(4 + (seed // 65536) % 29 AS INTEGER) END AS src_h,
+        CASE WHEN doc_id % 89 = 0 THEN NULL ELSE TRUE END AS fidelity_ok
+      FROM s ORDER BY doc_id"""))
+
   // P11d: audio feature extraction — FULLY oracled including the PCM
   // sample content, by the same HUGEINT LCG replay as
   // multimodal_resize: DuckDB regenerates every audio byte, pairs them
@@ -3324,6 +3355,6 @@ object PipelineQueries {
     textOutliers, corpusStatsQ,
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
-    multimodalPng,
+    multimodalPng, multimodalJpeg,
     multimodalPhash)
 }

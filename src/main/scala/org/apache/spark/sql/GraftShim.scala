@@ -61,23 +61,35 @@ object GraftShim {
     walk(ds.queryExecution.toRdd)
   }
 
-  /** DataFrame → ONE standard Arrow IPC stream (schema header +
-    * record batches + EOS), readable by any Arrow implementation
-    * (pyarrow, DuckDB, arrow-rs). The batches are produced
-    * DISTRIBUTED (`toArrowBatchRdd` serializes per partition — the
-    * same path PySpark's toArrow uses); only the final byte
-    * assembly happens on the driver, which is inherent to "give me
-    * one in-memory stream" egress. Reference analogue:
-    * HDK's ResultSet→Arrow conversion (ResultSetArrowConversion).
-    */
-  def toArrowIpcStream(df: DataFrame): Array[Byte] = {
+  /** DataFrame → a standard Arrow IPC stream (schema header + record
+    * batches + EOS) written INCREMENTALLY to `out`, readable by any
+    * Arrow implementation (pyarrow, DuckDB, arrow-rs). The batches are
+    * produced DISTRIBUTED (`toArrowBatchRdd` serializes per
+    * partition — the same path PySpark's toArrow uses) and pulled one
+    * partition at a time via `toLocalIterator` (r13; the previous
+    * `collect()` held EVERY partition's batch bytes on the driver at
+    * once, which a 100 TB-pipeline export cannot do), so peak driver
+    * memory is one partition's batches regardless of result size —
+    * stream to a file/socket and the export is driver-memory-bounded.
+    * toLocalIterator runs one job per partition sequentially; an
+    * export is end-of-pipeline, so latency trades for boundedness.
+    * Reference analogue: HDK's ResultSet→Arrow conversion
+    * (ResultSetArrowConversion). */
+  def writeArrowIpcStream(df: DataFrame, out: java.io.OutputStream): Unit = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val tz = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
-    val out = new java.io.ByteArrayOutputStream()
     val w = new execution.arrow.ArrowBatchStreamWriter(
       ds.schema, out, tz, true, false)
-    w.writeBatches(ds.toArrowBatchRdd.collect().iterator)
+    w.writeBatches(ds.toArrowBatchRdd.toLocalIterator)
     w.end()
+  }
+
+  /** [[writeArrowIpcStream]] buffered into one in-memory byte array —
+    * the convenience form for results KNOWN to fit on the driver
+    * (interchange fixtures, model frames). */
+  def toArrowIpcStream(df: DataFrame): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeArrowIpcStream(df, out)
     out.toByteArray
   }
 

@@ -299,4 +299,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("px_sum") =!= col("ppm_sum")).count() == 0,
       "decoded-PNG features must equal the raw-PPM features")
   }
+
+  test("jpegDecodedFeatures: imageio round-trip within tolerance, truncations quarantined") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val feats = Multimodal.jpegDecodedFeatures(docs).localCheckpoint()
+    // coverage: exactly the doc_id ≡ 1 mod 3 slice, one row each
+    assert(feats.count() ==
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1).count())
+    // quarantine: exactly the planted truncations, features NULL
+    val quarantined = feats.filter(!col("decode_ok"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(quarantined) ==
+      ids(docs.filter(pmod(col("doc_id"), lit(3)) === 1 &&
+        col("doc_id") % 89 === 0)))
+    assert(quarantined.filter(col("src_w").isNotNull ||
+      col("fidelity_ok").isNotNull).count() == 0)
+    assert(quarantined.filter(col("error").isNull).count() == 0,
+      "a quarantined row must carry its decode error")
+    // every healthy image decodes within the fidelity tolerance and
+    // reports the synthesizer's dims
+    val ok = feats.filter(col("decode_ok"))
+    assert(ok.count() > 0)
+    assert(ok.filter(!col("fidelity_ok")).count() == 0,
+      "q=1.0 grayscale round-trip must stay within the 24 MAE gate")
+    assert(ok.filter(col("src_w") < 4 || col("src_w") > 32 ||
+      col("src_h") < 4 || col("src_h") > 32).count() == 0)
+    // determinism: a second run is bit-identical
+    val again = Multimodal.jpegDecodedFeatures(docs)
+    assert(feats.exceptAll(again).count() == 0 &&
+      again.exceptAll(feats).count() == 0)
+  }
 }

@@ -92,6 +92,31 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(back.agg(sum(col("n_nationkey"))).head().getLong(0) == 300L)
   }
 
+  test("writeArrowIpcStream: chunked file export equals the buffered stream, round-trips") {
+    // the r13 bounded-memory export: batches are PULLED one partition
+    // at a time (toLocalIterator) and written straight to the sink —
+    // the path a driver-memory-sized result takes. The produced bytes
+    // must equal the buffered convenience form byte-for-byte, and a
+    // many-partition frame (here 32 shuffle partitions of lineitem)
+    // must survive a file round-trip.
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+      .repartition(32, col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    assert(li.rdd.getNumPartitions == 32)
+    val f = java.io.File.createTempFile("graft_arrow_export", ".arrows")
+    f.deleteOnExit()
+    val fos = new java.io.FileOutputStream(f)
+    try GraftShim.writeArrowIpcStream(li, fos) finally fos.close()
+    val streamed = java.nio.file.Files.readAllBytes(f.toPath)
+    val buffered = GraftShim.toArrowIpcStream(li)
+    assert(java.util.Arrays.equals(streamed, buffered),
+      "chunked and buffered exports must produce identical IPC bytes")
+    val back = GraftShim.fromArrowIpcStream(spark, streamed)
+    assert(back.count() == li.count())
+    assert(back.agg(sum(col("l_orderkey"))).head().getLong(0) ==
+      li.agg(sum(col("l_orderkey"))).head().getLong(0))
+  }
+
   test("importColumns routes through a real Arrow IPC stream") {
     val ipc = Importer.columnsToArrowIpc(
       Seq("k" -> Seq(1, 2, 3), "v" -> Seq("a", "b", "c"),
