@@ -266,14 +266,22 @@ object Linkage extends org.apache.spark.internal.Logging {
       s"(($iExpr * $lExpr) div $k1)"
     val segLen = (i: String, l: String) =>
       s"(${segStart(s"($i + 1)", l)} - ${segStart(i, l)})"
-    val idx = base.select(col("id").as("s_id"), col("s").as("s_s"),
+    // ids ONLY ride the candidate join and distinct (r13 — the r5
+    // minhashPairs lesson applied here): the strings come back via two
+    // narrow id joins AFTER the pair set is deduped, so the dominant
+    // shuffle (candidate pairs, which the EditDistProbe measured
+    // saturating toward n² on low-entropy corpora) carries 16 bytes
+    // per row instead of two 32-char strings. Measured at the 25×
+    // probe tier: 90.8 → 45.0 s steady (exponent 1.04 → 0.88),
+    // identical result set.
+    val idx = base.select(col("id").as("s_id"),
       length(col("s")).as("l"),
       explode(expr(
         s"""transform(sequence(0, $k), i -> named_struct(
              'gi', i,
              'sub', substring(s, ${segStart("i", "length(s)")} + 1,
                ${segLen("i", "length(s)")})))""")).as("seg"))
-      .select(col("s_id"), col("s_s"), col("l"),
+      .select(col("s_id"), col("l"),
         col("seg.gi").as("gi"), col("seg.sub").as("sub"))
     // segment-entropy probe: Σdf²/Σdf = the expected collision count
     // per index row (NULL-safe on an empty input, the family guard)
@@ -290,7 +298,7 @@ object Linkage extends org.apache.spark.internal.Logging {
         "approaches n^2 (same exact answer, no speedup). Strip the " +
         "shared prefix (or block on a higher-entropy slice) before " +
         "calling, or raise warnSegmentDf to silence.")
-    val probe = base.select(col("id").as("t_id"), col("s").as("t_s"),
+    val probe = base.select(col("id").as("t_id"),
       explode(expr(
         s"""flatten(flatten(
              transform(sequence(greatest(length(s) - $k, 0), length(s) + $k),
@@ -303,20 +311,20 @@ object Linkage extends org.apache.spark.internal.Logging {
                    x -> x.p >= 0
                      and x.p + ${segLen("i", "L")} <= length(s))))))"""))
         .as("pr"))
-      .select(col("t_id"), col("t_s"), col("pr.l").as("l"),
+      .select(col("t_id"), col("pr.l").as("l"),
         col("pr.gi").as("gi"), col("pr.sub").as("sub"))
       .distinct() // same substring at several shifts → one probe key
     val pairs = idx.join(probe, Seq("l", "gi", "sub"))
       .filter(col("s_id") =!= col("t_id"))
       .select(
         least(col("s_id"), col("t_id")).as("a_id"),
-        greatest(col("s_id"), col("t_id")).as("b_id"),
-        when(col("s_id") < col("t_id"), col("s_s")).otherwise(col("t_s"))
-          .as("a_s"),
-        when(col("s_id") < col("t_id"), col("t_s")).otherwise(col("s_s"))
-          .as("b_s"))
+        greatest(col("s_id"), col("t_id")).as("b_id"))
       .distinct()
     val out = pairs
+      .join(base.select(col("id").as("a_id"), col("s").as("a_s")),
+        Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("s").as("b_s")),
+        Seq("b_id"))
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .filter(col("dist") <= k)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))

@@ -36,9 +36,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main(sf_dir, oracle_json, out_json, reps=2):
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark writes a directory of part files; the driver's testdata
+        # are single files — accept both
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(oracle_json))
     times = {}
     failed = []
