@@ -642,9 +642,11 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Pairs with simhash hamming distance ≤ maxHamming. By pigeonhole
     * any pair with hamming ≤ chunks-1 shares a chunk, so the blocked
     * candidate set is complete for the threshold. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, chunks: Int = 8,
+      shingled: Option[DataFrame] = None): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    simhashCandidates(docs, chunks, maxHamming = maxHamming)
+    simhashCandidates(docs, chunks, maxHamming = maxHamming,
+      shingled = shingled)
   }
 
   // ------------------------------------- candidate exact verification
@@ -696,17 +698,20 @@ object Dedup extends org.apache.spark.internal.Logging {
     * guard; documented approximation).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-      dfCap: Int = 100): DataFrame = {
+      dfCap: Int = 100, shingled: Option[DataFrame] = None): DataFrame = {
     // Shingles are joined by their 64-bit hash, not the string: the
     // self-join shuffle then moves 16-byte rows instead of ~20-char
     // strings (xxhash64 collisions at realistic cardinalities are
     // ~N²/2^64 — no observed effect vs the exact-string oracle).
     // The exploded table is cached: it feeds three consumers (df filter,
     // sizes, pair join) and re-deriving it means re-running the
-    // interpreted shingle transform each time.
-    val sh = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
-      .persist()
+    // interpreted shingle transform each time. A caller composing
+    // candidates + exact twin over the SAME corpus (the r13 gate
+    // queries) passes one shared [[shingleTable]] instead (`shingled`,
+    // the family convention) — its lifecycle then belongs to the
+    // caller.
+    val ownShingles = shingled.isEmpty
+    val sh = shingled.getOrElse(shingleTable(docs).persist())
     // Drop shingles appearing in more than dfCap docs BEFORE the self-
     // join: a shingle with df=d generates d² candidate rows, so without
     // the cap one stop-phrase goes quadratic at scale. Jaccard is then
@@ -736,7 +741,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       // eager pair materialization → the shingle caches release here
       // instead of leaking per call (see minhashPairs)
       .localCheckpoint()
-    sh.unpersist()
+    if (ownShingles) sh.unpersist()
     capped.unpersist()
     pairs
   }

@@ -86,10 +86,17 @@ object PipelineQueries {
     "dedup_minhash",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val cand = Dedup.minhashPairs(docs, threshold = 0.5)
+      // one shingle pass serves BOTH legs (candidates + exact twin) —
+      // the shingleTable composition contract; both consume it eagerly
+      // (each localCheckpoints its pairs), so unpersist here is safe
+      val sh = Dedup.shingleTable(docs).persist()
+      val cand = Dedup.minhashPairs(docs, threshold = 0.5,
+          shingled = Some(sh))
         .select(col("a_id"), col("b_id"), lit(1L).as("c"))
-      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+          shingled = Some(sh))
         .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      sh.unpersist()
       cand.join(exact, Seq("a_id", "b_id"), "full_outer")
         .agg(
           coalesce(sum(col("e")), lit(0L)).as("n_exact"),
@@ -114,10 +121,15 @@ object PipelineQueries {
     "dedup_simhash",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val cand = Dedup.simhashPairs(docs, maxHamming = 7)
+      // one shingle pass serves both legs (the dedup_minhash pattern)
+      val sh = Dedup.shingleTable(docs).persist()
+      val cand = Dedup.simhashPairs(docs, maxHamming = 7,
+          shingled = Some(sh))
         .select(col("a_id"), col("b_id"), lit(1L).as("c"))
-      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+          shingled = Some(sh))
         .select(col("a_id"), col("b_id"), col("jaccard"))
+      sh.unpersist()
       cand.join(exact, Seq("a_id", "b_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("jaccard") >= 0.8, 1L)), lit(0L))
