@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * The decoders are REAL parsers of standard uncompressed formats that
   * need no native codecs: PPM P6 images (netpbm), WAV/RIFF PCM audio,
   * and Y4M (YUV4MPEG2) video streams. The media SYNTHESIZER
-  * ([[mediaTable]]) stands in for a production file/tar-shard reader —
+  * ([[mediaTable]]) stands in for a production file reader (the actual
+  * tar-shard reader exists since r13: [[graft.sources.Shards]]) —
   * it derives deterministic media bytes from `documents.text` so the
   * pipeline runs on the driver's test tables — but everything from the
   * binary column onward is the real operator: format sniffing, header

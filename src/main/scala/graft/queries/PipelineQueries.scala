@@ -2665,6 +2665,53 @@ object PipelineQueries {
         CASE WHEN doc_id % 89 = 0 THEN NULL ELSE TRUE END AS fidelity_ok
       FROM s ORDER BY doc_id"""))
 
+  // IO12: WebDataset-style tar shard round trip — the PPM image slice
+  // packed into 8 tar shards (Shards.writeTarShards), read back
+  // distributed (one binaryFile row per shard, per-task ustar walk
+  // with checksum verification), and proven against the oracle on BOTH
+  // deterministic axes: byte_len is recomputed by DuckDB from the seed
+  // formula (PPM header digits + w·h·3 payload), and bytes_ok is the
+  // in-query equality of the shard-stored bytes against a freshly
+  // synthesized copy — the storage layer must be byte-transparent.
+  private val shardsRoundtrip = Q(
+    "shards_roundtrip",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+      val media = Multimodal.mediaTable(docs)
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".ppm")).as("name"),
+          col("media"))
+      val root = graft.GraftSession.scratchDir(
+        "tar_shards_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Shards.writeTarShards(media, root, nShards = 8)
+      val back = graft.sources.Shards.readTarShards(s, root)
+      back.select(
+          substring_index(col("name"), ".", 1).cast("long").as("doc_id"),
+          length(col("bytes")).cast("long").as("byte_len"),
+          col("bytes"))
+        .join(media.select(col("doc_id"), col("media").as("orig")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("byte_len"),
+          (col("bytes") === col("orig")).as("bytes_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents WHERE doc_id % 3 = 0),
+      dims AS (SELECT doc_id, 4 + seed % 29 AS w,
+          4 + (seed // 65536) % 29 AS h FROM s)
+      SELECT doc_id,
+        CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+            || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+          + w * h * 3 AS BIGINT) AS byte_len,
+        TRUE AS bytes_ok
+      FROM dims ORDER BY doc_id"""))
+
   // P11d: audio feature extraction — FULLY oracled including the PCM
   // sample content, by the same HUGEINT LCG replay as
   // multimodal_resize: DuckDB regenerates every audio byte, pairs them
@@ -3367,6 +3414,6 @@ object PipelineQueries {
     textOutliers, corpusStatsQ,
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
-    multimodalPng, multimodalJpeg,
+    multimodalPng, multimodalJpeg, shardsRoundtrip,
     multimodalPhash)
 }
