@@ -201,6 +201,43 @@ object Shards {
     counts.map(_._2).sum
   }
 
+  /** STREAMING ingest of a growing shard directory (SURVEY.md §2
+    * ST24): the same per-task tar walk over `readStream` binaryFile —
+    * each newly-landed shard becomes one micro-batch input row and
+    * explodes to its records exactly once (file-source offsets track
+    * seen shards; a re-listed shard is never re-emitted). This is the
+    * crawl-append shape: yesterday's corpus is immutable shards,
+    * today's crawl lands as new ones, and the downstream pipeline
+    * (dedup, quality, decode) consumes records continuously instead
+    * of re-scanning the corpus. Same loud corruption contract as the
+    * batch walk. */
+  def streamTarShards(spark: SparkSession, root: String): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.BINARY)
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      // streaming sources require the schema up front; binaryFile's is
+      // fixed by the format
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(root)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING,
+        Encoders.BINARY))
+      .flatMap { case (path, bytes) =>
+        val shard = path.substring(path.lastIndexOf('/') + 1)
+        untar(bytes, shard).map { case (n, b) => (shard, n, b) }
+      }
+      .toDF("shard", "name", "bytes")
+  }
+
   /** Read every tar shard under `root` as (shard, name, bytes) rows —
     * one binaryFile row per shard, per-task tar walk, no shuffle. */
   def readTarShards(spark: SparkSession, root: String): DataFrame = {

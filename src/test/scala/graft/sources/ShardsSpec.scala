@@ -67,6 +67,32 @@ class ShardsSpec extends AnyFunSuite {
       s"system tar disagreed: $out")
   }
 
+  test("streamTarShards: shards landing across micro-batches emit each record exactly once") {
+    val root = freshRoot("shards_spec_stream")
+    new java.io.File(root).mkdirs()
+    def land(idx: Int, entries: (String, Array[Byte])*): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(root, f"shard-$idx%05d.tar").toPath,
+        Shards.tarBytes(entries.iterator))
+    land(0, "a.bin" -> Array[Byte](1), "b.bin" -> Array[Byte](2, 2))
+    val q = Shards.streamTarShards(spark, root)
+      .select(col("shard"), col("name"),
+        length(col("bytes")).as("len"))
+      .writeStream.format("memory").queryName("shards_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a new shard lands mid-stream; only ITS records arrive next
+      land(1, "c.bin" -> Array[Byte](3, 3, 3))
+      q.processAllAvailable()
+      val got = spark.table("shards_stream_out")
+        .select("name", "len").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      assert(got == Seq(("a.bin", 1), ("b.bin", 2), ("c.bin", 3)),
+        s"stream emitted $got")
+    } finally q.stop()
+  }
+
   test("write+read round trip: bytes transparent, membership deterministic, walk distributed") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 0)
