@@ -803,6 +803,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Quality.profile(tbl(strLit(args(0), "graft_profile")), cols)
           .queryExecution.analyzed
       }))
+    // IO12's READ half as a relation (r13) — the write half stays
+    // code-surface-only by the family rule (a TVF cannot own a
+    // side-effecting write): scan a directory of tar shards as
+    // (shard, name, bytes) rows, the WebDataset ingest from SQL.
+    ext.injectTableFunction((FunctionIdentifier("graft_read_shards"),
+      new ExpressionInfo(graft.sources.Shards.getClass.getName,
+        "graft_read_shards"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_read_shards('path')")
+        graft.sources.Shards.readTarShards(SparkSession.active,
+            strLit(args.head, "graft_read_shards"))
+          .queryExecution.analyzed
+      }))
   }
 
   private def funnelPlan(view: String, steps: Seq[String],

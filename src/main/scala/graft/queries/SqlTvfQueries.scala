@@ -1156,8 +1156,53 @@ object SqlTvfQueries {
         FROM lineitem""").mkString("SELECT * FROM (\n",
       "\nUNION ALL\n", "\n) ORDER BY col_name")))
 
+  // IO12's read half via SQL: scan the tar shards shards_roundtrip
+  // writes (built here if absent — same scratch root and media slice)
+  // and project record names + payload lengths; byte_len is DuckDB-
+  // recomputed from the PPM seed formula like the DataFrame twin.
+  private val q170 = Q(
+    "q170_sql_shards",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(3)) === 0)
+      val media = graft.pipeline.Multimodal.mediaTable(docs)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("doc_id").cast("string"),
+            org.apache.spark.sql.functions.lit(".ppm")).as("name"),
+          org.apache.spark.sql.functions.col("media"))
+      val root = graft.GraftSession.scratchDir(
+        "tar_shards_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(root).exists() ||
+          new java.io.File(root).listFiles() == null ||
+          !new java.io.File(root).listFiles().exists(
+            _.getName.endsWith(".tar")))
+        graft.sources.Shards.writeTarShards(media, root, nShards = 8)
+      sql(s, d,
+        s"""SELECT CAST(substring_index(name, '.', 1) AS BIGINT) AS doc_id,
+          CAST(length(bytes) AS BIGINT) AS byte_len
+        FROM graft_read_shards('$root')
+        ORDER BY doc_id""")
+    },
+    Some("""WITH s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM documents WHERE doc_id % 3 = 0),
+      dims AS (SELECT doc_id, 4 + seed % 29 AS w,
+          4 + (seed // 65536) % 29 AS h FROM s)
+      SELECT doc_id,
+        CAST(length('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+            || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+          + w * h * 3 AS BIGINT) AS byte_len
+      FROM dims ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q159, q160, q161, q162, q163, q164, q165, q166,
-    q167, q168, q169)
+    q167, q168, q169, q170)
 }

@@ -524,7 +524,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM graft_welch('events', 'event_type', 'a', 'b')", // arity
       "SELECT * FROM graft_winsorize('lineitem', 'l_returnflag', 'l_tax', 'lo', 0.9)", // non-num
       "SELECT * FROM graft_kw('events', 'event_type')",     // arity
-      "SELECT * FROM graft_anova('events', 'event_type', 'value', 4)") // arity
+      "SELECT * FROM graft_anova('events', 'event_type', 'value', 4)", // arity
+      "SELECT * FROM graft_read_shards('a', 'b')", // arity (r13 IO12)
+      "SELECT * FROM graft_mix('documents', 'src1:7a', 3000)", // bad rate
+      "SELECT * FROM graft_split('documents', 'doc_id', 'train80')") // bad rate
     cases.foreach { q =>
       val e = intercept[Exception] { spark.sql(q).collect() }
       assert(e != null, s"expected rejection for: $q")
