@@ -181,7 +181,7 @@ object Bench {
             (if (withOracleMap) s""","oracle_s":$m""" else "")
         case None => ""
       }
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs$oracleFields,"sf":"$sfDir"}"""
+      s"""{"schema_version":1,"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs$oracleFields,"sf":"$sfDir"}"""
     }
     // leg diagnostics ride in the queries map (not the total — the gate
     // line already counts) and are pinned into the headline
@@ -205,11 +205,12 @@ object Bench {
     java.nio.file.Files.write(latest,
       (wrap(qjson(headline), withOracleMap = false) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The headline JSON line prints LAST, after spark.stop(): the
-    // driver's stdout capture is a tail window, and r11's line was
-    // buried under post-println Spark WARN noise (BENCH_r11 recorded
-    // parsed:null). Silence the logger first so shutdown can't write
-    // past the line.
+    // The headline JSON line prints TWICE, identically (r13 advice:
+    // make the record unmissable for any stdout-capture window): once
+    // here — before spark.stop() can emit shutdown noise — and once as
+    // the very last line. BENCH_LATEST.json (schema_version 1) remains
+    // the canonical machine-readable copy either way.
+    println(wrap(qjson(headline), withOracleMap = false))
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(wrap(qjson(headline), withOracleMap = false))

@@ -69,6 +69,18 @@ case class GramAgg(
         throw new IllegalArgumentException(
           s"gram: expected a $d-dim vector, got ${arr.numElements()} " +
             "elements - pass dim explicitly or fix the corpus")
+      // fail-loud contract: a null coordinate must not silently read
+      // as 0 and contribute a zero centered value to the "exact" Gram
+      // (accepted input is array<bigint> with containsNull unknown —
+      // transform() outputs carry containsNull=true even when clean)
+      var k = 0
+      while (k < d) {
+        if (arr.isNullAt(k))
+          throw new IllegalArgumentException(
+            s"gram: null coordinate at index $k - the exact Gram " +
+              "cannot impute; filter or fill the vector upstream")
+        k += 1
+      }
       var i = 0
       var cell = 0
       while (i < d) {

@@ -99,9 +99,15 @@ object BandIndex {
   def ensureBands(docs: DataFrame, root: String, numHashes: Int = 64,
       bands: Int = 16): Boolean = {
     val spark = docs.sparkSession
-    val haveIndex =
-      new java.io.File(s"${bandsPath(root)}/_SUCCESS").exists() &&
-      new java.io.File(s"${metaPath(root)}/_SUCCESS").exists()
+    // probe through the Hadoop FS API (r13 advice): a java.io.File
+    // check always reports absent on hdfs://s3a:// roots, which would
+    // turn every call into a full rebuild — the same portability rule
+    // the Shards writer follows
+    def success(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val haveIndex = success(bandsPath(root)) && success(metaPath(root))
     val stale = !haveIndex || {
       val meta = spark.read.parquet(metaPath(root))
       if (!meta.columns.contains("src_rows")) true

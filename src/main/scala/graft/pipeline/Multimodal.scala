@@ -392,7 +392,16 @@ object Multimodal {
     * pixels. */
   private[graft] def ahashOf(media: Array[Byte], tw: Int, th: Int): Long = {
     val (w, h) = parsePpm(media)
-    val off = ppmPixelOffset(media)
+    ahashOfPixels(media, ppmPixelOffset(media), w, h, tw, th)
+  }
+
+  /** The aHash core over a raw RGB8 pixel buffer starting at `off` —
+    * shared by the PPM path ([[ahashOf]]) and the decoded-PNG path
+    * ([[pngAHashes]]), so both formats hash the SAME pixel stream to
+    * the SAME bits (the cross-format property the shards keep oracle
+    * proves). */
+  private[graft] def ahashOfPixels(px: Array[Byte], off: Int, w: Int,
+      h: Int, tw: Int, th: Int): Long = {
     val gray = new Array[Long](tw * th)
     var total = 0L
     var y = 0
@@ -405,7 +414,7 @@ object Multimodal {
         var g = 0L
         var c = 0
         while (c < 3) {
-          g += java.lang.Byte.toUnsignedInt(media(src + c))
+          g += java.lang.Byte.toUnsignedInt(px(src + c))
           c += 1
         }
         gray(y * tw + x) = g
@@ -421,6 +430,33 @@ object Multimodal {
       p += 1
     }
     hash
+  }
+
+  case class DecodedHash(doc_id: Long, crc_ok: Boolean,
+      error: Option[String], ahash: Option[Long])
+
+  /** PNG decode → aHash over arbitrary (doc_id, bytes) records — the
+    * read side of the WebDataset dedup loop (shards → decode → hash):
+    * unlike [[imageAHash]], the input is whatever bytes the storage
+    * layer returned, so every record passes through the REAL decode
+    * (CRC walk, inflate, unfilter) and a failing one is QUARANTINED
+    * (crc_ok=false + error, hash NULL — never dropped). Narrow
+    * per-partition map; one 8-byte hash per image is all that ever
+    * shuffles. */
+  def pngAHashes(records: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    require(tw > 0 && th > 0 && tw * th <= 64,
+      "tw*th must fit a 64-bit hash")
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    implicit val outEnc = Encoders.product[DecodedHash]
+    records.select(col("doc_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parsePng(bytes) match {
+          case Left(err) => DecodedHash(id, crc_ok = false, Some(err), None)
+          case Right(img) => DecodedHash(id, crc_ok = true, None,
+            Some(ahashOfPixels(img.px, 0, img.w, img.h, tw, th)))
+        }
+      }).toDF()
   }
 
   def imageAHash(docs: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
@@ -660,11 +696,17 @@ object Multimodal {
     * collisions (output-proportional, the [[Dedup.simhashPairs]]
     * discipline). Returns (a, b, hamming), a < b. */
   def imageHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      tw: Int = 8, th: Int = 8): DataFrame = {
+      tw: Int = 8, th: Int = 8): DataFrame =
+    hashPairs(imageAHash(docs, tw, th).localCheckpoint(), maxHamming)
+
+  /** The banding closure over an ALREADY-HASHED (doc_id, ahash) frame
+    * — factored out of [[imageHashPairs]] so the WebDataset read path
+    * (shards → [[pngAHashes]]) rides the identical recall-1 candidate
+    * join. Returns (a, b, hamming), a &lt; b. */
+  def hashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0,64)")
     val nChunks = maxHamming + 1
     val bits = 64 / nChunks
-    val hashes = imageAHash(docs, tw, th).localCheckpoint()
     val chunks = hashes.select(col("doc_id"), col("ahash"),
       explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val",
@@ -750,9 +792,10 @@ object Multimodal {
 
   /** Binary JPEG table over the doc_id ≡ 1 mod 3 slice (the PPM leg
     * owns ≡ 0). Corruption is planted deterministically: every
-    * doc_id ≡ 0 mod 89 loses its trailing 64 bytes — the truncated
-    * download a crawler meets; imageio faults on the missing EOI/scan
-    * data and the row is QUARANTINED downstream. */
+    * doc_id ≡ 0 mod 89 is cut to a 20-byte PREFIX — the connection
+    * that dropped right after the SOI/JFIF header, so no scan data
+    * exists and a partial decode is impossible; imageio faults and the
+    * row is QUARANTINED downstream (never dropped). */
   def jpegTable(docs: DataFrame): DataFrame = {
     implicit val recEnc = Encoders.product[JpegRecord]
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)

@@ -2712,6 +2712,112 @@ object PipelineQueries {
         TRUE AS bytes_ok
       FROM dims ORDER BY doc_id"""))
 
+  // P11h (r14): the WebDataset dedup loop END TO END — the workload
+  // the shard family exists for: PNG media (with planted exact
+  // re-ingests AND planted IDAT corruption) written as SIZE-BOUNDED
+  // tar shards (IO12's maxShardBytes roll), read back through the
+  // streaming tar walk, REAL PNG decode with quarantine (P11f's CRC/
+  // inflate/unfilter path — corrupt rows surface as crc_ok=false,
+  // never dropped), perceptual aHash on the DECODED pixels (P11e),
+  // banded recall-1 candidate join, CC keep decision (P4b's min-id
+  // rule). FULLY oracled: DuckDB replays the LCG pixel stream, the
+  // hash bits, the brute-force pair set AND closes the components
+  // with the recursive reach CTE — a hash match proves the storage
+  // layer was byte-transparent, the decoder byte-exact, the banding
+  // lossless at the radius, and the keep decision identical. PNG (not
+  // JPEG) is the decode leg because it is lossless: a pixel-derived
+  // hash stays engine-replayable; the lossy JPEG leg's contract is
+  // multimodal_jpeg's fidelity gate.
+  private val shardsPhashKeep = Q(
+    "shards_phash_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      // plant "same image crawled twice": +999999 ≡ 0 (mod 3) keeps
+      // the copies on the image slice (the multimodal_phash idiom)
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val png = Multimodal.pngTable(docs.unionByName(planted))
+        .select(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".png")).as("name"),
+          col("media"))
+      val root = graft.GraftSession.scratchDir(
+        "tar_shards_keep_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Shards.writeTarShards(png, root, nShards = 8,
+        maxShardBytes = 512L * 1024) // the size-bounded WebDataset shape
+      val back = graft.sources.Shards.readTarShards(s, root)
+        .select(substring_index(col("name"), ".", 1).cast("long")
+          .as("doc_id"), col("bytes"))
+      val hashed = Multimodal.pngAHashes(back).localCheckpoint()
+      val okHashes = hashed.filter(col("crc_ok"))
+        .select(col("doc_id"), col("ahash"))
+      val pairs = Multimodal.hashPairs(okHashes, maxHamming = 3)
+        .select(col("a").as("a_id"), col("b").as("b_id"))
+      val kept = Dedup.keepAfterNearDedup(
+          hashed.filter(col("crc_ok")).select(col("doc_id")), pairs)
+        .withColumn("keep", lit(true))
+      hashed.select(col("doc_id"), col("crc_ok"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("crc_ok"),
+          coalesce(col("keep"), lit(false)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 0),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 4 + seed % 29 AS pw,
+          4 + (seed // 65536) % 29 AS ph
+        FROM s WHERE doc_id % 3 = 0),
+      ok AS (SELECT * FROM m WHERE doc_id % 97 != 0),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), pw * ph * 3 FROM ok
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      pix AS (SELECT ok.doc_id, y.y * 8 + x.x AS p,
+          3 * (((y.y * ph) // 8) * pw + ((x.x * pw) // 8)) AS base
+        FROM ok, range(8) y(y), range(8) x(x)),
+      gray AS (SELECT p.doc_id, p.p, b0.b + b1.b + b2.b AS g
+        FROM pix p
+        JOIN bytes b0 ON b0.doc_id = p.doc_id AND b0.idx = p.base
+        JOIN bytes b1 ON b1.doc_id = p.doc_id AND b1.idx = p.base + 1
+        JOIN bytes b2 ON b2.doc_id = p.doc_id AND b2.idx = p.base + 2),
+      tot AS (SELECT doc_id, sum(g) AS total FROM gray GROUP BY 1),
+      h AS (SELECT g.doc_id,
+          CAST(sum(CASE WHEN g.g * 64 > t.total THEN
+              CASE WHEN g.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << g.p) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM gray g JOIN tot t USING (doc_id) GROUP BY 1),
+      prs AS (SELECT h1.doc_id AS a, h2.doc_id AS b
+        FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+        WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3),
+      edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM ok
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY 1)
+      SELECT m.doc_id, (m.doc_id % 97 != 0) AS crc_ok,
+        coalesce(m.doc_id = comp.c, FALSE) AS keep
+      FROM m LEFT JOIN comp ON m.doc_id = comp.doc_id
+      ORDER BY m.doc_id"""))
+
   // P11d: audio feature extraction — FULLY oracled including the PCM
   // sample content, by the same HUGEINT LCG replay as
   // multimodal_resize: DuckDB regenerates every audio byte, pairs them
@@ -3414,6 +3520,6 @@ object PipelineQueries {
     textOutliers, corpusStatsQ,
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
-    multimodalPng, multimodalJpeg, shardsRoundtrip,
+    multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
     multimodalPhash)
 }

@@ -1,8 +1,11 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WebDataset-style TAR shard ingest/egress (SURVEY.md §2 IO12) — the
@@ -15,18 +18,30 @@ import org.apache.spark.sql.functions._
   * reader"; this IS that reader (and its writer), on the plain POSIX
   * ustar format, pure JVM.
   *
-  * Read path: one `binaryFile` row per shard (Spark assigns shards to
-  * tasks — the WebDataset parallelism unit), then a per-partition tar
-  * walk explodes entries to (shard, name, bytes) rows. The walk
-  * verifies each header's checksum and the terminating zero blocks;
-  * a malformed header FAILS LOUDLY with the shard path and offset —
-  * a truncated shard must not silently drop its tail records.
+  * Read path: the binaryFile source lists shards and assigns them to
+  * tasks (the WebDataset parallelism unit) but only the PATH column is
+  * read — the shard bytes never ride a row. Each task opens its shards
+  * through the Hadoop FS API and walks the tar as a TRUE STREAM,
+  * emitting one (shard, name, bytes) record at a time: task memory is
+  * bounded by the single largest ENTRY, never the shard, so a 10 GiB
+  * shard streams through a 1 GiB task heap (individual entries are
+  * capped at 2 GiB by the JVM array limit — split oversized records
+  * upstream). The walk verifies each header's checksum and the
+  * terminating zero blocks; a malformed header or early EOF FAILS
+  * LOUDLY with the shard name and stream offset — a truncated shard
+  * must not silently drop its tail records.
   *
   * Write path: deterministic round-robin by a 64-bit key hash (the
   * [[Layout]] discipline: re-running the writer reproduces identical
   * shard membership), each shard streamed as one tar with entries in
-  * key order. Entry names carry the record key + extension so the
-  * sample's modalities group by basename — the WebDataset convention.
+  * key order, optionally rolled into size-bounded parts
+  * (`maxShardBytes` — real WebDataset shards are ~100 MB–1 GB
+  * SIZE-bounded, not count-bounded). Every file goes through a hidden
+  * temp name and an atomic-publish rename, and stale shards from a
+  * previous layout are removed first — a re-shard with fewer shards
+  * must not leave orphans for the reader's glob to resurrect. Entry
+  * names carry the record key + extension so a sample's modalities
+  * group by basename — the WebDataset convention.
   *
   * At 100 TB: shards are the parallelism AND the IO unit — a reader
   * never seeks, a writer never appends; rebalancing is re-sharding.
@@ -85,74 +100,186 @@ object Shards {
     out.toByteArray
   }
 
-  /** Parse a complete tar stream into (name, bytes) entries. Checksum
-    * or framing violations throw with the byte offset. */
+  /** INCREMENTAL ustar walk: parse entries off `in` one at a time.
+    * Memory is bounded by the largest single entry — the archive can
+    * exceed the JVM's 2 GiB array limit (and the task heap) freely;
+    * only an individual ENTRY is array-bounded, and an oversized one
+    * fails loudly instead of overflowing. Checksum or framing
+    * violations throw with the stream offset, and a stream that ends
+    * before the two-zero-block end-of-archive marker throws — a
+    * truncated shard must not silently drop its tail records. The
+    * caller owns closing `in` (exhausting the iterator does not). */
+  private[sources] def untarStream(in: InputStream,
+      context: String = "<stream>"): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var offset = 0L
+      private var finished = false
+      private var pending: (String, Array[Byte]) = _
+
+      private def readFully(buf: Array[Byte], what: String): Unit = {
+        var n = 0
+        while (n < buf.length) {
+          val r = in.read(buf, n, buf.length - n)
+          require(r >= 0, s"tar $context: stream ended inside $what at " +
+            s"byte ${offset + n} (truncated archive)")
+          n += r
+        }
+        offset += buf.length
+      }
+
+      private def octal(h: Array[Byte], o: Int, w: Int): Long = {
+        var v = 0L
+        var i = o
+        while (i < o + w && h(i) != 0 && h(i) != ' ') {
+          require(h(i) >= '0' && h(i) <= '7',
+            s"tar $context: bad octal digit in header field at " +
+              s"byte ${offset - BLOCK + i}")
+          v = v * 8 + (h(i) - '0')
+          i += 1
+        }
+        v
+      }
+
+      private def advance(): Unit =
+        while (pending == null && !finished) {
+          val headerAt = offset
+          val h = new Array[Byte](BLOCK)
+          readFully(h, "header")
+          if (h.forall(_ == 0)) {
+            // first zero block: the marker is TWO — a lone one (or EOF
+            // mid-second) is a truncated archive
+            val h2 = new Array[Byte](BLOCK)
+            var n = 0
+            var eof = false
+            while (n < BLOCK && !eof) {
+              val r = in.read(h2, n, BLOCK - n)
+              if (r < 0) eof = true else n += r
+            }
+            require(!eof && h2.forall(_ == 0),
+              s"tar $context: single zero block at $headerAt " +
+                "(truncated archive)")
+            finished = true
+          } else {
+            var sum = 0L
+            var i = 0
+            while (i < BLOCK) {
+              val b = java.lang.Byte.toUnsignedInt(h(i))
+              sum += (if (i >= 148 && i < 156) 32 else b)
+              i += 1
+            }
+            val stored = octal(h, 148, 8)
+            require(stored == sum,
+              s"tar $context: header checksum mismatch at byte $headerAt " +
+                s"(stored $stored, computed $sum)")
+            var e = 0
+            while (e < 100 && h(e) != 0) e += 1
+            val name = new String(h, 0, e, "UTF-8")
+            val size = octal(h, 124, 12)
+            require(size <= Int.MaxValue - 8L,
+              s"tar $context: entry '$name' is $size bytes — a single " +
+                "entry is bounded by the 2 GiB JVM array limit (the " +
+                "SHARD is unbounded; split oversized records upstream)")
+            val data = new Array[Byte](size.toInt)
+            readFully(data, s"entry '$name'")
+            readFully(new Array[Byte](pad(size)), s"padding of '$name'")
+            // non-regular entries (dirs, links): consumed, never emitted
+            if (h(156) == '0' || h(156) == 0) pending = (name, data)
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): (String, Array[Byte]) = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("untarStream")
+        val r = pending
+        pending = null
+        r
+      }
+    }
+
+  /** Parse a complete in-memory tar into (name, bytes) entries — the
+    * strict-whole-archive convenience over [[untarStream]] (specs,
+    * small fixtures). Production readers never call this: the read
+    * path streams. */
   private[sources] def untar(tar: Array[Byte],
-      context: String = "<bytes>"): Seq[(String, Array[Byte])] = {
-    val out = Seq.newBuilder[(String, Array[Byte])]
-    var off = 0
-    def octal(o: Int, w: Int): Long = {
-      var v = 0L
-      var i = o
-      while (i < o + w && tar(i) != 0 && tar(i) != ' ') {
-        require(tar(i) >= '0' && tar(i) <= '7',
-          s"tar $context: bad octal digit at byte $i")
-        v = v * 8 + (tar(i) - '0')
-        i += 1
+      context: String = "<bytes>"): Seq[(String, Array[Byte])] =
+    untarStream(new ByteArrayInputStream(tar), context).toSeq
+
+  /** Shared per-task walk: open each shard path through the Hadoop FS
+    * API (the scheme — file://, hdfs://, s3a:// — comes from the path)
+    * and stream-parse it, emitting records incrementally. A task that
+    * dies or is cancelled mid-walk closes its open shard through the
+    * task-completion listener. */
+  private def walkShards(paths: Dataset[String]): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.BINARY)
+    paths.mapPartitions { it =>
+      val fsConf = new Configuration()
+      var open: InputStream = null
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (open != null) open.close()
+        })
+      it.flatMap { pstr =>
+        val p = new Path(pstr)
+        val shard = p.getName
+        val in = new java.io.BufferedInputStream(
+          p.getFileSystem(fsConf).open(p), 1 << 16)
+        open = in
+        untarStream(in, shard).map { case (n, b) => (shard, n, b) } ++ {
+          // evaluated once the walk exhausts: close promptly instead of
+          // holding the handle until task end
+          in.close()
+          if (open eq in) open = null
+          Iterator.empty
+        }
       }
-      v
-    }
-    while (off + BLOCK <= tar.length) {
-      if ((off until off + BLOCK).forall(tar(_) == 0)) {
-        // first zero block: require the second, then stop
-        require(off + 2 * BLOCK <= tar.length &&
-          (off + BLOCK until off + 2 * BLOCK).forall(tar(_) == 0),
-          s"tar $context: single zero block at $off (truncated archive)")
-        return out.result()
-      }
-      var stored = 0L
-      var sum = 0L
-      var i = 0
-      while (i < BLOCK) {
-        val b = java.lang.Byte.toUnsignedInt(tar(off + i))
-        sum += (if (i >= 148 && i < 156) 32 else b)
-        i += 1
-      }
-      stored = octal(off + 148, 8)
-      require(stored == sum,
-        s"tar $context: header checksum mismatch at byte $off " +
-          s"(stored $stored, computed $sum)")
-      val nameEnd = {
-        var e = off
-        while (e < off + 100 && tar(e) != 0) e += 1
-        e
-      }
-      val name = new String(tar, off, nameEnd - off, "UTF-8")
-      val size = octal(off + 124, 12)
-      val dataStart = off + BLOCK
-      require(dataStart + size <= tar.length,
-        s"tar $context: entry '$name' data runs past the archive end")
-      if (tar(off + 156) == '0' || tar(off + 156) == 0)
-        out += ((name,
-          java.util.Arrays.copyOfRange(tar, dataStart,
-            (dataStart + size).toInt)))
-      off = dataStart + size.toInt + pad(size)
-    }
-    throw new IllegalArgumentException(
-      s"tar $context: missing end-of-archive marker")
+    }.toDF("shard", "name", "bytes")
   }
 
+  /** List every tar shard under `root` as one path row per shard —
+    * binaryFile does the distributed listing/assignment, and because
+    * only `path` is selected the format never reads the shard bytes
+    * into a row (ReadSchema stays struct&lt;path&gt;; asserted in
+    * ShardsSpec). */
+  private def shardPathRows(load: DataFrame): Dataset[String] =
+    load.select(col("path")).as[String](Encoders.STRING)
+
   /** Write `records` (keyCol: long, nameCol: string entry name,
-    * bytesCol: binary) as `nShards` tar shards under `root`
-    * (shard-00000.tar …). Membership = key hash mod nShards
-    * (deterministic, partitioning-independent); entries within a
-    * shard are key-ordered. Returns total records written. */
+    * bytesCol: binary) as tar shards under `root`. Membership = key
+    * hash mod `nShards` (deterministic, partitioning-independent);
+    * entries within a shard are key-ordered. With the default
+    * `maxShardBytes` each shard is one `shard-SSSSS.tar`; a finite
+    * bound rolls a shard into `shard-SSSSS-PPPP.tar` parts, cutting
+    * before the entry that would push the part past the bound (an
+    * entry larger than the bound gets a part to itself — split such
+    * records upstream). Rolls happen on the key order inside the hash
+    * shard, so part boundaries are as deterministic as membership.
+    *
+    * The directory is prepared through the Hadoop FS API (mkdirs +
+    * removal of every stale `shard-*.tar` and abandoned temp from a
+    * previous layout — a re-shard must not leave orphans for the
+    * reader's glob), and each part streams to a hidden temp name that
+    * is renamed into place only when complete: a reader never sees a
+    * half-written shard, and a retried/zombie task attempt can only
+    * republish identical bytes. Returns total records written. */
   def writeTarShards(records: DataFrame, root: String, nShards: Int,
       keyCol: String = "doc_id", nameCol: String = "name",
-      bytesCol: String = "media"): Long = {
+      bytesCol: String = "media",
+      maxShardBytes: Long = Long.MaxValue): Long = {
     require(nShards > 0, "need at least one shard")
+    require(maxShardBytes >= 3L * BLOCK,
+      s"maxShardBytes must hold at least one header+data+marker " +
+        s"(${3 * BLOCK} bytes)")
+    val rolled = maxShardBytes != Long.MaxValue
     val spark = records.sparkSession
-    new java.io.File(root).mkdirs()
+    val rootPath = new Path(root)
+    val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rootFs.mkdirs(rootPath)
+    Seq("shard-*.tar", ".shard-*.inprogress").foreach { g =>
+      val stale = rootFs.globStatus(new Path(rootPath, g))
+      if (stale != null) stale.foreach(s => rootFs.delete(s.getPath, false))
+    }
     implicit val enc = Encoders.tuple(Encoders.scalaInt,
       Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
     val assigned = records.select(
@@ -165,34 +292,59 @@ object Shards {
       .repartition(nShards, col("_shard"))
       .sortWithinPartitions(col("_shard"), col("_key"))
     // STREAMED through the Hadoop FS API: one entry in memory at a
-    // time, and the scheme (file://, hdfs://, s3a://) comes from the
-    // path — the executor-side write works on a cluster, not just
-    // local mode. repartition-by-value hash-partitions, so one task
-    // may own SEVERAL shard values: the sort makes them consecutive
-    // runs, and each run streams to its own tar.
+    // time, any scheme. repartition-by-value hash-partitions, so one
+    // task may own SEVERAL shard values: the sort makes them
+    // consecutive runs, and each run streams to its own tar(s).
     val counts = assigned.mapPartitions { it =>
-      val fsConf = new org.apache.hadoop.conf.Configuration()
+      val fsConf = new Configuration()
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       val done = Seq.newBuilder[(Int, Long)]
       var cur = -1
+      var part = 0
       var os: org.apache.hadoop.fs.FSDataOutputStream = null
+      var tmp: Path = null
+      var dest: Path = null
+      var bytesInPart = 0L
       var n = 0L
+      def fileName(s: Int, p: Int): String =
+        if (rolled) f"shard-$s%05d-$p%04d.tar" else f"shard-$s%05d.tar"
+      def openPart(s: Int, p: Int): Unit = {
+        dest = new Path(root, fileName(s, p))
+        tmp = new Path(root, s".${fileName(s, p)}.$attempt.inprogress")
+        os = tmp.getFileSystem(fsConf).create(tmp, true)
+        bytesInPart = 0L
+        n = 0L
+      }
       def closeCurrent(): Unit = if (os != null) {
         os.write(new Array[Byte](2 * BLOCK))
         os.close()
         os = null
+        // atomic publish: HDFS rename won't overwrite, so clear the
+        // destination first — deterministic content makes any
+        // concurrent attempt's bytes identical, last-writer-wins safe
+        val fs = tmp.getFileSystem(fsConf)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(tmp, dest), s"failed to publish $tmp -> $dest")
         done += ((cur, n))
       }
       it.foreach { case (s, _, name, b) =>
+        val entryBytes = BLOCK.toLong + b.length + pad(b.length.toLong)
         if (s != cur) {
           closeCurrent()
-          val p = new org.apache.hadoop.fs.Path(root, f"shard-$s%05d.tar")
-          os = p.getFileSystem(fsConf).create(p, true)
           cur = s
-          n = 0L
+          part = 0
+          openPart(s, 0)
+        } else if (rolled && bytesInPart > 0 &&
+            bytesInPart + entryBytes + 2L * BLOCK > maxShardBytes) {
+          closeCurrent()
+          part += 1
+          openPart(s, part)
         }
         os.write(tarHeader(name, b.length.toLong))
         os.write(b)
         os.write(new Array[Byte](pad(b.length.toLong)))
+        bytesInPart += entryBytes
         n += 1
       }
       closeCurrent()
@@ -202,19 +354,24 @@ object Shards {
   }
 
   /** STREAMING ingest of a growing shard directory (SURVEY.md §2
-    * ST24): the same per-task tar walk over `readStream` binaryFile —
-    * each newly-landed shard becomes one micro-batch input row and
-    * explodes to its records exactly once (file-source offsets track
-    * seen shards; a re-listed shard is never re-emitted). This is the
-    * crawl-append shape: yesterday's corpus is immutable shards,
-    * today's crawl lands as new ones, and the downstream pipeline
-    * (dedup, quality, decode) consumes records continuously instead
-    * of re-scanning the corpus. Same loud corruption contract as the
-    * batch walk. */
-  def streamTarShards(spark: SparkSession, root: String): DataFrame = {
-    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
-      Encoders.BINARY)
-    spark.readStream.format("binaryFile")
+    * ST24): the file source tracks seen shards (each newly-landed
+    * shard is consumed exactly once; a re-listed one is never
+    * re-emitted), and the same streaming per-task tar walk as
+    * [[readTarShards]] explodes it to records — only the path column
+    * rides the source row, so a landing shard costs one entry of task
+    * memory, not its full bytes. This is the crawl-append shape:
+    * yesterday's corpus is immutable shards, today's crawl lands as
+    * new ones, and the downstream pipeline (dedup, quality, decode)
+    * consumes records continuously instead of re-scanning the corpus.
+    * Same loud corruption contract as the batch walk.
+    *
+    * `maxFilesPerTrigger` is the ingest BACKPRESSURE knob: a backfill
+    * landing 1,000 shards at once becomes bounded micro-batches of at
+    * most that many shards instead of one giant batch (exactly-once is
+    * the source's offset log either way — proven in ShardsSpec). */
+  def streamTarShards(spark: SparkSession, root: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.tar")
       // streaming sources require the schema up front; binaryFile's is
       // fixed by the format
@@ -227,32 +384,17 @@ object Shards {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
-      .load(root)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING,
-        Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val shard = path.substring(path.lastIndexOf('/') + 1)
-        untar(bytes, shard).map { case (n, b) => (shard, n, b) }
-      }
-      .toDF("shard", "name", "bytes")
+    val withTrigger = maxFilesPerTrigger
+      .fold(reader)(m => reader.option("maxFilesPerTrigger", m))
+    walkShards(shardPathRows(withTrigger.load(root)))
   }
 
   /** Read every tar shard under `root` as (shard, name, bytes) rows —
-    * one binaryFile row per shard, per-task tar walk, no shuffle. */
-  def readTarShards(spark: SparkSession, root: String): DataFrame = {
-    implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
-      Encoders.BINARY)
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .load(root)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING,
-        Encoders.BINARY))
-      .flatMap { case (path, bytes) =>
-        val shard = path.substring(path.lastIndexOf('/') + 1)
-        untar(bytes, shard).map { case (n, b) => (shard, n, b) }
-      }
-      .toDF("shard", "name", "bytes")
-  }
+    * one listing row per shard, per-task streaming tar walk, no
+    * shuffle, task memory bounded by one entry. */
+  def readTarShards(spark: SparkSession, root: String): DataFrame =
+    walkShards(shardPathRows(
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(root)))
 }

@@ -67,6 +67,150 @@ class ShardsSpec extends AnyFunSuite {
       s"system tar disagreed: $out")
   }
 
+  test("untarStream walks an archive bigger than 2 GiB with one-entry memory") {
+    val nEntries = 2100
+    val entrySize = 1 << 20 // 1 MiB, block-aligned: no padding
+    // the archive is GENERATED lazily — ~2.05 GiB of tar bytes that
+    // never exist in memory at once. The point: the walk's input is
+    // beyond any single JVM array (the old whole-shard reader could
+    // not even represent it) and resident memory stays ~one entry.
+    val pieces = new java.util.Enumeration[java.io.InputStream] {
+      private var i = 0
+      private var marker = false
+      def hasMoreElements: Boolean = i < nEntries || !marker
+      def nextElement(): java.io.InputStream =
+        if (i < nEntries) {
+          val h = Shards.tarHeader(f"e$i%05d.bin", entrySize.toLong)
+          val data = new Array[Byte](entrySize)
+          java.util.Arrays.fill(data, (i % 251).toByte)
+          i += 1
+          new java.io.SequenceInputStream(
+            new java.io.ByteArrayInputStream(h),
+            new java.io.ByteArrayInputStream(data))
+        } else {
+          marker = true
+          new java.io.ByteArrayInputStream(new Array[Byte](1024))
+        }
+    }
+    var count = 0L
+    var total = 0L
+    Shards.untarStream(new java.io.SequenceInputStream(pieces), "huge")
+      .foreach { case (name, b) =>
+        if (count == 0) assert(name == "e00000.bin" && b(0) == 0)
+        count += 1
+        total += b.length
+      }
+    assert(count == nEntries)
+    assert(total == nEntries.toLong * entrySize)
+    assert(total > Int.MaxValue.toLong,
+      "the walked archive must exceed the 2 GiB array bound")
+  }
+
+  test("untarStream rejects a single entry past the 2 GiB array bound, loudly") {
+    // a header CLAIMING a >2GiB entry must fail at the header, not OOM
+    val h = Shards.tarHeader("huge.bin", 3L << 30)
+    val e = intercept[IllegalArgumentException](
+      Shards.untarStream(new java.io.ByteArrayInputStream(h), "spec").hasNext)
+    assert(e.getMessage.contains("2 GiB"))
+  }
+
+  test("readTarShards reads only the path column — shard bytes never ride a row") {
+    val root = freshRoot("shards_spec_prune")
+    new java.io.File(root).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(root, "shard-00000.tar").toPath,
+      Shards.tarBytes(Iterator("a.bin" -> Array[Byte](1))))
+    val plan = Shards.readTarShards(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<path:string>"),
+      s"binaryFile must prune content; plan was:\n$plan")
+  }
+
+  test("maxShardBytes rolls shards into size-bounded parts, deterministically") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val media = Multimodal.mediaTable(docs)
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(".ppm")).as("name"),
+        col("media"))
+    val root = freshRoot("shards_spec_rolled")
+    val bound = 64L * 1024
+    val n = Shards.writeTarShards(media, root, nShards = 2,
+      maxShardBytes = bound)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(files.forall(_.getName.matches("shard-\\d{5}-\\d{4}\\.tar")),
+      s"rolled naming: ${files.map(_.getName).mkString(",")}")
+    assert(files.forall(_.length() <= bound),
+      "every part must respect the size bound")
+    assert(files.length > 2, "the bound must actually have rolled parts")
+    // the rolled layout is still a lossless corpus
+    val back = Shards.readTarShards(spark, root)
+    assert(back.count() == n && n == media.count())
+    val joined = back
+      .select(substring_index(col("name"), ".", 1).cast("long")
+        .as("doc_id"), col("bytes"))
+      .join(media.select(col("doc_id"), col("media")), Seq("doc_id"))
+    assert(joined.filter(not(col("bytes") === col("media"))).count() == 0)
+    // determinism: same bound, same bytes, same part boundaries
+    val before = files.map(f => f.getName ->
+      java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    Shards.writeTarShards(media, root, nShards = 2, maxShardBytes = bound)
+    val after = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(after.map(_.getName).toSeq == before.keys.toSeq.sorted)
+    after.foreach { f =>
+      assert(java.util.Arrays.equals(before(f.getName),
+        java.nio.file.Files.readAllBytes(f.toPath)),
+        s"${f.getName} changed on rewrite")
+    }
+  }
+
+  test("a re-shard removes stale shards from the previous layout") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val media = Multimodal.mediaTable(docs)
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit(".ppm")).as("name"),
+        col("media"))
+    val root = freshRoot("shards_spec_reshard")
+    val n = Shards.writeTarShards(media, root, nShards = 4)
+    assert(Shards.readTarShards(spark, root).count() == n)
+    // re-shard DOWN: the 4-shard layout's files must not survive to be
+    // globbed back in as duplicates
+    Shards.writeTarShards(media, root, nShards = 2)
+    val files = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.getName).sorted.toSeq
+    assert(files.forall(f => f == "shard-00000.tar" || f == "shard-00001.tar"),
+      s"stale shards survived: $files")
+    assert(Shards.readTarShards(spark, root).count() == n,
+      "a re-shard must neither lose nor duplicate records")
+  }
+
+  test("streamTarShards maxFilesPerTrigger bounds a backfill into several micro-batches, exactly once") {
+    val root = freshRoot("shards_spec_backpressure")
+    new java.io.File(root).mkdirs()
+    (0 until 6).foreach { i =>
+      java.nio.file.Files.write(
+        new java.io.File(root, f"shard-$i%05d.tar").toPath,
+        Shards.tarBytes(Iterator(s"r$i.bin" -> Array[Byte](i.toByte))))
+    }
+    val q = Shards.streamTarShards(spark, root, maxFilesPerTrigger = Some(2))
+      .select(col("name"))
+      .writeStream.format("memory").queryName("shards_backpressure_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("shards_backpressure_out")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got == (0 until 6).map(i => s"r$i.bin"),
+        s"backfill must arrive exactly once, got $got")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3,
+        s"6 shards at maxFilesPerTrigger=2 must take >=3 batches, took $batches")
+    } finally q.stop()
+  }
+
   test("streamTarShards: shards landing across micro-batches emit each record exactly once") {
     val root = freshRoot("shards_spec_stream")
     new java.io.File(root).mkdirs()
