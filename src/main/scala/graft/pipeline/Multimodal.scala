@@ -699,15 +699,22 @@ object Multimodal {
       tw: Int = 8, th: Int = 8): DataFrame =
     hashPairs(imageAHash(docs, tw, th).localCheckpoint(), maxHamming)
 
-  /** The banding closure over an ALREADY-HASHED (doc_id, ahash) frame
-    * — factored out of [[imageHashPairs]] so the WebDataset read path
-    * (shards → [[pngAHashes]]) rides the identical recall-1 candidate
-    * join. Returns (a, b, hamming), a &lt; b. */
-  def hashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Banded candidate pairs over DISTINCT hash VALUES — the
+    * flood-proof core (r14): a real crawl carries floods of
+    * byte-identical images (blank thumbnails, error placeholders), and
+    * banding over ROWS would put a million copies of one hash into the
+    * same bucket — a quadratic candidate join from data the pipeline
+    * already knows are duplicates. Banding over the distinct values
+    * makes candidate work ∝ |distinct hashes| · chunks, independent of
+    * flood size. Returns (ha, hb, hamming) with ha &lt; hb, hamming ≤
+    * radius — recall 1 by the same pigeonhole (the argument is about
+    * hash values, not rows). */
+  private def bandedHashValuePairs(hashVals: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0,64)")
     val nChunks = maxHamming + 1
     val bits = 64 / nChunks
-    val chunks = hashes.select(col("doc_id"), col("ahash"),
+    val chunks = hashVals.select(col("ahash"),
       explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val",
         // unsigned-shift the chunk into the low bits; the LAST chunk
@@ -718,16 +725,75 @@ object Multimodal {
             expr(s"shiftrightunsigned(ahash, chunk_idx * $bits)"),
             lit(1L << bits))))
     val a = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("a"), col("ahash").as("ha"))
+      col("ahash").as("ha"))
     val b = chunks.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("b"), col("ahash").as("hb"))
+      col("ahash").as("hb"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The banding closure over an ALREADY-HASHED (doc_id, ahash) frame
+    * — factored out of [[imageHashPairs]] so the WebDataset read path
+    * (shards → [[pngAHashes]]) rides the identical recall-1 candidate
+    * join. Returns (a, b, hamming), a &lt; b — the COMPLETE
+    * within-radius pair relation: candidates come from
+    * [[bandedHashValuePairs]] over distinct hashes, then expand back
+    * to member pairs, so every expanded row IS a true pair
+    * (output-proportional by construction) and an identical-hash flood
+    * never inflates the candidate join. Callers that only need the
+    * KEEP decision should prefer [[hashDedupEdges]] — the complete
+    * relation on a flood is inherently quadratic in the OUTPUT. */
+  def hashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val members = hashes.select(col("doc_id"), col("ahash"))
+    val valuePairs = bandedHashValuePairs(
+      members.select(col("ahash")).distinct(), maxHamming)
+    // cross-group: every member pair between two within-radius hash
+    // groups (groups are disjoint, so least/greatest needs no dedup)
+    val cross = valuePairs
+      .join(members.select(col("ahash").as("ha"), col("doc_id").as("da")),
+        Seq("ha"))
+      .join(members.select(col("ahash").as("hb"), col("doc_id").as("db")),
+        Seq("hb"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    // intra-group: identical hashes are hamming-0 pairs
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.ahash") === col("y.ahash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** CC-EQUIVALENT edge set for the near-dup KEEP decision (r14): star
+    * edges inside each identical-hash group (group-min → member) plus
+    * ONE representative edge per within-radius hash-value pair —
+    * LINEAR in flood size where [[hashPairs]]' complete relation is
+    * quadratic (a 1M-copy placeholder flood is 10^6 star edges, not
+    * 5·10^11 pairs), with identical connectivity and therefore the
+    * identical [[graft.pipeline.Dedup.keepAfterNearDedup]] keep set.
+    * Returns (a_id, b_id). */
+  def hashDedupEdges(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val members = hashes.select(col("doc_id"), col("ahash"))
+    val reps = members.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val star = members.join(reps, Seq("ahash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    val repEdges = bandedHashValuePairs(reps.select(col("ahash")),
+        maxHamming)
+      .join(reps.select(col("ahash").as("ha"), col("rep").as("a_id")),
+        Seq("ha"))
+      .join(reps.select(col("ahash").as("hb"), col("rep").as("b_id")),
+        Seq("hb"))
+      .select(col("a_id"), col("b_id"))
+    star.unionByName(repEdges)
   }
 
   // ------------------------------------------------- JPEG leg (P11g)

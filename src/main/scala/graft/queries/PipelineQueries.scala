@@ -2751,10 +2751,13 @@ object PipelineQueries {
       val hashed = Multimodal.pngAHashes(back).localCheckpoint()
       val okHashes = hashed.filter(col("crc_ok"))
         .select(col("doc_id"), col("ahash"))
-      val pairs = Multimodal.hashPairs(okHashes, maxHamming = 3)
-        .select(col("a").as("a_id"), col("b").as("b_id"))
+      // the LINEAR keep path (hashDedupEdges): star edges per
+      // identical-hash group + one edge per within-radius hash pair —
+      // same CC connectivity as the complete pair relation (which the
+      // oracle brute-forces), flood-proof at crawl scale
+      val edges = Multimodal.hashDedupEdges(okHashes, maxHamming = 3)
       val kept = Dedup.keepAfterNearDedup(
-          hashed.filter(col("crc_ok")).select(col("doc_id")), pairs)
+          hashed.filter(col("crc_ok")).select(col("doc_id")), edges)
         .withColumn("keep", lit(true))
       hashed.select(col("doc_id"), col("crc_ok"))
         .join(kept, Seq("doc_id"), "left")

@@ -191,6 +191,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("hashPairs under an identical-hash FLOOD equals brute force (distinct-value banding)") {
+    // 120 byte-identical placeholder images (one hash) + near hashes at
+    // hamming 1/3 + a far hash: the candidate JOIN must see 4 distinct
+    // values, while the OUTPUT is still the complete true pair relation
+    import spark.implicits._
+    val flood = (1L to 120L).map(i => (i, 0x0f0f0f0f0f0f0f0fL))
+    val rows = flood ++ Seq(
+      (200L, 0x0f0f0f0f0f0f0f0eL), // hamming 1 from the flood hash
+      (201L, 0x0f0f0f0f0f0f0f0bL), // hamming 2
+      (202L, 0xf0f0f0f0f0f0f0f0L)) // far: pairs with nothing
+    val hashes = rows.toDF("doc_id", "ahash")
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.hashPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+      .collect().toSet
+    assert(got == brute)
+    assert(brute.size >= 120 * 119 / 2, "the flood's pairs are all present")
+  }
+
+  test("hashDedupEdges: LINEAR edge count under a flood, identical keep set") {
+    // 20k copies of one hash: the complete pair relation is ~2*10^8
+    // rows; the keep path must carry ~2*10^4 star edges and decide the
+    // same components
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 20000L
+    val flood = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit(0x1234567812345678L).as("ahash"))
+    val near = Seq((n + 5L, 0x1234567812345679L), // hamming 1: joins the CC
+      (n + 9L, 0x8765432187654321L)) // far: its own component
+      .toDF("doc_id", "ahash")
+    val hashes = flood.unionByName(near)
+    val edges = Multimodal.hashDedupEdges(hashes, maxHamming = 3)
+    val nEdges = edges.count()
+    assert(nEdges == (n - 1) + 1,
+      s"flood must yield star + one rep edge, got $nEdges")
+    val kept = graft.pipeline.Dedup.keepAfterNearDedup(
+        hashes.select(col("doc_id")), edges)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    // component {1..20000, 20005} keeps 1; the far hash keeps itself
+    assert(kept.toSeq == Seq(1L, n + 9L), s"kept ${kept.toSeq}")
+  }
+
   test("synthPng round-trips: decode recovers the exact LCG pixel stream") {
     val seed = 987654L
     val png = Multimodal.synthPng(seed)

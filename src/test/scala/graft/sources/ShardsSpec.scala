@@ -237,6 +237,41 @@ class ShardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming shards -> PNG decode -> aHash dedup: the crawl-append near-dup loop") {
+    // ST24 composed with P11f/P11e end to end ON A STREAM: yesterday's
+    // corpus is shard 0; today's crawl (shard 1) re-ingests one image
+    // byte-identically — the stateful dedup must recognize it ACROSS
+    // micro-batches (hash state crosses the batch cut), while the
+    // genuinely new image passes through.
+    val root = freshRoot("shards_spec_stream_dedup")
+    new java.io.File(root).mkdirs()
+    def png(seed: Long): Array[Byte] = Multimodal.synthPng(seed)
+    def land(idx: Int, entries: (String, Array[Byte])*): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(root, f"shard-$idx%05d.tar").toPath,
+        Shards.tarBytes(entries.iterator))
+    land(0, "3.png" -> png(12345L), "6.png" -> png(67890L))
+    val records = Shards.streamTarShards(spark, root)
+      .select(substring_index(col("name"), ".", 1).cast("long")
+        .as("doc_id"), col("bytes"))
+    val q = graft.pipeline.Multimodal.pngAHashes(records)
+      .filter(col("crc_ok"))
+      .select(col("doc_id"), col("ahash"))
+      .dropDuplicates("ahash")
+      .writeStream.format("memory").queryName("shards_dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // today's crawl: 9.png duplicates 3.png's bytes, 12.png is new
+      land(1, "9.png" -> png(12345L), "12.png" -> png(99999L))
+      q.processAllAvailable()
+      val kept = spark.table("shards_dedup_stream_out")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(3L, 6L, 12L),
+        s"cross-batch near-dup state failed: kept $kept")
+    } finally q.stop()
+  }
+
   test("write+read round trip: bytes transparent, membership deterministic, walk distributed") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 0)
