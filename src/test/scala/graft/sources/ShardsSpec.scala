@@ -237,6 +237,42 @@ class ShardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamTarShards: a killed ingester resumes from its checkpoint exactly-once") {
+    // the crawl-backfill crash case: shards 0-1 are committed, the
+    // ingester dies, shards 2-3 land, a NEW query starts from the same
+    // checkpointLocation — the file-source offset log must replay
+    // nothing and miss nothing
+    val root = freshRoot("shards_spec_recovery")
+    val ckpt = freshRoot("shards_spec_recovery_ckpt")
+    new java.io.File(root).mkdirs()
+    def land(idx: Int): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(root, f"shard-$idx%05d.tar").toPath,
+        Shards.tarBytes(Iterator(s"r$idx.bin" -> Array[Byte](idx.toByte))))
+    val sink = scala.collection.concurrent.TrieMap
+      .empty[Long, Seq[String]]
+    def drainOnce(): Unit = {
+      val q = Shards.streamTarShards(spark, root)
+        .select(col("name"))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            sink.put(id, df.collect().map(_.getString(0)).toSeq)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(0); land(1)
+    drainOnce() // run 1, then "crash"
+    land(2); land(3)
+    drainOnce() // restart from the offset log
+    val got = sink.values.flatten.toSeq.sorted
+    assert(got == Seq("r0.bin", "r1.bin", "r2.bin", "r3.bin"),
+      s"restart must neither replay nor drop shards: $got")
+  }
+
   test("streaming shards -> PNG decode -> aHash dedup: the crawl-append near-dup loop") {
     // ST24 composed with P11f/P11e end to end ON A STREAM: yesterday's
     // corpus is shard 0; today's crawl (shard 1) re-ingests one image
