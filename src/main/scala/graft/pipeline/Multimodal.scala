@@ -226,6 +226,68 @@ object Multimodal {
       }).toDF()
   }
 
+  case class AudioHash(doc_id: Long, ahash: Long)
+
+  /** 64-bit loudness-envelope fingerprint per audio record (SURVEY.md
+    * §2 P11i, r14) — the AUDIO leg of the near-dup family (text has
+    * exact/minhash/simhash/semantic, images have [[imageAHash]]; this
+    * completes the modality set): split the decoded 16-bit PCM stream
+    * into 64 contiguous windows (sample j lands in window ⌊j·64/n⌋),
+    * bit w set iff window w's MEAN |sample| exceeds the stream mean —
+    * in exact all-integer form, windowAbsSum·n &gt; totalAbsSum·windowLen
+    * (the [[ahashOfPixels]] above-mean idiom on the loudness envelope,
+    * divisionless and engine-exact; sums fit a long: ≤ 2^15·n²
+    * ≪ 2^63 at any sane clip length). A re-ingested copy hashes
+    * identically; an amplitude-rescaled copy also does (the predicate
+    * is scale-invariant), which is exactly the "same clip, different
+    * gain" crawl case. One 8-byte hash per clip is all that ever
+    * shuffles — samples never do. */
+  def audioFingerprint(docs: DataFrame): DataFrame = {
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[AudioHash]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("audio/"))
+      .mapPartitions(_.map { r =>
+        AudioHash(r.doc_id, envelopeHash(r.media))
+      }).toDF()
+  }
+
+  /** The fingerprint core over one WAV record's decoded samples. */
+  private[graft] def envelopeHash(media: Array[Byte]): Long = {
+    val (_, nL) = parseWav(media)
+    val n = nL.toInt
+    val off = wavDataOffset(media)
+    val wsum = new Array[Long](64)
+    val wlen = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val lo = java.lang.Byte.toUnsignedInt(media(off + 2 * i))
+      val hi = media(off + 2 * i + 1).toInt // sign-carrying byte
+      val a = math.abs((hi << 8) | lo).toLong
+      val w = (i.toLong * 64 / n).toInt
+      wsum(w) += a
+      wlen(w) += 1
+      total += a
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (wsum(w) * n > total * wlen(w)) hash |= (1L << w)
+      w += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate AUDIO pairs by envelope-fingerprint hamming ≤
+    * `maxHamming` — the audio twin of [[imageHashPairs]], riding the
+    * SAME distinct-value banding closure ([[hashPairs]]): recall 1 by
+    * pigeonhole, flood-proof, candidates ∝ distinct fingerprints.
+    * Returns (a, b, hamming), a &lt; b. */
+  def audioHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashPairs(audioFingerprint(docs).localCheckpoint(), maxHamming)
+
   /** Y4M stream header parse → (width, height, frameSize, frameOffsets). */
   private[graft] def parseY4m(bytes: Array[Byte]): (Int, Int, Seq[Int]) = {
     require(bytes.length > 10 &&

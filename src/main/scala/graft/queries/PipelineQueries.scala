@@ -2869,6 +2869,78 @@ object PipelineQueries {
         CAST(ns AS BIGINT) AS n_samples, f.abs_sum, f.zero_crossings
       FROM m JOIN f USING (doc_id) ORDER BY m.doc_id"""))
 
+  // P11i (r14): audio near-dup by 64-bit loudness-envelope fingerprint
+  // — the AUDIO leg of the near-dup family, completing the modality
+  // set (text exact/minhash/simhash/semantic, image aHash, audio
+  // this). DuckDB replays the PCM samples (the multimodal_audio LCG
+  // CTE), assigns sample j to window floor(j*64/n), re-derives the
+  // all-integer above-mean bit (wsum*n > total*wlen), builds the
+  // signed 64-bit hash, and brute-forces ALL clip pairs with
+  // bit_count(xor) — a hash match proves the distinct-value banding
+  // has recall 1 at the radius AND the fingerprint bits are
+  // engine-exact. Planted exact re-ingests at +999999 (≡ 0 mod 3,
+  // so % 30 == 1 source rows stay on the audio ≡ 1 slice).
+  private val multimodalAudiodup = Q(
+    "multimodal_audiodup",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      Multimodal.audioHashPairs(docs.unionByName(planted), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 1),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 64 + seed % 4096 AS ns FROM s
+        WHERE doc_id % 3 = 1),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), ns * 2 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      smp AS (SELECT lo.doc_id, lo.idx // 2 AS j,
+          CASE WHEN lo.b + 256 * hi.b >= 32768
+            THEN lo.b + 256 * hi.b - 65536
+            ELSE lo.b + 256 * hi.b END AS sv
+        FROM bytes lo JOIN bytes hi
+          ON hi.doc_id = lo.doc_id AND hi.idx = lo.idx + 1
+        WHERE lo.idx % 2 = 0),
+      win AS (SELECT smp.doc_id, (smp.j * 64) // m.ns AS w,
+          abs(smp.sv) AS a
+        FROM smp JOIN m USING (doc_id)),
+      ws AS (SELECT doc_id, w, sum(a) AS wsum, count(*) AS wlen
+        FROM win GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(wsum) AS t, sum(wlen) AS n
+        FROM ws GROUP BY 1),
+      h AS (SELECT ws.doc_id,
+          CAST(sum(CASE WHEN ws.wsum * tot.n > tot.t * ws.wlen THEN
+              CASE WHEN ws.w = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << ws.w) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM ws JOIN tot USING (doc_id) GROUP BY 1)
+      SELECT h1.doc_id AS a, h2.doc_id AS b,
+        CAST(bit_count(xor(h1.ahash, h2.ahash)) AS BIGINT) AS hamming
+      FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+      WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
+      ORDER BY a, b"""))
+
   // P11e: image near-dup by perceptual aHash — the pixel path of the
   // near-dup family. DuckDB replays the LCG byte stream, the
   // nearest-neighbor gray sums, the integer above-mean threshold, the
@@ -3524,5 +3596,6 @@ object PipelineQueries {
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
+    multimodalAudiodup,
     multimodalPhash)
 }

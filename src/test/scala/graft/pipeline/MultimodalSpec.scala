@@ -238,6 +238,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, n + 9L), s"kept ${kept.toSeq}")
   }
 
+  test("audioFingerprint: envelope bits follow loud/quiet windows; banding equals brute force") {
+    // hand-built WAV: 128 samples, first half amplitude 1000, second
+    // half silence — 64 windows of 2 samples, so bits 0..31 must be
+    // set (above the stream mean) and 32..63 clear
+    val n = 128
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => bb.putShort(if (i < n / 2) 1000 else 0))
+    assert(Multimodal.envelopeHash(bb.array()) == 0x00000000ffffffffL)
+    // scale-invariance: double the gain, same fingerprint
+    val bb2 = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put(java.util.Arrays.copyOfRange(bb.array(), 0, 44))
+    (0 until n).foreach(i => bb2.putShort(if (i < n / 2) 2000 else 0))
+    assert(Multimodal.envelopeHash(bb2.array()) == 0x00000000ffffffffL)
+    // banding over the real corpus + planted copies equals brute force
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(999999L))
+    val all = docs.unionByName(planted)
+    val fps = Multimodal.audioFingerprint(all)
+      .as[(Long, Long)].collect()
+    assert(fps.nonEmpty)
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.nonEmpty, "planted copies must pair")
+    val banded = Multimodal.audioHashPairs(all, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("synthPng round-trips: decode recovers the exact LCG pixel stream") {
     val seed = 987654L
     val png = Multimodal.synthPng(seed)
