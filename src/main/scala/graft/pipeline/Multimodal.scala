@@ -313,6 +313,93 @@ object Multimodal {
     (w, h, offsets.result())
   }
 
+  case class FrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Luma-plane aHash for one 4:2:0 frame: the [[ahashOfPixels]] rule
+    * on the Y plane (one byte per pixel — no channel sum), tw×th
+    * nearest-neighbor sampled, bit p set iff gray·(tw·th) &gt; Σ gray. */
+  private[graft] def lumaHash(bytes: Array[Byte], off: Int, w: Int,
+      h: Int, tw: Int = 8, th: Int = 8): Long = {
+    val gray = new Array[Long](tw * th)
+    var total = 0L
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        val g = java.lang.Byte.toUnsignedInt(bytes(off + sy * w + sx)).toLong
+        gray(y * tw + x) = g
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var p = 0
+    while (p < tw * th) {
+      if (gray(p) * (tw * th) > total) hash |= (1L << p)
+      p += 1
+    }
+    hash
+  }
+
+  /** One 64-bit luma aHash per SAMPLED frame (every `stride`-th) —
+    * the video near-dup unit (SURVEY.md §2 P11j): a video is its
+    * sequence of frame fingerprints; 8 bytes per sampled frame is all
+    * that ever shuffles, never planes. Narrow per-partition flatMap. */
+  def videoFrameHashes(docs: DataFrame, stride: Int = 10): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    implicit val recEnc = Encoders.product[MediaRecord]
+    implicit val outEnc = Encoders.product[FrameHash]
+    mediaTable(docs).as[MediaRecord]
+      .filter((r: MediaRecord) => r.mime.startsWith("video/"))
+      .mapPartitions(_.flatMap { r =>
+        val (w, h, offs) = parseY4m(r.media)
+        (0 until offs.length by stride).iterator.map { idx =>
+          FrameHash(r.doc_id, idx, lumaHash(r.media, offs(idx), w, h))
+        }
+      }).toDF()
+  }
+
+  /** Near-duplicate VIDEO pairs (SURVEY.md §2 P11j, r14 — the fourth
+    * and last near-dup modality): two videos pair when at least
+    * `minMatches` of their SAME-POSITION sampled frames hash within
+    * `maxHamming` — the re-encoded / re-crawled-clip case. Candidates
+    * ride [[bandedHashValuePairs]] over DISTINCT frame-hash values
+    * (flood-proof: a million copies of one test pattern are one
+    * banding participant), constrained to equal frame positions on
+    * expansion; per-pair evidence is then one count-aggregate.
+    * Returns (a, b, n_matched), a &lt; b, n_matched ≥ minMatches. */
+  def videoNearDupPairs(docs: DataFrame, stride: Int = 10,
+      maxHamming: Int = 3, minMatches: Int = 1): DataFrame = {
+    require(minMatches > 0, "minMatches must be positive")
+    val frames = videoFrameHashes(docs, stride).localCheckpoint()
+    val valuePairs = bandedHashValuePairs(
+      frames.select(col("fhash").as("ahash")).distinct(), maxHamming)
+    val fa = frames.select(col("fhash").as("ha"),
+      col("doc_id").as("da"), col("frame_idx").as("fi"))
+    val fb = frames.select(col("fhash").as("hb"),
+      col("doc_id").as("db"), col("frame_idx").as("fj"))
+    // cross: within-radius distinct values, same frame position (one
+    // doc carries ONE hash per position, so da != db holds)
+    val cross = valuePairs.join(fa, Seq("ha")).join(fb, Seq("hb"))
+      .filter(col("fi") === col("fj"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"))
+    // intra: identical frame hashes at the same position
+    val intra = frames.as("x")
+      .join(frames.as("y"),
+        col("x.fhash") === col("y.fhash")
+          && col("x.frame_idx") === col("y.frame_idx")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    cross.unionByName(intra)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
   /** Decode one record by sniffing its mime/magic — a REAL parse of the
     * standard format, not a fake. */
   private[graft] def decode(r: MediaRecord): MediaFeatures = r.mime match {

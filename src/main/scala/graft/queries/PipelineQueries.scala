@@ -2941,6 +2941,73 @@ object PipelineQueries {
       WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
       ORDER BY a, b"""))
 
+  // P11j (r14): video near-dup by per-frame luma aHash — the FOURTH
+  // and last near-dup modality. Two videos pair when sampled frames at
+  // the SAME position hash within radius; evidence = matched-frame
+  // count. The oracle is cheap by construction: the synthesizer seeds
+  // each frame independently (seed + frame_idx), so DuckDB replays
+  // ONLY the sampled frames' 64 luma bytes (64 LCG steps each), the
+  // above-mean bits, the signed hash, and brute-forces all same-
+  // position frame pairs — banding recall 1 and engine-exact bits.
+  // Planted exact re-ingests at +999999 (%30 == 2 rows stay ≡ 2 mod 3,
+  // the video slice).
+  private val multimodalVideodup = Q(
+    "multimodal_videodup",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 2)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      Multimodal.videoNearDupPairs(docs.unionByName(planted),
+          stride = 10, maxHamming = 3, minMatches = 1)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 2),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 1 + (seed // 256) % 120 AS vf FROM s
+        WHERE doc_id % 3 = 2),
+      fr AS (SELECT doc_id,
+          CAST(unnest(range(0, vf, 10)) AS INTEGER) AS fidx,
+          seed + unnest(range(0, vf, 10)) AS fseed
+        FROM m),
+      gen(doc_id, fidx, i, st) AS (
+        SELECT doc_id, fidx, 0, CAST(fseed AS HUGEINT) FROM fr
+        UNION ALL
+        SELECT doc_id, fidx, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT)
+        FROM gen WHERE i < 64),
+      yb AS (SELECT doc_id, fidx, i - 1 AS p,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS y
+        FROM gen WHERE i > 0),
+      tot AS (SELECT doc_id, fidx, sum(y) AS total FROM yb GROUP BY 1, 2),
+      fh AS (SELECT yb.doc_id, yb.fidx,
+          CAST(sum(CASE WHEN yb.y * 64 > t.total THEN
+              CASE WHEN yb.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << yb.p) END
+            ELSE 0 END) AS BIGINT) AS fhash
+        FROM yb JOIN tot t ON t.doc_id = yb.doc_id AND t.fidx = yb.fidx
+        GROUP BY 1, 2),
+      prs AS (SELECT f1.doc_id AS a, f2.doc_id AS b,
+          CAST(count(*) AS BIGINT) AS n_matched
+        FROM fh f1 JOIN fh f2 ON f1.fidx = f2.fidx
+          AND f1.doc_id < f2.doc_id
+          AND bit_count(xor(f1.fhash, f2.fhash)) <= 3
+        GROUP BY 1, 2)
+      SELECT a, b, n_matched FROM prs WHERE n_matched >= 1
+      ORDER BY a, b"""))
+
   // P11e: image near-dup by perceptual aHash — the pixel path of the
   // near-dup family. DuckDB replays the LCG byte stream, the
   // nearest-neighbor gray sums, the integer above-mean threshold, the
@@ -3596,6 +3663,6 @@ object PipelineQueries {
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
-    multimodalAudiodup,
+    multimodalAudiodup, multimodalVideodup,
     multimodalPhash)
 }

@@ -280,6 +280,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("videoNearDupPairs equals brute force over same-position frame hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 2)
+      .withColumn("doc_id", col("doc_id") + lit(999999L))
+    val all = docs.unionByName(planted)
+    val frames = Multimodal.videoFrameHashes(all, stride = 10)
+      .as[(Long, Int, Long)].collect()
+    assert(frames.nonEmpty)
+    val pairBuf = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    frames.groupBy(_._2).values.foreach { samePos =>
+      for {
+        (a, _, ha) <- samePos
+        (b, _, hb) <- samePos
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+      } pairBuf((a, b)) = pairBuf.getOrElse((a, b), 0L) + 1L
+    }
+    val brute = pairBuf.map { case ((a, b), n) => (a, b, n) }.toSet
+    assert(brute.nonEmpty, "planted video copies must pair")
+    val got = Multimodal.videoNearDupPairs(all, stride = 10,
+        maxHamming = 3, minMatches = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    // a planted exact copy matches on EVERY sampled frame: n_matched =
+    // ceil(vf / 10) for at least one pair
+    val byDoc = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(got.exists { case (a, b, n) =>
+      b == a + 999999L && n.toInt == byDoc(a)
+    }, "an exact re-ingest must match all sampled positions")
+  }
+
   test("synthPng round-trips: decode recovers the exact LCG pixel stream") {
     val seed = 987654L
     val png = Multimodal.synthPng(seed)
