@@ -3008,6 +3008,82 @@ object PipelineQueries {
       SELECT a, b, n_matched FROM prs WHERE n_matched >= 1
       ORDER BY a, b"""))
 
+  // P11j-keep (r14): the video DECISION — CC min-id keep over the
+  // frame-evidence pair relation (minMatches=1), mirroring P11h's
+  // image keep. The oracle closes the same replayed pair set with the
+  // recursive reach CTE, so the kept set is proven end to end: frame
+  // hashes engine-exact, banding recall 1, components identical.
+  private val multimodalVideodupKeep = Q(
+    "multimodal_videodup_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 2)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val all = docs.unionByName(planted)
+      val vids = all.filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id"))
+      val pairs = Multimodal.videoNearDupPairs(all, stride = 10,
+          maxHamming = 3, minMatches = 1)
+        .select(col("a").as("a_id"), col("b").as("b_id"))
+      Dedup.keepAfterNearDedup(vids, pairs)
+        .withColumn("keep", lit(true))
+        .join(vids, Seq("doc_id"), "right")
+        .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 2),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 1 + (seed // 256) % 120 AS vf FROM s
+        WHERE doc_id % 3 = 2),
+      fr AS (SELECT doc_id,
+          CAST(unnest(range(0, vf, 10)) AS INTEGER) AS fidx,
+          seed + unnest(range(0, vf, 10)) AS fseed
+        FROM m),
+      gen(doc_id, fidx, i, st) AS (
+        SELECT doc_id, fidx, 0, CAST(fseed AS HUGEINT) FROM fr
+        UNION ALL
+        SELECT doc_id, fidx, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT)
+        FROM gen WHERE i < 64),
+      yb AS (SELECT doc_id, fidx, i - 1 AS p,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS y
+        FROM gen WHERE i > 0),
+      tot AS (SELECT doc_id, fidx, sum(y) AS total FROM yb GROUP BY 1, 2),
+      fh AS (SELECT yb.doc_id, yb.fidx,
+          CAST(sum(CASE WHEN yb.y * 64 > t.total THEN
+              CASE WHEN yb.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << yb.p) END
+            ELSE 0 END) AS BIGINT) AS fhash
+        FROM yb JOIN tot t ON t.doc_id = yb.doc_id AND t.fidx = yb.fidx
+        GROUP BY 1, 2),
+      prs AS (SELECT f1.doc_id AS a, f2.doc_id AS b
+        FROM fh f1 JOIN fh f2 ON f1.fidx = f2.fidx
+          AND f1.doc_id < f2.doc_id
+          AND bit_count(xor(f1.fhash, f2.fhash)) <= 3
+        GROUP BY 1, 2),
+      edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM m
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY 1)
+      SELECT m.doc_id, (m.doc_id = comp.c) AS keep
+      FROM m JOIN comp ON m.doc_id = comp.doc_id
+      ORDER BY m.doc_id"""))
+
   // P11e: image near-dup by perceptual aHash — the pixel path of the
   // near-dup family. DuckDB replays the LCG byte stream, the
   // nearest-neighbor gray sums, the integer above-mean threshold, the
@@ -3663,6 +3739,6 @@ object PipelineQueries {
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
-    multimodalAudiodup, multimodalVideodup,
+    multimodalAudiodup, multimodalVideodup, multimodalVideodupKeep,
     multimodalPhash)
 }
