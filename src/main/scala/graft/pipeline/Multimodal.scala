@@ -236,8 +236,9 @@ object Multimodal {
     * bit w set iff window w's MEAN |sample| exceeds the stream mean —
     * in exact all-integer form, windowAbsSum·n &gt; totalAbsSum·windowLen
     * (the [[ahashOfPixels]] above-mean idiom on the loudness envelope,
-    * divisionless and engine-exact; sums fit a long: ≤ 2^15·n²
-    * ≪ 2^63 at any sane clip length). A re-ingested copy hashes
+    * divisionless and engine-exact; the products fit a long up to the
+    * guarded 2^24-sample bound — see [[envelopeHash]], which fails
+    * loudly beyond it). A re-ingested copy hashes
     * identically; an amplitude-rescaled copy also does (the predicate
     * is scale-invariant), which is exactly the "same clip, different
     * gain" crawl case. One 8-byte hash per clip is all that ever
@@ -252,9 +253,22 @@ object Multimodal {
       }).toDF()
   }
 
-  /** The fingerprint core over one WAV record's decoded samples. */
+  /** The fingerprint core over one WAV record's decoded samples.
+    *
+    * Sample bound (r15 advice): the divisionless above-mean compare
+    * `wsum(w)·n > total·wlen(w)` is exact only while both products fit
+    * a signed 64-bit — total ≤ 2^15·n, so n ≤ 2^24 (~6 min of 48 kHz
+    * mono) keeps total·wlen ≤ 2^15·n·n/64 &lt; 2^63 with margin.
+    * Beyond that the compare would silently wrap and emit WRONG
+    * fingerprint bits; fail loudly instead (split longer streams
+    * upstream, the tar-entry discipline). */
   private[graft] def envelopeHash(media: Array[Byte]): Long = {
     val (_, nL) = parseWav(media)
+    require(nL <= (1L << 24),
+      s"audio fingerprint: $nL samples exceeds the 2^24 exact-integer " +
+        "bound (~6 min at 48 kHz mono) — the divisionless envelope " +
+        "compare would overflow 64-bit and corrupt bits; segment the " +
+        "stream upstream")
     val n = nL.toInt
     val off = wavDataOffset(media)
     val wsum = new Array[Long](64)
@@ -942,6 +956,75 @@ object Multimodal {
       .join(reps.select(col("ahash").as("hb"), col("rep").as("b_id")),
         Seq("hb"))
       .select(col("a_id"), col("b_id"))
+    star.unionByName(repEdges)
+  }
+
+  /** CC-EQUIVALENT edge set for the VIDEO near-dup KEEP decision (r15,
+    * the [[hashDedupEdges]] discipline lifted to per-frame hashes) —
+    * LINEAR in flood size where [[videoNearDupPairs]]' complete pair
+    * relation is quadratic: N re-crawled copies of one test-pattern
+    * clip put N frames into each (frame_idx, fhash) group, and the
+    * complete relation expands N²·frames rows before the CC even
+    * starts; here they cost N·frames star edges.
+    *
+    * Construction: members are (doc_id, frame_idx, fhash) sampled-frame
+    * rows. (1) STAR edges inside each identical (frame_idx, fhash)
+    * group — group-min doc → member. (2) ONE representative edge per
+    * within-radius frame-hash value pair PER shared frame position:
+    * [[bandedHashValuePairs]] over the DISTINCT fhash values (recall 1
+    * by pigeonhole), expanded against the per-(position, value)
+    * representatives with the equal-position constraint — never
+    * against members.
+    *
+    * Connectivity proof (minMatches = 1, the keep contract): a
+    * complete-relation pair (x, y) means some position i has hashes
+    * within radius. Equal hashes → x, y share the (i, h) group, both
+    * star-linked to its rep. Different hashes ha ≠ hb → x ~ rep(i,ha),
+    * y ~ rep(i,hb), and the rep edge (rep(i,ha), rep(i,hb)) exists
+    * because (ha, hb) is a within-radius distinct-value pair.
+    * Conversely every emitted edge IS a same-position within-radius
+    * pair, so the transitive closures — and therefore the
+    * [[graft.pipeline.Dedup.keepAfterNearDedup]] min-id keep set — are
+    * identical. minMatches &gt; 1 changes the PAIR relation (evidence
+    * counting) and must use [[videoNearDupPairs]]; this builder is the
+    * decision path, where one shared frame links the component.
+    *
+    * Scale: one groupBy over frame rows (8 bytes of hash per sampled
+    * frame — planes never shuffle), banding over distinct hash values,
+    * rep joins at distinct-(position, value) cardinality. A duplicate
+    * doc contributes edges ∝ its own frame count — flood-linear, the
+    * planted-flood MultimodalSpec case asserts it. Returns
+    * (a_id, b_id). */
+  def videoDedupEdges(docs: DataFrame, stride: Int = 10,
+      maxHamming: Int = 3): DataFrame =
+    videoDedupEdgesFromFrames(
+      videoFrameHashes(docs, stride).localCheckpoint(), maxHamming)
+
+  /** The edge construction over an already-hashed (doc_id, frame_idx,
+    * fhash) frame — split out so specs can plant frame floods without
+    * synthesizing Y4M bytes. */
+  private[graft] def videoDedupEdgesFromFrames(frames: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val members = frames.select(col("doc_id"), col("frame_idx"),
+      col("fhash"))
+    val reps = members.groupBy(col("frame_idx"), col("fhash"))
+      .agg(min(col("doc_id")).as("rep"))
+    // star: each member to its group representative (distinct — a doc
+    // sharing several positions with the same rep is still one edge)
+    val star = members.join(reps, Seq("frame_idx", "fhash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    val valuePairs = bandedHashValuePairs(
+      members.select(col("fhash").as("ahash")).distinct(), maxHamming)
+    val repEdges = valuePairs
+      .join(reps.select(col("frame_idx").as("fi"),
+        col("fhash").as("ha"), col("rep").as("a_id")), Seq("ha"))
+      .join(reps.select(col("frame_idx").as("fj"),
+        col("fhash").as("hb"), col("rep").as("b_id")), Seq("hb"))
+      .filter(col("fi") === col("fj"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
     star.unionByName(repEdges)
   }
 

@@ -3008,11 +3008,15 @@ object PipelineQueries {
       SELECT a, b, n_matched FROM prs WHERE n_matched >= 1
       ORDER BY a, b"""))
 
-  // P11j-keep (r14): the video DECISION — CC min-id keep over the
-  // frame-evidence pair relation (minMatches=1), mirroring P11h's
-  // image keep. The oracle closes the same replayed pair set with the
-  // recursive reach CTE, so the kept set is proven end to end: frame
-  // hashes engine-exact, banding recall 1, components identical.
+  // P11j-keep (r14; r15 LINEAR edge path): the video DECISION — CC
+  // min-id keep, mirroring P11h's image keep. r15 closes the r14
+  // verdict's one defect: the keep rides Multimodal.videoDedupEdges
+  // (per-(frame_idx, fhash) representative star edges + equal-position
+  // rep edges — flood-LINEAR, CC-equivalent at minMatches=1) instead
+  // of the quadratic complete pair relation. The oracle still
+  // brute-forces the complete pair set and closes it with the
+  // recursive reach CTE — a match therefore PROVES the edge builder's
+  // connectivity-equivalence claim end to end, not just the hashes.
   private val multimodalVideodupKeep = Q(
     "multimodal_videodup_keep",
     (s, d) => {
@@ -3023,9 +3027,8 @@ object PipelineQueries {
       val all = docs.unionByName(planted)
       val vids = all.filter(pmod(col("doc_id"), lit(3)) === 2)
         .select(col("doc_id"))
-      val pairs = Multimodal.videoNearDupPairs(all, stride = 10,
-          maxHamming = 3, minMatches = 1)
-        .select(col("a").as("a_id"), col("b").as("b_id"))
+      val pairs = Multimodal.videoDedupEdges(all, stride = 10,
+        maxHamming = 3)
       Dedup.keepAfterNearDedup(vids, pairs)
         .withColumn("keep", lit(true))
         .join(vids, Seq("doc_id"), "right")
@@ -3074,6 +3077,90 @@ object PipelineQueries {
           AND f1.doc_id < f2.doc_id
           AND bit_count(xor(f1.fhash, f2.fhash)) <= 3
         GROUP BY 1, 2),
+      edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM m
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY 1)
+      SELECT m.doc_id, (m.doc_id = comp.c) AS keep
+      FROM m JOIN comp ON m.doc_id = comp.doc_id
+      ORDER BY m.doc_id"""))
+
+  // P11i-keep (r15): the audio DECISION — CC min-id keep over the
+  // envelope-fingerprint near-dup relation, on the LINEAR edge path
+  // from the start (Multimodal.hashDedupEdges applies directly: one
+  // 64-bit hash per clip, exactly the image shape). The oracle replays
+  // the fingerprint bit-for-bit, brute-forces the complete within-
+  // radius pair set and closes it with the recursive reach CTE — a
+  // match proves the star+rep edge set is connectivity-identical.
+  private val multimodalAudiodupKeep = Q(
+    "multimodal_audiodup_keep",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val all = docs.unionByName(planted)
+      val auds = all.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"))
+      val edges = Multimodal.hashDedupEdges(
+        Multimodal.audioFingerprint(all).localCheckpoint(),
+        maxHamming = 3)
+      Dedup.keepAfterNearDedup(auds, edges)
+        .withColumn("keep", lit(true))
+        .join(auds, Seq("doc_id"), "right")
+        .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 1),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 64 + seed % 4096 AS ns FROM s
+        WHERE doc_id % 3 = 1),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), ns * 2 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      smp AS (SELECT lo.doc_id, lo.idx // 2 AS j,
+          CASE WHEN lo.b + 256 * hi.b >= 32768
+            THEN lo.b + 256 * hi.b - 65536
+            ELSE lo.b + 256 * hi.b END AS sv
+        FROM bytes lo JOIN bytes hi
+          ON hi.doc_id = lo.doc_id AND hi.idx = lo.idx + 1
+        WHERE lo.idx % 2 = 0),
+      win AS (SELECT smp.doc_id, (smp.j * 64) // m.ns AS w,
+          abs(smp.sv) AS a
+        FROM smp JOIN m USING (doc_id)),
+      ws AS (SELECT doc_id, w, sum(a) AS wsum, count(*) AS wlen
+        FROM win GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(wsum) AS t, sum(wlen) AS n
+        FROM ws GROUP BY 1),
+      h AS (SELECT ws.doc_id,
+          CAST(sum(CASE WHEN ws.wsum * tot.n > tot.t * ws.wlen THEN
+              CASE WHEN ws.w = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << ws.w) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM ws JOIN tot USING (doc_id) GROUP BY 1),
+      prs AS (SELECT h1.doc_id AS a, h2.doc_id AS b
+        FROM h h1 JOIN h h2 ON h1.doc_id < h2.doc_id
+        WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3),
       edges AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
       reach(src, dst) AS (
         SELECT doc_id, doc_id FROM m
@@ -3739,6 +3826,7 @@ object PipelineQueries {
     embedPca, embedProject, embedPca2,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalAudio,
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
-    multimodalAudiodup, multimodalVideodup, multimodalVideodupKeep,
+    multimodalAudiodup, multimodalAudiodupKeep,
+    multimodalVideodup, multimodalVideodupKeep,
     multimodalPhash)
 }

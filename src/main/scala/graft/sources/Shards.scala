@@ -50,6 +50,35 @@ object Shards {
 
   private val BLOCK = 512
 
+  /** Java-serializable carrier for the session's Hadoop configuration
+    * (r15 advice): the per-task tar walk and the shard writer used to
+    * build `new Configuration()` on executors, silently dropping
+    * everything the session carries — `spark.hadoop.*` entries,
+    * s3a/abfs credentials, custom filesystem registrations — so a
+    * credentialed object-store root would fail auth on executors while
+    * working on the driver. Configuration itself is a Writable, not
+    * Serializable; this wrapper ships it through the closure the same
+    * way Spark's own file sources ship theirs (a broadcast
+    * SerializableConfiguration — that class is `private[spark]`, hence
+    * this local twin). */
+  private[sources] class SerializableHadoopConf(
+      @transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** The session's effective Hadoop conf (SQL-conf overlays included),
+    * wrapped for executor shipping. */
+  private def sessionConf(spark: SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+
   // ----------------------------------------------------------- writer
   /** One ustar header block for `name` with `size` data bytes. */
   private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
@@ -173,7 +202,16 @@ object Shards {
                 s"(stored $stored, computed $sum)")
             var e = 0
             while (e < 100 && h(e) != 0) e += 1
-            val name = new String(h, 0, e, "UTF-8")
+            val base = new String(h, 0, e, "UTF-8")
+            // POSIX ustar prefix field (bytes 345..500): foreign
+            // WebDataset shards with >100-byte member paths store the
+            // leading directories here — ignoring it would silently
+            // truncate names (r15 advice); our own writer never fills
+            // it (tarHeader requires ≤100-byte names)
+            var pe = 345
+            while (pe < 500 && h(pe) != 0) pe += 1
+            val name = if (pe == 345) base
+              else new String(h, 345, pe - 345, "UTF-8") + "/" + base
             val size = octal(h, 124, 12)
             require(size <= Int.MaxValue - 8L,
               s"tar $context: entry '$name' is $size bytes — a single " +
@@ -213,8 +251,12 @@ object Shards {
   private def walkShards(paths: Dataset[String]): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
       Encoders.BINARY)
+    // the SESSION's Hadoop conf rides the closure to executors — a
+    // local `new Configuration()` here would drop spark.hadoop.* and
+    // object-store credentials on the task side (r15 advice)
+    val confSer = sessionConf(paths.sparkSession)
     paths.mapPartitions { it =>
-      val fsConf = new Configuration()
+      val fsConf = confSer.value
       var open: InputStream = null
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit] { _ =>
@@ -256,13 +298,19 @@ object Shards {
     * records upstream). Rolls happen on the key order inside the hash
     * shard, so part boundaries are as deterministic as membership.
     *
-    * The directory is prepared through the Hadoop FS API (mkdirs +
-    * removal of every stale `shard-*.tar` and abandoned temp from a
-    * previous layout — a re-shard must not leave orphans for the
-    * reader's glob), and each part streams to a hidden temp name that
-    * is renamed into place only when complete: a reader never sees a
-    * half-written shard, and a retried/zombie task attempt can only
-    * republish identical bytes. Returns total records written. */
+    * Publish discipline (r15, hardened per advice): each part streams
+    * to a hidden temp name and is renamed into place only when
+    * complete, so a reader never sees a HALF-WRITTEN shard (per-file
+    * visibility is the guarantee — in-place republish has a brief
+    * delete→rename window in which that one file is absent, because
+    * HDFS rename won't overwrite). Stale shards from a previous layout
+    * are removed only AFTER every new part has published — a failed or
+    * killed job leaves the old corpus intact plus some republished
+    * shards (deterministic content: re-running the writer converges),
+    * never a destroyed-then-half-rebuilt root. Abandoned `.inprogress`
+    * temps are swept up front. For a concurrent-reader-safe re-shard,
+    * write to a fresh root and swap the pointer. Returns total records
+    * written. */
   def writeTarShards(records: DataFrame, root: String, nShards: Int,
       keyCol: String = "doc_id", nameCol: String = "name",
       bytesCol: String = "media",
@@ -276,10 +324,16 @@ object Shards {
     val rootPath = new Path(root)
     val rootFs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     rootFs.mkdirs(rootPath)
-    Seq("shard-*.tar", ".shard-*.inprogress").foreach { g =>
-      val stale = rootFs.globStatus(new Path(rootPath, g))
-      if (stale != null) stale.foreach(s => rootFs.delete(s.getPath, false))
-    }
+    // abandoned temps are safe to sweep now; PREEXISTING shards are
+    // only snapshotted — deletion of the ones this layout does not
+    // republish happens AFTER the write job succeeds, so a failed run
+    // never leaves the root with the old corpus already destroyed
+    Option(rootFs.globStatus(new Path(rootPath, ".shard-*.inprogress")))
+      .foreach(_.foreach(s => rootFs.delete(s.getPath, false)))
+    val preexisting = Option(rootFs.globStatus(
+        new Path(rootPath, "shard-*.tar")))
+      .map(_.map(_.getPath.getName).toSet).getOrElse(Set.empty[String])
+    val confSer = sessionConf(spark)
     implicit val enc = Encoders.tuple(Encoders.scalaInt,
       Encoders.scalaLong, Encoders.STRING, Encoders.BINARY)
     val assigned = records.select(
@@ -296,10 +350,10 @@ object Shards {
     // task may own SEVERAL shard values: the sort makes them
     // consecutive runs, and each run streams to its own tar(s).
     val counts = assigned.mapPartitions { it =>
-      val fsConf = new Configuration()
+      val fsConf = confSer.value // session conf, not classpath defaults
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val done = Seq.newBuilder[(Int, Long)]
+      val done = Seq.newBuilder[(Int, Long, String)]
       var cur = -1
       var part = 0
       var os: org.apache.hadoop.fs.FSDataOutputStream = null
@@ -326,7 +380,7 @@ object Shards {
         val fs = tmp.getFileSystem(fsConf)
         if (fs.exists(dest)) fs.delete(dest, false)
         require(fs.rename(tmp, dest), s"failed to publish $tmp -> $dest")
-        done += ((cur, n))
+        done += ((cur, n, dest.getName))
       }
       it.foreach { case (s, _, name, b) =>
         val entryBytes = BLOCK.toLong + b.length + pad(b.length.toLong)
@@ -349,7 +403,14 @@ object Shards {
       }
       closeCurrent()
       done.result().iterator
-    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)).collect()
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+      Encoders.STRING)).collect()
+    // every part published — NOW retire the previous layout's shards
+    // this run did not republish (deferred so a failed job can't
+    // destroy the old corpus; see the publish-discipline scaladoc)
+    val published = counts.map(_._3).toSet
+    (preexisting -- published)
+      .foreach(n => rootFs.delete(new Path(rootPath, n), false))
     counts.map(_._2).sum
   }
 

@@ -533,6 +533,45 @@ class CsvSourceSpec extends AnyFunSuite {
       "lint failed to flag a deliberately unbounded global window")
   }
 
+  test("media KEEP decisions ride edge builders, never the complete pair relation (r15 lint)") {
+    // the r14 verdict's structural ask: the quadratic shape that once
+    // rode multimodal_videodup_keep — a member-level self-join with
+    // hash equality AND a doc_id < doc_id member inequality (the
+    // complete intra-group pair expansion, O(N²) on an identical-media
+    // flood) — must never reappear in a KEEP-family plan. The
+    // REPORTING keys (multimodal_phash / _audiodup / _videodup) emit
+    // the complete relation deliberately (output-proportional by
+    // contract); the lint walks only the decision keys.
+    def quadraticJoins(
+        df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists { c =>
+              val s = c.toString
+              val hashEq =
+                "(fhash|ahash)#\\d+L? = (fhash|ahash)#\\d+".r
+                  .findFirstIn(s).isDefined
+              val idLt = "doc_id#\\d+L? < doc_id#\\d+".r
+                .findFirstIn(s).isDefined
+              hashEq && idLt
+            } => j.condition.get.toString
+      }
+    val keepKeys = Seq("shards_phash_keep", "multimodal_videodup_keep",
+      "multimodal_audiodup_keep")
+    keepKeys.foreach { k =>
+      val quad = quadraticJoins(SparkEntry.queries(k)(spark, TestSpark.sf))
+      assert(quad.isEmpty,
+        s"$k carries a quadratic complete-pair self-join: ${quad.mkString("; ")}")
+    }
+    // the matcher must not be vacuous: the complete relation's intra
+    // self-join (the exact shape the keep path abandoned) IS flagged
+    import spark.implicits._
+    val hashes = Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "ahash")
+    val bad = graft.pipeline.Multimodal.hashPairs(hashes, maxHamming = 3)
+    assert(quadraticJoins(bad).nonEmpty,
+      "lint failed to flag the complete pair relation's intra self-join")
+  }
+
   test("multimodal resize stays narrow — zero exchanges (P11c)") {
     // orderBy is the query's presentation sort; the OPERATOR itself
     // must not shuffle

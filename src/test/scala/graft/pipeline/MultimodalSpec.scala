@@ -313,6 +313,63 @@ class MultimodalSpec extends AnyFunSuite {
     }, "an exact re-ingest must match all sampled positions")
   }
 
+  test("videoDedupEdges: LINEAR under a ≥1k clip flood, CC-identical keep set") {
+    // 2000 re-crawled copies of one 5-frame clip (the test-pattern
+    // case the edge builder exists for): the complete pair relation is
+    // ~2·10^6 rows before the CC starts; the edge path must carry ONE
+    // edge per copy (star, distinct across positions) plus one rep
+    // edge for the near clip — linear in copies — and decide the same
+    // components
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 2000L
+    val clip = (0 until 5).map(i => (i, 0x1111111111111111L * (i + 1)))
+    val flood = spark.range(1, n + 1).select(col("id").as("doc_id"))
+      .crossJoin(clip.toDF("frame_idx", "fhash"))
+    val near = Seq((n + 5L, 0, 0x1111111111111110L), // pos-0 hamming 1
+      (n + 5L, 1, 0x0f0f0f0f00000000L)) // far from every clip hash
+      .toDF("doc_id", "frame_idx", "fhash")
+    val far = Seq((n + 9L, 0, 0x123456789abcdef0L))
+      .toDF("doc_id", "frame_idx", "fhash")
+    val frames = flood.unionByName(near).unionByName(far)
+    val edges = Multimodal.videoDedupEdgesFromFrames(frames, maxHamming = 3)
+    val nEdges = edges.count()
+    assert(nEdges == (n - 1) + 1,
+      s"flood must yield one star edge per copy + one rep edge, got $nEdges")
+    val kept = graft.pipeline.Dedup.keepAfterNearDedup(
+        frames.select(col("doc_id")).distinct(), edges)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    // component {1..2000, 2005} keeps 1; the far clip keeps itself
+    assert(kept.toSeq == Seq(1L, n + 9L), s"kept ${kept.toSeq}")
+  }
+
+  test("videoDedupEdges keep set equals the complete pair relation's (real corpus)") {
+    // the connectivity-equivalence claim, asserted directly: CC min-id
+    // keep over the LINEAR star+rep edge set == CC min-id keep over
+    // videoNearDupPairs' complete relation (minMatches = 1), on the
+    // real corpus with planted re-ingests — the exact pair the oracled
+    // driver key rides
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(30)) === 2)
+      .withColumn("doc_id", col("doc_id") + lit(999999L))
+    val all = docs.unionByName(planted)
+    val vids = all.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"))
+    def keepSet(pairs: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.pipeline.Dedup.keepAfterNearDedup(vids, pairs)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+    val viaEdges = keepSet(
+      Multimodal.videoDedupEdges(all, stride = 10, maxHamming = 3))
+    val viaComplete = keepSet(
+      Multimodal.videoNearDupPairs(all, stride = 10, maxHamming = 3,
+          minMatches = 1)
+        .select(col("a").as("a_id"), col("b").as("b_id")))
+    assert(viaEdges.nonEmpty && viaEdges == viaComplete)
+  }
+
   test("synthPng round-trips: decode recovers the exact LCG pixel stream") {
     val seed = 987654L
     val png = Multimodal.synthPng(seed)

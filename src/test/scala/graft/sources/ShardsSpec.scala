@@ -39,6 +39,60 @@ class ShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("tarHeader rejects entry names over 100 bytes, loudly") {
+    // a >100-byte name would silently corrupt the mode/uid fields
+    // (surfacing only as a downstream checksum mismatch) — fail at
+    // write time instead (r15 advice)
+    val e = intercept[IllegalArgumentException](
+      Shards.tarBytes(Iterator(("n" * 101) -> Array[Byte](1))))
+    assert(e.getMessage.contains("100"))
+  }
+
+  test("untarStream honors the POSIX ustar prefix field (foreign long-path shards)") {
+    // our writer never fills prefix (names are required ≤100 bytes),
+    // but FOREIGN WebDataset shards split >100-byte member paths
+    // across prefix (bytes 345..500) + name — the reader must
+    // reassemble them, not silently truncate (r15 advice)
+    val data = Array[Byte](7, 8, 9)
+    val h = Shards.tarHeader("file.bin", data.length.toLong)
+    val prefix = "some/deep/dir".getBytes("US-ASCII")
+    System.arraycopy(prefix, 0, h, 345, prefix.length)
+    // re-checksum after patching: spaces over the chksum field, sum,
+    // then 6 octal digits + NUL + space (the ustar rule)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += java.lang.Byte.toUnsignedInt(b))
+    val ck = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(ck, 0, h, 148, 6)
+    h(154) = 0
+    h(155) = ' '
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(h)
+    out.write(data)
+    out.write(new Array[Byte](512 - data.length))
+    out.write(new Array[Byte](1024))
+    val back = Shards.untar(out.toByteArray, "spec")
+    assert(back.map(_._1) == Seq("some/deep/dir/file.bin"))
+    assert(java.util.Arrays.equals(back.head._2, data))
+  }
+
+  test("SerializableHadoopConf ships session conf entries through java serialization") {
+    // the per-task walk/writer must see the SESSION's Hadoop conf
+    // (spark.hadoop.*, object-store credentials), not classpath
+    // defaults (r15 advice) — assert the carrier round-trips a
+    // custom entry the way a task closure would receive it
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.credential", "s3a-secret")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new Shards.SerializableHadoopConf(conf))
+    oos.close()
+    val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[Shards.SerializableHadoopConf]
+    assert(back.value.get("graft.test.credential") == "s3a-secret")
+  }
+
   test("untar fails LOUDLY on checksum corruption and truncation") {
     val tar = Shards.tarBytes(Iterator("x.bin" -> Array[Byte](1, 2, 3)))
     val corrupt = tar.clone()
