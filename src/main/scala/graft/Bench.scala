@@ -77,27 +77,37 @@ object Bench {
     // The ANN keys ride the host's measured ±30% rep spread worst —
     // two consecutive rounds of +15% drift would silently eat the 2×
     // baseline headroom (r10 watch item). Pin min-of-3 on them
-    // UNCONDITIONALLY (not just when the 1.5× spread trips) and
-    // report the rep count, so spread stops masquerading as
-    // regression.
-    val min3 = Set("ann_recall", "ann_ivfpq")
+    // UNCONDITIONALLY (not just when the 1.5× spread trips). r15
+    // widens the pinned set to the ITERATIVE graph/dedup keys whose
+    // committed numbers migrated 2× between same-day r14 captures
+    // (task-scheduling-bound: many small jobs, worst host-jitter
+    // exposure) — the round-over-round grading record should be the
+    // steady state, not weather. Raw per-key samples are committed
+    // NEXT TO the steady-state minimum (the `samples` field) so a
+    // future jitter audit is one read, not a re-measure.
+    val min3 = Set("ann_recall", "ann_ivfpq",
+      "q62_components", "q88_sssp_weighted", "q101_sql_sssp",
+      "q109_sql_dedup_keep", "q158_sql_dedup_best", "dedup_minhash_keep")
+    val rawSamples = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
       val good = Seq(a, b).filter(_ > 0) // -1.0 marks a failed pass
       if (good.isEmpty) {
         println(s"[bench] FAILED $n: both passes errored")
+        rawSamples(n) = Seq(a, b)
         n -> -1.0
       } else {
         val (lo, hi) = (good.min, good.max)
         val unstable = good.size == 2 && hi / lo > 1.5
-        val best =
+        val (best, samples) =
           if (unstable || min3(n)) {
             val third = timeOne(n, qmap(n))._2
-            if (third > 0) math.min(lo, third) else lo
-          } else lo
+            (if (third > 0) math.min(lo, third) else lo, Seq(a, b, third))
+          } else (lo, Seq(a, b))
+        rawSamples(n) = samples
         if (unstable)
           println(f"[bench] unstable $n: passes $a%.2f/$b%.2f s, third sample -> $best%.2f s")
         else if (min3(n))
-          println(f"[bench] min3 $n: samples $a%.2f/$b%.2f/+1 -> $best%.2f s (3 reps)")
+          println(f"[bench] min3 $n: samples ${samples.map(v => f"$v%.2f").mkString("/")} -> $best%.2f s (3 reps)")
         n -> best
       }
     }
@@ -174,14 +184,28 @@ object Bench {
         }
       } else None
     } catch { case _: Throwable => None }
-    def wrap(qs: String, withOracleMap: Boolean): String = {
+    // Raw per-key samples ride the record next to the steady-state
+    // minimum (r14 verdict #2): `queries` stays the per-key MIN (the
+    // steady-state capability), `samples` carries every timed rep —
+    // including the pinned min-of-3 keys' third rep — so a
+    // round-over-round delta can be attributed to noise vs code
+    // without re-measuring. BENCH_LATEST restricts `samples` to the
+    // multi-rep keys (the stdout capture window is finite); the full
+    // map lives in target/bench.json.
+    def sjson(keys: Iterable[String]): String =
+      keys.toSeq.sorted.map { k =>
+        "\"" + k + "\":[" +
+          rawSamples.getOrElse(k, Seq.empty).map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    def wrap(qs: String, withOracleMap: Boolean,
+        sampleKeys: Iterable[String]): String = {
       val oracleFields = oracleRef match {
         case Some((t, m)) =>
           s""","oracle_engine":"duckdb","oracle_total_s":$t""" +
             (if (withOracleMap) s""","oracle_s":$m""" else "")
         case None => ""
       }
-      s"""{"schema_version":1,"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs$oracleFields,"sf":"$sfDir"}"""
+      s"""{"schema_version":2,"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$qs,"samples":${sjson(sampleKeys)}$oracleFields,"sf":"$sfDir"}"""
     }
     // leg diagnostics ride in the queries map (not the total — the gate
     // line already counts) and are pinned into the headline
@@ -193,7 +217,8 @@ object Bench {
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
-      (wrap(qjson(results ++ annLegs), withOracleMap = true) + "\n")
+      (wrap(qjson(results ++ annLegs), withOracleMap = true,
+        sampleKeys = rawSamples.keys) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Driver-readable contract (r13): sbt prints its own [success]
     // banner AFTER any program output, so a strict last-line stdout
@@ -201,18 +226,26 @@ object Bench {
     // record therefore ALSO lands in BENCH_LATEST.json at the repo
     // root — the canonical machine-readable copy (documented in
     // README); target/bench.json keeps the full per-query map.
+    // multi-rep keys only: the stdout capture window is ~2KB
+    val multiRep = rawSamples.collect {
+      case (k, ss) if ss.count(_ > 0) > 2 || min3(k) => k
+    }
     val latest = java.nio.file.Paths.get("BENCH_LATEST.json")
     java.nio.file.Files.write(latest,
-      (wrap(qjson(headline), withOracleMap = false) + "\n")
+      (wrap(qjson(headline), withOracleMap = false, multiRep) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The headline JSON line prints TWICE, identically (r13 advice:
     // make the record unmissable for any stdout-capture window): once
     // here — before spark.stop() can emit shutdown noise — and once as
-    // the very last line. BENCH_LATEST.json (schema_version 1) remains
-    // the canonical machine-readable copy either way.
-    println(wrap(qjson(headline), withOracleMap = false))
+    // the very last line. BENCH_LATEST.json (schema_version 2: the
+    // steady-state `queries` map + raw `samples` + the oracle total in
+    // ONE record) is THE canonical machine-readable copy — r14's
+    // jitter audit had to read four overlapping records;
+    // target/bench.json remains only the full-per-query-map superset
+    // and target/oracle_bench.json only the oracle side's raw dump.
+    println(wrap(qjson(headline), withOracleMap = false, multiRep))
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(wrap(qjson(headline), withOracleMap = false))
+    println(wrap(qjson(headline), withOracleMap = false, multiRep))
   }
 }

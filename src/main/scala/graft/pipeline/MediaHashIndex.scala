@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT perceptual-hash index (SURVEY.md §2 P11k; r15) — the
+  * MEDIA member of the stored-index family, closing the r14 verdict's
+  * gap: text near-dup has [[BandIndex]], vectors have [[AnnIndex]],
+  * but every media keep decision re-hashed the full corpus, defeating
+  * the crawl-append story (ST24) at 100 TB. This module gives a
+  * (doc_id, 64-bit perceptual hash) frame — image aHash
+  * ([[Multimodal.imageAHash]]/[[Multimodal.pngAHashes]]), audio
+  * envelope fingerprint ([[Multimodal.audioFingerprint]]), or video
+  * frame hashes reduced to one hash per doc — the same
+  * import-once-query-many lifecycle (the reference's storage contract,
+  * python/pyhdk/hdk.py:2313):
+  *
+  *  - [[build]] persists the member table (doc_id, ahash) under
+  *    `root/hashes` plus the [[Multimodal.hashChunks]] banding rows of
+  *    the DISTINCT hash values under `root/chunks` PARTITIONED BY
+  *    chunk_idx, and a one-row `root/meta` pinning (modality,
+  *    max_hamming) — probes read the stored radius, so a build/query
+  *    radius mismatch (which would chunk batches differently and
+  *    silently destroy recall) is impossible by construction.
+  *  - [[addBatch]] appends under the NEW-ID ANTI-JOIN contract
+  *    (re-ingesting an overlapping crawl slice is idempotent), adds
+  *    chunk rows only for hash VALUES the index has never seen (one
+  *    chunk_idx=0 partition-pruned anti-join — values appear once per
+  *    chunk_idx, so partition 0 IS the distinct-value set), then
+  *    IO10-compacts so N daily appends don't pay N footer reads.
+  *  - [[candidates]] probes a batch against the STORED index: the
+  *    batch's distinct values chunk with the same scheme and equi-join
+  *    the stored chunks on (chunk_idx, chunk_val) — recall 1 at the
+  *    pinned radius by the pigeonhole argument, candidates ∝ distinct
+  *    values (an identical-media flood in EITHER the batch or the
+  *    index collapses to one banding participant) — then the exact
+  *    `bit_count(xor)` filter decides, and members expand only true
+  *    within-radius value pairs (output-proportional).
+  *
+  * At 100 TB: the index is N fixed-width 16-byte member rows + the
+  * distinct-value chunk table — the one corpus-sized artifact, written
+  * once, appended narrowly; a daily batch probe shuffles batch·chunks
+  * rows against it on the (chunk_idx, chunk_val) equi-key, never the
+  * media bytes (those never leave the hashing task in the first
+  * place).
+  */
+object MediaHashIndex {
+
+  private def hashesPath(root: String) = s"$root/hashes"
+  private def chunksPath(root: String) = s"$root/chunks"
+  private def metaPath(root: String) = s"$root/meta"
+
+  /** Read the pinned (modality, max_hamming) of a stored index. */
+  def params(spark: SparkSession, root: String): (String, Int) = {
+    val m = spark.read.parquet(metaPath(root)).head()
+    (m.getAs[String]("modality"), m.getAs[Int]("max_hamming"))
+  }
+
+  /** Order-independent id-set fingerprint — (count, XOR of
+    * xxhash64(doc_id)); XOR composes over disjoint adds, the
+    * [[BandIndex]] contract. */
+  private def fingerprint(hashes: DataFrame): (Long, Long) = {
+    val r = hashes.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("sig"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeMeta(spark: SparkSession, root: String,
+      modality: String, maxHamming: Int, srcRows: Long,
+      srcSig: Long): Unit = {
+    import spark.implicits._
+    Seq((modality, maxHamming, srcRows, srcSig))
+      .toDF("modality", "max_hamming", "src_rows", "src_sig")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(root))
+  }
+
+  /** Build the index of `hashes` (doc_id, ahash) under `root`
+    * (overwrites). The chunk table is [[Multimodal.hashChunks]] over
+    * the distinct values — identical to the in-memory closure's
+    * banding, so stored ≡ fresh is spec-assertable. */
+  def build(hashes: DataFrame, root: String, maxHamming: Int = 3,
+      modality: String = "image"): Unit = {
+    val spark = hashes.sparkSession
+    val members = hashes.select(col("doc_id"), col("ahash"))
+      .localCheckpoint() // hashes may be a media decode — compute once
+    try {
+      members.write.mode("overwrite").parquet(hashesPath(root))
+      Multimodal.hashChunks(members.select(col("ahash")).distinct(),
+          maxHamming)
+        .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
+        .write.mode("overwrite").partitionBy("chunk_idx")
+        .parquet(chunksPath(root))
+      val (n, sig) = fingerprint(members)
+      writeMeta(spark, root, modality, maxHamming, n, sig)
+    } finally members.unpersist()
+  }
+
+  /** Build-if-absent-or-STALE ([[BandIndex.ensureBands]] discipline):
+    * rebuilds when no index exists under `root`, when the pinned
+    * parameters differ, or when the stored id-set fingerprint differs
+    * from `hashes` — a regenerated corpus under the same dir
+    * invalidates the index instead of silently probing stale chunks.
+    * Returns true when a (re)build happened. */
+  def ensure(hashes: DataFrame, root: String, maxHamming: Int = 3,
+      modality: String = "image"): Boolean = {
+    val spark = hashes.sparkSession
+    def success(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val haveIndex = success(hashesPath(root)) && success(metaPath(root))
+    val stale = !haveIndex || {
+      val m = spark.read.parquet(metaPath(root)).head()
+      val (n, sig) = fingerprint(hashes)
+      m.getAs[String]("modality") != modality ||
+        m.getAs[Int]("max_hamming") != maxHamming ||
+        m.getAs[Long]("src_rows") != n ||
+        m.getAs[Long]("src_sig") != sig
+    }
+    if (stale) build(hashes, root, maxHamming, modality)
+    stale
+  }
+
+  /** Append `batch` (doc_id, ahash) under the new-id anti-join
+    * contract; the radius comes from the stored meta, never the
+    * caller. Chunk rows are added only for NEVER-SEEN hash values
+    * (pruned to the chunk_idx=0 partition — the distinct-value set).
+    * Returns the number of NEW docs indexed (0 = fixpoint re-add,
+    * nothing written). */
+  def addBatch(batch: DataFrame, root: String,
+      maxFilesPerChunk: Int = 8): Long = {
+    val spark = batch.sparkSession
+    val (modality, maxHamming) = params(spark, root)
+    val stored = spark.read.parquet(hashesPath(root))
+    val newDocs = batch.select(col("doc_id"), col("ahash"))
+      .join(stored.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint() // count + two writes must see ONE snapshot
+    try {
+      val n = newDocs.count()
+      if (n > 0) {
+        newDocs.write.mode("append").parquet(hashesPath(root))
+        val storedVals = spark.read.parquet(chunksPath(root))
+          .filter(col("chunk_idx") === 0).select(col("ahash"))
+        val newVals = newDocs.select(col("ahash")).distinct()
+          .join(storedVals, Seq("ahash"), "left_anti")
+        Multimodal.hashChunks(newVals, maxHamming)
+          .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
+          .write.mode("append").partitionBy("chunk_idx")
+          .parquet(chunksPath(root))
+        compactChunks(spark, root, maxFilesPerChunk)
+        // fold the new ids into the fingerprint so ensure() keeps
+        // recognizing the (initial ∪ added) id set as fresh
+        val m = spark.read.parquet(metaPath(root)).head()
+        val (bn, bsig) = fingerprint(newDocs)
+        writeMeta(spark, root, modality, maxHamming,
+          m.getAs[Long]("src_rows") + bn, m.getAs[Long]("src_sig") ^ bsig)
+      }
+      n
+    } finally newDocs.unpersist()
+  }
+
+  /** Explicit IO10 maintenance: compact every chunk_idx partition
+    * holding more than `maxFilesPerChunk` parquet files. */
+  def compactChunks(spark: SparkSession, root: String,
+      maxFilesPerChunk: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int =
+    graft.sources.Layout.compactPartitions(spark, chunksPath(root),
+      "chunk_idx=", maxFilesPerChunk, targetBytes)
+
+  /** DISTINCT (batch_id, index_id, hamming) within-radius pairs of
+    * `batch` (doc_id, ahash) against the STORED index — hashes only
+    * the batch, reads the corpus as its fixed-width index artifacts.
+    * Recall 1 at the pinned radius (pigeonhole over chunk agreement,
+    * including the hamming-0 exact-re-crawl case); ids present on
+    * both sides never self-pair. */
+  def candidates(spark: SparkSession, root: String,
+      batch: DataFrame): DataFrame = {
+    val maxHamming = params(spark, root)._2
+    val storedChunks = spark.read.parquet(chunksPath(root))
+    val batchChunks = Multimodal.hashChunks(
+      batch.select(col("ahash")).distinct(), maxHamming)
+    val valuePairs = batchChunks
+      .select(col("chunk_idx"), col("chunk_val"), col("ahash").as("bh"))
+      .join(storedChunks.select(col("chunk_idx"), col("chunk_val"),
+        col("ahash").as("ih")), Seq("chunk_idx", "chunk_val"))
+      .select(col("bh"), col("ih"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("bh").bitwiseXOR(col("ih"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val storedHashes = spark.read.parquet(hashesPath(root))
+    valuePairs
+      .join(batch.select(col("ahash").as("bh"),
+        col("doc_id").as("batch_id")), Seq("bh"))
+      .join(storedHashes.select(col("ahash").as("ih"),
+        col("doc_id").as("index_id")), Seq("ih"))
+      .filter(col("batch_id") =!= col("index_id"))
+      .select(col("batch_id"), col("index_id"), col("hamming"))
+  }
+}

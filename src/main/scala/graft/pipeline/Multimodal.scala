@@ -872,12 +872,20 @@ object Multimodal {
     * flood size. Returns (ha, hb, hamming) with ha &lt; hb, hamming ≤
     * radius — recall 1 by the same pigeonhole (the argument is about
     * hash values, not rows). */
-  private def bandedHashValuePairs(hashVals: DataFrame,
+  /** The pigeonhole banding rows of a hash-VALUE frame: each 64-bit
+    * `ahash` splits into `maxHamming + 1` disjoint chunks (any pair
+    * within the radius agrees on at least one whole chunk), emitted as
+    * (chunk_idx, chunk_val, ahash) — the shared candidate-key scheme
+    * of [[bandedHashValuePairs]] (in-memory closure) and
+    * [[MediaHashIndex]] (the r15 PERSISTENT form: this exact frame is
+    * what the stored index keeps partitioned by chunk_idx, so a stored
+    * probe and a fresh one bucket identically by construction). */
+  private[graft] def hashChunks(hashVals: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "radius must be in [0,64)")
     val nChunks = maxHamming + 1
     val bits = 64 / nChunks
-    val chunks = hashVals.select(col("ahash"),
+    hashVals.select(col("ahash"),
       explode(sequence(lit(0), lit(nChunks - 1))).as("chunk_idx"))
       .withColumn("chunk_val",
         // unsigned-shift the chunk into the low bits; the LAST chunk
@@ -887,6 +895,11 @@ object Multimodal {
           .otherwise(pmod(
             expr(s"shiftrightunsigned(ahash, chunk_idx * $bits)"),
             lit(1L << bits))))
+  }
+
+  private def bandedHashValuePairs(hashVals: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val chunks = hashChunks(hashVals, maxHamming)
     val a = chunks.select(col("chunk_idx"), col("chunk_val"),
       col("ahash").as("ha"))
     val b = chunks.select(col("chunk_idx"), col("chunk_val"),

@@ -757,6 +757,108 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
+  /** SCALABLE BPE training — BATCHED non-overlapping merge selection
+    * (SURVEY.md §2 P18e2, r15; the public scalable-BPE idiom): where
+    * [[bpeTrain]] learns ONE merge per round (one 1-row collect each —
+    * honest but require-bounded at 30 merges, so it reads like a
+    * demonstrator), each round here counts pairs ONCE and folds up to
+    * `batchK` MUTUALLY NON-INTERACTING merges simultaneously, so a
+    * 1,000-merge vocabulary costs ~1000/batchK pair-count shuffles
+    * instead of 1,000.
+    *
+    * Selection (per round, driver-side over a bounded `8·batchK`-row
+    * collect of top candidates by (count DESC, pair ASC)): greedily
+    * take a pair (a, b) unless it INTERACTS with an already-selected
+    * (a', b') — shares a symbol ({a,b} ∩ {a',b'} ≠ ∅), or one merge's
+    * output spells another's operand (a+b ∈ {a',b'} or a'+b' ∈ {a,b}).
+    * Non-interaction makes the simultaneous one-pass fold apply each
+    * merge EXACTLY as the sequential greedy fold would apply it alone:
+    * at any element at most one arm can fire (the b's are distinct),
+    * and no arm's rewrite can create or consume another's match. With
+    * `batchK = 1` the selection degenerates to the top-1 pair and the
+    * fold to [[bpeTrain]]'s — spec-asserted equality, so the batched
+    * trainer inherits the sequential one's oracle.
+    *
+    * The batched SEMANTIC (documented, the standard tradeoff): all
+    * merges of a round are ranked against the round's OPENING counts —
+    * merge k of a round does not see merges 1..k−1's effect, so the
+    * learned table can differ from sequential BPE's beyond the first
+    * merge of each round. merge_rank still records the global
+    * application order (round-major, rank-minor), which is all
+    * [[bpeEncode]]-style consumers need.
+    *
+    * Scale: rounds ≈ nMerges/batchK, each one pair-explode +
+    * partial-agg'd sum + TakeOrderedAndProject over the VOCAB (never
+    * the corpus after the first word count), one bounded driver
+    * collect, one narrow per-word fold, localCheckpoint'd with eager
+    * release (the [[bpeTrain]] loop lifecycle). Returns
+    * (merge_rank, pair, cnt) like [[bpeTrain]]. */
+  def bpeTrainBatched(docs: DataFrame, nMerges: Int = 1000,
+      batchK: Int = 32, textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, "nMerges must be positive")
+    require(batchK >= 1, "batchK must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("syms", array_remove(split(col("w"), ""), ""))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val sy = col("syms")
+      val pairsArr = when(size(sy) < 2, array().cast("array<string>"))
+        .otherwise(slice(
+          zip_with(sy, slice(sy, lit(2), size(sy)),
+            (a, b) => concat_ws(" ", a, b)),
+          lit(1), size(sy) - 1))
+      val want = math.min(batchK, nMerges - merges.size)
+      val top = vocab
+        .select(col("n"), explode(pairsArr).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(8 * want)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // greedy non-interacting selection in rank order
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        val it = top.iterator
+        while (selected.size < want && it.hasNext) {
+          val row = it.next()
+          val Array(a, b) = row.getString(0).split(" ", 2)
+          val interacts = selected.exists { case (pa, pb, _) =>
+            a == pa || a == pb || b == pa || b == pb ||
+              (a + b) == pa || (a + b) == pb ||
+              (pa + pb) == a || (pa + pb) == b
+          }
+          if (!interacts) selected += ((a, b, row.getLong(1)))
+        }
+        selected.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1, a + " " + b, cnt))
+        }
+        // ONE simultaneous fold: arms in rank order; at most one arm
+        // matches per element (non-interaction, see scaladoc)
+        val folded = aggregate(sy, lit(""), (acc, x) =>
+          selected.foldLeft(when(acc === "", x)) {
+            case (w, (a, b, _)) =>
+              w.when((acc === lit(a) || acc.endsWith(lit(" " + a)))
+                  && x === lit(b),
+                concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+                  lit(a + b)))
+          }.otherwise(concat(acc, lit(" "), x)))
+        val next = vocab.withColumn("syms", split(folded, " "))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftShim.releaseCheckpoint(vocab)
+        vocab = next
+      }
+    }
+    org.apache.spark.sql.GraftShim.releaseCheckpoint(vocab)
+    merges.toSeq.toDF("merge_rank", "pair", "cnt")
+  }
+
   /** BPE ENCODING with the learned merge table (SURVEY.md §2 P18h) —
     * the apply-tokenizer step that turns [[bpeTrain]]'s merges into a
     * per-document symbol stream (what a dataloader actually consumes).

@@ -1909,6 +1909,26 @@ object PipelineQueries {
         UNION ALL SELECT 3, pair, cnt FROM t3)
       ORDER BY merge_rank"""))
 
+  // P18e2 (r15): the SCALE path of BPE training — batched
+  // non-overlapping merge selection (TextAnalysis.bpeTrainBatched),
+  // run TO VOCABULARY EXHAUSTION with the old 30-merge bound lifted
+  // (nMerges=1000 ≫ the corpus's ~107 reachable merges; the run
+  // terminates when no pair remains). ROWS-ONLY driver check — the
+  // unbounded-round recursion is not one-statement-SQL-expressible —
+  // with correctness carried by TextAnalysisSpec instead: batchK=1
+  // equals the FULLY-ORACLED sequential bpeTrain bit-for-bit (the
+  // batched trainer inherits text_bpe_train's oracle through that
+  // equality), the batched run is deterministic across invocations,
+  // and exhaustion is a real fixpoint (> 30 merges learned, every
+  // word collapsed).
+  private val textBpeTrain1k = Q(
+    "text_bpe_train1k",
+    (s, d) =>
+      TextAnalysis.bpeTrainBatched(Tables.load(s, d, "documents"),
+          nMerges = 1000, batchK = 32)
+        .orderBy(col("merge_rank")),
+    None)
+
   // P18h: BPE ENCODING with the learned merges — the apply-tokenizer
   // step. The oracle replays the full 3-round training (same CTE chain
   // as text_bpe_train) and then applies one MORE fold (s3 = t3's merge
@@ -3242,6 +3262,101 @@ object PipelineQueries {
       WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 3
       ORDER BY a, b"""))
 
+  // P11k (r15): INCREMENTAL media near-dup — today's crawled images
+  // (doc_id % 10 >= 6 of the image slice, plus planted re-crawls of
+  // indexed images) probed against the PERSISTENT perceptual-hash
+  // index of the already-ingested corpus (doc_id % 10 < 6), the media
+  // twin of dedup_minhash_incr: the index is built once
+  // (MediaHashIndex, build-if-absent-or-stale), the probe hashes only
+  // the BATCH and reads the corpus as its stored fixed-width artifacts
+  // — never re-hashing yesterday's media, which is what makes the ST24
+  // crawl-append story hold at 100 TB. The oracle recomputes the FULL
+  // exact batch×index hamming relation in DuckDB from replayed pixel
+  // streams — matching it proves the stored chunk join has recall 1 at
+  // the pinned radius (a missed candidate would lower that batch doc's
+  // count) AND the stored hash round-trip is value-exact.
+  private val multimodalPhashIncr = Q(
+    "multimodal_phash_incr",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val imgs = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val index = imgs.filter(pmod(col("doc_id"), lit(10)) < 6)
+      // planted re-crawls of INDEXED images land in today's batch
+      // (%30 == 0 ⊂ the index slice; +999999 keeps the image class)
+      val planted = imgs.filter(pmod(col("doc_id"), lit(30)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val batch = imgs.filter(pmod(col("doc_id"), lit(10)) >= 6)
+        .unionByName(planted)
+      val root = graft.GraftSession.scratchDir(
+        "phash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.pipeline.MediaHashIndex.ensure(
+        Multimodal.imageAHash(index), root, maxHamming = 3,
+        modality = "image")
+      val cands = graft.pipeline.MediaHashIndex.candidates(
+        s, root, Multimodal.imageAHash(batch))
+      val per = cands.groupBy(col("batch_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_index_dups"))
+      batch.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
+        .withColumn("dup_in_index", col("n_index_dups") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 0),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 4 + seed % 29 AS pw,
+          4 + (seed // 65536) % 29 AS ph
+        FROM s WHERE doc_id % 3 = 0),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), pw * ph * 3 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      pix AS (SELECT m.doc_id, y.y * 8 + x.x AS p,
+          3 * (((y.y * ph) // 8) * pw + ((x.x * pw) // 8)) AS base
+        FROM m, range(8) y(y), range(8) x(x)),
+      gray AS (SELECT p.doc_id, p.p, b0.b + b1.b + b2.b AS g
+        FROM pix p
+        JOIN bytes b0 ON b0.doc_id = p.doc_id AND b0.idx = p.base
+        JOIN bytes b1 ON b1.doc_id = p.doc_id AND b1.idx = p.base + 1
+        JOIN bytes b2 ON b2.doc_id = p.doc_id AND b2.idx = p.base + 2),
+      tot AS (SELECT doc_id, sum(g) AS total FROM gray GROUP BY 1),
+      h AS (SELECT g.doc_id,
+          CAST(sum(CASE WHEN g.g * 64 > t.total THEN
+              CASE WHEN g.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << g.p) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM gray g JOIN tot t USING (doc_id) GROUP BY 1),
+      bat AS (SELECT doc_id, ahash FROM h
+        WHERE doc_id >= 999999 OR doc_id % 10 >= 6),
+      ind AS (SELECT doc_id, ahash FROM h
+        WHERE doc_id < 999999 AND doc_id % 10 < 6),
+      cnt AS (SELECT b.doc_id,
+          CAST(count(i.doc_id) AS BIGINT) AS n_index_dups
+        FROM bat b LEFT JOIN ind i
+          ON bit_count(xor(b.ahash, i.ahash)) <= 3
+        GROUP BY 1)
+      SELECT doc_id, n_index_dups, n_index_dups > 0 AS dup_in_index
+      FROM cnt ORDER BY doc_id"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -3820,7 +3935,8 @@ object PipelineQueries {
     textLangid, textQuality, textGopher, textClassify, sketchRollup,
     heavyHitters, cmsCounts, kllQuantiles, textDrift, textDriftLang, textPsi,
     textRrf,
-    textTokens, textBpe, textBpeTrain, textBpeEncode, augDropout,
+    textTokens, textBpe, textBpeTrain, textBpeTrain1k, textBpeEncode,
+    augDropout,
     textPii, textRepetition, textFingerprint, textWinnow, winnowPairsQ,
     textOutliers, corpusStatsQ,
     embedPca, embedProject, embedPca2,
@@ -3828,5 +3944,5 @@ object PipelineQueries {
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
     multimodalAudiodup, multimodalAudiodupKeep,
     multimodalVideodup, multimodalVideodupKeep,
-    multimodalPhash)
+    multimodalPhash, multimodalPhashIncr)
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class MediaHashIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = graft.GraftSession.scratchDir(name)
+    val f = new java.io.File(root)
+    if (f.exists()) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(f)
+    }
+    root
+  }
+
+  // deterministic avalanche-ish hash set: ids 1..n, hash = id mixed,
+  // plus planted exact/near copies so the radius actually fires
+  private def hashRows(ids: Range, planted: Seq[(Long, Long)]) =
+    ids.map { i =>
+      val x = i.toLong * 0x9e3779b97f4a7c15L
+      (i.toLong, x ^ (x >>> 31))
+    } ++ planted
+
+  private def brute(batch: Seq[(Long, Long)], index: Seq[(Long, Long)],
+      r: Int): Set[(Long, Long, Long)] =
+    (for {
+      (b, hb) <- batch; (i, hi) <- index
+      if b != i
+      d = java.lang.Long.bitCount(hb ^ hi) if d <= r
+    } yield (b, i, d.toLong)).toSet
+
+  test("stored probe equals brute-force batch×index hamming (recall 1, incl. exact re-crawls)") {
+    val index = hashRows(1 to 300, Seq.empty)
+    // batch: fresh hashes + an exact re-crawl of index doc 7 + a
+    // hamming-2 near copy of index doc 9
+    val h7 = index.find(_._1 == 7L).get._2
+    val h9 = index.find(_._1 == 9L).get._2
+    val batch = hashRows(1001 to 1100, Seq(
+      (2007L, h7), (2009L, h9 ^ 3L)))
+    val root = freshRoot("mediahash_spec_eq")
+    MediaHashIndex.build(index.toDF("doc_id", "ahash"), root,
+      maxHamming = 3, modality = "image")
+    val got = MediaHashIndex.candidates(spark, root,
+        batch.toDF("doc_id", "ahash"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(batch, index, 3))
+    assert(got.exists(_._1 == 2007L) && got.exists(_._1 == 2009L),
+      "planted exact and near re-crawls must be found")
+  }
+
+  test("addBatch equals rebuild; re-add is a fixpoint (new-id anti-join)") {
+    val a = hashRows(1 to 200, Seq.empty)
+    val b = hashRows(201 to 300, Seq((350L, a.head._2))) // value overlap
+    val probe = hashRows(5001 to 5050, Seq((6001L, a(10)._2),
+      (6002L, b(10)._2 ^ 1L)))
+    val incrRoot = freshRoot("mediahash_spec_add_incr")
+    val fullRoot = freshRoot("mediahash_spec_add_full")
+    MediaHashIndex.build(a.toDF("doc_id", "ahash"), incrRoot)
+    assert(MediaHashIndex.addBatch(b.toDF("doc_id", "ahash"),
+      incrRoot) == b.size.toLong)
+    MediaHashIndex.build((a ++ b).toDF("doc_id", "ahash"), fullRoot)
+    def cands(root: String) =
+      MediaHashIndex.candidates(spark, root, probe.toDF("doc_id", "ahash"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(cands(incrRoot) == cands(fullRoot),
+      "incrementally-added index must answer exactly like a rebuild")
+    // idempotent re-add: every id already indexed → nothing written
+    assert(MediaHashIndex.addBatch(b.toDF("doc_id", "ahash"), incrRoot) == 0L)
+    assert(cands(incrRoot) == cands(fullRoot))
+  }
+
+  test("ensure rebuilds on a stale fingerprint, no-ops when fresh, tracks adds") {
+    val a = hashRows(1 to 100, Seq.empty)
+    val root = freshRoot("mediahash_spec_stale")
+    assert(MediaHashIndex.ensure(a.toDF("doc_id", "ahash"), root),
+      "first ensure must build")
+    assert(!MediaHashIndex.ensure(a.toDF("doc_id", "ahash"), root),
+      "unchanged corpus must not rebuild")
+    // a regenerated corpus (different id set) invalidates the index
+    val a2 = hashRows(1 to 101, Seq.empty)
+    assert(MediaHashIndex.ensure(a2.toDF("doc_id", "ahash"), root),
+      "changed id set must rebuild")
+    // adds fold into the fingerprint: ensure(initial ∪ added) is fresh
+    val b = hashRows(201 to 220, Seq.empty)
+    MediaHashIndex.addBatch(b.toDF("doc_id", "ahash"), root)
+    assert(!MediaHashIndex.ensure((a2 ++ b).toDF("doc_id", "ahash"), root),
+      "the (initial ∪ added) id set must read as fresh")
+    // a radius change is a parameter mismatch → rebuild
+    assert(MediaHashIndex.ensure((a2 ++ b).toDF("doc_id", "ahash"), root,
+      maxHamming = 2), "changed radius must rebuild")
+    assert(MediaHashIndex.params(spark, root)._2 == 2)
+  }
+
+  test("an identical-media FLOOD on either side stays value-collapsed (linear candidates)") {
+    // 5k index copies of one placeholder hash + 5k batch re-crawls of
+    // it: the chunk join sees ONE value pair; the expansion is the
+    // true output (25M pairs would be output-proportional, so probe
+    // with ONE batch doc instead and assert its candidate count)
+    val floodHash = 0x0123456789abcdefL
+    val index = (1 to 5000).map(i => (i.toLong, floodHash)) ++
+      hashRows(6000 to 6100, Seq.empty)
+    val root = freshRoot("mediahash_spec_flood")
+    MediaHashIndex.build(index.toDF("doc_id", "ahash"), root)
+    // the chunk table holds one row per (chunk_idx, DISTINCT value) —
+    // flood-independent by construction
+    val chunkRows = spark.read.parquet(s"$root/chunks").count()
+    assert(chunkRows == (101 + 1) * 4,
+      s"chunks must be distinct-value-sized, got $chunkRows")
+    val probe = Seq((9001L, floodHash ^ 1L)).toDF("doc_id", "ahash")
+    val got = MediaHashIndex.candidates(spark, root, probe)
+    assert(got.count() == 5000L,
+      "one near-flood probe doc pairs with every flood member (true output)")
+  }
+}

@@ -326,6 +326,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1, "a b", 2L)))
   }
 
+  test("bpeTrainBatched: batchK=1 equals sequential bpeTrain bit-for-bit") {
+    // the batched trainer inherits the oracled sequential trainer's
+    // correctness through this equality — with batchK=1 the greedy
+    // non-interacting selection degenerates to top-1 and the
+    // simultaneous fold to the single-pair fold
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val seq8 = TextAnalysis.bpeTrain(docs, nMerges = 8)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    val bat8 = TextAnalysis.bpeTrainBatched(docs, nMerges = 8, batchK = 1)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(bat8 == seq8)
+  }
+
+  test("bpeTrainBatched: runs past the 30-merge bound to exhaustion, deterministically") {
+    // nMerges=1000 on the corpus vocabulary (~31 words, ≤107 reachable
+    // merges): the trainer must terminate at the true fixpoint — more
+    // than the old bound, fewer than the cap — and re-running must
+    // reproduce the identical table (seeded, partitioning-independent)
+    val docs = graft.Tables.load(spark, graft.TestSpark.sf, "documents")
+    val t1 = TextAnalysis.bpeTrainBatched(docs, nMerges = 1000,
+        batchK = 16)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(t1.size > 30 && t1.size < 1000,
+      s"expected exhaustion between 30 and 1000 merges, got ${t1.size}")
+    val t2 = TextAnalysis.bpeTrainBatched(docs, nMerges = 1000,
+        batchK = 16)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(t1 == t2, "batched training must be deterministic")
+    // within any one run, a merged pair never repeats (each rule is
+    // learned once)
+    assert(t1.map(_._2).distinct.size == t1.size)
+  }
+
+  test("bpeTrainBatched: selected merges within a round never interact") {
+    // 'aaaa bb cc': round-1 counts are 'a a':3, 'b b':1, 'c c':1 —
+    // all pairwise non-interacting, so ONE round learns all three
+    // (sequential would need three rounds); the fold must apply them
+    // simultaneously without cross-talk
+    val df = Seq((0L, "aaaa bb cc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainBatched(df, nMerges = 3, batchK = 8)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", 3L), (2, "b b", 1L), (3, "c c", 1L)))
+    // interaction guard: 'ab' shares symbols with 'a a' and 'b b' —
+    // in 'aab ab', round-1 top pairs 'a b':2 and 'a a':1 INTERACT
+    // (shared 'a'), so round 1 learns only 'a b'; 'a a' must wait for
+    // round 2's recount (where 'aab' is now [a, ab] and 'a a' is gone
+    // — 'a ab' is the true next pair)
+    val df2 = Seq((0L, "aab ab")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpeTrainBatched(df2, nMerges = 2, batchK = 8)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    val seq2 = TextAnalysis.bpeTrain(df2, nMerges = 2)
+      .orderBy("merge_rank").as[(Int, String, Long)].collect().toSeq
+    assert(got2 == seq2,
+      s"interacting candidates must defer to the recount: $got2 vs $seq2")
+  }
+
   test("bm25TopK: tf saturation, idf discrimination, length norm") {
     val df = Seq(
       (0L, "spark spark spark pad pad pad"), // tf=3 on 'spark'
