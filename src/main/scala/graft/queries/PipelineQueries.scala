@@ -3357,6 +3357,97 @@ object PipelineQueries {
       SELECT doc_id, n_index_dups, n_index_dups > 0 AS dup_in_index
       FROM cnt ORDER BY doc_id"""))
 
+  // P11k, audio leg (r15): the SAME stored-index module over the audio
+  // envelope fingerprints — one MediaHashIndex works per modality
+  // because every near-dup leg reduces to a (doc_id, 64-bit hash)
+  // frame. Index = already-ingested clips, batch = today's crawl plus
+  // planted re-crawls of INDEXED clips; the probe hashes only the
+  // batch. Oracle: full exact batch×index hamming relation over
+  // replayed PCM.
+  private val multimodalAudiodupIncr = Q(
+    "multimodal_audiodup_incr",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val auds = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      val index = auds.filter(pmod(col("doc_id"), lit(10)) < 6)
+      val planted = auds.filter(pmod(col("doc_id"), lit(30)) === 1)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val batch = auds.filter(pmod(col("doc_id"), lit(10)) >= 6)
+        .unionByName(planted)
+      val root = graft.GraftSession.scratchDir(
+        "audiohash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.pipeline.MediaHashIndex.ensure(
+        Multimodal.audioFingerprint(index), root, maxHamming = 3,
+        modality = "audio")
+      val cands = graft.pipeline.MediaHashIndex.candidates(
+        s, root, Multimodal.audioFingerprint(batch))
+      val per = cands.groupBy(col("batch_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_index_dups"))
+      batch.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
+        .withColumn("dup_in_index", col("n_index_dups") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 1),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 64 + seed % 4096 AS ns FROM s
+        WHERE doc_id % 3 = 1),
+      gen(doc_id, i, st, n) AS (
+        SELECT doc_id, 0, CAST(seed AS HUGEINT), ns * 2 FROM m
+        UNION ALL
+        SELECT doc_id, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT), n
+        FROM gen WHERE i < n),
+      bytes AS (SELECT doc_id, i - 1 AS idx,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS b
+        FROM gen WHERE i > 0),
+      smp AS (SELECT lo.doc_id, lo.idx // 2 AS j,
+          CASE WHEN lo.b + 256 * hi.b >= 32768
+            THEN lo.b + 256 * hi.b - 65536
+            ELSE lo.b + 256 * hi.b END AS sv
+        FROM bytes lo JOIN bytes hi
+          ON hi.doc_id = lo.doc_id AND hi.idx = lo.idx + 1
+        WHERE lo.idx % 2 = 0),
+      win AS (SELECT smp.doc_id, (smp.j * 64) // m.ns AS w,
+          abs(smp.sv) AS a
+        FROM smp JOIN m USING (doc_id)),
+      ws AS (SELECT doc_id, w, sum(a) AS wsum, count(*) AS wlen
+        FROM win GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(wsum) AS t, sum(wlen) AS n
+        FROM ws GROUP BY 1),
+      h AS (SELECT ws.doc_id,
+          CAST(sum(CASE WHEN ws.wsum * tot.n > tot.t * ws.wlen THEN
+              CASE WHEN ws.w = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << ws.w) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM ws JOIN tot USING (doc_id) GROUP BY 1),
+      bat AS (SELECT doc_id, ahash FROM h
+        WHERE doc_id >= 999999 OR doc_id % 10 >= 6),
+      ind AS (SELECT doc_id, ahash FROM h
+        WHERE doc_id < 999999 AND doc_id % 10 < 6),
+      cnt AS (SELECT b.doc_id,
+          CAST(count(i.doc_id) AS BIGINT) AS n_index_dups
+        FROM bat b LEFT JOIN ind i
+          ON bit_count(xor(b.ahash, i.ahash)) <= 3
+        GROUP BY 1)
+      SELECT doc_id, n_index_dups, n_index_dups > 0 AS dup_in_index
+      FROM cnt ORDER BY doc_id"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -3944,5 +4035,5 @@ object PipelineQueries {
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
     multimodalAudiodup, multimodalAudiodupKeep,
     multimodalVideodup, multimodalVideodupKeep,
-    multimodalPhash, multimodalPhashIncr)
+    multimodalPhash, multimodalPhashIncr, multimodalAudiodupIncr)
 }
