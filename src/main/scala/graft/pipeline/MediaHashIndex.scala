@@ -169,6 +169,135 @@ object MediaHashIndex {
     graft.sources.Layout.compactPartitions(spark, chunksPath(root),
       "chunk_idx=", maxFilesPerChunk, targetBytes)
 
+  // ------------------------------------------------ video (frame) leg
+  // A video is its SEQUENCE of frame fingerprints (P11j), so the
+  // stored form keeps frame-level members (doc_id, frame_idx, fhash)
+  // and the probe constrains value-pair expansion to EQUAL positions —
+  // the videoNearDupPairs contract against a stored corpus. Chunks
+  // stay value-level (distinct fhash), so an identical-clip flood in
+  // the index still collapses to one banding participant per value.
+
+  private def framesPath(root: String) = s"$root/frames"
+
+  /** Build the FRAME-level index of `frames` (doc_id, frame_idx,
+    * fhash) under `root` (overwrites) — the video member of the
+    * stored-hash family. `stride` is pinned in meta purely as build
+    * metadata (probes must sample batches at the same stride for
+    * positions to align; [[candidatesFrames]] reads it back). */
+  def buildFrames(frames: DataFrame, root: String, maxHamming: Int = 3,
+      stride: Int = 10): Unit = {
+    val spark = frames.sparkSession
+    val members = frames.select(col("doc_id"), col("frame_idx"),
+      col("fhash")).localCheckpoint()
+    try {
+      members.write.mode("overwrite").parquet(framesPath(root))
+      Multimodal.hashChunks(
+          members.select(col("fhash").as("ahash")).distinct(), maxHamming)
+        .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
+        .write.mode("overwrite").partitionBy("chunk_idx")
+        .parquet(chunksPath(root))
+      val (n, sig) = fingerprint(members.select(col("doc_id")).distinct())
+      writeMeta(spark, root, s"video/stride=$stride", maxHamming, n, sig)
+    } finally members.unpersist()
+  }
+
+  /** Build-if-absent-or-stale for the frame-level index (the
+    * [[ensure]] contract on the distinct DOC id set). */
+  def ensureFrames(frames: DataFrame, root: String, maxHamming: Int = 3,
+      stride: Int = 10): Boolean = {
+    val spark = frames.sparkSession
+    def success(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val haveIndex = success(framesPath(root)) && success(metaPath(root))
+    val stale = !haveIndex || {
+      val m = spark.read.parquet(metaPath(root)).head()
+      val (n, sig) = fingerprint(
+        frames.select(col("doc_id")).distinct())
+      m.getAs[String]("modality") != s"video/stride=$stride" ||
+        m.getAs[Int]("max_hamming") != maxHamming ||
+        m.getAs[Long]("src_rows") != n ||
+        m.getAs[Long]("src_sig") != sig
+    }
+    if (stale) buildFrames(frames, root, maxHamming, stride)
+    stale
+  }
+
+  /** Append `batch` frames (doc_id, frame_idx, fhash) under the
+    * new-DOC-id anti-join contract; chunk rows added only for
+    * never-seen fhash VALUES. Returns the number of NEW docs. */
+  def addFramesBatch(batch: DataFrame, root: String,
+      maxFilesPerChunk: Int = 8): Long = {
+    val spark = batch.sparkSession
+    val m0 = spark.read.parquet(metaPath(root)).head()
+    val stored = spark.read.parquet(framesPath(root))
+    val newFrames = batch.select(col("doc_id"), col("frame_idx"),
+        col("fhash"))
+      .join(stored.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    try {
+      val newDocs = newFrames.select(col("doc_id")).distinct()
+        .localCheckpoint()
+      val n = newDocs.count()
+      if (n > 0) {
+        newFrames.write.mode("append").parquet(framesPath(root))
+        val storedVals = spark.read.parquet(chunksPath(root))
+          .filter(col("chunk_idx") === 0).select(col("ahash"))
+        val newVals = newFrames.select(col("fhash").as("ahash")).distinct()
+          .join(storedVals, Seq("ahash"), "left_anti")
+        Multimodal.hashChunks(newVals, m0.getAs[Int]("max_hamming"))
+          .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
+          .write.mode("append").partitionBy("chunk_idx")
+          .parquet(chunksPath(root))
+        compactChunks(spark, root, maxFilesPerChunk)
+        val (bn, bsig) = fingerprint(newDocs)
+        writeMeta(spark, root, m0.getAs[String]("modality"),
+          m0.getAs[Int]("max_hamming"),
+          m0.getAs[Long]("src_rows") + bn,
+          m0.getAs[Long]("src_sig") ^ bsig)
+      }
+      newDocs.unpersist()
+      n
+    } finally newFrames.unpersist()
+  }
+
+  /** (batch_id, index_id, n_matched) of `batch` frames against the
+    * STORED frame index — two videos pair when ≥1 SAME-POSITION frame
+    * hashes within the pinned radius (the [[Multimodal
+    * .videoNearDupPairs]] contract at minMatches=1, filter n_matched
+    * for more). Hashes only the batch; the corpus rides as its stored
+    * fixed-width artifacts; candidates come from the value-level chunk
+    * join (flood-collapsed on both sides), expanded ONLY under the
+    * equal-position constraint. */
+  def candidatesFrames(spark: SparkSession, root: String,
+      batch: DataFrame): DataFrame = {
+    val maxHamming = params(spark, root)._2
+    val storedChunks = spark.read.parquet(chunksPath(root))
+    val batchChunks = Multimodal.hashChunks(
+      batch.select(col("fhash").as("ahash")).distinct(), maxHamming)
+    val valuePairs = batchChunks
+      .select(col("chunk_idx"), col("chunk_val"), col("ahash").as("bh"))
+      .join(storedChunks.select(col("chunk_idx"), col("chunk_val"),
+        col("ahash").as("ih")), Seq("chunk_idx", "chunk_val"))
+      .select(col("bh"), col("ih"))
+      .distinct()
+      .filter(bit_count(col("bh").bitwiseXOR(col("ih"))) <= maxHamming)
+    val storedFrames = spark.read.parquet(framesPath(root))
+    valuePairs
+      .join(batch.select(col("fhash").as("bh"),
+        col("doc_id").as("batch_id"), col("frame_idx").as("fi")),
+        Seq("bh"))
+      .join(storedFrames.select(col("fhash").as("ih"),
+        col("doc_id").as("index_id"), col("frame_idx").as("fj")),
+        Seq("ih"))
+      .filter(col("fi") === col("fj")
+        && col("batch_id") =!= col("index_id"))
+      .groupBy(col("batch_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_matched"))
+  }
+
   /** DISTINCT (batch_id, index_id, hamming) within-radius pairs of
     * `batch` (doc_id, ahash) against the STORED index — hashes only
     * the batch, reads the corpus as its fixed-width index artifacts.

@@ -3448,6 +3448,97 @@ object PipelineQueries {
       SELECT doc_id, n_index_dups, n_index_dups > 0 AS dup_in_index
       FROM cnt ORDER BY doc_id"""))
 
+  // P11k, video leg (r15): the FRAME-level stored index — a video is
+  // its sequence of frame fingerprints, so the index keeps (doc_id,
+  // frame_idx, fhash) members and the probe expands value-level chunk
+  // candidates ONLY under the equal-position constraint (the
+  // videoNearDupPairs contract against a stored corpus). Today's
+  // crawled clips + planted re-crawls of INDEXED clips probe the
+  // stored index; yesterday's planes are never re-decoded. Oracle:
+  // complete exact batch×index same-position hamming relation over
+  // replayed frames.
+  private val multimodalVideodupIncr = Q(
+    "multimodal_videodup_incr",
+    (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val vids = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val index = vids.filter(pmod(col("doc_id"), lit(10)) < 6)
+      val planted = vids.filter(pmod(col("doc_id"), lit(30)) === 2)
+        .withColumn("doc_id", col("doc_id") + lit(999999L))
+      val batch = vids.filter(pmod(col("doc_id"), lit(10)) >= 6)
+        .unionByName(planted)
+      val root = graft.GraftSession.scratchDir(
+        "videohash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.pipeline.MediaHashIndex.ensureFrames(
+        Multimodal.videoFrameHashes(index, stride = 10), root,
+        maxHamming = 3, stride = 10)
+      val cands = graft.pipeline.MediaHashIndex.candidatesFrames(
+        s, root, Multimodal.videoFrameHashes(batch, stride = 10))
+      val per = cands.groupBy(col("batch_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_index_dups"))
+      batch.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_index_dups"), lit(0L)).as("n_index_dups"))
+        .withColumn("dup_in_index", col("n_index_dups") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 999999, text FROM documents
+        WHERE doc_id % 30 = 2),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '.'),
+                ch -> CAST(unicode(ch) AS BIGINT))),
+            (h, cd) -> (h * 31 + cd) % 4294967296) AS seed
+        FROM docs),
+      m AS (SELECT doc_id, seed, 1 + (seed // 256) % 120 AS vf FROM s
+        WHERE doc_id % 3 = 2),
+      fr AS (SELECT doc_id,
+          CAST(unnest(range(0, vf, 10)) AS INTEGER) AS fidx,
+          seed + unnest(range(0, vf, 10)) AS fseed
+        FROM m),
+      gen(doc_id, fidx, i, st) AS (
+        SELECT doc_id, fidx, 0, CAST(fseed AS HUGEINT) FROM fr
+        UNION ALL
+        SELECT doc_id, fidx, i + 1,
+          (st * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT)
+        FROM gen WHERE i < 64),
+      yb AS (SELECT doc_id, fidx, i - 1 AS p,
+          CAST(st // CAST(72057594037927936 AS HUGEINT) AS BIGINT) AS y
+        FROM gen WHERE i > 0),
+      tot AS (SELECT doc_id, fidx, sum(y) AS total FROM yb GROUP BY 1, 2),
+      fh AS (SELECT yb.doc_id, yb.fidx,
+          CAST(sum(CASE WHEN yb.y * 64 > t.total THEN
+              CASE WHEN yb.p = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << yb.p) END
+            ELSE 0 END) AS BIGINT) AS fhash
+        FROM yb JOIN tot t ON t.doc_id = yb.doc_id AND t.fidx = yb.fidx
+        GROUP BY 1, 2),
+      bat AS (SELECT doc_id, fidx, fhash FROM fh
+        WHERE doc_id >= 999999 OR doc_id % 10 >= 6),
+      ind AS (SELECT doc_id, fidx, fhash FROM fh
+        WHERE doc_id < 999999 AND doc_id % 10 < 6),
+      prs AS (SELECT b.doc_id AS bid, i.doc_id AS iid
+        FROM bat b JOIN ind i ON b.fidx = i.fidx
+          AND bit_count(xor(b.fhash, i.fhash)) <= 3
+        GROUP BY 1, 2),
+      cnt AS (SELECT bid AS doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM prs GROUP BY 1),
+      bdocs AS (SELECT doc_id FROM m
+        WHERE doc_id >= 999999 OR doc_id % 10 >= 6)
+      SELECT d.doc_id,
+        coalesce(cnt.n, CAST(0 AS BIGINT)) AS n_index_dups,
+        coalesce(cnt.n, 0) > 0 AS dup_in_index
+      FROM bdocs d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+      ORDER BY d.doc_id"""))
+
   // P1c: incremental exact dedup — a new batch (doc_id % 10 >= 6, the
   // "today's crawl" slice) deduped against the already-ingested index
   // (doc_id % 10 < 6) without re-touching index rows: index side
@@ -4035,5 +4126,6 @@ object PipelineQueries {
     multimodalPng, multimodalJpeg, shardsRoundtrip, shardsPhashKeep,
     multimodalAudiodup, multimodalAudiodupKeep,
     multimodalVideodup, multimodalVideodupKeep,
-    multimodalPhash, multimodalPhashIncr, multimodalAudiodupIncr)
+    multimodalPhash, multimodalPhashIncr, multimodalAudiodupIncr,
+    multimodalVideodupIncr)
 }

@@ -99,6 +99,59 @@ class MediaHashIndexSpec extends AnyFunSuite {
     assert(MediaHashIndex.params(spark, root)._2 == 2)
   }
 
+  test("frame-level (video) stored probe equals brute force under the equal-position rule") {
+    // the video leg: 4-frame clips, candidates must pair ONLY at
+    // equal positions, exact re-crawls match at all positions
+    def frames(ids: Range, base: Long) = ids.flatMap { i =>
+      (0 until 4).map { f =>
+        val x = (i.toLong * 31 + f) * 0x9e3779b97f4a7c15L + base
+        (i.toLong, f, x ^ (x >>> 31))
+      }
+    }
+    val index = frames(1 to 120, 0L)
+    // batch: fresh clips + an exact re-crawl of clip 7 + a clip
+    // matching clip 9 only at position 2 (hamming 1)
+    val c7 = index.filter(_._1 == 7L).map { case (_, f, h) => (807L, f, h) }
+    val c9 = index.find(x => x._1 == 9L && x._2 == 2).get
+    val batch = frames(501 to 550, 7L) ++ c7 ++
+      Seq((809L, 2, c9._3 ^ 4L), (809L, 0, 0x5a5a5a5a5a5a5a5aL))
+    val root = freshRoot("mediahash_spec_frames")
+    MediaHashIndex.buildFrames(
+      index.toDF("doc_id", "frame_idx", "fhash"), root, maxHamming = 3)
+    val got = MediaHashIndex.candidatesFrames(spark, root,
+        batch.toDF("doc_id", "frame_idx", "fhash"))
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (b, fb, hb) <- batch; (i, fi, hi) <- index
+      if b != i && fb == fi &&
+        java.lang.Long.bitCount(hb ^ hi) <= 3
+    } yield (b, i)).groupBy(identity).map { case ((b, i), xs) =>
+      (b, i, xs.size.toLong)
+    }.toSet
+    assert(got == brute)
+    // the exact re-crawl matches clip 7 at ALL 4 positions; the
+    // partial clip matches clip 9 at exactly one
+    assert(got.contains((807L, 7L, 4L)) && got.contains((809L, 9L, 1L)))
+    // addFramesBatch ≡ rebuild, re-add fixpoint
+    val more = frames(121 to 160, 0L)
+    val fullRoot = freshRoot("mediahash_spec_frames_full")
+    MediaHashIndex.buildFrames(
+      (index ++ more).toDF("doc_id", "frame_idx", "fhash"), fullRoot,
+      maxHamming = 3)
+    assert(MediaHashIndex.addFramesBatch(
+      more.toDF("doc_id", "frame_idx", "fhash"), root) == 40L)
+    val inc = MediaHashIndex.candidatesFrames(spark, root,
+        batch.toDF("doc_id", "frame_idx", "fhash"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = MediaHashIndex.candidatesFrames(spark, fullRoot,
+        batch.toDF("doc_id", "frame_idx", "fhash"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full,
+      "incrementally-added frame index must answer exactly like a rebuild")
+    assert(MediaHashIndex.addFramesBatch(
+      more.toDF("doc_id", "frame_idx", "fhash"), root) == 0L)
+  }
+
   test("an identical-media FLOOD on either side stays value-collapsed (linear candidates)") {
     // 5k index copies of one placeholder hash + 5k batch re-crawls of
     // it: the chunk join sees ONE value pair; the expansion is the
