@@ -15,9 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"),
+  /** Parquet schema cache (r16, guide §6/§1.2 "per-query fixed work"):
+    * `spark.read.parquet(path)` infers the schema by listing the path
+    * and reading a footer on the DRIVER at plan-build time — ~20-50 ms
+    * per call, paid again on EVERY query invocation (SQL-route keys
+    * pay it ×10 via [[registerAll]]). The driver-generated tables are
+    * immutable for the life of a process, so the schema is read once
+    * per path and passed explicitly thereafter; the DATA is still
+    * scanned from parquet by every query — this caches metadata, never
+    * results. Keyed by resolved path so different SF dirs coexist. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    normalizeTimestamps(spark.read.schema(schema).parquet(path),
       nanosAsLongCols = if (name == "events") Set("ts") else Set.empty)
+  }
 
   /** Timestamp normalization across driver data vintages. The tables
     * have carried two parquet encodings: TIMESTAMP(NANOS) (read as
@@ -47,7 +63,18 @@ object Tables {
   /** Register every table as a temp view (idempotent) — the analogue of
     * pyhdk `create_table`/`scan` (hdk.py:2130,2556); enables the SQL
     * frontend path (hdk.py:2456 `HDK.sql`).
-    */
+    *
+    * r16: re-registration is skipped while the SAME dir is already the
+    * session's registered source — every SQL-route query calls this,
+    * and 10 view (re)creations per query were ~0.5-1 s of pure
+    * per-query fixed work (guide §1.2: per-task/per-query overhead
+    * after the algorithm is right). A temp view holds only the scan
+    * PLAN — each query execution still reads the parquet data fresh,
+    * and switching dirs re-registers, so behavior is unchanged. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, dir) != dir)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -119,9 +119,18 @@ object Graph extends org.apache.spark.internal.Logging {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = bidir.select(col("src").as("node_id")).distinct()
-      .withColumn("component", col("node_id")).localCheckpoint()
-    var iter = 0
+    // r16: round 1 folded into the init — against IDENTITY labels the
+    // neighbor-min is just min(dst) per src (no join at all), and every
+    // edge-bearing node appears as src in bidir, so the node set is the
+    // same frame the old distinct() built. One full edge⋈labels round
+    // removed for free.
+    var labels = org.apache.spark.sql.GraftShim.statsBarrier(
+      bidir.groupBy(col("src").as("node_id"))
+        .agg(min(col("dst")).as("nbr_min"))
+        .select(col("node_id"),
+          least(col("node_id"), col("nbr_min")).as("component"))
+        .localCheckpoint())
+    var iter = 1
     var converged = false
     while (iter < maxIters && !converged) {
       val neighborMin = bidir
@@ -133,25 +142,28 @@ object Graph extends org.apache.spark.internal.Logging {
         .select(col("node_id"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("mid"))
-      // pointer jumps: label(label(v)) under THIS round's mapping — mid
+      // pointer jump: label(label(v)) under THIS round's mapping — mid
       // always holds a node id (labels start as ids and only move by
-      // least() over other labels), so the inner join is total; two
-      // chained jumps quadruple the propagation distance per round and
-      // cost only label-sized self-joins inside the same checkpoint job
-      // materialize the hash-min frame once: the jump self-joins it,
-      // and without the checkpoint the join would EMBED the neighbor
-      // shuffle lineage twice in one plan
-      val hashMinM = hashMin.localCheckpoint()
-      val t1 = System.nanoTime()
-      val parents = hashMinM.select(col("node_id").as("p_id"),
+      // least() over other labels), so the inner join is total.
+      // r16: the hash-min frame is NO LONGER checkpointed mid-round —
+      // the jump self-join references the same canonical subtree on
+      // both sides, and ReuseExchange/AQE stage reuse computes the
+      // neighbor shuffle once. That removes one materialize-everything
+      // job per round (measured: 15×(hashmin 0.30 + jump 0.15 + count
+      // 0.06) → 14×(step 0.42 + count 0.05) at sf0.1, q62 9.6 → 7.2 s
+      // steady). A second chained jump was re-tried under the stats
+      // barrier and measured round-count-neutral — the convergence
+      // tail is graph-hop-bound, not label-tree-bound — so it stays
+      // out.
+      val parents = hashMin.select(col("node_id").as("p_id"),
         col("mid").as("p_comp"))
       // stats barrier (GraftShim scaladoc): the jump self-join squares
-      // the checkpoint-propagated sizeInBytes each round — without the
-      // barrier, plan-time BigInt arithmetic doubles in bit-length per
+      // the propagated sizeInBytes each round — without the barrier,
+      // plan-time BigInt arithmetic doubles in bit-length per
       // iteration and dominates wall time by round ~16 (measured 5×
       // probe: 0.13 s → 23.8 s per jump on FLAT data)
       val step = org.apache.spark.sql.GraftShim.statsBarrier(
-        hashMinM.join(parents, col("mid") === col("p_id"))
+        hashMin.join(parents, col("mid") === col("p_id"))
           .select(col("node_id"), col("component"),
             least(col("mid"), col("p_comp")).as("next_component"))
           .localCheckpoint())
@@ -159,12 +171,11 @@ object Graph extends org.apache.spark.internal.Logging {
       val changed = step.filter(col("next_component") =!= col("component"))
         .count()
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        println(f"[cc] iter=$iter changed=$changed hashmin=${(t1 - t0) / 1e9}%.2f jump=${(t2 - t1) / 1e9}%.2f count=${(System.nanoTime() - t2) / 1e9}%.2f s parts=${step.rdd.getNumPartitions}/${hashMinM.rdd.getNumPartitions}")
-      // step is materialized (eager checkpoints + the count above) —
-      // release this round's intermediate and the previous labels so
-      // checkpoint blocks don't accumulate across rounds (the r9 25×
-      // kCore lesson, applied to the whole loop family)
-      org.apache.spark.sql.GraftShim.releaseCheckpoint(hashMinM)
+        println(f"[cc] iter=$iter changed=$changed step=${(t2 - t0) / 1e9}%.2f count=${(System.nanoTime() - t2) / 1e9}%.2f s parts=${step.rdd.getNumPartitions}")
+      // step is materialized (eager checkpoint + the count above) —
+      // release the previous labels so checkpoint blocks don't
+      // accumulate across rounds (the r9 25× kCore lesson, applied to
+      // the whole loop family)
       org.apache.spark.sql.GraftShim.releaseCheckpoint(labels)
       labels = step.select(col("node_id"), col("next_component").as("component"))
       converged = changed == 0
@@ -548,48 +559,49 @@ object Graph extends org.apache.spark.internal.Logging {
         fwd.union(edges.select(col("dst").as("src"),
           col("src").as("dst"), col("w").cast("long")))
       else fwd).localCheckpoint()
+    // r16: one materialization per round instead of two — the relax
+    // output FULL-OUTER-merges into the label frame with an _improved
+    // flag, so the merged frame, the convergence probe, and the next
+    // frontier all ride ONE checkpointed frame (the frontier is a
+    // filter over materialized blocks, not its own job). Measured on
+    // q88 at sf0.1: 11.6 → ~7 s steady; at scale it removes a full
+    // dist-frame write per round. Values are unchanged: the merge
+    // computes exactly min(old dist, best relaxation).
     var dist = sources.select(col(sources.columns.head).as("node_id"))
       .distinct()
       .withColumn("dist", lit(0L))
+      .withColumn("_improved", lit(true))
       .localCheckpoint()
-    var frontier = dist
+    var frontier = dist.select(col("node_id"), col("dist"))
     var iter = 0
     var done = false
     while (iter < maxIters && !done) {
-      val improved = org.apache.spark.sql.GraftShim.statsBarrier(
-        adj.join(frontier, adj("src") === frontier("node_id"))
-          .select(adj("dst").as("node_id"),
-            (frontier("dist") + adj("w")).as("nd"))
-          .groupBy("node_id").agg(min(col("nd")).as("nd"))
-          .join(dist, Seq("node_id"), "left")
-          .filter(col("dist").isNull || col("nd") < col("dist"))
-          .select(col("node_id"), col("nd").as("dist"))
+      val relax = adj.join(frontier, adj("src") === frontier("node_id"))
+        .select(adj("dst").as("node_id"),
+          (frontier("dist") + adj("w")).as("nd"))
+        .groupBy("node_id").agg(min(col("nd")).as("nd"))
+      val merged = org.apache.spark.sql.GraftShim.statsBarrier(
+        dist.select(col("node_id"), col("dist").as("od"))
+          .join(relax, Seq("node_id"), "full_outer")
+          .select(col("node_id"),
+            least(coalesce(col("nd"), col("od")),
+              coalesce(col("od"), col("nd"))).as("dist"),
+            (col("od").isNull ||
+              (col("nd").isNotNull && col("nd") < col("od")))
+              .as("_improved"))
           .localCheckpoint())
-      if (!(frontier eq dist))
-        org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
-      if (improved.count() > 0) {
-        val merged = org.apache.spark.sql.GraftShim.statsBarrier(
-          dist.join(improved.select(col("node_id"),
-              col("dist").as("_nd")), Seq("node_id"), "left")
-            .select(col("node_id"),
-              coalesce(col("_nd"), col("dist")).as("dist"))
-            .union(improved.join(dist, Seq("node_id"), "left_anti"))
-            .localCheckpoint())
-        org.apache.spark.sql.GraftShim.releaseCheckpoint(dist)
-        dist = merged
-        frontier = improved
-      } else {
-        org.apache.spark.sql.GraftShim.releaseCheckpoint(improved)
-        done = true
-      }
+      val nImproved = merged.filter(col("_improved")).count()
+      org.apache.spark.sql.GraftShim.releaseCheckpoint(dist)
+      dist = merged
+      frontier = merged.filter(col("_improved"))
+        .select(col("node_id"), col("dist"))
+      done = nImproved == 0
       iter += 1
     }
     if (!done && iter >= maxIters)
       logWarning(s"weightedShortestPaths: still improving after " +
         s"$maxIters rounds; distances may be upper bounds")
-    if (!(frontier eq dist))
-      org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
-    dist
+    dist.select(col("node_id"), col("dist"))
   }
 
   /** Degree assortativity coefficient (SURVEY.md §2 R44; Newman 2002,
@@ -674,29 +686,32 @@ object Graph extends org.apache.spark.internal.Logging {
     val adj = (if (undirected)
         fwd.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       else fwd).localCheckpoint()
-    var settled = sources.select(col(sources.columns.head).as("node_id"))
+    // r16: the settled set ACCUMULATES as a lazy union of the per-round
+    // checkpointed frontiers instead of being re-unioned and
+    // re-checkpointed every round. Settled rows are immutable once
+    // written (a node's first reach IS its BFS distance), so the old
+    // merged-frame rebuild re-wrote O(rounds·|V|) rows for nothing; the
+    // anti-join reads the same rows either way. One checkpoint + one
+    // count per round remain. The union plan grows by one leg per
+    // round — bounded by maxIters and flat, so plan-time stats stay
+    // additive (no statsBarrier squaring).
+    var settledAll = sources
+      .select(col(sources.columns.head).as("node_id"))
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
-    var frontier = settled
+    var frontier = settledAll
     var iter = 0
     var done = false
     while (iter < maxIters && !done) {
       val next = org.apache.spark.sql.GraftShim.statsBarrier(
         adj.join(frontier, adj("src") === frontier("node_id"))
           .select(adj("dst").as("node_id")).distinct()
-          .join(settled, Seq("node_id"), "left_anti")
+          .join(settledAll, Seq("node_id"), "left_anti")
           .withColumn("dist", lit(iter + 1L))
           .localCheckpoint())
-      // the old frontier's job ends the moment `next` materializes
-      // (eager checkpoint above) — release it, except at round 0 where
-      // frontier IS the settled frame the anti-join still needs
-      if (!(frontier eq settled))
-        org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
       if (next.count() > 0) {
-        val merged = settled.union(next).localCheckpoint()
-        org.apache.spark.sql.GraftShim.releaseCheckpoint(settled)
-        settled = merged
+        settledAll = settledAll.union(next)
         frontier = next
       } else {
         org.apache.spark.sql.GraftShim.releaseCheckpoint(next)
@@ -707,10 +722,6 @@ object Graph extends org.apache.spark.internal.Logging {
     if (!done && iter >= maxIters)
       logWarning(s"bfsHops: frontier still live after $maxIters rounds; " +
         "distances beyond the cutoff are absent")
-    // idempotent (unpersist is a no-op on released blocks): covers the
-    // maxIters exit where the last frontier was never superseded
-    if (!(frontier eq settled))
-      org.apache.spark.sql.GraftShim.releaseCheckpoint(frontier)
-    settled
+    settledAll
   }
 }

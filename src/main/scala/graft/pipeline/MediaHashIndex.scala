@@ -78,9 +78,20 @@ object MediaHashIndex {
   /** Build the index of `hashes` (doc_id, ahash) under `root`
     * (overwrites). The chunk table is [[Multimodal.hashChunks]] over
     * the distinct values — identical to the in-memory closure's
-    * banding, so stored ≡ fresh is spec-assertable. */
+    * banding, so stored ≡ fresh is spec-assertable.
+    *
+    * `srcFp` lets [[ensure]] pin the fingerprint it ALREADY computed
+    * (possibly over an upstream id frame) so meta always matches what
+    * the next ensure() will compare — omitted, the member ids are
+    * fingerprinted, the original contract.
+    *
+    * Write order (r15 advice): meta LAST — it carries the freshness
+    * fingerprint, so a crash mid-build leaves a meta-less (or
+    * stale-meta'd) root that the next ensure() detects and rebuilds
+    * rather than a fresh-looking half-index. */
   def build(hashes: DataFrame, root: String, maxHamming: Int = 3,
-      modality: String = "image"): Unit = {
+      modality: String = "image",
+      srcFp: Option[(Long, Long)] = None): Unit = {
     val spark = hashes.sparkSession
     val members = hashes.select(col("doc_id"), col("ahash"))
       .localCheckpoint() // hashes may be a media decode — compute once
@@ -91,7 +102,7 @@ object MediaHashIndex {
         .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
         .write.mode("overwrite").partitionBy("chunk_idx")
         .parquet(chunksPath(root))
-      val (n, sig) = fingerprint(members)
+      val (n, sig) = srcFp.getOrElse(fingerprint(members))
       writeMeta(spark, root, modality, maxHamming, n, sig)
     } finally members.unpersist()
   }
@@ -99,26 +110,39 @@ object MediaHashIndex {
   /** Build-if-absent-or-STALE ([[BandIndex.ensureBands]] discipline):
     * rebuilds when no index exists under `root`, when the pinned
     * parameters differ, or when the stored id-set fingerprint differs
-    * from `hashes` — a regenerated corpus under the same dir
+    * from the source — a regenerated corpus under the same dir
     * invalidates the index instead of silently probing stale chunks.
-    * Returns true when a (re)build happened. */
+    * Returns true when a (re)build happened.
+    *
+    * `ids`: the freshness probe only needs the SOURCE DOC-ID SET, so
+    * callers whose `hashes` frame is a media decode (an opaque
+    * mapPartitions that column pruning cannot reach) pass the id frame
+    * taken UPSTREAM of the decode — a fresh-index probe then reads ids
+    * from parquet and never re-decodes or re-hashes a byte of
+    * yesterday's media (r15 advice: the per-query ensure() otherwise
+    * re-decoded the entire indexed corpus on every invocation,
+    * contradicting the crawl-append contract at 100 TB). When a
+    * rebuild IS needed, the fingerprint of the same id frame is pinned
+    * into meta so the next probe compares like with like. Default
+    * (None) fingerprints hashes.doc_id — the original contract. */
   def ensure(hashes: DataFrame, root: String, maxHamming: Int = 3,
-      modality: String = "image"): Boolean = {
+      modality: String = "image", ids: Option[DataFrame] = None): Boolean = {
     val spark = hashes.sparkSession
     def success(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    val idFrame = ids.getOrElse(hashes.select(col("doc_id")))
     val haveIndex = success(hashesPath(root)) && success(metaPath(root))
+    lazy val fp = fingerprint(idFrame)
     val stale = !haveIndex || {
       val m = spark.read.parquet(metaPath(root)).head()
-      val (n, sig) = fingerprint(hashes)
       m.getAs[String]("modality") != modality ||
         m.getAs[Int]("max_hamming") != maxHamming ||
-        m.getAs[Long]("src_rows") != n ||
-        m.getAs[Long]("src_sig") != sig
+        m.getAs[Long]("src_rows") != fp._1 ||
+        m.getAs[Long]("src_sig") != fp._2
     }
-    if (stale) build(hashes, root, maxHamming, modality)
+    if (stale) build(hashes, root, maxHamming, modality, Some(fp))
     stale
   }
 
@@ -127,7 +151,15 @@ object MediaHashIndex {
     * caller. Chunk rows are added only for NEVER-SEEN hash values
     * (pruned to the chunk_idx=0 partition — the distinct-value set).
     * Returns the number of NEW docs indexed (0 = fixpoint re-add,
-    * nothing written). */
+    * nothing written).
+    *
+    * Write order (r15 advice): chunk rows FIRST, member rows second,
+    * meta last. An orphan chunk value (crash before the member write)
+    * expands to nothing in [[candidates]] and a re-run re-applies the
+    * batch (its ids are still absent from hashes/); the old
+    * members-first order made a crash between the two writes leave
+    * those docs PERMANENTLY unprobeable — the re-run's anti-join saw
+    * the ids as already present and never wrote their chunk rows. */
   def addBatch(batch: DataFrame, root: String,
       maxFilesPerChunk: Int = 8): Long = {
     val spark = batch.sparkSession
@@ -140,7 +172,6 @@ object MediaHashIndex {
     try {
       val n = newDocs.count()
       if (n > 0) {
-        newDocs.write.mode("append").parquet(hashesPath(root))
         val storedVals = spark.read.parquet(chunksPath(root))
           .filter(col("chunk_idx") === 0).select(col("ahash"))
         val newVals = newDocs.select(col("ahash")).distinct()
@@ -150,6 +181,7 @@ object MediaHashIndex {
           .write.mode("append").partitionBy("chunk_idx")
           .parquet(chunksPath(root))
         compactChunks(spark, root, maxFilesPerChunk)
+        newDocs.write.mode("append").parquet(hashesPath(root))
         // fold the new ids into the fingerprint so ensure() keeps
         // recognizing the (initial ∪ added) id set as fresh
         val m = spark.read.parquet(metaPath(root)).head()
@@ -185,7 +217,7 @@ object MediaHashIndex {
     * metadata (probes must sample batches at the same stride for
     * positions to align; [[candidatesFrames]] reads it back). */
   def buildFrames(frames: DataFrame, root: String, maxHamming: Int = 3,
-      stride: Int = 10): Unit = {
+      stride: Int = 10, srcFp: Option[(Long, Long)] = None): Unit = {
     val spark = frames.sparkSession
     val members = frames.select(col("doc_id"), col("frame_idx"),
       col("fhash")).localCheckpoint()
@@ -196,37 +228,43 @@ object MediaHashIndex {
         .select(col("chunk_idx"), col("chunk_val"), col("ahash"))
         .write.mode("overwrite").partitionBy("chunk_idx")
         .parquet(chunksPath(root))
-      val (n, sig) = fingerprint(members.select(col("doc_id")).distinct())
+      val (n, sig) = srcFp.getOrElse(
+        fingerprint(members.select(col("doc_id")).distinct()))
       writeMeta(spark, root, s"video/stride=$stride", maxHamming, n, sig)
     } finally members.unpersist()
   }
 
   /** Build-if-absent-or-stale for the frame-level index (the
-    * [[ensure]] contract on the distinct DOC id set). */
+    * [[ensure]] contract on the distinct DOC id set). `ids` as in
+    * [[ensure]]: a doc-id frame taken upstream of the frame decode so
+    * a fresh-index probe never re-decodes the corpus (must be the
+    * DISTINCT video ids feeding `frames`). */
   def ensureFrames(frames: DataFrame, root: String, maxHamming: Int = 3,
-      stride: Int = 10): Boolean = {
+      stride: Int = 10, ids: Option[DataFrame] = None): Boolean = {
     val spark = frames.sparkSession
     def success(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    val idFrame = ids.getOrElse(frames.select(col("doc_id")).distinct())
     val haveIndex = success(framesPath(root)) && success(metaPath(root))
+    lazy val fp = fingerprint(idFrame)
     val stale = !haveIndex || {
       val m = spark.read.parquet(metaPath(root)).head()
-      val (n, sig) = fingerprint(
-        frames.select(col("doc_id")).distinct())
       m.getAs[String]("modality") != s"video/stride=$stride" ||
         m.getAs[Int]("max_hamming") != maxHamming ||
-        m.getAs[Long]("src_rows") != n ||
-        m.getAs[Long]("src_sig") != sig
+        m.getAs[Long]("src_rows") != fp._1 ||
+        m.getAs[Long]("src_sig") != fp._2
     }
-    if (stale) buildFrames(frames, root, maxHamming, stride)
+    if (stale) buildFrames(frames, root, maxHamming, stride, Some(fp))
     stale
   }
 
   /** Append `batch` frames (doc_id, frame_idx, fhash) under the
     * new-DOC-id anti-join contract; chunk rows added only for
-    * never-seen fhash VALUES. Returns the number of NEW docs. */
+    * never-seen fhash VALUES. Returns the number of NEW docs.
+    * Write order as [[addBatch]] (r15 advice): chunks → members →
+    * meta, so a crash never strands probeable-looking member rows. */
   def addFramesBatch(batch: DataFrame, root: String,
       maxFilesPerChunk: Int = 8): Long = {
     val spark = batch.sparkSession
@@ -242,7 +280,6 @@ object MediaHashIndex {
         .localCheckpoint()
       val n = newDocs.count()
       if (n > 0) {
-        newFrames.write.mode("append").parquet(framesPath(root))
         val storedVals = spark.read.parquet(chunksPath(root))
           .filter(col("chunk_idx") === 0).select(col("ahash"))
         val newVals = newFrames.select(col("fhash").as("ahash")).distinct()
@@ -252,6 +289,7 @@ object MediaHashIndex {
           .write.mode("append").partitionBy("chunk_idx")
           .parquet(chunksPath(root))
         compactChunks(spark, root, maxFilesPerChunk)
+        newFrames.write.mode("append").parquet(framesPath(root))
         val (bn, bsig) = fingerprint(newDocs)
         writeMeta(spark, root, m0.getAs[String]("modality"),
           m0.getAs[Int]("max_hamming"),

@@ -2014,6 +2014,10 @@ object ExtendedQueries {
         .select((col("o_custkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
+        // r16: materialize the derived edge set ONCE — the sources
+        // aggregate below and bfsHops' adj frame otherwise each
+        // re-execute the full orders⋈lineitem derivation
+        .localCheckpoint()
       val src = edges.agg(min(col("src")).as("node_id"))
       graft.operators.Graph.bfsHops(edges, src)
         .orderBy(col("node_id"))
@@ -2374,6 +2378,8 @@ object ExtendedQueries {
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .distinct()
         .withColumn("w", expr("((dst - 1) div 2) % 5 + 1"))
+        // r16: materialize once — see q80_bfs
+        .localCheckpoint()
       val src = edges.agg(min(col("src")).as("node_id"))
       graft.operators.Graph.weightedShortestPaths(edges, src)
         .orderBy(col("node_id"))

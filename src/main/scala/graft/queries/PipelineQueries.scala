@@ -3290,9 +3290,12 @@ object PipelineQueries {
         .unionByName(planted)
       val root = graft.GraftSession.scratchDir(
         "phash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      // ids upstream of the decode (r15 advice): a fresh-index probe
+      // fingerprints doc_ids straight off the parquet scan — the
+      // indexed corpus is never re-decoded or re-hashed per query
       graft.pipeline.MediaHashIndex.ensure(
         Multimodal.imageAHash(index), root, maxHamming = 3,
-        modality = "image")
+        modality = "image", ids = Some(index.select(col("doc_id"))))
       val cands = graft.pipeline.MediaHashIndex.candidates(
         s, root, Multimodal.imageAHash(batch))
       val per = cands.groupBy(col("batch_id").as("doc_id"))
@@ -3377,9 +3380,10 @@ object PipelineQueries {
         .unionByName(planted)
       val root = graft.GraftSession.scratchDir(
         "audiohash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      // ids upstream of the decode (r15 advice) — see the image leg
       graft.pipeline.MediaHashIndex.ensure(
         Multimodal.audioFingerprint(index), root, maxHamming = 3,
-        modality = "audio")
+        modality = "audio", ids = Some(index.select(col("doc_id"))))
       val cands = graft.pipeline.MediaHashIndex.candidates(
         s, root, Multimodal.audioFingerprint(batch))
       val per = cands.groupBy(col("batch_id").as("doc_id"))
@@ -3470,9 +3474,11 @@ object PipelineQueries {
         .unionByName(planted)
       val root = graft.GraftSession.scratchDir(
         "videohash_index_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      // ids upstream of the decode (r15 advice) — see the image leg
       graft.pipeline.MediaHashIndex.ensureFrames(
         Multimodal.videoFrameHashes(index, stride = 10), root,
-        maxHamming = 3, stride = 10)
+        maxHamming = 3, stride = 10,
+        ids = Some(index.select(col("doc_id"))))
       val cands = graft.pipeline.MediaHashIndex.candidatesFrames(
         s, root, Multimodal.videoFrameHashes(batch, stride = 10))
       val per = cands.groupBy(col("batch_id").as("doc_id"))

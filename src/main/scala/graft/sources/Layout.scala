@@ -72,11 +72,25 @@ object Layout {
     val nOut = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= files.length) return files.length
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    // Crash-safe swap (r15 advice): the staging dirs are DOT-prefixed
+    // so partition discovery over the enclosing table root ignores
+    // them (the old bare 'chunk_idx=N__compact_tmp' sibling made
+    // discovery infer chunk_idx as string), and the live directory is
+    // renamed ASIDE before the compacted one renames in — a crash in
+    // the window leaves the data intact under .<name>__compact_old
+    // instead of deleted.
+    val parent = path.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + path.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(parent,
+      "." + path.getName + "__compact_old")
+    fs.delete(tmp, true) // leftovers of a crashed earlier run
+    fs.delete(old, true)
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    fs.rename(path, old)
     fs.rename(tmp, path)
+    fs.delete(old, true)
     // report what actually landed (a coalesce target with an empty
     // partition writes fewer files than requested)
     fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))

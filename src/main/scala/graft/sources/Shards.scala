@@ -207,10 +207,18 @@ object Shards {
             // WebDataset shards with >100-byte member paths store the
             // leading directories here — ignoring it would silently
             // truncate names (r15 advice); our own writer never fills
-            // it (tarHeader requires ≤100-byte names)
+            // it (tarHeader requires ≤100-byte names). Gated on the
+            // POSIX magic "ustar\0" at 257 (r15 advice): GNU-format
+            // archives (magic "ustar  " with a space-version) reuse
+            // this region for atime/ctime and pre-POSIX/v7 headers
+            // leave it undefined — gluing those bytes onto the name
+            // would corrupt record keys.
+            val posixMagic = h(257) == 'u' && h(258) == 's' &&
+              h(259) == 't' && h(260) == 'a' && h(261) == 'r' &&
+              h(262) == 0
             var pe = 345
             while (pe < 500 && h(pe) != 0) pe += 1
-            val name = if (pe == 345) base
+            val name = if (!posixMagic || pe == 345) base
               else new String(h, 345, pe - 345, "UTF-8") + "/" + base
             val size = octal(h, 124, 12)
             require(size <= Int.MaxValue - 8L,
