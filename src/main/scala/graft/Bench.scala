@@ -82,12 +82,13 @@ object Bench {
       // next query would otherwise pay as major-GC time (measured 2×
       // on the query following them, both passes). Single-JVM artifact
       // — on a cluster, executors don't share one heap with 78 queries.
-      // r16: only when the heap actually carries debt (>4 GiB used);
-      // an unconditional forced collection per rep was ~2 min of wall
-      // across 570 reps, almost all of it after no-debt small queries.
-      val rt = Runtime.getRuntime
-      if (rt.totalMemory() - rt.freeMemory() > 4L * 1024 * 1024 * 1024)
-        System.gc()
+      // r16 note: a >4 GiB-used conditional was tried to save the
+      // ~0.1-0.3 s/rep of forced collection and REVERTED — with the
+      // condition, ann_recall regressed 8.1 → 11.1 s consistently
+      // across both passes (sub-threshold debt still pays as timed GC).
+      // The unconditional collection protects the timed numbers; its
+      // wall cost is untimed.
+      System.gc()
     }
     // Two timed passes, per-query minimum: a single pass is exposed to
     // one-off interference (GC, host noise) — observed 7× outliers on

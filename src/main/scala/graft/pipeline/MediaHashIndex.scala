@@ -308,9 +308,24 @@ object MediaHashIndex {
     * for more). Hashes only the batch; the corpus rides as its stored
     * fixed-width artifacts; candidates come from the value-level chunk
     * join (flood-collapsed on both sides), expanded ONLY under the
-    * equal-position constraint. */
+    * equal-position constraint.
+    *
+    * Hub-frame guard (r15 verdict #5, the [[Dedup]] maxBucketDf idiom
+    * for media): a frame VALUE shared by many videos at the SAME
+    * position — black/intro/outro frames are exactly this at crawl
+    * scale — expands to (stored df × batch df) candidate rows before
+    * the per-pair count, and at minMatches=1 links unrelated videos on
+    * the weakest possible evidence. (position, value) groups whose df
+    * exceeds `maxPositionDf` on EITHER side are therefore excluded
+    * from expansion: candidate mass is bounded by maxPositionDf ×
+    * matched values, and a ubiquitous frame alone can no longer pair
+    * two videos. Pairs that share only hub frames won't surface —
+    * raise maxPositionDf to trade cost for that recall; the driver SFs
+    * sit far below the default cap, so the oracled key is unchanged
+    * (spec-asserted with a planted 1k-video black-frame hub). */
   def candidatesFrames(spark: SparkSession, root: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, maxPositionDf: Int = 1000): DataFrame = {
+    require(maxPositionDf >= 1, "maxPositionDf must be positive")
     val maxHamming = params(spark, root)._2
     val storedChunks = spark.read.parquet(chunksPath(root))
     val batchChunks = Multimodal.hashChunks(
@@ -323,12 +338,22 @@ object MediaHashIndex {
       .distinct()
       .filter(bit_count(col("bh").bitwiseXOR(col("ih"))) <= maxHamming)
     val storedFrames = spark.read.parquet(framesPath(root))
+    def coolFrames(frames: DataFrame): DataFrame =
+      frames.join(
+        frames.groupBy(col("fhash"), col("frame_idx"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxPositionDf)
+          .select(col("fhash"), col("frame_idx")),
+        Seq("fhash", "frame_idx"), "left_semi")
     valuePairs
-      .join(batch.select(col("fhash").as("bh"),
-        col("doc_id").as("batch_id"), col("frame_idx").as("fi")),
+      .join(coolFrames(batch.select(col("fhash"), col("doc_id"),
+          col("frame_idx")))
+        .select(col("fhash").as("bh"), col("doc_id").as("batch_id"),
+          col("frame_idx").as("fi")),
         Seq("bh"))
-      .join(storedFrames.select(col("fhash").as("ih"),
-        col("doc_id").as("index_id"), col("frame_idx").as("fj")),
+      .join(coolFrames(storedFrames)
+        .select(col("fhash").as("ih"), col("doc_id").as("index_id"),
+          col("frame_idx").as("fj")),
         Seq("ih"))
       .filter(col("fi") === col("fj")
         && col("batch_id") =!= col("index_id"))

@@ -172,4 +172,67 @@ class MediaHashIndexSpec extends AnyFunSuite {
     assert(got.count() == 5000L,
       "one near-flood probe doc pairs with every flood member (true output)")
   }
+
+  test("hub frame (shared black frame) is capped: it alone cannot pair videos") {
+    // r15 verdict #5: 1k stored videos all share frame 0 (a black/intro
+    // frame); today's batch of 100 shares it too. Uncapped, the equal-
+    // position expansion is 100×1000 candidate rows and every batch
+    // video "pairs" with every stored video on the weakest evidence.
+    val hub = 0x00000000000000ffL
+    def uniq(i: Long, salt: Long) = {
+      val x = (i * 131 + salt) * 0x9e3779b97f4a7c15L
+      x ^ (x >>> 31)
+    }
+    val index = (1 to 1000).flatMap(i =>
+      Seq((i.toLong, 0, hub), (i.toLong, 1, uniq(i, 1L))))
+    // batch clip 2001's frame 1 re-crawls stored clip 5's frame 1 —
+    // genuine same-position evidence that must still surface
+    val batch = (2001 to 2100).flatMap(i =>
+      Seq((i.toLong, 0, hub),
+        (i.toLong, 1, if (i == 2001) uniq(5L, 1L) else uniq(i, 2L))))
+    val root = freshRoot("mediahash_spec_hub")
+    MediaHashIndex.buildFrames(
+      index.toDF("doc_id", "frame_idx", "fhash"), root, maxHamming = 3)
+    val capped = MediaHashIndex.candidatesFrames(spark, root,
+        batch.toDF("doc_id", "frame_idx", "fhash"), maxPositionDf = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((2001L, 5L, 1L)),
+      s"hub frame must not pair videos; only the genuine frame-1 " +
+        s"re-crawl survives, got ${capped.size} pairs")
+    // negative control: with the cap above both dfs the hub expands —
+    // the guard is the cap, not an accident of the fixture
+    val uncapped = MediaHashIndex.candidatesFrames(spark, root,
+        batch.toDF("doc_id", "frame_idx", "fhash"),
+        maxPositionDf = 100000)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.length == 100 * 1000,
+      s"uncapped hub must expand to every batch×index pair, " +
+        s"got ${uncapped.length}")
+  }
+
+  test("ensure(ids=…) probes freshness from the upstream id frame without the hash lineage") {
+    // r15 advice: the P11k incr queries' per-call ensure() re-decoded
+    // the whole indexed corpus because the fingerprint aggregated over
+    // the decode. With ids passed from upstream, a fresh probe needs
+    // only the id frame; staleness semantics are unchanged.
+    val a = hashRows(1 to 100, Seq.empty)
+    val ids = a.map(_._1)
+    val root = freshRoot("mediahash_spec_ids")
+    assert(MediaHashIndex.ensure(a.toDF("doc_id", "ahash"), root,
+      ids = Some(ids.toDF("doc_id"))), "first ensure must build")
+    // fresh probe: the hashes argument is a poisoned frame — if the
+    // probe touched it, the query would throw; only the id frame may
+    // be evaluated
+    val poisoned = spark.range(1).selectExpr(
+      "CAST(raise_error('ensure must not evaluate hashes when fresh') AS LONG) AS doc_id",
+      "id AS ahash")
+    assert(!MediaHashIndex.ensure(poisoned, root,
+      ids = Some(ids.toDF("doc_id"))),
+      "unchanged upstream ids must read as fresh, hashes untouched")
+    // staleness still detected from ids alone → rebuild runs the hashes
+    val a2 = hashRows(1 to 101, Seq.empty)
+    assert(MediaHashIndex.ensure(a2.toDF("doc_id", "ahash"), root,
+      ids = Some(a2.map(_._1).toDF("doc_id"))),
+      "changed upstream id set must rebuild")
+  }
 }
