@@ -694,7 +694,10 @@ object Graph extends org.apache.spark.internal.Logging {
     // anti-join reads the same rows either way. One checkpoint + one
     // count per round remain. The union plan grows by one leg per
     // round — bounded by maxIters and flat, so plan-time stats stay
-    // additive (no statsBarrier squaring).
+    // additive (no statsBarrier squaring). A caller raising maxIters
+    // far beyond the default should re-compact the union every ~32
+    // rounds (one checkpoint) to keep the plan bounded; no declared
+    // query needs that.
     var settledAll = sources
       .select(col(sources.columns.head).as("node_id"))
       .distinct()
