@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must land BARE on the process stdout: sbt's
+// default LoggedOutput re-emits every line through its logger with an
+// "[info] " prefix, which is why the driver's bare-JSON-line parse of the
+// Bench record failed in every round (BENCH_r*.json parsed:null). With
+// StdoutOutput the one-line JSON record is the program's own last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,3 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // a cluster's executors don't share one heap with the whole suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
+// Ad-hoc -D flags for config experiments (e.g. A/B-ing an AQE setting
+// through QTime without a code edit): GRAFT_JAVA_OPTS="-Dspark.x=y ..."
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+  .getOrElse(Seq.empty)

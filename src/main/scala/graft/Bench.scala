@@ -21,12 +21,11 @@ import org.apache.spark.sql.SparkSession
   *    lines per iterative query; r15's 2000-char stdout tail was 100%
   *    WARN spam) is silenced at the one noisy logger, global level
   *    stays WARN.
-  *  - the unconditional per-key System.gc() is now conditional on
-  *    real heap pressure (>4 GiB used): measured 0.1-0.3 s per forced
-  *    collection × 570 timed reps was up to ~2 min of pure wall with
-  *    no effect after the ~500 small queries that leave no old-gen
-  *    debt. The gc still fires after every heavy key, outside the
-  *    timed region, exactly as before.
+  *  - the per-key System.gc() stays UNCONDITIONAL: a >4 GiB-used
+  *    condition was tried (to save ~0.1-0.3 s of untimed wall per rep)
+  *    and REVERTED after it measurably poisoned ann_recall (8.1 →
+  *    11.1 s, both passes) — sub-threshold old-gen debt was being paid
+  *    as timed GC. See dropDeadBlocks below.
   *  - third samples are capped: only keys whose two passes disagree
   *    >1.5× (any size) or >1.3× while >3 s steady (the r15 verdict #4
   *    pin, spread-triggered so stable heavy keys don't re-run) get

@@ -70,9 +70,23 @@ object Tables {
     * per-query fixed work (guide §1.2: per-task/per-query overhead
     * after the algorithm is right). A temp view holds only the scan
     * PLAN — each query execution still reads the parquet data fresh,
-    * and switching dirs re-registers, so behavior is unchanged. */
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    * and switching dirs re-registers, so behavior is unchanged.
+    *
+    * r17 (ADVICE): the skip is only sound while the canonical views
+    * actually still point at this dir's parquet. Importer.createTable/
+    * dropTable/register and QueryBuilder can shadow or drop any of the
+    * 10 names in the same session — they call [[invalidate]] so the
+    * next registerAll repairs the views instead of silently running
+    * SQL against wrong data. The map is weak-keyed so retired sessions
+    * (specs build hundreds) are not pinned for the JVM's lifetime. */
+  private val registeredDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Forget the session's registered-dir marker — called by every code
+    * path that (re)binds a temp view whose name collides with a
+    * canonical table name. */
+  def invalidate(spark: SparkSession, viewName: String): Unit =
+    if (names.contains(viewName)) registeredDir.remove(spark)
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (registeredDir.put(spark, dir) != dir)

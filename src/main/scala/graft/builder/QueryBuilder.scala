@@ -599,7 +599,10 @@ class QueryNode(val df: DataFrame, val tableName: Option[String] = None) {
   def refragmentedView(fragmentSize: Long, name: Option[String] = None): QueryNode = {
     val re = df.repartition(
       graft.sources.Importer.estimateParts(df, fragmentSize))
-    name.foreach(re.createOrReplaceTempView)
+    name.foreach { n =>
+      graft.Tables.invalidate(re.sparkSession, n)
+      re.createOrReplaceTempView(n)
+    }
     new QueryNode(re)
   }
 

@@ -106,8 +106,11 @@ object Graph extends org.apache.spark.internal.Logging {
     * the jump adds only a LABEL-frame self-join (one row per node —
     * the small frame of the round); at sf0.1 the extra per-round jobs
     * roughly offset the saved rounds, at real scale edges ≫ labels.
-    * The hash-min frame localCheckpoints before the jump so the
-    * neighbor shuffle lineage executes once, not twice, per round.
+    * r16: the hash-min frame is NOT checkpointed mid-round — the jump
+    * self-join references the same canonical subtree twice and
+    * ReuseExchange/AQE stage reuse computes the neighbor shuffle once
+    * per round (pinned by PlanSpec), one materialize-everything job
+    * fewer per round.
     * (A second chained jump was tried and reverted: it sent Catalyst's
     * size-in-bytes stats estimation into multi-thousand-bit BigInt
     * products at sf0.1 — planning time swamped execution.)

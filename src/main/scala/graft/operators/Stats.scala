@@ -1429,10 +1429,13 @@ object Stats extends org.apache.spark.internal.Logging {
       .select(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
       .persist()
-    val rx = rankMap(rows.select(col("x").as("v")), nBuckets)
-      .select(col("v").as("x"), col("r2").as("rx"))
-    val ry = rankMap(rows.select(col("y").as("v")), nBuckets)
-      .select(col("v").as("y"), col("r2").as("ry"))
+    // r17: the two rank maps are independent and each checkpoints
+    // eagerly — build them concurrently (guide §2.6, graft.Par)
+    val Seq(rx0, ry0) = graft.Par.frames(
+      () => rankMap(rows.select(col("x").as("v")), nBuckets),
+      () => rankMap(rows.select(col("y").as("v")), nBuckets))
+    val rx = rx0.select(col("v").as("x"), col("r2").as("rx"))
+    val ry = ry0.select(col("v").as("y"), col("r2").as("ry"))
     val dec = "decimal(38,0)"
     val m = rows.join(rx, Seq("x")).join(ry, Seq("y"))
       .agg(

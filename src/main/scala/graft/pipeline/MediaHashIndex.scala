@@ -338,20 +338,29 @@ object MediaHashIndex {
       .distinct()
       .filter(bit_count(col("bh").bitwiseXOR(col("ih"))) <= maxHamming)
     val storedFrames = spark.read.parquet(framesPath(root))
-    def coolFrames(frames: DataFrame): DataFrame =
+    // Capped-group observability (r16 advice): hub-only pairs vanish
+    // silently under the df cap, so the drop must be measurable. The
+    // diagnostic count is env-gated — an always-on count() would add a
+    // full extra job to every probe for a number nobody reads.
+    def coolFrames(frames: DataFrame, side: String): DataFrame = {
+      val dfs = frames.groupBy(col("fhash"), col("frame_idx"))
+        .agg(count(lit(1)).as("_df"))
+      if (sys.env.contains("GRAFT_HUBCAP_VERBOSE"))
+        println(s"[hubcap] $side capped (position,value) groups " +
+          s"(df > $maxPositionDf): " +
+          dfs.filter(col("_df") > maxPositionDf).count())
       frames.join(
-        frames.groupBy(col("fhash"), col("frame_idx"))
-          .agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxPositionDf)
+        dfs.filter(col("_df") <= maxPositionDf)
           .select(col("fhash"), col("frame_idx")),
         Seq("fhash", "frame_idx"), "left_semi")
+    }
     valuePairs
       .join(coolFrames(batch.select(col("fhash"), col("doc_id"),
-          col("frame_idx")))
+          col("frame_idx")), "batch")
         .select(col("fhash").as("bh"), col("doc_id").as("batch_id"),
           col("frame_idx").as("fi")),
         Seq("bh"))
-      .join(coolFrames(storedFrames)
+      .join(coolFrames(storedFrames, "stored")
         .select(col("fhash").as("ih"), col("doc_id").as("index_id"),
           col("frame_idx").as("fj")),
         Seq("ih"))

@@ -164,6 +164,12 @@ object Similarity {
     require(tStats.getInt(1) == d && tStats.getInt(2) == d,
       s"embedding dim mismatch: expected $d, found sizes " +
         s"[${tStats.getInt(1)}, ${tStats.getInt(2)}]")
+    // Seed centroids stay LAZY (r17): they feed exactly ONE consumer —
+    // round 1's broadcast — so the top-k subplan executes inside that
+    // broadcast build instead of paying its own eager-checkpoint job
+    // per training (ann_recall runs four trainings; guide §1.2 fixed
+    // work). Each ROUND's centroids still checkpoint eagerly below —
+    // that truncation is what keeps iteration plans flat.
     var cents = train
       .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("h")).limit(k)
@@ -172,8 +178,7 @@ object Similarity {
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("cell_id"), col("v").as("cv"))
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-      .coalesce(1).localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val assigned = assignCells(train, cents)
       // Mean per component as `dim` indexed avg aggregates — ONE partial-
       // agg'd shuffle per round where the posexplode → groupBy(cell,pos)
@@ -183,6 +188,11 @@ object Similarity {
       // match the vectors or the means silently carry nulls.
       // coalesce(1): the centroid frame is k rows — its checkpoint
       // should be one task, not shuffle-partition many.
+      // r17 note: chaining the rounds lazily (checkpoint only after the
+      // final round) was tried and REVERTED on measurement — ann_ivfpq
+      // 5.9 → 7.5-8.9 s, task count UP: the next round's broadcast
+      // build re-executes the un-checkpointed aggregation subtree, so
+      // the per-round checkpoint is load-bearing, not overhead.
       cents = assigned
         .groupBy(col("cell_id"))
         .agg(array((0 until d).map(i => avg(col("v").getItem(i))): _*).as("cv"))
@@ -287,7 +297,9 @@ object Similarity {
     require(d % m == 0,
       s"PQ needs m to divide the embedding dim: dim=$d, m=$m")
     val subvecs = pqSubvectors(train, m, d).persist()
-    // deterministic seeds: per subspace, the ks smallest hashes
+    // deterministic seeds: per subspace, the ks smallest hashes. Lazy
+    // like the kmeansCentroids seeds (r17): one consumer — round 1's
+    // broadcast — so no eager-checkpoint job of its own.
     var cents = subvecs
       .withColumn("h", xxhash64(col("vec_id"), col("sub"), lit(seed)))
       .withColumn("rk", row_number().over(
@@ -296,11 +308,12 @@ object Similarity {
       .select(col("sub"), col("rk").cast("long").as("code"),
         col("sv").as("cv"))
       .withColumn("cnorm2", graft.functions.dotp(col("cv"), col("cv")))
-      .coalesce(1).localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       // Same one-shuffle indexed-avg recompute as kmeansCentroids (and
       // the same caveat: `dim` must match the vectors); the m·ks
-      // centroid frame checkpoints as a single task.
+      // centroid frame checkpoints as a single task (per-round eager —
+      // the lazy-chaining variant was measured slower, see
+      // kmeansCentroids).
       cents = pqAssign(subvecs, cents)
         .groupBy(col("sub"), col("code"))
         .agg(array((0 until d / m).map(i => avg(col("sv").getItem(i))): _*).as("cv"))
@@ -584,7 +597,17 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"recallVsExact: unknown method '$other'")
     }
-    val out = methods.map(m => row(m, leg(m)))
+    // The legs are INDEPENDENT until the final union (each trains its
+    // own quantizer with its own seed lineage), but building them
+    // sequentially serializes ~3 small training jobs per leg on the
+    // driver — at any scale the cluster sits idle in every job's tail
+    // (guide §2.6: overlap independent jobs; Spark's scheduler runs
+    // them concurrently, actions were only sequential because this
+    // code called them sequentially). Construct the legs concurrently
+    // (graft.Par); results are unchanged — every leg is seeded and
+    // deterministic, and the union keeps the caller's method order.
+    val out = graft.Par
+      .frames(methods.map(m => () => row(m, leg(m))): _*)
       .reduce(_.unionAll(_))
       .localCheckpoint()
     exact.unpersist()

@@ -88,14 +88,17 @@ object PipelineQueries {
       val docs = Tables.load(s, d, "documents")
       // one shingle pass serves BOTH legs (candidates + exact twin) —
       // the shingleTable composition contract; both consume it eagerly
-      // (each localCheckpoints its pairs), so unpersist here is safe
+      // (each localCheckpoints its pairs), so unpersist here is safe.
+      // r17: the legs are independent until the gate join and each runs
+      // eager jobs — build them CONCURRENTLY (guide §2.6, Par.frames).
       val sh = Dedup.shingleTable(docs).persist()
-      val cand = Dedup.minhashPairs(docs, threshold = 0.5,
-          shingled = Some(sh))
-        .select(col("a_id"), col("b_id"), lit(1L).as("c"))
-      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
-          shingled = Some(sh))
-        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      val Seq(cand0, exact0) = graft.Par.frames(
+        () => Dedup.minhashPairs(docs, threshold = 0.5,
+          shingled = Some(sh)),
+        () => Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+          shingled = Some(sh)))
+      val cand = cand0.select(col("a_id"), col("b_id"), lit(1L).as("c"))
+      val exact = exact0.select(col("a_id"), col("b_id"), lit(1L).as("e"))
       sh.unpersist()
       cand.join(exact, Seq("a_id", "b_id"), "full_outer")
         .agg(
@@ -121,13 +124,16 @@ object PipelineQueries {
     "dedup_simhash",
     (s, d) => {
       val docs = Tables.load(s, d, "documents")
-      // one shingle pass serves both legs (the dedup_minhash pattern)
+      // one shingle pass serves both legs (the dedup_minhash pattern);
+      // r17: legs built concurrently (guide §2.6, Par.frames)
       val sh = Dedup.shingleTable(docs).persist()
-      val cand = Dedup.simhashPairs(docs, maxHamming = 7,
-          shingled = Some(sh))
-        .select(col("a_id"), col("b_id"), lit(1L).as("c"))
-      val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5,
-          shingled = Some(sh))
+      val Seq(cand0, exact0) = graft.Par.frames(
+        () => Dedup.simhashPairs(docs, maxHamming = 7,
+          shingled = Some(sh)),
+        () => Dedup.ngramJaccardPairs(docs, threshold = 0.5,
+          shingled = Some(sh)))
+      val cand = cand0.select(col("a_id"), col("b_id"), lit(1L).as("c"))
+      val exact = exact0
         .select(col("a_id"), col("b_id"), col("jaccard"))
       sh.unpersist()
       cand.join(exact, Seq("a_id", "b_id"), "full_outer")

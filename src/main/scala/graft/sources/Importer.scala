@@ -220,6 +220,7 @@ object Importer {
     })
     val df = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), st)
+    graft.Tables.invalidate(spark, tableName)
     df.createOrReplaceTempView(tableName)
     df
   }
@@ -242,8 +243,10 @@ object Importer {
     }
   }
 
-  def dropTable(spark: SparkSession, tableName: String): Unit =
+  def dropTable(spark: SparkSession, tableName: String): Unit = {
+    graft.Tables.invalidate(spark, tableName)
     spark.catalog.dropTempView(tableName)
+  }
 
   private def register(spark: SparkSession, df0: DataFrame, name: String,
       fragmentSize: Option[Long]): DataFrame = {
@@ -251,6 +254,7 @@ object Importer {
       case Some(fs) => df0.repartition(estimateParts(df0, fs))
       case None => df0
     }
+    graft.Tables.invalidate(df.sparkSession, name)
     df.createOrReplaceTempView(name)
     df
   }

@@ -66,6 +66,16 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent0 = path.getParent
+    val old0 = new org.apache.hadoop.fs.Path(parent0,
+      "." + path.getName + "__compact_old")
+    // Crash RECOVERY (r16 advice): a crash between rename(path, old)
+    // and rename(tmp, path) below leaves the sole copy of the data
+    // under the rename-aside dir. Restore it FIRST — the old entry
+    // behavior deleted `old` unconditionally, so a post-crash append
+    // could recreate `path` with only new rows and the next compaction
+    // would then destroy the pre-crash rows.
+    if (!fs.exists(path) && fs.exists(old0)) fs.rename(old0, path)
     val files = fs.listStatus(path)
       .filter(_.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum

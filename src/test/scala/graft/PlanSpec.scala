@@ -376,6 +376,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(qb"),
       "boundary window not partitioned by bucket:\n" + p)
   }
+
+  test("CC pointer-jump self-join reuses the hash-min subtree's exchanges (r16 design)") {
+    // connectedComponents (Graph.scala) stopped checkpointing the
+    // hash-min frame mid-round in r16: the jump self-join references
+    // the same canonical subtree on both sides and relies on
+    // ReuseExchange / AQE stage reuse to compute the neighbor-min
+    // shuffle ONCE per round. That assumption is load-bearing (without
+    // reuse every round pays the edge⋈labels aggregation twice), so pin
+    // it: reconstruct one round's step frame exactly as the loop builds
+    // it and assert the finalized adaptive plan carries a reused
+    // exchange/stage. Disabling spark.sql.exchange.reuse makes this
+    // test fail — which is the point.
+    val edges = spark.range(0, 2000L)
+      .select(col("id").as("src"), ((col("id") * 7 + 3) % 2000L).as("dst"))
+    val bidir = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint()
+    val labels = bidir.groupBy(col("src").as("node_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("node_id"),
+        least(col("node_id"), col("nbr_min")).as("component"))
+      .localCheckpoint()
+    val neighborMin = bidir
+      .join(labels, bidir("dst") === labels("node_id"))
+      .groupBy(bidir("src").as("node_id"))
+      .agg(min(col("component")).as("nbr_min"))
+    val hashMin = labels.join(neighborMin, Seq("node_id"), "left")
+      .select(col("node_id"), col("component"),
+        least(col("component"), coalesce(col("nbr_min"), col("component")))
+          .as("mid"))
+    val parents = hashMin.select(col("node_id").as("p_id"),
+      col("mid").as("p_comp"))
+    val step = hashMin.join(parents, col("mid") === col("p_id"))
+      .select(col("node_id"), col("component"),
+        least(col("mid"), col("p_comp")).as("next_component"))
+    // AQE finalizes THIS plan only when THIS dataset executes
+    step.collect()
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      "pointer-jump self-join did not reuse the hash-min exchange " +
+        "(each CC round would pay the neighbor-min shuffle twice):\n" + p)
+  }
 }
 
 /** Partitioned parquet layout (SURVEY.md §2 IO6): the write side of a
